@@ -1,13 +1,92 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops._
+import graft.streaming.StreamingOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the north-star
+  * LLM-pipeline extensions) registers a query here; queries with an
+  * `oracleSql` entry are hash-compared against DuckDB on the same
+  * parquet tables, the rest get the rows-only check (they use
+  * engine-specific hashing/LSH that ANSI SQL can't reproduce).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q03SegmentRevenue(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational surface (SURVEY.md §2.6)
+    "q01_pricing_summary" -> (Relational.q01PricingSummary _),
+    "q02_scan_revenue" -> (Relational.q02ScanRevenue _),
+    "q03_segment_revenue" -> (Relational.q03SegmentRevenue _),
+    "q04_region_brand" -> (Relational.q04RegionBrand _),
+    "q05_topk_per_group" -> (Relational.q05TopKPerGroup _),
+    "q06_running_window" -> (Relational.q06RunningWindow _),
+    "q07_set_ops" -> (Relational.q07SetOps _),
+    "q08_sort_limit" -> (Relational.q08SortLimit _),
+    "q09_rollup" -> (Relational.q09Rollup _),
+    "q10_distinct_agg" -> (Relational.q10DistinctAgg _),
+    "q11_semi_anti" -> (Relational.q11SemiAnti _),
+    // event / semi-structured / temporal
+    "q12_json_extract" -> (EventOps.q12JsonExtract _),
+    "q13_hourly_tumbling" -> (EventOps.q13HourlyTumbling _),
+    "q14_asof_last_signup" -> (EventOps.q14AsofLastSignup _),
+    "q15_sessionize" -> (EventOps.q15Sessionize _),
+    // dedup family
+    "q20_dedup_exact" -> (Dedup.q20DedupExact _),
+    "q21_dedup_fingerprint" -> (TextAnalysis.q21Fingerprint _),
+    "q22_dedup_minhash_lsh" -> (Dedup.q22MinHashLsh _),
+    "q23_dedup_ngram_jaccard" -> (Dedup.q23NgramJaccard _),
+    "q24_dedup_simhash" -> (Dedup.q24SimHash _),
+    "q25_embedding_neardup" -> (Dedup.q25EmbeddingNearDup _),
+    // similarity search
+    "q26_knn_brute" -> (Similarity.q26KnnBrute _),
+    "q27_knn_lsh" -> (Similarity.q27KnnLsh _),
+    // text analysis
+    "q28_lang_id" -> (TextAnalysis.q28LangId _),
+    "q29_text_quality" -> (TextAnalysis.q29TextQuality _),
+    "q30_token_count" -> (TextAnalysis.q30TokenCount _),
+    // multimodal plumbing
+    "q31_multimodal_meta" -> (Multimodal.q31MultimodalMeta _),
+    // reference-core: inference + CSV round-trip
+    "q32_schema_infer" -> (InferOps.q32SchemaInfer _),
+    "q33_csv_roundtrip" -> (InferOps.q33CsvRoundtrip _),
+    // structured streaming
+    "q34_stream_tumbling" -> (StreamingOps.q34StreamTumbling _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> Relational.q01Sql,
+    "q02_scan_revenue" -> Relational.q02Sql,
+    "q03_segment_revenue" -> Relational.q03Sql,
+    "q04_region_brand" -> Relational.q04Sql,
+    "q05_topk_per_group" -> Relational.q05Sql,
+    "q06_running_window" -> Relational.q06Sql,
+    "q07_set_ops" -> Relational.q07Sql,
+    "q08_sort_limit" -> Relational.q08Sql,
+    "q09_rollup" -> Relational.q09Sql,
+    "q10_distinct_agg" -> Relational.q10Sql,
+    "q11_semi_anti" -> Relational.q11Sql,
+    "q12_json_extract" -> EventOps.q12Sql,
+    "q13_hourly_tumbling" -> EventOps.q13Sql,
+    "q14_asof_last_signup" -> EventOps.q14Sql,
+    "q15_sessionize" -> EventOps.q15Sql,
+    "q20_dedup_exact" -> Dedup.q20Sql,
+    "q21_dedup_fingerprint" -> TextAnalysis.q21Sql,
+    "q23_dedup_ngram_jaccard" -> Dedup.q23Sql,
+    "q25_embedding_neardup" -> Dedup.q25Sql,
+    "q26_knn_brute" -> Similarity.q26Sql,
+    "q28_lang_id" -> TextAnalysis.q28Sql,
+    "q29_text_quality" -> TextAnalysis.q29Sql,
+    "q30_token_count" -> TextAnalysis.q30Sql,
+    "q31_multimodal_meta" -> Multimodal.q31Sql,
+    "q32_schema_infer" -> InferOps.q32Sql,
+    "q33_csv_roundtrip" -> InferOps.q33Sql,
+    "q34_stream_tumbling" -> StreamingOps.q34Sql
+  )
 }

@@ -1,0 +1,110 @@
+package graft.core
+
+import java.time.{LocalDate, LocalDateTime, LocalTime}
+import java.time.format.DateTimeFormatter
+
+/**
+ * Type predicates for schema inference, reproducing the reference's
+ * classifier semantics (reference: diepy/core.py:547-630).
+ *
+ * The reference uses `dateutil.parser.parse` with the "two-default
+ * dates" trick: parse against two different default datetimes; fields
+ * that echo BOTH defaults were absent from the input. We reproduce the
+ * observable classification (time-only vs date-only vs full datetime)
+ * with an explicit format list instead of dateutil's fuzzy parser:
+ * a parsed value carries (hasDate, hasTime) flags, which is exactly
+ * what the two-default trick recovers.
+ *
+ * Reproduced quirks (SURVEY.md §2.7):
+ *  - `is_date` accepts a full datetime whose time-of-day is midnight
+ *    (core.py:608-609 fallback).
+ *  - classification order is int → float → date → time → datetime →
+ *    text, with `is_date` tried BEFORE `is_time` (core.py:496-508).
+ */
+object TypeInfer {
+
+  /** Result of parsing a temporal string. */
+  final case class Temporal(date: Option[LocalDate], time: Option[LocalTime])
+
+  private val dateFormats: Seq[DateTimeFormatter] = Seq(
+    "yyyy-MM-dd", "yyyy/MM/dd", "MM/dd/yyyy", "M/d/yyyy", "MM/dd/yy",
+    "M/d/yy", "yyyyMMdd", "dd-MMM-yyyy", "MMM d, yyyy", "MMMM d, yyyy"
+  ).map(DateTimeFormatter.ofPattern)
+
+  private val timeFormats: Seq[DateTimeFormatter] = Seq(
+    "HH:mm:ss.SSSSSS", "HH:mm:ss.SSS", "HH:mm:ss", "HH:mm",
+    "h:mm:ss a", "h:mm a"
+  ).map(DateTimeFormatter.ofPattern)
+
+  private val dateTimeFormats: Seq[DateTimeFormatter] = Seq(
+    "yyyy-MM-dd HH:mm:ss.SSSSSS", "yyyy-MM-dd HH:mm:ss.SSS",
+    "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS", "yyyy-MM-dd'T'HH:mm:ss.SSS",
+    "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd'T'HH:mm",
+    "MM/dd/yyyy HH:mm:ss", "MM/dd/yyyy HH:mm",
+    "M/d/yyyy H:mm:ss", "M/d/yyyy H:mm"
+  ).map(DateTimeFormatter.ofPattern)
+
+  /** Parse a string into date and/or time parts; None if not temporal. */
+  def parseTemporal(raw: String): Option[Temporal] = {
+    val s = raw.trim
+    if (s.isEmpty) return None
+    dateTimeFormats.iterator
+      .flatMap(f => tryParse(LocalDateTime.parse(s, f)))
+      .nextOption()
+      .map(dt => Temporal(Some(dt.toLocalDate), Some(dt.toLocalTime)))
+      .orElse(dateFormats.iterator
+        .flatMap(f => tryParse(LocalDate.parse(s, f))).nextOption()
+        .map(d => Temporal(Some(d), None)))
+      .orElse(timeFormats.iterator
+        .flatMap(f => tryParse(LocalTime.parse(s, f))).nextOption()
+        .map(t => Temporal(None, Some(t))))
+  }
+
+  private def tryParse[A](a: => A): Option[A] =
+    try Some(a) catch { case _: Exception => None }
+
+  /** Python-int acceptance: optional sign, digits, surrounding
+   *  whitespace (reference core.py:547-561 delegates to `int()`). */
+  def isInt(s: String): Boolean = {
+    val t = s.trim
+    t.nonEmpty && {
+      val body = if (t.charAt(0) == '+' || t.charAt(0) == '-') t.substring(1) else t
+      body.nonEmpty && body.forall(_.isDigit)
+    }
+  }
+
+  /** Python-float acceptance (core.py:564-572 delegates to `float()`):
+   *  decimal/scientific notation, inf/nan spellings. */
+  def isFloat(s: String): Boolean = {
+    val t = s.trim.toLowerCase
+    if (t.isEmpty) false
+    else {
+      val body = if (t.charAt(0) == '+' || t.charAt(0) == '-') t.substring(1) else t
+      if (body == "inf" || body == "infinity" || body == "nan") true
+      else
+        try { java.lang.Double.parseDouble(t); true }
+        catch { case _: NumberFormatException => false }
+    }
+  }
+
+  /** Date-only, OR a full datetime at exactly midnight (quirk,
+   *  core.py:594-611). */
+  def isDate(s: String): Boolean = parseTemporal(s) match {
+    case Some(Temporal(Some(_), None))    => true
+    case Some(Temporal(Some(_), Some(t))) => t == LocalTime.MIDNIGHT
+    case _                                => false
+  }
+
+  /** Time-only (core.py:575-591). */
+  def isTime(s: String): Boolean = parseTemporal(s) match {
+    case Some(Temporal(None, Some(_))) => true
+    case _                             => false
+  }
+
+  /** Both date and time present (core.py:614-630). */
+  def isDateTime(s: String): Boolean = parseTemporal(s) match {
+    case Some(Temporal(Some(_), Some(_))) => true
+    case _                                => false
+  }
+}

@@ -1,0 +1,151 @@
+package graft.io
+
+import graft.core.{ColumnDef, SchemaInfer}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Delimited-text import/export with the reference's semantics
+ * (reference: diepy/core.py:234-336) on Spark primitives.
+ *
+ * Import is the reference's two-pass structure (core.py:137→147):
+ * pass 1 reads everything as strings and infers the schema
+ * (SchemaInfer); pass 2 re-reads with the typed schema. Spark reads
+ * `.gz` natively, which fixes the reference's broken compressed
+ * import (core.py:19 accepts `.gz` but opens with plain `open()` —
+ * SURVEY.md §2.7.1).
+ */
+object CsvIO {
+
+  /** File-type dispatch (core.py:18-25). */
+  private val csvRe = ".*(\\.csv|\\.tab|\\.tsv|\\.txt)(\\.gz|\\.zip)?$".r
+  private val excelRe = ".*(\\.xlsx|\\.xls)(\\.gz|\\.zip)?(\\$.*)?$".r
+  def isCsv(p: String): Boolean = csvRe.matches(p)
+  def isExcel(p: String): Boolean = excelRe.matches(p)
+
+  /** Delimiter by extension: `.tab`/`.tsv` → TAB (core.py:314-317). */
+  def delimiterFor(path: String, explicit: Option[String] = None): String =
+    explicit.getOrElse {
+      val base = path.stripSuffix(".gz").stripSuffix(".zip")
+      if (base.endsWith(".tab") || base.endsWith(".tsv")) "\t" else ","
+    }
+
+  /** Raw all-string read (pass 1). `multiLine` handles quoted embedded
+   *  newlines (tests/basic.csv row 3). */
+  def readRaw(spark: SparkSession, path: String, delimiter: String): DataFrame = {
+    val df = spark.read
+      .option("header", "true")
+      .option("delimiter", delimiter)
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(path)
+    // header sanitation: BOM strip + unnamed<N> (core.py:443-448)
+    val clean = ColumnDef.sanitizeHeaders(df.columns.toSeq)
+    df.toDF(clean: _*)
+  }
+
+  /** Full inferred import: returns the typed DataFrame plus the
+   *  inferred column definitions (for DDL emission). */
+  def importCsv(
+      spark: SparkSession,
+      path: String,
+      delimiter: Option[String] = None,
+      sampleSize: Int = SchemaInfer.DefaultSampleSize): (DataFrame, Seq[ColumnDef]) = {
+    val d = delimiterFor(path, delimiter)
+    val raw = readRaw(spark, path, d)
+    val cols = SchemaInfer.inferSample(raw, sampleSize)
+    val typed = castTo(raw, cols)
+    (typed, cols)
+  }
+
+  /** Pass 2 as a projection over the raw read — equivalent to the
+   *  reference's per-cell `cast_data` (core.py:374-389): empty→NULL,
+   *  temporal parse, numeric cast. */
+  def castTo(raw: DataFrame, cols: Seq[ColumnDef]): DataFrame = {
+    val projections = cols.map { c =>
+      val src = col(c.name)
+      val nonEmpty = when(src.isNull || src === "", lit(null)).otherwise(src)
+      val casted: Column = c.toStructField.dataType match {
+        case ShortType     => nonEmpty.cast(ShortType)
+        case IntegerType   => nonEmpty.cast(IntegerType)
+        case LongType      => nonEmpty.cast(LongType)
+        case DoubleType    => nonEmpty.cast(DoubleType)
+        case TimestampType => to_timestamp(nonEmpty)
+        case DateType      => to_date(nonEmpty)
+        case _             => nonEmpty
+      }
+      casted.as(c.name)
+    }
+    raw.select(projections: _*)
+  }
+
+  /** Export projection — the reference's `_cleanbool`
+   *  (core.py:360-371): bool→1/0, datetime→Python `isoformat()`
+   *  (no fractional part when micros are zero), else string; NULL
+   *  passes through (→ empty CSV field). */
+  def cleanboolProjection(df: DataFrame): DataFrame = {
+    val projections = df.schema.fields.map { f =>
+      val c = col(f.name)
+      val cleaned: Column = f.dataType match {
+        case BooleanType => c.cast(IntegerType)
+        case TimestampType =>
+          when(c.isNull, lit(null))
+            .otherwise(
+              when(date_format(c, "SSSSSS") === "000000",
+                   date_format(c, "yyyy-MM-dd'T'HH:mm:ss"))
+                .otherwise(date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
+        case _ => c
+      }
+      cleaned.as(f.name)
+    }
+    df.select(projections.toIndexedSeq: _*)
+  }
+
+  /**
+   * CSV export (core.py:299-336). `singleFile=true` reproduces the
+   * reference's one-file semantics (coalesce(1) + rename of the part
+   * file); false keeps Spark's scalable directory-of-parts layout —
+   * the 100 TB path.
+   */
+  def exportCsv(
+      df: DataFrame,
+      dst: String,
+      delimiter: Option[String] = None,
+      gzip: Boolean = false,
+      unixLineSep: Boolean = false,
+      singleFile: Boolean = true): String = {
+    val useGzip = gzip || dst.endsWith(".gz")
+    val finalDst = if (useGzip && !dst.endsWith(".gz")) dst + ".gz" else dst
+    val d = delimiterFor(finalDst, delimiter)
+    val cleaned = cleanboolProjection(df)
+    val writer0 = cleaned
+      .coalesce(if (singleFile) 1 else cleaned.rdd.getNumPartitions)
+      .write
+      .option("header", "true")
+      .option("delimiter", d)
+      .option("emptyValue", "")
+      .option("lineSep", if (unixLineSep) "\n" else "\r\n")
+      .mode("overwrite")
+    val writer = if (useGzip) writer0.option("compression", "gzip") else writer0
+    if (!singleFile) { writer.csv(finalDst); finalDst }
+    else {
+      val tmp = finalDst + ".sparkdir"
+      writer.csv(tmp)
+      promoteSingleFile(tmp, finalDst)
+      finalDst
+    }
+  }
+
+  /** Move the single part file out of the Spark output dir to `dst`. */
+  private def promoteSingleFile(dir: String, dst: String): Unit = {
+    import java.nio.file._
+    val d = Paths.get(dir)
+    val part = Files.list(d).filter(p => p.getFileName.toString.startsWith("part-"))
+      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $dir"))
+    Files.move(part, Paths.get(dst), StandardCopyOption.REPLACE_EXISTING)
+    Files.list(d).forEach(Files.delete(_))
+    Files.delete(d)
+  }
+}

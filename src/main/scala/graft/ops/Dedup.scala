@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators over `documents` — exact, fingerprint,
+ * exact n-gram Jaccard, MinHash+LSH banding, and SimHash.
+ *
+ * Scale design (100 TB):
+ *  - exact dedup is a single hash aggregate on the dedup key (min-id
+ *    keeper) — map-side partials make it shuffle-light;
+ *  - exact Jaccard joins on shingles, which is skew-prone at scale;
+ *    it is therefore restricted by a cheap blocking key (lang) and
+ *    exists as the *verifier* for the candidate pairs that the
+ *    MinHash/LSH path (q22) generates — LSH banding is the scale
+ *    path: candidates only collide within a band bucket;
+ *  - SimHash reduces each doc to 64 bits; banded prefix join finds
+ *    Hamming-near pairs without an all-pairs product.
+ */
+object Dedup {
+  import Tables._
+
+  /** Distinct word 3-gram shingles as an array column (empty when the
+   *  doc has fewer than 3 tokens, matching generate_series in the
+   *  oracle). */
+  def shingles(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    val grams = transform(
+      sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    array_distinct(when(size(toks) >= 3, grams).otherwise(array()))
+  }
+
+  /** Exact dedup: keeper = min doc_id per identical text. */
+  def q20DedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+      .select(col("keeper"), col("n_dups"))
+      .orderBy(col("keeper"))
+
+  val q20Sql: String =
+    """SELECT min(doc_id) AS keeper, count(*) AS n_dups
+      |FROM documents GROUP BY text ORDER BY keeper""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.6), blocked by
+   *  lang. co/sizes are exact integers, so the similarity is
+   *  engine-independent. */
+  def q23NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(shingles(col("text"))).as("s"))
+    val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val co = docs.as("a")
+      .join(docs.as("b"),
+        col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("co"))
+    co.join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard", round(col("co") * lit(1.0) / (col("sa.n") + col("sb.n") - col("co")), 6))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("co"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q23Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |co AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, co, round(co*1.0/(x.n + y.n - co), 6) AS jaccard
+      |FROM co JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b
+      |WHERE round(co*1.0/(x.n + y.n - co), 6) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash + LSH banding (spark.ml): shingle→hashingTF→minhash,
+   *  approx similarity self-join at Jaccard distance ≤ 0.5. The LSH
+   *  OR-amplification join is the linear-ish scale path for fuzzy
+   *  dedup. Not SQL-expressible → rows-only check. */
+  def q22MinHashLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("sh", shingles(col("text")))
+      .filter(size(col("sh")) > 0)
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(1 << 18)
+    val feat = tf.transform(docs).select(col("doc_id"), col("features"))
+    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(5).setSeed(42L)
+    val model = mh.fit(feat)
+    model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
+      .select(
+        col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"),
+        round(lit(1.0) - col("jaccard_dist"), 6).as("est_jaccard"))
+      .filter(col("doc_a") < col("doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash: 64-bit signature from per-token xxhash64; near-pairs =
+   *  same 16-bit band ∧ Hamming distance ≤ 12. Banding turns the
+   *  all-pairs comparison into 4 equi-joins. Spark-hash-specific →
+   *  rows-only check. */
+  def q24SimHash(s: SparkSession, d: String): DataFrame = {
+    // one explode + ONE hash aggregate computes all 64 sign-sums —
+    // single pass, map-side partials, no per-bit re-scan
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i"))
+    val sigs = tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 12)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding near-dup: same-label blocking, exact cosine ≥ 0.45.
+   *  At scale the label is any cheap partition key (cluster id from
+   *  IVF, LSH bucket, …): the quadratic blow-up stays within blocks. */
+  def q25EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot",
+        aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), (a, x) => a + x))
+      .withColumn("sim", round(col("dot") / (col("a.norm") * col("b.norm")), 6))
+      .filter(col("sim") >= 0.45)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"), col("sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val q25Sql: String =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+      | round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      |   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+      |      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS sim
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      |   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+      |      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.45
+      |ORDER BY vec_a, vec_b""".stripMargin
+}

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-stream operators over the `events` table: semi-structured
+ * JSON extraction, tumbling-window aggregation, as-of (most recent
+ * prior event) join, and gap-based sessionization.
+ *
+ * All timestamps are emitted as epoch seconds (BIGINT) rather than
+ * raw timestamps so oracle comparison is precision/timezone-proof
+ * (the source column is nanosecond parquet; Spark truncates to
+ * micros — see Tables.events).
+ *
+ * Scale notes: sessionization and as-of are window functions over
+ * (user_id) partitions — one shuffle on the session key, no
+ * driver-side state; this is the same shape Structured Streaming
+ * uses for `session_window`, so the batch and stream paths agree.
+ */
+object EventOps {
+  import Tables._
+
+  /** JSON extraction (`from_json`) + aggregation per event type. */
+  def q12JsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val q12Sql: String =
+    """SELECT event_type, count(*) AS n,
+      | sum(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS sum_k,
+      | max(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Tumbling 1-hour windows via `window()` — counts, revenue cents,
+   *  distinct users per (window × type). */
+  def q13HourlyTumbling(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("value"))) / 100.0).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+        col("event_type"), col("n"), col("sum_value"), col("n_users"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  val q13Sql: String =
+    """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket,
+      | event_type, count(*) AS n,
+      | CAST(sum(CAST(round("value"*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value,
+      | count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
+  /** As-of join: for each purchase, the most recent prior (or equal)
+   *  signup timestamp of the same user — expressed as an
+   *  ignore-nulls last_value window, which needs only ONE shuffle on
+   *  user_id (vs. a range join). */
+  def q14AsofLastSignup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("last_signup",
+        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_sec"),
+        unix_timestamp(col("last_signup")).as("signup_sec"))
+      .orderBy(col("event_id"))
+  }
+
+  val q14Sql: String =
+    """SELECT event_id, user_id,
+      | CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+      | CAST(floor(epoch(last_signup)) AS BIGINT) AS signup_sec
+      |FROM (
+      | SELECT event_id, user_id, ts, event_type,
+      |  last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+      | FROM events) t
+      |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  /** Gap-based sessionization (30-minute inactivity gap): classic
+   *  lag → gap flag → running-sum session index, then per-session
+   *  rollup. Single shuffle on user_id. */
+  def q15Sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("sess_idx", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(unix_timestamp(min(col("ts"))).as("sess_start"),
+        count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))) / 100.0).as("sum_value"))
+      .orderBy(col("user_id"), col("sess_idx"))
+  }
+
+  val q15Sql: String =
+    """SELECT user_id, sess_idx,
+      | CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+      | count(*) AS n_events,
+      | CAST(sum(CAST(round("value"*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value
+      |FROM (
+      | SELECT user_id, ts, "value",
+      |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+      | FROM (
+      |  SELECT user_id, event_id, ts, "value",
+      |   CASE WHEN prev_ts IS NULL
+      |        OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+      |        THEN 1 ELSE 0 END AS new_sess
+      |  FROM (
+      |   SELECT user_id, event_id, ts, "value",
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |   FROM events) a) b) c
+      |GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.core.SchemaInfer
+import graft.io.CsvIO
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Queries exercising the reference's own core capability — sampled
+ * schema inference and CSV round-tripping (SURVEY.md §2.4, §2.1-2.2)
+ * — through the driver's oracle gate.
+ */
+object InferOps {
+  import Tables._
+
+  /**
+   * Distributed schema inference (treeAggregate of the ColumnDef
+   * monoid) over lineitem rendered as raw strings — the shape every
+   * CSV ingest sees. Returns one row per column: (name, inferred
+   * type, emitted DDL, nullable).
+   *
+   * The oracle is a golden VALUES list pinned to the reference
+   * lattice's expected output on this data (e.g. the timestamp
+   * column classifies as `date` because all ship timestamps are at
+   * midnight — the reference's is_date quirk, core.py:608-609).
+   */
+  def q32SchemaInfer(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, d)
+    val raw = li.select(li.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
+    val defs = SchemaInfer.inferFull(raw)
+    defs.map(c => (c.name, c.settledType, c.ddlType, c.nullable))
+      .toDF("col_name", "inferred_type", "ddl_type", "is_nullable")
+      .orderBy(col("col_name"))
+  }
+
+  /** Golden oracle for sf0.01 lineitem (driver's correctness scale).
+   *  Int tiers depend on observed min/max at this SF. */
+  val q32Sql: String =
+    """SELECT * FROM (VALUES
+      | ('l_orderkey', 'int', 'SMALLINT', false),
+      | ('l_partkey', 'int', 'SMALLINT', false),
+      | ('l_suppkey', 'int', 'SMALLINT', false),
+      | ('l_linenumber', 'int', 'SMALLINT', false),
+      | ('l_quantity', 'float', 'FLOAT', false),
+      | ('l_extendedprice', 'float', 'FLOAT', false),
+      | ('l_discount', 'float', 'FLOAT', false),
+      | ('l_tax', 'float', 'FLOAT', false),
+      | ('l_returnflag', 'text', 'VARCHAR(50)', false),
+      | ('l_linestatus', 'text', 'VARCHAR(50)', false),
+      | ('l_shipdate', 'date', 'DATE', false)
+      |) t(col_name, inferred_type, ddl_type, is_nullable)
+      |ORDER BY col_name""".stripMargin
+
+  /**
+   * CSV round-trip: export lineitem with the reference's export
+   * projection (_cleanbool), re-import with inferred schema, and
+   * aggregate — the oracle aggregates the parquet directly, so any
+   * fidelity loss in export/infer/cast shows up as a mismatch.
+   * Directory-of-parts layout (singleFile=false) is the scale path.
+   */
+  def q33CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_csv_rt_${Integer.toHexString(d.hashCode)}"
+    CsvIO.exportCsv(lineitem(s, d), s"$dir/lineitem.csv", singleFile = false,
+      unixLineSep = true)
+    val (typed, _) = CsvIO.importCsv(s, s"$dir/lineitem.csv")
+    typed.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q33Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      | sum(l_quantity) AS sum_qty,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_price
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+}

@@ -1,0 +1,249 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational operator suite over the TPC-H-ish testdata — the query
+ * surface the reference lacks entirely (SURVEY.md §2.6): projections,
+ * filters, joins (broadcast/shuffle, semi/anti), aggregations
+ * (hash, distinct, rollup), windows, sorts/limits, set ops.
+ *
+ * Scale notes (100 TB design): every query is fully declarative so
+ * Catalyst pushes filters/pruning into the parquet scan; dimension
+ * joins broadcast explicitly; revenue sums use integral cents
+ * (Tables.cents) so results are order-independent → partial (map-side)
+ * aggregation stays exact at any parallelism.
+ */
+object Relational {
+  import Tables._
+
+  /** TPC-H Q1-style pricing summary: hash aggregate with map-side
+   *  partials; filter pushed to parquet scan. */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+        (sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / 100.0).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | sum(l_quantity) AS sum_qty,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_base_price,
+      | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_disc_price,
+      | round(avg(l_quantity), 6) AS avg_qty,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6-style forecast revenue: selective scan → scalar agg.
+   *  The three predicates all push down to the parquet reader. */
+  def q02ScanRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+        to_date(col("l_shipdate")) < lit("1997-01-01") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(
+        (sum(cents(col("l_extendedprice") * col("l_discount"))) / 100.0).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val q02Sql: String =
+    """SELECT
+      | CAST(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT)/100.0 AS revenue,
+      | count(*) AS n_rows
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Star join: fact ⋈ orders ⋈ customer (customer broadcast), revenue
+   *  by market segment × order status. */
+  def q03SegmentRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(
+        (sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / 100.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+
+  val q03Sql: String =
+    """SELECT c_mktsegment, o_orderstatus,
+      | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)/100.0 AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment, o_orderstatus
+      |ORDER BY c_mktsegment, o_orderstatus""".stripMargin
+
+  /** Snowflake dimension joins, all broadcast: part, supplier →
+   *  nation → region. One shuffle total (the final aggregate). */
+  def q04RegionBrand(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("p_brand"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("gross"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("p_brand"))
+
+  val q04Sql: String =
+    """SELECT r_name, p_brand,
+      | sum(l_quantity) AS sum_qty,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS gross,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, p_brand
+      |ORDER BY r_name, p_brand""".stripMargin
+
+  /** Top-3 orders per priority: rank inside window, ties broken by
+   *  key for determinism. */
+  def q05TopKPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+        (cents(col("o_totalprice")) / 100.0).as("totalprice"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+  }
+
+  val q05Sql: String =
+    """SELECT o_orderpriority, rnk, o_orderkey, totalprice FROM (
+      | SELECT o_orderpriority, o_orderkey,
+      |  CAST(round(o_totalprice*100) AS BIGINT)/100.0 AS totalprice,
+      |  row_number() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      | FROM orders) t
+      |WHERE rnk <= 3
+      |ORDER BY o_orderpriority, rnk""".stripMargin
+
+  /** Running (cumulative) sum per supplier — frame-based window. */
+  def q06RunningWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(s, d)
+      .filter(col("l_suppkey") <= 5)
+      .withColumn("running_qty", sum(col("l_quantity")).over(w))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q06Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+      | sum(l_quantity) OVER (PARTITION BY l_suppkey
+      |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      |FROM lineitem WHERE l_suppkey <= 5
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** Set operations: INTERSECT / EXCEPT with SQL bag-to-set semantics. */
+  def q07SetOps(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_nationkey").as("k"))
+    val sup = supplier(s, d).select(col("s_nationkey").as("k"))
+    val inter = c.intersect(sup).withColumn("op", lit("intersect"))
+    val minus = c.except(sup).withColumn("op", lit("except"))
+    inter.unionByName(minus).select(col("op"), col("k")).orderBy(col("op"), col("k"))
+  }
+
+  val q07Sql: String =
+    """SELECT 'intersect' AS op, k FROM
+      | (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier) a
+      |UNION ALL
+      |SELECT 'except' AS op, k FROM
+      | (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) b
+      |ORDER BY op, k""".stripMargin
+
+  /** Global sort + limit (TakeOrderedAndProject — no full sort). */
+  def q08SortLimit(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        (cents(col("o_totalprice")) / 100.0).as("totalprice"))
+      .limit(20)
+
+  val q08Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      | CAST(round(o_totalprice*100) AS BIGINT)/100.0 AS totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** ROLLUP hierarchy aggregate (grouping sets). */
+  def q09Rollup(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("o_totalprice"))) / 100.0).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  val q09Sql: String =
+    """SELECT coalesce(o_orderstatus, '(all)') AS status,
+      | coalesce(o_orderpriority, '(all)') AS priority,
+      | count(*) AS n,
+      | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Exact distinct aggregation (expand + two-phase hash agg). */
+  def q10DistinctAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"),
+        (sum(cents(col("o_totalprice"))) / 100.0).as("total"))
+      .orderBy(col("o_orderpriority"))
+
+  val q10Sql: String =
+    """SELECT o_orderpriority,
+      | count(DISTINCT o_custkey) AS n_cust,
+      | count(*) AS n_orders,
+      | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Left-semi / left-anti joins (EXISTS / NOT EXISTS). Customers with
+   *  an open order vs customers with no orders at all. */
+  def q11SemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d)
+    val withOpen = c.join(o.filter(col("o_orderstatus") === "O"),
+      col("c_custkey") === col("o_custkey"), "left_semi")
+    val noOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+    withOpen.select(lit("has_open").as("tag"), col("c_custkey"))
+      .unionByName(noOrders.select(lit("no_orders").as("tag"), col("c_custkey")))
+      .orderBy(col("tag"), col("c_custkey"))
+  }
+
+  val q11Sql: String =
+    """SELECT 'has_open' AS tag, c_custkey FROM customer
+      | WHERE EXISTS (SELECT 1 FROM orders
+      |   WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |UNION ALL
+      |SELECT 'no_orders' AS tag, c_custkey FROM customer
+      | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY tag, c_custkey""".stripMargin
+}

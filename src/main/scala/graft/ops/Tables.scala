@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Loaders for the driver-provisioned parquet tables (TESTDATA.md). */
+object Tables {
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
+  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /**
+   * `events.parquet` carries a nanosecond-precision timestamp
+   * (TIMESTAMP(NANOS)), which Spark's vectorized parquet reader does
+   * not map to TimestampType. Read with the documented escape hatch
+   * (`spark.sql.legacy.parquet.nanosAsLong`, SPARK-34377) and convert
+   * to microsecond TimestampType; if this Spark version reads nanos
+   * natively, pass the column through unchanged.
+   */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    // set preemptively: only affects TIMESTAMP(NANOS) parquet columns,
+    // and avoids a noisy failed-job fallback cycle
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path)
+    df.schema("ts").dataType match {
+      case TimestampType => df
+      // integer division: ns epochs (~1.7e18) overflow double precision
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case other => throw new IllegalStateException(s"unexpected ts type $other")
+    }
+  }
+
+  /** Money-exact aggregation helper: doubles → integral cents, so sums
+   *  are order-independent and engine-independent (used by every
+   *  oracle-compared revenue aggregate). */
+  def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * 100).cast(LongType)
+}

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators over `documents` — the training-data
+ * pipeline surface: language ID (marker-word heuristic), quality
+ * scoring, token counting (whitespace + BPE-ish regex), and document
+ * fingerprinting (md5 of the normalized text).
+ *
+ * Every operator is a narrow per-row projection (no shuffle except
+ * the final presentation sort), built entirely from codegen'd
+ * built-ins — at 100 TB these run at scan speed with full
+ * column pruning.
+ */
+object TextAnalysis {
+  import Tables._
+
+  // every count is cast to BIGINT: Spark's regexp_count/length return
+  // INT while DuckDB returns BIGINT — outputs must agree for the
+  // driver's schema check
+  private def tokenCount(c: Column): Column =
+    regexp_count(c, lit("\\S+")).cast("long")
+
+  private def markerScore(c: Column, words: Seq[String]): Column =
+    words.map(w => regexp_count(c, lit("\\b" + w + "\\b")).cast("long")).reduce(_ + _)
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "les", "des", "et"))
+
+  /** Language ID: argmax of per-language marker-word hit counts;
+   *  ties resolve in fixed language order (first CASE match wins),
+   *  'und' when no marker matches at all. */
+  def q28LangId(s: SparkSession, d: String): DataFrame = {
+    val text = lower(col("text"))
+    val scored = documents(s, d).select(
+      col("doc_id") +: langMarkers.map { case (l, ws) => markerScore(text, ws).as(s"score_$l") }: _*)
+    val langs = langMarkers.map(_._1)
+    val mx = greatest(langs.map(l => col(s"score_$l")): _*)
+    val best = langs.foldRight(lit("und"): Column) { (l, rest) =>
+      when(col(s"score_$l") === mx, lit(l)).otherwise(rest)
+    }
+    scored
+      .withColumn("predicted", when(mx <= 0, lit("und")).otherwise(best))
+      .orderBy(col("doc_id"))
+  }
+
+  val q28Sql: String = {
+    def sc(l: String): String = langMarkers.toMap.apply(l)
+      .map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")
+    val langs = langMarkers.map(_._1)
+    val mx = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN score_$l = $mx THEN '$l'").mkString(" ")
+    s"""SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+       | CASE WHEN $mx <= 0 THEN 'und' $cases END AS predicted
+       |FROM (SELECT doc_id, ${langs.map(l => s"${sc(l)} AS score_$l").mkString(", ")}
+       |      FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: integer-arithmetic signals (word count, char
+   *  count, punct count, stopword hits) → deterministic score. */
+  def q29TextQuality(s: SparkSession, d: String): DataFrame = {
+    val text = col("text")
+    documents(s, d).select(
+      col("doc_id"),
+      length(text).cast("long").as("n_chars"),
+      tokenCount(text).as("n_words"),
+      regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("long").as("n_punct"),
+      markerScore(lower(text), Seq("the", "a", "of", "and", "to", "in")).as("n_stop"))
+      .withColumn("quality_score",
+        least(col("n_words"), lit(100)) + lit(2) * col("n_stop") - col("n_punct"))
+      .withColumn("quality_bucket",
+        when(col("quality_score") >= 30, "high")
+          .when(col("quality_score") >= 15, "medium").otherwise("low"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q29Sql: String = {
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+      .map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")
+    s"""SELECT doc_id, n_chars, n_words, n_punct, n_stop,
+       | least(n_words, 100) + 2*n_stop - n_punct AS quality_score,
+       | CASE WHEN least(n_words, 100) + 2*n_stop - n_punct >= 30 THEN 'high'
+       |      WHEN least(n_words, 100) + 2*n_stop - n_punct >= 15 THEN 'medium'
+       |      ELSE 'low' END AS quality_bucket
+       |FROM (SELECT doc_id, length(text) AS n_chars,
+       |       len(regexp_extract_all(text, '\\S+')) AS n_words,
+       |       len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+       |       $stop AS n_stop
+       |      FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+   *  (letter runs / single digits / single punctuation marks). */
+  def q30TokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long").as("bpe_tokens"),
+      length(col("text")).cast("long").as("len"))
+      .withColumn("tokens_per_100chars",
+        round(col("bpe_tokens") * lit(100.0) / greatest(col("len"), lit(1)), 4))
+      .drop("len")
+      .orderBy(col("doc_id"))
+
+  val q30Sql: String =
+    """SELECT doc_id,
+      | len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+      | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens,
+      | round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) * 100.0
+      |       / greatest(length(text), 1), 4) AS tokens_per_100chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase
+   *  text — the canonical near-exact-dedup key. */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(trim(lower(c)), "\\s+", " ").cast("binary"))
+
+  def q21Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("fp", fingerprint(col("text")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+      .orderBy(col("keeper"))
+
+  val q21Sql: String =
+    """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+      | min(doc_id) AS keeper, count(*) AS n_dups
+      |FROM documents
+      |GROUP BY 1 ORDER BY keeper""".stripMargin
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * Structured Streaming surface: the same event analytics as the batch
+ * operators, driven through `readStream` → windowed aggregation →
+ * `writeStream`, proving the engine's stream/batch parity.
+ *
+ * q34 runs a real streaming query over the events parquet (file
+ * source, one-shot drain via processAllAvailable) with a tumbling
+ * 1-day window; complete output mode into a memory sink so the final
+ * answer equals the batch/oracle result regardless of the
+ * micro-batch cut points. Watermarking + append-mode variants are
+ * exercised in the test suite (SessionWindowSpec) — their outputs
+ * depend on watermark progress, so they are demo, not oracle-gated.
+ *
+ * Scale notes: the file source is replaced by Kafka/queue sources in
+ * production; the aggregation state is keyed by (window, type) —
+ * bounded and shuffle-partitioned, no driver state.
+ */
+object StreamingOps {
+
+  private val runSeq = new AtomicInteger(0)
+
+  def q34StreamTumbling(s: SparkSession, d: String): DataFrame = {
+    // a batch read resolves the physical schema (incl. the
+    // nanos-as-long escape hatch — see Tables.events); the stream
+    // uses the RAW schema and applies the same ts conversion
+    val path = s"$d/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(path)
+    val name = s"graft_q34_${runSeq.incrementAndGet()}"
+    // FileStreamSource wants a directory or glob, not a bare file —
+    // the trailing '*' makes the exact-file path a glob
+    val stream0 = s.readStream.schema(raw.schema).parquet(path + "*")
+    val stream = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => stream0
+    }
+    val agg = stream
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("day_bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.table(name).orderBy(col("day_bucket"), col("event_type"))
+  }
+
+  val q34Sql: String =
+    """SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_bucket,
+      | event_type, count(*) AS n,
+      | CAST(sum(CAST(round("value"*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY day_bucket, event_type""".stripMargin
+}

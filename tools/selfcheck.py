@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run graft.Verify
+output vs DuckDB oracle on the same parquet tables.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+"""
+import sys, os, json, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [sorted(cols)] + out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        parts = glob.glob(f"{d}/*.parquet")
+        if not parts:
+            print(f"[MISS] {name}: no parquet output")
+            n_fail += 1
+            continue
+        got = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
+        got_cols, got_rows = got.columns, got.fetchall()
+        if name not in oracle:
+            print(f"[ROWS] {name}: {len(got_rows)} rows (no oracle)")
+            continue
+        try:
+            exp = con.sql(oracle[name])
+            exp_cols, exp_rows = exp.columns, exp.fetchall()
+        except Exception as e:
+            print(f"[ORACLE-ERR] {name}: {e}")
+            n_fail += 1
+            continue
+        g = norm_rows(got_cols, got_rows)
+        x = norm_rows(exp_cols, exp_rows)
+        if g == x:
+            print(f"[PASS] {name}: {len(got_rows)} rows")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"[FAIL] {name}: spark {len(got_rows)} rows vs oracle {len(exp_rows)}")
+            if g[0] != x[0]:
+                print(f"   cols spark={g[0]} oracle={x[0]}")
+            else:
+                diffs = [(a, b) for a, b in zip(g[1:], x[1:]) if a != b]
+                for a, b in diffs[:3]:
+                    print(f"   spark={a}\n   oracl={b}")
+                if len(g) != len(x):
+                    print(f"   row counts differ: {len(g)-1} vs {len(x)-1}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
