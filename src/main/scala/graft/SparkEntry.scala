@@ -57,7 +57,10 @@ object SparkEntry {
     "q32_schema_infer" -> (InferOps.q32SchemaInfer _),
     "q33_csv_roundtrip" -> (InferOps.q33CsvRoundtrip _),
     // structured streaming
-    "q34_stream_tumbling" -> (StreamingOps.q34StreamTumbling _)
+    "q34_stream_tumbling" -> (StreamingOps.q34StreamTumbling _),
+    // xlsx + jdbc round-trips (S4-S6/K6, S9-S10/K1-K3)
+    "q35_xlsx_roundtrip" -> (InferOps.q35XlsxRoundtrip _),
+    "q36_jdbc_roundtrip" -> (InferOps.q36JdbcRoundtrip _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -87,6 +90,8 @@ object SparkEntry {
     "q31_multimodal_meta" -> Multimodal.q31Sql,
     "q32_schema_infer" -> InferOps.q32Sql,
     "q33_csv_roundtrip" -> InferOps.q33Sql,
-    "q34_stream_tumbling" -> StreamingOps.q34Sql
+    "q34_stream_tumbling" -> StreamingOps.q34Sql,
+    "q35_xlsx_roundtrip" -> InferOps.q35Sql,
+    "q36_jdbc_roundtrip" -> InferOps.q36Sql
   )
 }

@@ -109,6 +109,18 @@ final case class ColumnDef(
       widths.find(length < _).map(w => s"VARCHAR($w)").getOrElse("CLOB")
   }
 
+  /** JDBC `createTableColumnTypes` fragment type: like `ddlType` but
+   *  restricted to DDL Spark's parser accepts and the JDBC writer can
+   *  map. `time` travels as VARCHAR (the DataFrame column is a
+   *  string); None for the CLOB tier → let the dialect's default
+   *  StringType mapping apply (Derby: CLOB). */
+  def jdbcDdlType: Option[String] = settledType match {
+    case "time"                   => Some("VARCHAR(15)")
+    case "datetime"               => Some("TIMESTAMP")
+    case "text" if length >= 4000 => None
+    case _                        => Some(ddlType)
+  }
+
   /** Spark schema field (SURVEY.md §1.3 mapping). */
   def toStructField: StructField = {
     val dt: DataType = settledType match {

@@ -62,7 +62,8 @@ object SchemaInfer {
     StructType(ColumnDef.sanitizeHeaders(cols).map(StructField(_, StringType, nullable = true)))
 
   /** JDBC `createTableColumnTypes` fragment carrying VARCHAR width
-   *  tiers (core.py:530-544 → SURVEY.md §2.2 K2). */
+   *  tiers (core.py:530-544 → SURVEY.md §2.2 K2). Empty when every
+   *  column uses the dialect default. */
   def createTableColumnTypes(cols: Seq[ColumnDef]): String =
-    cols.map(c => s"${c.name} ${c.ddlType}").mkString(", ")
+    cols.flatMap(c => c.jdbcDdlType.map(t => s"${c.name} $t")).mkString(", ")
 }

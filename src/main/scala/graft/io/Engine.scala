@@ -1,0 +1,75 @@
+package graft.io
+
+import graft.core.{DbPath, ServerRegistry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * The reference's user-facing surface (diepy/core.py:53-84, 115-151;
+ * tests/diepy_tests.py:11-48): import files into a database table,
+ * export tables back out — re-expressed over Spark sources/sinks.
+ *
+ * `importFile` routes by extension (CSV/TSV/TXT with optional
+ * gz — Excel with optional `$SHEET`), infers the schema when the
+ * table doesn't exist, and appends (or truncates first). Returns the
+ * imported row count like the reference's CSV path. Per-file errors
+ * are logged and swallowed (P4, core.py:148-151).
+ */
+final class Engine(spark: SparkSession, registry: ServerRegistry) {
+
+  def urlFor(dbPath: DbPath): String =
+    registry.connectionString(
+      dbPath.server.getOrElse(throw new IllegalArgumentException("no server in path")),
+      dbPath.database)
+
+  /** diepy import FILE SERVER[.DATABASE[.SCHEMA[.TABLE]]] */
+  def importFile(path: String, dst: String, delimiter: Option[String] = None,
+      truncate: Boolean = false): Option[Long] =
+    try {
+      val addr = DbPath.parse(dst)
+      val url = urlFor(addr)
+      if (CsvIO.isExcel(path)) {
+        val (file, sheetSel) = XlsxIO.splitSheetSelector(path)
+        val sheets = sheetSel.map(Seq(_)).getOrElse(XlsxIO.listSheets(file))
+        var total = 0L
+        sheets.foreach { sheet =>
+          try {
+            val (df, cols) = XlsxIO.importSheet(spark, file, sheet)
+            val table = addr.table.getOrElse(sheet)
+            JdbcIO.writeTable(df, url, table, Some(cols), truncate)
+            total += df.count()
+          } catch { case e: Exception =>
+            System.err.println(s"[engine] trouble importing worksheet $sheet: ${e.getMessage}")
+          }
+        }
+        Some(total)
+      } else {
+        val (df, cols) = CsvIO.importCsv(spark, path, delimiter)
+        val table = addr.table.getOrElse(
+          new java.io.File(path).getName.replaceAll("\\.[^.]*$", ""))
+        JdbcIO.writeTable(df, url, table, Some(cols), truncate)
+        Some(df.count())
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[engine] had some trouble storing $path: ${e.getMessage}")
+        None
+    }
+
+  /** diepy export SERVER.DB.SCHEMA.TABLE dst.{csv,tsv,csv.gz,xlsx} */
+  def exportTable(src: String, dst: String, unix: Boolean = false,
+      gzip: Boolean = false): Unit = {
+    val addr = DbPath.parse(src)
+    val table = addr.table.getOrElse(throw new IllegalArgumentException("no table in path"))
+    val df: DataFrame = JdbcIO.readTable(spark, urlFor(addr), table)
+    if (CsvIO.isExcel(dst)) XlsxIO.writeSheet(df, dst, table)
+    else CsvIO.exportCsv(df, dst, gzip = gzip, unixLineSep = unix)
+  }
+
+  /** Directory import: every *.csv becomes its own table
+    * (core.py:71-79). */
+  def importDir(dir: String, dst: String, delimiter: Option[String] = None): Seq[(String, Option[Long])] = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".csv")).sortBy(_.getName)
+    files.toSeq.map(f => f.getName -> importFile(f.getPath, dst, delimiter))
+  }
+}

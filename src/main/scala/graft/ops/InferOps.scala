@@ -77,4 +77,45 @@ object InferOps {
       | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_price
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** XLSX round-trip (S4-S6/K6): write nation⋈region to a workbook
+   *  via the OOXML writer, re-import with inference, aggregate; the
+   *  oracle aggregates the parquet directly. */
+  def q35XlsxRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.io.XlsxIO
+    val df = nation(s, d)
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val out = s"${sys.props("java.io.tmpdir")}/graft_xlsx_rt_${Integer.toHexString(d.hashCode)}.xlsx"
+    XlsxIO.writeSheet(df, out, "nation")
+    val (back, _) = XlsxIO.importSheet(s, out, "nation")
+    back.groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .orderBy(col("r_name"))
+  }
+
+  val q35Sql: String =
+    """SELECT r_name, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** JDBC round-trip (S9/S10/K1-K3) through embedded Derby:
+   *  truncate-or-create load with 1,000-row batches, partitioned
+   *  range read back, aggregate; oracle aggregates the parquet. */
+  def q36JdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.io.JdbcIO
+    val url = s"jdbc:derby:${sys.props("java.io.tmpdir")}/graft_derby_${Integer.toHexString(d.hashCode)}/db;create=true"
+    JdbcIO.writeTable(customer(s, d), url, "customer_rt", None, truncate = true)
+    JdbcIO.readTable(s, url, "customer_rt",
+        partitionOn = Some(("c_custkey", 0L, 1000000L, 8)))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("c_acctbal"))) / 100.0).as("sum_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q36Sql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      | CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_acctbal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 }

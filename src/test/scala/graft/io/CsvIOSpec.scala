@@ -1,0 +1,106 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSuite
+import graft.core.SchemaInfer
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end CSV semantics against the ported reference fixture
+  * (tests/basic.csv — byte-identical, see FIXTURES.md §1.1/§2). */
+class CsvIOSpec extends AnyFunSuite with SparkSuite {
+
+  private val fixture = getClass.getResource("/fixtures/basic.csv").getPath
+
+  test("file-type dispatch regexes (core.py:18-25)") {
+    assert(CsvIO.isCsv("a.csv") && CsvIO.isCsv("a.tsv") && CsvIO.isCsv("a.txt.gz"))
+    assert(CsvIO.isCsv("a.tab") && CsvIO.isCsv("b.csv.zip"))
+    assert(!CsvIO.isCsv("a.xlsx") && !CsvIO.isCsv("a.parquet"))
+    assert(CsvIO.isExcel("a.xlsx") && CsvIO.isExcel("a.xls$Sheet1"))
+    assert(!CsvIO.isExcel("a.csv"))
+  }
+
+  test("delimiter by extension (core.py:314-317)") {
+    assert(CsvIO.delimiterFor("x.csv") == ",")
+    assert(CsvIO.delimiterFor("x.tab") == "\t")
+    assert(CsvIO.delimiterFor("x.tsv.gz") == "\t")
+    assert(CsvIO.delimiterFor("x.tab", Some("|")) == "|")
+  }
+
+  test("import infers the basic.csv gauntlet schema") {
+    val (typed, cols) = CsvIO.importCsv(spark, fixture)
+    val byName = cols.map(c => c.name -> c).toMap
+    assert(byName("string").settledType == "text")
+    assert(byName("int").settledType == "int")
+    assert(byName("float").settledType == "float")
+    assert(byName("datetime").settledType == "datetime")
+    assert(byName("bool").settledType == "int" && byName("bool").ddlType == "SMALLINT")
+    assert(byName("time").settledType == "time")
+    assert(byName("date").settledType == "date")
+
+    val schema = typed.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(schema("int") == ShortType)
+    assert(schema("float") == DoubleType)
+    assert(schema("datetime") == TimestampType)
+    assert(schema("date") == DateType)
+
+    val rows = typed.orderBy("int").collect()
+    assert(rows.length == 3)
+    val r0 = rows(0)
+    assert(r0.getAs[String]("string") == "hello")
+    assert(r0.getAs[Short]("int") == 1)
+    assert(r0.getAs[Double]("float") == 2.83)
+    assert(r0.getAs[java.sql.Timestamp]("datetime").toString == "2013-10-11 13:04:05.0")
+    assert(r0.getAs[java.sql.Date]("date").toString == "2013-10-11")
+    // embedded quoted newline survives (multiLine)
+    assert(rows(2).getAs[String]("string") == "return\n")
+    // empty cells are NULL, not empty string (cast_data, core.py:376-377)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("datetime")))
+  }
+
+  test("export applies _cleanbool projection + header; empty table writes header only") {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("b", BooleanType), StructField("ts", TimestampType),
+      StructField("s", StringType)))
+    val df = spark.createDataFrame(Seq(
+      Row(true, java.sql.Timestamp.valueOf("2013-10-11 13:04:05"), "x"),
+      Row(false, java.sql.Timestamp.valueOf("2000-12-12 14:23:45.1325"), null),
+      Row(null, null, "z")).asJava, schema)
+    val out = Files.createTempDirectory("graftcsv").toString + "/out.csv"
+    CsvIO.exportCsv(df, out, unixLineSep = true)
+    val lines = Files.readAllLines(Paths.get(out)).asScala
+    assert(lines.head == "b,ts,s")
+    val body = lines.tail.toSet
+    assert(body.contains("1,2013-10-11T13:04:05,x"))
+    assert(body.contains("0,2000-12-12T14:23:45.132500,"))
+    assert(body.contains(",,z"))
+
+    // header-only file for empty input (core.py:325-327 reproduce)
+    val empty = df.limit(0)
+    val out2 = Files.createTempDirectory("graftcsv").toString + "/empty.csv"
+    CsvIO.exportCsv(empty, out2, unixLineSep = true)
+    val lines2 = Files.readAllLines(Paths.get(out2)).asScala
+    assert(lines2.toSeq == Seq("b,ts,s"))
+  }
+
+  test("gzip export round-trips through compressed import (fixes reference S3 bug)") {
+    val (typed, _) = CsvIO.importCsv(spark, fixture)
+    val dir = Files.createTempDirectory("graftgz").toString
+    val out = CsvIO.exportCsv(typed, s"$dir/rt.csv", gzip = true, unixLineSep = true)
+    assert(out.endsWith(".gz"))
+    val (back, _) = CsvIO.importCsv(spark, out)
+    assert(back.count() == 3)
+    assert(back.schema.fields.map(_.name).toSeq == typed.schema.fields.map(_.name).toSeq)
+  }
+
+  test("inferFull (treeAggregate) agrees with inferSample on the fixture") {
+    val raw = CsvIO.readRaw(spark, fixture, ",")
+    val a = SchemaInfer.inferSample(raw)
+    val b = SchemaInfer.inferFull(raw)
+    assert(a.map(c => (c.name, c.settledType, c.nullable)) ==
+      b.map(c => (c.name, c.settledType, c.nullable)))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.io
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import graft.core.ServerRegistry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end import/export through embedded Derby — the engine
+  * equivalent of the reference's sqlite integration tests
+  * (tests/diepy_tests.py), but with value assertions. */
+class EngineJdbcSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val dbDir = Files.createTempDirectory("graftderby").toString
+  private lazy val url = s"jdbc:derby:$dbDir/db;create=true"
+  private lazy val engine = new Engine(spark,
+    ServerRegistry(Map("test" -> url)))
+  private val fixture = getClass.getResource("/fixtures/basic.csv").getPath
+
+  test("csv import creates table with inferred DDL and loads rows") {
+    val n = engine.importFile(fixture, "test...basic")
+    assert(n.contains(3L))
+    assert(JdbcIO.tableExists(url, "basic"))
+    val back = JdbcIO.readTable(spark, url, "basic")
+    assert(back.count() == 3)
+    // width-tiered DDL: string column is VARCHAR(50) in Derby
+    val cn = java.sql.DriverManager.getConnection(url)
+    try {
+      // Spark quotes column identifiers on CREATE → lowercase names
+      val rs = cn.getMetaData.getColumns(null, null, "BASIC", "string")
+      assert(rs.next())
+      assert(rs.getString("TYPE_NAME") == "VARCHAR" && rs.getInt("COLUMN_SIZE") == 50)
+    } finally cn.close()
+  }
+
+  test("append vs truncate load semantics (K3)") {
+    engine.importFile(fixture, "test...basic")          // append → 6
+    val afterAppend = JdbcIO.readTable(spark, url, "basic").count()
+    assert(afterAppend == 6)
+    engine.importFile(fixture, "test...basic", truncate = true)
+    assert(JdbcIO.readTable(spark, url, "basic").count() == 3)
+  }
+
+  test("export to csv produces cleanbool-normalized single file") {
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempDirectory("graftexp").toString + "/basic_out.csv"
+    engine.exportTable("test...basic", out, unix = true)
+    val lines = Files.readAllLines(java.nio.file.Paths.get(out)).asScala
+    assert(lines.size == 4) // header + 3 rows
+    assert(lines.head.toLowerCase.startsWith("string,"))
+    assert(lines.exists(_.contains("2013-10-11T13:04:05")))
+  }
+
+  test("xlsx import via $SHEET selector into Derby") {
+    val n = engine.importFile("/root/reference/tests/excel.xlsx$basic2", "test...fromxlsx")
+    assert(n.contains(3L))
+    assert(JdbcIO.readTable(spark, url, "fromxlsx").count() == 3)
+  }
+
+  test("broken import is swallowed per-file (P4) and returns None") {
+    assert(engine.importFile("/nonexistent/x.csv", "test...nope").isEmpty)
+    assert(!JdbcIO.tableExists(url, "nope"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.io
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** OOXML reader against the reference fixtures (tests/excel.xlsx —
+  * two sheets mirroring basic.csv; tests/empty.xlsx — three empty
+  * sheets) plus writer round-trip. Fixtures are read in place from
+  * the read-only reference checkout. */
+class XlsxIOSpec extends AnyFunSuite with SparkSuite {
+
+  private val refXlsx = "/root/reference/tests/excel.xlsx"
+  private val refEmpty = "/root/reference/tests/empty.xlsx"
+
+  test("$SHEET selector split (core.py:154-158)") {
+    assert(XlsxIO.splitSheetSelector("a.xlsx") == ("a.xlsx", None))
+    assert(XlsxIO.splitSheetSelector("a.xlsx$Sheet1") == ("a.xlsx", Some("Sheet1")))
+  }
+
+  test("lists sheets in workbook order") {
+    assert(XlsxIO.listSheets(refXlsx) == Seq("basic2", "basic"))
+    assert(XlsxIO.listSheets(refEmpty).size == 3)
+  }
+
+  test("reference workbook imports with the basic.csv gauntlet schema") {
+    // NB: the fixture's "basic" sheet has the 3 data rows repeated 3×
+    // (9 rows); "basic2" carries the plain 3-row gauntlet
+    val (df, cols) = XlsxIO.importSheet(spark, refXlsx, "basic2")
+    val byName = cols.map(c => c.name -> c.settledType).toMap
+    assert(byName == Map(
+      "string" -> "text", "int" -> "int", "float" -> "float",
+      "datetime" -> "datetime", "bool" -> "int", "time" -> "time",
+      "date" -> "date"))
+    val rows = df.orderBy("int").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[String]("string") == "hello")
+    assert(rows(0).getAs[Double]("float") == 2.83)
+    assert(rows(0).getAs[java.sql.Date]("date").toString == "2013-10-11")
+    // serial → timestamp round-trip at second precision
+    assert(rows(0).getAs[java.sql.Timestamp]("datetime").toString.startsWith("2013-10-11 13:04:05"))
+    assert(rows(1).getAs[String]("string") == "tricky with the spaces and the, commas")
+    assert(rows(2).getAs[String]("string").startsWith("return"))
+    // empty cells null
+    assert(rows(2).isNullAt(rows(2).fieldIndex("datetime")))
+  }
+
+  test("importAll yields one DataFrame per sheet; empty workbook yields none") {
+    val all = XlsxIO.importAll(spark, refXlsx)
+    assert(all.keySet == Set("basic", "basic2"))
+    assert(XlsxIO.importAll(spark, refEmpty).isEmpty)
+  }
+
+  test("the repeated-rows sheet imports all 9 data rows") {
+    val (df, _) = XlsxIO.importSheet(spark, refXlsx, "basic")
+    assert(df.count() == 9)
+  }
+
+  test("writer round-trip preserves values and replace-sheet keeps other sheets") {
+    val (df, _) = XlsxIO.importSheet(spark, refXlsx, "basic2")
+    val out = Files.createTempDirectory("graftxlsx").toString + "/rt.xlsx"
+    XlsxIO.writeSheet(df, out, "t1")
+    // second sheet added to the same workbook
+    val (df2, _) = XlsxIO.importSheet(spark, refXlsx, "basic2")
+    XlsxIO.writeSheet(df2.limit(3), out, "t2")
+    assert(XlsxIO.listSheets(out).toSet == Set("t1", "t2"))
+    // replace t1 with a narrowed frame: t2 must survive
+    XlsxIO.writeSheet(df.select("string", "int"), out, "t1")
+    assert(XlsxIO.listSheets(out).toSet == Set("t1", "t2"))
+
+    val (back, cols) = XlsxIO.importSheet(spark, out, "t2")
+    assert(back.count() == 3)
+    val schema = back.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(schema("int") == ShortType && schema("float") == DoubleType)
+    assert(schema("datetime") == TimestampType && schema("date") == DateType)
+    val r = back.orderBy("int").collect()(0)
+    assert(r.getAs[String]("string") == "hello")
+    assert(r.getAs[Double]("float") == 2.83)
+    assert(r.getAs[java.sql.Timestamp]("datetime").toString.startsWith("2013-10-11 13:04:05"))
+  }
+}
