@@ -39,15 +39,16 @@ object SchemaInfer {
     ).toSeq
   }
 
+  // mutates acc in place — safe for fold/treeAggregate accumulators,
+  // avoids an array allocation per row
   private def foldRow(acc: Array[ColumnDef], row: Row): Array[ColumnDef] = {
     var i = 0
-    val out = new Array[ColumnDef](acc.length)
     while (i < acc.length) {
       val v = if (i < row.length && !row.isNullAt(i)) row.get(i).toString else null
-      out(i) = acc(i).sampleValue(stripBom(v))
+      acc(i) = acc(i).sampleValue(stripBom(v))
       i += 1
     }
-    out
+    acc
   }
 
   // BOM strip on record keys/values at read time (core.py:243, 375)

@@ -36,29 +36,55 @@ object TypeInfer {
     "h:mm:ss a", "h:mm a"
   ).map(DateTimeFormatter.ofPattern)
 
+  // common-case-first ordering: the first pattern handles the
+  // canonical cast/export rendering without an exception
   private val dateTimeFormats: Seq[DateTimeFormatter] = Seq(
-    "yyyy-MM-dd HH:mm:ss.SSSSSS", "yyyy-MM-dd HH:mm:ss.SSS",
-    "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm",
-    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS", "yyyy-MM-dd'T'HH:mm:ss.SSS",
-    "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd'T'HH:mm",
+    "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd HH:mm:ss.SSS", "yyyy-MM-dd HH:mm",
+    "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss.SSS", "yyyy-MM-dd'T'HH:mm",
     "MM/dd/yyyy HH:mm:ss", "MM/dd/yyyy HH:mm",
     "M/d/yyyy H:mm:ss", "M/d/yyyy H:mm"
   ).map(DateTimeFormatter.ofPattern)
 
-  /** Parse a string into date and/or time parts; None if not temporal. */
+  /** Parse a string into date and/or time parts; None if not temporal.
+   *  Cheap character gates avoid the (expensive) formatter-exception
+   *  path for the overwhelmingly common non-temporal inputs — this
+   *  code runs once per sampled cell during inference. */
   def parseTemporal(raw: String): Option[Temporal] = {
     val s = raw.trim
-    if (s.isEmpty) return None
-    dateTimeFormats.iterator
-      .flatMap(f => tryParse(LocalDateTime.parse(s, f)))
-      .nextOption()
-      .map(dt => Temporal(Some(dt.toLocalDate), Some(dt.toLocalTime)))
-      .orElse(dateFormats.iterator
-        .flatMap(f => tryParse(LocalDate.parse(s, f))).nextOption()
-        .map(d => Temporal(Some(d), None)))
-      .orElse(timeFormats.iterator
-        .flatMap(f => tryParse(LocalTime.parse(s, f))).nextOption()
-        .map(t => Temporal(None, Some(t))))
+    if (s.length < 4 || s.length > 40) return None
+    var hasDigit = false; var hasColon = false; var hasDateSep = false
+    var allDigits = true
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isDigit) hasDigit = true else allDigits = false
+      if (c == ':') hasColon = true
+      if (c == '-' || c == '/' || c == ',') hasDateSep = true
+      i += 1
+    }
+    if (!hasDigit) return None
+    if (!hasColon && !hasDateSep && !(allDigits && s.length == 8)) return None
+    val tryDateTime = hasColon && (hasDateSep || s.exists(_ == 'T'))
+    val tryTimeOnly = hasColon && !hasDateSep
+    val tryDateOnly = !hasColon
+    val dt = if (tryDateTime)
+      dateTimeFormats.iterator.flatMap(f => tryParse(LocalDateTime.parse(s, f))).nextOption()
+        .map(v => Temporal(Some(v.toLocalDate), Some(v.toLocalTime)))
+    else None
+    dt.orElse {
+        if (tryDateOnly || tryDateTime)
+          dateFormats.iterator.flatMap(f => tryParse(LocalDate.parse(s, f))).nextOption()
+            .map(d => Temporal(Some(d), None))
+        else None
+      }
+      .orElse {
+        if (tryTimeOnly)
+          timeFormats.iterator.flatMap(f => tryParse(LocalTime.parse(s, f))).nextOption()
+            .map(t => Temporal(None, Some(t)))
+        else None
+      }
   }
 
   private def tryParse[A](a: => A): Option[A] =
@@ -82,6 +108,10 @@ object TypeInfer {
     else {
       val body = if (t.charAt(0) == '+' || t.charAt(0) == '-') t.substring(1) else t
       if (body == "inf" || body == "infinity" || body == "nan") true
+      // gate: Double.parseDouble's exception path is expensive; only
+      // attempt it for plausibly-numeric shapes
+      else if (body.isEmpty || !(body.charAt(0).isDigit || body.charAt(0) == '.') ||
+        !body.forall(c => c.isDigit || c == '.' || c == 'e' || c == '+' || c == '-')) false
       else
         try { java.lang.Double.parseDouble(t); true }
         catch { case _: NumberFormatException => false }

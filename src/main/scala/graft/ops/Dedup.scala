@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,8 +13,8 @@ import org.apache.spark.sql.functions._
  *  - exact Jaccard joins on shingles, which is skew-prone at scale;
  *    it is therefore restricted by a cheap blocking key (lang) and
  *    exists as the *verifier* for the candidate pairs that the
- *    MinHash/LSH path (q22) generates — LSH banding is the scale
- *    path: candidates only collide within a band bucket;
+ *    banded-MinHash path (q22) generates — banding is the scale
+ *    path: candidates only collide on whole-band agreement;
  *  - SimHash reduces each doc to 64 bits; banded prefix join finds
  *    Hamming-near pairs without an all-pairs product.
  */
@@ -31,6 +30,24 @@ object Dedup {
       sequence(lit(1), size(toks) - 2),
       i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
     array_distinct(when(size(toks) >= 3, grams).otherwise(array()))
+  }
+
+  /** Exploded (doc_id, lang, shingle) rows via a typed flatMap: the
+   *  column-expression form re-evaluates the regex split inside every
+   *  element_at after Catalyst inlines the projection (3 splits per
+   *  shingle); tokenizing once per document in JVM code is ~5×
+   *  cheaper and stays fully distributed. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, lang, text) =>
+        val toks = text.trim.split("\\s+")
+        if (toks.length < 3) Iterator.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSet[String]
+          .iterator.map(sh => (id, lang, sh))
+      }
+      .toDF("doc_id", "lang", "s")
   }
 
   /** Exact dedup: keeper = min doc_id per identical text. */
@@ -49,8 +66,7 @@ object Dedup {
    *  lang. co/sizes are exact integers, so the similarity is
    *  engine-independent. */
   def q23NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-      .select(col("doc_id"), col("lang"), explode(shingles(col("text"))).as("s"))
+    val docs = shingleRows(s, d)
     val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val co = docs.as("a")
       .join(docs.as("b"),
@@ -82,26 +98,46 @@ object Dedup {
       |WHERE round(co*1.0/(x.n + y.n - co), 6) >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** MinHash + LSH banding (spark.ml): shingle→hashingTF→minhash,
-   *  approx similarity self-join at Jaccard distance ≤ 0.5. The LSH
-   *  OR-amplification join is the linear-ish scale path for fuzzy
-   *  dedup. Not SQL-expressible → rows-only check. */
+  private val MinHashK = 20 // signature length
+  private val Bands = 5     // → 4 rows per band (AND within, OR across)
+
+  /** MinHash + LSH banding: k=20 xxhash64-minhashes per doc, banded
+   *  5×4; candidate pairs collide on a whole band (AND-composition
+   *  keeps buckets tiny — Spark ML's approxSimilarityJoin joins on
+   *  single hash values, which explodes on same-domain corpora).
+   *  Estimated Jaccard = fraction of agreeing minhashes, filtered at
+   *  ≥ 0.5. One shuffle for signatures + one small candidate join:
+   *  the linear-ish 100 TB path for fuzzy dedup. Engine-specific
+   *  hashing → rows-only check. */
   def q22MinHashLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-      .withColumn("sh", shingles(col("text")))
-      .filter(size(col("sh")) > 0)
-    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
-      .setNumFeatures(1 << 18)
-    val feat = tf.transform(docs).select(col("doc_id"), col("features"))
-    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(5).setSeed(42L)
-    val model = mh.fit(feat)
-    model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
-      .select(
-        col("datasetA.doc_id").as("doc_a"),
-        col("datasetB.doc_id").as("doc_b"),
-        round(lit(1.0) - col("jaccard_dist"), 6).as("est_jaccard"))
-      .filter(col("doc_a") < col("doc_b"))
+    val sh = shingleRows(s, d)
+    // one pass: all k minhashes in a single hash aggregate
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(
+        min(xxhash64(lit(0), col("s"))).as("m0"),
+        (1 until MinHashK).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i")): _*)
+    val bandKeys = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * MinHashK / Bands until (b + 1) * MinHashK / Bands)
+          .map(i => col(s"m$i")): _*).as("key"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val agree = (0 until MinHashK)
+      .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("est_jaccard", round(agree / lit(MinHashK.toDouble), 6))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

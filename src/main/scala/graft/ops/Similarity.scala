@@ -1,7 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,10 +12,10 @@ import org.apache.spark.sql.functions._
  * the big side; cosine is computed in double precision with
  * codegen'd higher-order functions (zip_with/aggregate), no UDF.
  *
- * q27 is the approximate scale path: random-hyperplane LSH
- * (spark.ml BucketedRandomProjectionLSH, fixed seed) prunes the
- * candidate set before exact re-ranking — at 100 TB the bucketed
- * join replaces the full cross product.
+ * q27 is the approximate scale path: seed-deterministic
+ * random-hyperplane LSH prunes the candidate set before exact
+ * re-ranking — at 100 TB the bucketed join replaces the full cross
+ * product.
  */
 object Similarity {
   import Tables._
@@ -54,32 +52,49 @@ object Similarity {
       |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id) p) t
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
-  /** Approximate NN via random-projection LSH + exact re-rank of the
-   *  surviving candidates. Deterministic (seed), not SQL-expressible
-   *  → rows-only check. */
+  private val Dim = 64
+  private val BitsPerTable = 8
+  private val NumTables = 4
+
+  /** Seed-deterministic random hyperplanes (java.util.Random LCG →
+   *  identical across JVMs/runs). */
+  private lazy val hyperplanes: Array[Array[Double]] = {
+    val rnd = new java.util.Random(42L)
+    Array.fill(NumTables * BitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** Approximate NN via random-hyperplane (sign) LSH: 4 tables × 8
+   *  sign bits; candidates collide on a whole table key, then exact
+   *  cosine re-rank. Pure column expressions (no UDF, no driver
+   *  loop): the bucket join replaces the cross product at scale.
+   *  Engine-specific hashing → rows-only check. */
   def q27KnnLsh(s: SparkSession, d: String): DataFrame = {
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val e = embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("features", toVec(col("embedding")))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(2.0).setNumHashTables(6).setSeed(42L)
-    val model = lsh.fit(e)
-    val q = e.filter(col("vec_id") < 10)
-    val cand = model.approxSimilarityJoin(q, e, 8.0, "euclid")
-      .select(col("datasetA.vec_id").as("qid"), col("datasetA.embedding").as("qe"),
-        col("datasetB.vec_id").as("nid"), col("datasetB.embedding").as("ne"))
-      .filter(col("qid") =!= col("nid"))
-    val rescored = cand
-      .withColumn("qv", asDouble(col("qe"))).withColumn("nv", asDouble(col("ne")))
-      .withColumn("sim", round(
-        dot(col("qv"), col("nv")) /
-          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("nv"), col("nv")))), 6))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    def tableKey(t: Int): Column =
+      (0 until BitsPerTable).map { b =>
+        val plane = typedLit(hyperplanes(t * BitsPerTable + b).toSeq)
+        when(dot(col("v"), plane) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val keyed = e.select(col("vec_id"), col("v"), col("norm"),
+      explode(array((0 until NumTables).map(t =>
+        struct(lit(t).as("t"), tableKey(t).as("key"))): _*)).as("tk"))
+      .select(col("vec_id"), col("v"), col("norm"), col("tk.t"), col("tk.key"))
+    val q = keyed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"),
+        col("t").as("qt"), col("key").as("qkey"))
+    val cand = keyed.join(broadcast(q),
+        col("t") === col("qt") && col("key") === col("qkey") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("qnorm"),
+        col("vec_id").as("nid"), col("v").as("nv"), col("norm").as("nnorm"))
+      .dropDuplicates("qid", "nid")
+    cand
+      .withColumn("sim", round(dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
       .filter(col("rnk") <= 5)
-    rescored.select(col("qid"), col("rnk"), col("nid"), col("sim"))
+      .select(col("qid"), col("rnk"), col("nid"), col("sim"))
       .orderBy(col("qid"), col("rnk"))
   }
 }
