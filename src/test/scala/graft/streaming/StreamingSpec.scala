@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.ops.{EventOps, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming surface demos that aren't oracle-gated: session windows
+  * with watermarked append output, and stream/batch agreement. */
+class StreamingSpec extends AnyFunSuite with SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("batch session_window agrees with the lag-based sessionizer (q15)") {
+    // two independent sessionization implementations must agree on
+    // the number of sessions per user
+    val viaWindow = Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"))
+    val viaLag = EventOps.q15Sessionize(spark, dir)
+      .groupBy(col("user_id")).agg(max(col("sess_idx")).as("n_sessions"))
+    assert(viaWindow.join(viaLag, Seq("user_id"))
+      .filter(viaWindow("n_sessions") =!= viaLag("n_sessions")).count() == 0)
+    assert(viaWindow.count() > 0)
+  }
+
+  test("streaming session windows with watermark produce closed sessions (append mode)") {
+    val raw = Tables.events(spark, dir) // ensures nanosAsLong conf set
+    val stream0 = spark.readStream.schema(
+      spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(s"$dir/events.parquet*")
+    val stream =
+      if (stream0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else stream0
+    val q = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sessions").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val out = spark.table("graft_sessions")
+    // append mode emits only watermark-closed sessions; all but the
+    // tail of the month of data is closed after the single batch
+    assert(out.count() > 0)
+    assert(out.columns.toSet == Set("session_window", "user_id", "n"))
+    val _ = raw
+  }
+
+  test("q34 streaming result equals its batch equivalent") {
+    val streamed = StreamingOps.q34StreamTumbling(spark, dir)
+    val batch = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("day_bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+}
