@@ -47,6 +47,7 @@ object SparkEntry {
     // similarity search
     "q26_knn_brute" -> (Similarity.q26KnnBrute _),
     "q27_knn_lsh" -> (Similarity.q27KnnLsh _),
+    "q37_knn_ivf" -> (Similarity.q37KnnIvf _),
     // text analysis
     "q28_lang_id" -> (TextAnalysis.q28LangId _),
     "q29_text_quality" -> (TextAnalysis.q29TextQuality _),

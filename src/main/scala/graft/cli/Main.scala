@@ -1,0 +1,95 @@
+package graft.cli
+
+import graft.core.ServerRegistry
+import graft.io.Engine
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Command-line surface mirroring the reference's cliff app
+ * (reference: diepy/cli.py:17-149, setup.py:26-33):
+ *
+ *   graft import [--tab] [--config F] [--truncate] SRC DEST
+ *   graft export [--tab] [--config F] [--unix] [--zip]
+ *                [--datestamp|--timestamp] SRC [DEST]
+ *
+ * SRC/DEST addressing and option semantics follow the reference:
+ * `import` takes a file/directory/glob and a dotted db path; `export`
+ * takes a dotted db path and a destination file (defaulting to
+ * `<table>.csv` in the cwd, cli.py:70). `--datestamp`/`--timestamp`
+ * template the filename (cli.py:77-82).
+ */
+object Main {
+
+  final case class Opts(
+      command: String = "",
+      config: Option[String] = None,
+      tab: Boolean = false,
+      truncate: Boolean = false,
+      unix: Boolean = false,
+      zip: Boolean = false,
+      datestamp: Boolean = false,
+      timestamp: Boolean = false,
+      positional: List[String] = Nil)
+
+  def parseArgs(args: Seq[String]): Opts = {
+    def loop(rest: List[String], acc: Opts): Opts = rest match {
+      case Nil => acc
+      case "--config" :: v :: t => loop(t, acc.copy(config = Some(v)))
+      case "--tab" :: t => loop(t, acc.copy(tab = true))
+      case "--truncate" :: t => loop(t, acc.copy(truncate = true))
+      case "--unix" :: t => loop(t, acc.copy(unix = true))
+      case "--zip" :: t => loop(t, acc.copy(zip = true))
+      case "--datestamp" :: t => loop(t, acc.copy(datestamp = true))
+      case "--timestamp" :: t => loop(t, acc.copy(timestamp = true))
+      case p :: t => loop(t, acc.copy(positional = acc.positional :+ p))
+    }
+    args.toList match {
+      case cmd :: rest => loop(rest, Opts(command = cmd))
+      case Nil => Opts()
+    }
+  }
+
+  /** `name-YYYY.MM.DD[.HHMM].ext` (cli.py:55-56, 77-82). */
+  def stampFilename(path: String, date: Boolean, time: Boolean,
+      now: java.time.LocalDateTime = java.time.LocalDateTime.now()): String = {
+    if (!date && !time) return path
+    val dot = path.lastIndexOf('.')
+    val (base, ext) = if (dot >= 0) (path.substring(0, dot), path.substring(dot)) else (path, "")
+    val d = f"${now.getYear}%04d.${now.getMonthValue}%02d.${now.getDayOfMonth}%02d"
+    val stamp = if (time) d + f".${now.getHour}%02d${now.getMinute}%02d" else d
+    s"$base-$stamp$ext"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args.toSeq)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, opts) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, opts: Opts): Unit = {
+    val engine = new Engine(spark, ServerRegistry.resolve(opts.config))
+    val delim = if (opts.tab) Some("\t") else None
+    opts.command match {
+      case "import" =>
+        val List(src, dst) = opts.positional.take(2)
+        val f = new java.io.File(src)
+        if (f.isDirectory) engine.importDir(src, dst, delim)
+        else engine.importFile(src, dst, delim, opts.truncate)
+      case "export" =>
+        val src = opts.positional.head
+        val table = graft.core.DbPath.parse(src).table
+          .getOrElse(throw new IllegalArgumentException("no table in path"))
+        val dst0 = opts.positional.lift(1).getOrElse(s"$table.csv")
+        val dst = stampFilename(dst0, opts.datestamp || opts.timestamp, opts.timestamp)
+        engine.exportTable(src, dst, unix = opts.unix, gzip = opts.zip)
+      case other =>
+        throw new IllegalArgumentException(s"unknown command '$other' (import|export)")
+    }
+  }
+}

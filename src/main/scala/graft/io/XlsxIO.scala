@@ -10,6 +10,7 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 
 import graft.core.{ColumnDef, SchemaInfer}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import scala.collection.mutable
@@ -65,15 +66,32 @@ object XlsxIO {
       try in.readAllBytes() finally in.close()
     }
 
+  /** All workbook parts from an in-memory zip — the executor-side
+    * entry point for the binaryFile scale path (no filesystem). */
+  def partsFromBytes(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val zin = new java.util.zip.ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = mutable.Map[String, Array[Byte]]()
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) out += e.getName -> zin.readAllBytes()
+      zin.closeEntry(); e = zin.getNextEntry
+    }
+    zin.close()
+    out.toMap
+  }
+
   def listSheets(path: String): Seq[String] = {
     val zf = new ZipFile(path)
     try sheetTargets(zf).map(_._1) finally zf.close()
   }
 
   /** (sheetName, zipEntryPath) in workbook order. */
-  private def sheetTargets(zf: ZipFile): Seq[(String, String)] = {
+  private def sheetTargets(zf: ZipFile): Seq[(String, String)] =
+    sheetTargets(entryBytes(zf, _))
+
+  private def sheetTargets(get: String => Option[Array[Byte]]): Seq[(String, String)] = {
     val rels = mutable.Map[String, String]()
-    for (b <- entryBytes(zf, "xl/_rels/workbook.xml.rels")) {
+    for (b <- get("xl/_rels/workbook.xml.rels")) {
       val r = xif.createXMLStreamReader(new ByteArrayInputStream(b))
       while (r.hasNext) {
         if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship")
@@ -82,7 +100,7 @@ object XlsxIO {
       r.close()
     }
     val out = mutable.ArrayBuffer[(String, String)]()
-    for (b <- entryBytes(zf, "xl/workbook.xml")) {
+    for (b <- get("xl/workbook.xml")) {
       val r = xif.createXMLStreamReader(new ByteArrayInputStream(b))
       while (r.hasNext) {
         if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
@@ -106,9 +124,12 @@ object XlsxIO {
       .find(i => r.getAttributeLocalName(i) == local)
       .map(r.getAttributeValue)
 
-  private def sharedStrings(zf: ZipFile): IndexedSeq[String] = {
+  private def sharedStrings(zf: ZipFile): IndexedSeq[String] =
+    sharedStrings(entryBytes(zf, _))
+
+  private def sharedStrings(get: String => Option[Array[Byte]]): IndexedSeq[String] = {
     val out = mutable.ArrayBuffer[String]()
-    for (b <- entryBytes(zf, "xl/sharedStrings.xml")) {
+    for (b <- get("xl/sharedStrings.xml")) {
       val r = xif.createXMLStreamReader(new ByteArrayInputStream(b))
       var cur: StringBuilder = null
       var inT = false
@@ -130,10 +151,13 @@ object XlsxIO {
 
   /** style index → (isDate, isTime): derived from cellXfs numFmtIds +
    *  format codes (builtin 14-22/45-47 and custom codes). */
-  private def styleKinds(zf: ZipFile): IndexedSeq[(Boolean, Boolean)] = {
+  private def styleKinds(zf: ZipFile): IndexedSeq[(Boolean, Boolean)] =
+    styleKinds(entryBytes(zf, _))
+
+  private def styleKinds(get: String => Option[Array[Byte]]): IndexedSeq[(Boolean, Boolean)] = {
     val customFmt = mutable.Map[Int, String]()
     val xfFmts = mutable.ArrayBuffer[Int]()
-    for (b <- entryBytes(zf, "xl/styles.xml")) {
+    for (b <- get("xl/styles.xml")) {
       val r = xif.createXMLStreamReader(new ByteArrayInputStream(b))
       var inCellXfs = false
       while (r.hasNext) r.next() match {
@@ -297,6 +321,51 @@ object XlsxIO {
       catch { case e: Exception =>
         System.err.println(s"[xlsx] trouble importing worksheet $s: ${e.getMessage}"); None }
     }.toMap
+
+  /** Parse the requested sheets of an in-memory workbook — pure over
+    * bytes, so it runs on executors. */
+  def sheetsFromBytes(bytes: Array[Byte], sheet: Option[String]): Seq[(String, Seq[Seq[Cell]])] = {
+    val parts = partsFromBytes(bytes)
+    val get = (n: String) => parts.get(n)
+    val shared = sharedStrings(get)
+    val styles = styleKinds(get)
+    sheetTargets(get)
+      .filter(t => sheet.forall(_ == t._1))
+      .flatMap { case (name, target) =>
+        parts.get(target).map(b => name -> parseSheet(b, shared, styles))
+      }
+  }
+
+  /**
+   * Many-file distributed import — the S4 scale path: schema is
+   * inferred from ONE sample workbook on the driver (reference
+   * semantics: 20k-row sample), then every matching file is parsed
+   * on executors via the `binaryFile` source. Files must share the
+   * sample's header layout.
+   */
+  def importManyDistributed(spark: SparkSession, glob: String,
+      sheet: Option[String] = None): (DataFrame, Seq[ColumnDef]) = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+    val sample = bin.limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(s"no files match $glob"))
+    val sampleRows = sheetsFromBytes(sample._2, sheet).flatMap(_._2)
+    if (sampleRows.isEmpty) throw new IllegalStateException(s"No data found in ${sample._1}")
+    val headers = ColumnDef.sanitizeHeaders(
+      sampleRows.head.map(c => Option(render(c)).getOrElse("")))
+    val width = headers.size
+    val stringRows = bin.flatMap { case (_, bytes) =>
+      sheetsFromBytes(bytes, sheet).iterator
+        .flatMap(_._2.drop(1)) // header row per sheet
+        .map(r => r.map(render).padTo(width, null).take(width).toSeq)
+    }
+    val raw = spark.createDataFrame(
+      stringRows.rdd.map(Row.fromSeq),
+      SchemaInfer.rawSchema(headers))
+    val cols = SchemaInfer.inferSample(raw)
+    (CsvIO.castTo(raw, cols), cols)
+  }
 
   // ---------- writing ----------
 

@@ -52,6 +52,48 @@ object Similarity {
       |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id) p) t
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** IVF-style ANN: a deterministic coarse quantizer (first
+   *  `IvfCells` vectors serve as centroids — a seeded k-means fit
+   *  would slot in identically), every vector assigned to its
+   *  nearest cell, queries probed against their top-`IvfProbes`
+   *  cells, exact cosine re-rank within the probed cells. At 100 TB
+   *  the corpus is partitioned BY cell, so a query touches
+   *  probes/cells of the data. Engine-specific → rows-only check. */
+  def q37KnnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val cents = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
+    // nearest-cell assignment: argmax over broadcast centroids via
+    // max(struct(sim, cid)) — one pass, no window
+    val simToCell = e.join(broadcast(cents), col("vec_id") =!= lit(-1))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+    val assign = simToCell
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), col("cid"))).getField("cid").as("cell"))
+    val corpus = e.join(assign, "vec_id")
+    // queries probe their top-IvfProbes cells
+    val probes = simToCell.filter(col("vec_id") < 10)
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
+      .filter(col("prnk") <= IvfProbes)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"),
+        col("cid").as("cell"))
+    corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .dropDuplicates("qid", "vec_id")
+      .withColumn("sim", round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("vec_id").as("nid"), col("sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  private val IvfCells = 16
+  private val IvfProbes = 4
+
   private val Dim = 64
   private val BitsPerTable = 8
   private val NumTables = 4

@@ -1,0 +1,49 @@
+package graft.cli
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import graft.io.JdbcIO
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI surface parity with the reference's cliff app (cli.py). */
+class MainSpec extends AnyFunSuite with SparkSuite {
+
+  test("arg parsing: globals + command options + positionals") {
+    val o = Main.parseArgs(Seq("import", "--config", "c.ini", "--tab",
+      "--truncate", "a.tsv", "srv...t"))
+    assert(o.command == "import" && o.config.contains("c.ini"))
+    assert(o.tab && o.truncate && o.positional == List("a.tsv", "srv...t"))
+  }
+
+  test("datestamp / timestamp filename templating (cli.py:77-82)") {
+    val now = java.time.LocalDateTime.of(2026, 8, 12, 7, 5)
+    assert(Main.stampFilename("out.csv", date = true, time = false, now) ==
+      "out-2026.08.12.csv")
+    assert(Main.stampFilename("out.csv", date = true, time = true, now) ==
+      "out-2026.08.12.0705.csv")
+    assert(Main.stampFilename("out.csv", date = false, time = false, now) == "out.csv")
+  }
+
+  test("import + export end-to-end through the CLI path") {
+    import scala.jdk.CollectionConverters._
+    val work = Files.createTempDirectory("graftcli")
+    val url = s"jdbc:derby:$work/db;create=true"
+    val ini = work.resolve("graft.ini")
+    Files.writeString(ini, s"[servers]\ncli = $url\n")
+    val src = getClass.getResource("/fixtures/basic.csv").getPath
+
+    Main.run(spark, Main.parseArgs(Seq(
+      "import", "--config", ini.toString, src, "cli...clitable")))
+    assert(JdbcIO.readTable(spark, url, "clitable").count() == 3)
+
+    val out = work.resolve("out.csv").toString
+    Main.run(spark, Main.parseArgs(Seq(
+      "export", "--config", ini.toString, "--unix", "cli...clitable", out)))
+    val lines = Files.readAllLines(work.resolve("out.csv")).asScala
+    assert(lines.size == 4 && lines.head.contains("string"))
+
+    intercept[IllegalArgumentException](
+      Main.run(spark, Main.parseArgs(Seq("frobnicate", "--config", ini.toString))))
+  }
+}
