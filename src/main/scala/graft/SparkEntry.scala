@@ -32,6 +32,9 @@ object SparkEntry {
     "q09_rollup" -> (Relational.q09Rollup _),
     "q10_distinct_agg" -> (Relational.q10DistinctAgg _),
     "q11_semi_anti" -> (Relational.q11SemiAnti _),
+    "q16_cube" -> (Relational.q16Cube _),
+    "q18_interval_join" -> (Relational.q18IntervalJoin _),
+    "q19_pivot" -> (Relational.q19Pivot _),
     // event / semi-structured / temporal
     "q12_json_extract" -> (EventOps.q12JsonExtract _),
     "q13_hourly_tumbling" -> (EventOps.q13HourlyTumbling _),
@@ -76,6 +79,9 @@ object SparkEntry {
     "q09_rollup" -> Relational.q09Sql,
     "q10_distinct_agg" -> Relational.q10Sql,
     "q11_semi_anti" -> Relational.q11Sql,
+    "q16_cube" -> Relational.q16Sql,
+    "q18_interval_join" -> Relational.q18Sql,
+    "q19_pivot" -> Relational.q19Sql,
     "q12_json_extract" -> EventOps.q12Sql,
     "q13_hourly_tumbling" -> EventOps.q13Sql,
     "q14_asof_last_signup" -> EventOps.q14Sql,

@@ -178,15 +178,12 @@ object Dedup {
    *  At scale the label is any cheap partition key (cluster id from
    *  IVF, LSH bucket, …): the quadratic blow-up stays within blocks. */
   def q25EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    graft.functions.GraftFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("dot",
-        aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), (a, x) => a + x))
-      .withColumn("sim", round(col("dot") / (col("a.norm") * col("b.norm")), 6))
+      .withColumn("sim",
+        round(graft.functions.GraftFunctions.cosine_sim(col("a.embedding"), col("b.embedding")), 6))
       .filter(col("sim") >= 0.45)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"), col("sim"))

@@ -225,6 +225,75 @@ object Relational {
       | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** CUBE aggregate — all grouping-set combinations. */
+  def q16Cube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("o_totalprice"))) / 100.0).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  val q16Sql: String =
+    """SELECT coalesce(o_orderstatus, '(all)') AS status,
+      | coalesce(o_orderpriority, '(all)') AS priority,
+      | count(*) AS n,
+      | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Interval (range) join: for every error event, count the same
+   *  user's purchases within the following hour — equi key (user)
+   *  plus a range predicate. At scale the equi key carries the
+   *  shuffle; the range stays a post-join filter, so no cross
+   *  product materializes. */
+  def q18IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts").as("err_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    errs.join(purchases,
+        errs("user_id") === purchases("user_id") &&
+          col("p_ts") >= col("err_ts") &&
+          col("p_ts") < col("err_ts") + expr("INTERVAL 1 HOUR"), "left")
+      .groupBy(col("err_id"))
+      .agg(count(col("p_ts")).as("n_purchases_1h"))
+      .orderBy(col("err_id"))
+  }
+
+  val q18Sql: String =
+    """SELECT e.event_id AS err_id, count(p.ts) AS n_purchases_1h
+      |FROM events e LEFT JOIN events p
+      |  ON p.user_id = e.user_id AND p.event_type = 'purchase'
+      | AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 1 HOUR
+      |WHERE e.event_type = 'error'
+      |GROUP BY e.event_id ORDER BY err_id""".stripMargin
+
+  /** PIVOT: event counts per user as one column per event type
+   *  (explicit value list keeps the schema deterministic). */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q19Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy(col("user_id"))
+
+  val q19Sql: String = {
+    val cols = EventTypes.map(t =>
+      s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(",\n ")
+    s"""SELECT user_id,
+       | $cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   /** Left-semi / left-anti joins (EXISTS / NOT EXISTS). Customers with
    *  an open order vs customers with no orders at all. */
   def q11SemiAnti(s: SparkSession, d: String): DataFrame = {

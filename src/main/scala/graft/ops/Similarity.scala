@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.GraftFunctions.cosine_sim
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -24,15 +25,16 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Exact top-5 cosine neighbors for query vectors vec_id < 10. */
+  /** Exact top-5 cosine neighbors for query vectors vec_id < 10.
+   *  Similarity runs through the native CosineSimilarity expression
+   *  (graft.functions) — fused loop, no per-pair array allocation. */
   def q26KnnBrute(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    graft.functions.GraftFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val ranked = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("sim", round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6))
+      .withColumn("sim", round(cosine_sim(col("embedding"), col("qe")), 6))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))).cast("long"))
       .filter(col("rnk") <= 5)
@@ -60,15 +62,14 @@ object Similarity {
    *  the corpus is partitioned BY cell, so a query touches
    *  probes/cells of the data. Engine-specific → rows-only check. */
   def q37KnnIvf(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    graft.functions.GraftFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
     val cents = e.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
     // nearest-cell assignment: argmax over broadcast centroids via
     // max(struct(sim, cid)) — one pass, no window
     val simToCell = e.join(broadcast(cents), col("vec_id") =!= lit(-1))
-      .withColumn("csim", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .withColumn("csim", cosine_sim(col("v"), col("cv")))
     val assign = simToCell
       .groupBy(col("vec_id"))
       .agg(max(struct(col("csim"), col("cid"))).getField("cid").as("cell"))
@@ -78,12 +79,11 @@ object Similarity {
       .withColumn("prnk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
       .filter(col("prnk") <= IvfProbes)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"),
-        col("cid").as("cell"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid").as("cell"))
     corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .dropDuplicates("qid", "vec_id")
-      .withColumn("sim", round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6))
+      .withColumn("sim", round(cosine_sim(col("qv"), col("v")), 6))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))).cast("long"))
       .filter(col("rnk") <= 5)
@@ -111,28 +111,27 @@ object Similarity {
    *  loop): the bucket join replaces the cross product at scale.
    *  Engine-specific hashing → rows-only check. */
   def q27KnnLsh(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     def tableKey(t: Int): Column =
       (0 until BitsPerTable).map { b =>
         val plane = typedLit(hyperplanes(t * BitsPerTable + b).toSeq)
         when(dot(col("v"), plane) > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
-    val keyed = e.select(col("vec_id"), col("v"), col("norm"),
+    val keyed = e.select(col("vec_id"), col("v"),
       explode(array((0 until NumTables).map(t =>
         struct(lit(t).as("t"), tableKey(t).as("key"))): _*)).as("tk"))
-      .select(col("vec_id"), col("v"), col("norm"), col("tk.t"), col("tk.key"))
+      .select(col("vec_id"), col("v"), col("tk.t"), col("tk.key"))
     val q = keyed.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"),
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("t").as("qt"), col("key").as("qkey"))
     val cand = keyed.join(broadcast(q),
         col("t") === col("qt") && col("key") === col("qkey") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("qv"), col("qnorm"),
-        col("vec_id").as("nid"), col("v").as("nv"), col("norm").as("nnorm"))
+      .select(col("qid"), col("qv"), col("vec_id").as("nid"), col("v").as("nv"))
       .dropDuplicates("qid", "nid")
     cand
-      .withColumn("sim", round(dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
+      .withColumn("sim", round(cosine_sim(col("qv"), col("nv")), 6))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
       .filter(col("rnk") <= 5)
