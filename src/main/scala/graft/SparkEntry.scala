@@ -51,6 +51,8 @@ object SparkEntry {
     "q26_knn_brute" -> (Similarity.q26KnnBrute _),
     "q27_knn_lsh" -> (Similarity.q27KnnLsh _),
     "q37_knn_ivf" -> (Similarity.q37KnnIvf _),
+    "q38_approx_distinct" -> (Relational.q38ApproxDistinct _),
+    "q39_vector_stats" -> (Similarity.q39VectorStats _),
     // text analysis
     "q28_lang_id" -> (TextAnalysis.q28LangId _),
     "q29_text_quality" -> (TextAnalysis.q29TextQuality _),
@@ -80,6 +82,8 @@ object SparkEntry {
     "q10_distinct_agg" -> Relational.q10Sql,
     "q11_semi_anti" -> Relational.q11Sql,
     "q16_cube" -> Relational.q16Sql,
+    "q38_approx_distinct" -> Relational.q38Sql,
+    "q39_vector_stats" -> Similarity.q39Sql,
     "q18_interval_join" -> Relational.q18Sql,
     "q19_pivot" -> Relational.q19Sql,
     "q12_json_extract" -> EventOps.q12Sql,

@@ -225,6 +225,26 @@ object Relational {
       | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** HLL sketch vs exact distinct: approx_count_distinct is
+   *  merge-order-independent (register max), so the ±rsd bound is a
+   *  deterministic, oracle-checkable property even though the sketch
+   *  value itself is engine-specific. At 100 TB the sketch is the
+   *  only affordable distinct — one pass, fixed memory. */
+  def q38ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact_cust"),
+        approx_count_distinct(col("o_custkey"), 0.05).as("approx_cust"))
+      .select(col("o_orderpriority"), col("exact_cust"),
+        (abs(col("approx_cust") - col("exact_cust")) <=
+          col("exact_cust") * 0.15).as("approx_within_15pct"))
+      .orderBy(col("o_orderpriority"))
+
+  val q38Sql: String =
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_cust,
+      | TRUE AS approx_within_15pct
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** CUBE aggregate — all grouping-set combinations. */
   def q16Cube(s: SparkSession, d: String): DataFrame =
     orders(s, d)

@@ -98,6 +98,25 @@ object Similarity {
   private val BitsPerTable = 8
   private val NumTables = 4
 
+  /** Per-vector array statistics — array functions surface (size /
+   *  aggregate / array_min / array_max), all per-row deterministic. */
+  def q39VectorStats(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      size(col("embedding")).cast("long").as("dim"),
+      round(sqrt(aggregate(transform(col("embedding"), _.cast("double")),
+        lit(0.0), (a, x) => a + x * x)), 6).as("norm"),
+      round(array_min(col("embedding")).cast("double"), 6).as("min_el"),
+      round(array_max(col("embedding")).cast("double"), 6).as("max_el"))
+      .orderBy(col("vec_id"))
+
+  val q39Sql: String =
+    """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
+      | round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS norm,
+      | round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_el,
+      | round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_el
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   /** Seed-deterministic random hyperplanes (java.util.Random LCG →
    *  identical across JVMs/runs). */
   private lazy val hyperplanes: Array[Array[Double]] = {
