@@ -98,6 +98,40 @@ object Dedup {
       |WHERE round(co*1.0/(x.n + y.n - co), 6) >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Apply dedup end-to-end: drop every doc that appears as the
+   *  higher id of a near-dup pair (greedy keep-smallest — for a
+   *  chain a<b<c every non-minimal member pairs with a smaller doc,
+   *  so exactly the cluster minimum survives), then aggregate the
+   *  surviving corpus. The anti-join is the scalable "materialize
+   *  the deduped corpus" step after candidate generation. */
+  def q40DedupApply(s: SparkSession, d: String): DataFrame = {
+    val dupIds = q23NgramJaccard(s, d).select(col("doc_b")).distinct()
+    documents(s, d)
+      .join(dupIds, col("doc_id") === col("doc_b"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val q40Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |co AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |dups AS (
+      |  SELECT DISTINCT doc_b FROM co
+      |  JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b
+      |  WHERE round(co*1.0/(x.n + y.n - co), 6) >= 0.6)
+      |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM dups)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   private val MinHashK = 20 // signature length
   private val Bands = 5     // → 4 rows per band (AND within, OR across)
 
@@ -141,15 +175,17 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash: 64-bit signature from per-token xxhash64; near-pairs =
-   *  same 16-bit band ∧ Hamming distance ≤ 12. Banding turns the
-   *  all-pairs comparison into 4 equi-joins. Spark-hash-specific →
+  /** SimHash: 64-bit signature over shingle xxhash64s; near-pairs =
+   *  same 8-bit band ∧ Hamming distance ≤ 12. Banding turns the
+   *  all-pairs comparison into 8 equi-joins. Spark-hash-specific →
    *  rows-only check. */
   def q24SimHash(s: SparkSession, d: String): DataFrame = {
-    // one explode + ONE hash aggregate computes all 64 sign-sums —
-    // single pass, map-side partials, no per-bit re-scan
-    val tok = documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("t"))
+    // features = the same 3-gram shingles the Jaccard verifier uses
+    // (unigram token sets are near-identical across a small-vocab
+    // corpus, which washes out the signature); one explode + ONE
+    // hash aggregate computes all 64 sign-sums in a single pass
+    val tok = shingleRows(s, d)
+      .select(col("doc_id"), col("s").as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map(i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i"))
@@ -158,10 +194,14 @@ object Dedup {
       .select(col("doc_id"),
         (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ bitwiseOR _).as("simhash"))
+    // 8 bands × 8 bits: pigeonhole guarantees a band collision for
+    // Hamming < 8 and near-certain collision at the ≤12 threshold
+    // (4×16-bit bands only guarantee Hamming < 4 — verified to miss
+    // planted near-dups)
     val banded = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
     banded.as("a")
       .join(banded.as("b"),

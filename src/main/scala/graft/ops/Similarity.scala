@@ -95,8 +95,11 @@ object Similarity {
   private val IvfProbes = 4
 
   private val Dim = 64
-  private val BitsPerTable = 8
-  private val NumTables = 4
+  // r=4 bits per table, L=8 tables: collision prob for a cosine-0.4
+  // neighbor ≈ 1-(1-p^4)^8 ≈ 0.75 (p = 1-θ/π ≈ 0.63) — wider buckets
+  // with more tables beat narrow buckets on weakly-clustered vectors
+  private val BitsPerTable = 4
+  private val NumTables = 16
 
   /** Per-vector array statistics — array functions surface (size /
    *  aggregate / array_min / array_max), all per-row deterministic. */

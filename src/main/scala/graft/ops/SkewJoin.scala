@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Salted equi-join for skewed keys. When a handful of hot keys
+ * dominate a shuffle join, AQE's skew-join splitting
+ * (`spark.sql.adaptive.skewJoin.enabled`, on in our sessions) is the
+ * first line of defense; explicit salting is the deterministic
+ * fallback when one side can be replicated.
+ *
+ * The big side gets a uniform salt derived from a per-row hash (NOT
+ * random — reruns and retries must route rows identically); the
+ * small side is replicated `buckets` times so every (key, salt)
+ * bucket finds its match. Join key cardinality per task shrinks by
+ * `buckets`×, trading a `buckets`× blow-up of the SMALL side — the
+ * classic skew trade.
+ */
+object SkewJoin {
+
+  /** Inner equi-join `big ⋈ small` on `key`, salted `buckets` ways.
+    * `saltSource` must be a deterministic per-row expression on `big`
+    * (e.g. a row id column) — it only needs uniformity, not secrecy. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltSource: Column, buckets: Int = 8): DataFrame = {
+    require(buckets > 0)
+    val saltedBig = big.withColumn("__salt", pmod(xxhash64(saltSource), lit(buckets)))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(array((0 until buckets).map(lit(_)): _*)))
+    saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-operator invariants: the approximate paths must find what
+  * the exact paths find (recall on the planted near-duplicates), and
+  * derived metadata must match its defining formula. */
+class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
+
+  private val d = "/root/testdata/sf0.01"
+
+  test("banded MinHash (q22) recalls every exact-Jaccard near-dup pair (q23)") {
+    val exact = Dedup.q23NgramJaccard(spark, d)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.q22MinHashLsh(spark, d)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "expected planted near-dups in testdata")
+    val missed = exact -- approx
+    assert(missed.isEmpty, s"LSH missed exact pairs: $missed")
+  }
+
+  test("SimHash (q24) surfaces the near-exact pairs (jaccard ≥ 0.9)") {
+    // SimHash approximates term-set cosine, not Jaccard: pairs near
+    // the 0.6 Jaccard threshold can legitimately exceed the Hamming
+    // cut; the planted near-exact duplicates must not
+    val exact = Dedup.q23NgramJaccard(spark, d)
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.q24SimHash(spark, d)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && (exact -- sim).isEmpty)
+  }
+
+  test("LSH kNN (q27) and IVF kNN (q37) overlap the brute-force top-5 (q26)") {
+    def top(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long]("qid"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nid")).toSet }
+    val brute = top(Similarity.q26KnnBrute(spark, d))
+    val lsh = top(Similarity.q27KnnLsh(spark, d))
+    val ivf = top(Similarity.q37KnnIvf(spark, d))
+    // approximate methods must return full result sets with sane recall
+    assert(lsh.keySet == brute.keySet && ivf.keySet == brute.keySet)
+    // NB: map over a Seq of keys — mapping the key *Set* to counts
+    // would deduplicate equal counts before summing
+    val lshRecall = brute.keys.toSeq.map(q => (lsh(q) & brute(q)).size).sum / (brute.size * 5.0)
+    val ivfRecall = brute.keys.toSeq.map(q => (ivf(q) & brute(q)).size).sum / (brute.size * 5.0)
+    assert(lshRecall > 0.4, s"LSH recall@5 $lshRecall")
+    assert(ivfRecall > 0.2, s"IVF recall@5 $ivfRecall")
+  }
+
+  test("multimodal metadata matches its defining formula") {
+    val rows = Multimodal.q31MultimodalMeta(spark, d).limit(50).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_bytes")
+      assert(r.getAs[Long]("width") == 64 + n % 512)
+      assert(r.getAs[Long]("height") == 64 + (n * 7) % 512)
+      assert(r.getAs[String]("content_hash").length == 32)
+    }
+  }
+
+  test("inference query returns one row per lineitem column with settled types") {
+    val rows = InferOps.q32SchemaInfer(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 11)
+    val types = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(types("l_quantity") == "float")
+    assert(types("l_shipdate") == "date") // midnight-datetime quirk
+    assert(types("l_returnflag") == "text")
+  }
+}
