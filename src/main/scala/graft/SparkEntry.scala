@@ -65,6 +65,10 @@ object SparkEntry {
     "q33_csv_roundtrip" -> (InferOps.q33CsvRoundtrip _),
     // structured streaming
     "q34_stream_tumbling" -> (StreamingOps.q34StreamTumbling _),
+    "q43_stream_stateful" -> (StreamingOps.q43StreamStateful _),
+    // rolling-hash fingerprint + multimodal frame sampling
+    "q41_rolling_fingerprint" -> (TextAnalysis.q41RollingFingerprint _),
+    "q42_frame_sample" -> (Multimodal.q42FrameSample _),
     // xlsx + jdbc round-trips (S4-S6/K6, S9-S10/K1-K3)
     "q35_xlsx_roundtrip" -> (InferOps.q35XlsxRoundtrip _),
     "q36_jdbc_roundtrip" -> (InferOps.q36JdbcRoundtrip _)
@@ -104,6 +108,9 @@ object SparkEntry {
     "q32_schema_infer" -> InferOps.q32Sql,
     "q33_csv_roundtrip" -> InferOps.q33Sql,
     "q34_stream_tumbling" -> StreamingOps.q34Sql,
+    "q43_stream_stateful" -> StreamingOps.q43Sql,
+    "q41_rolling_fingerprint" -> TextAnalysis.q41Sql,
+    "q42_frame_sample" -> Multimodal.q42Sql,
     "q35_xlsx_roundtrip" -> InferOps.q35Sql,
     "q36_jdbc_roundtrip" -> InferOps.q36Sql
   )

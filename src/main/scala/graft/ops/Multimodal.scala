@@ -59,4 +59,41 @@ object Multimodal {
       | CAST(3 AS BIGINT) AS channels,
       | md5(text) AS content_hash
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  final case class Frame(doc_id: Long, frame_idx: Long, frame_ts_ms: Long,
+      frame_hash: String)
+
+  /** Frame sampling from a fake video payload: the decode/sample step
+   *  is a per-partition flatMap (1 payload row → N frame rows — the
+   *  real batch shape for video pipelines); the per-frame "decode" is
+   *  a deterministic STUB (md5 of payload + frame index @ 4 fps). */
+  def q42FrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val nFrames = r.payload.length % 7 + 1
+          (0 until nFrames).iterator.map { i =>
+            md.reset()
+            md.update(r.payload)
+            md.update(s"#$i".getBytes("UTF-8"))
+            Frame(r.doc_id, i.toLong, i * 250L,
+              md.digest().map("%02x".format(_)).mkString)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val q42Sql: String =
+    """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+      | CAST(i * 250 AS BIGINT) AS frame_ts_ms,
+      | md5(text || '#' || i) AS frame_hash
+      |FROM documents,
+      | LATERAL (SELECT unnest(generate_series(0, octet_length(encode(text)) % 7)) AS i) g
+      |ORDER BY doc_id, frame_idx""".stripMargin
 }

@@ -134,4 +134,26 @@ object TextAnalysis {
       | min(doc_id) AS keeper, count(*) AS n_dups
       |FROM documents
       |GROUP BY 1 ORDER BY keeper""".stripMargin
+
+  /** Rolling-hash document fingerprint (native graft_rolling_hash
+   *  expression over the normalized text) — the oracle reproduces the
+   *  identical polynomial fold via list_reduce over code points. */
+  def q41RollingFingerprint(s: SparkSession, d: String): DataFrame = {
+    graft.functions.RollingHash.register(s)
+    documents(s, d).select(
+      col("doc_id"),
+      graft.functions.RollingHash.rolling_hash(
+        regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("rh"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q41Sql: String =
+    """SELECT doc_id,
+      | list_reduce(
+      |   list_prepend(7::BIGINT,
+      |     list_transform(
+      |       string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ''),
+      |       x -> unicode(x)::BIGINT)),
+      |   (acc, c) -> (acc * 31 + c) % 2147483647) AS rh
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -59,6 +59,48 @@ object StreamingOps {
     s.table(name).orderBy(col("day_bucket"), col("event_type"))
   }
 
+  final case class UserAgg(user_id: Long, n: Long, sum_cents: Long)
+
+  /** Custom stateful streaming: per-user running aggregates via
+   *  flatMapGroupsWithState — explicit GroupState instead of a
+   *  built-in aggregation (the pattern for custom session/state
+   *  machines). Drained with AvailableNow, so the emitted state
+   *  equals the batch aggregate and is oracle-checkable. */
+  def q43StreamStateful(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val path = s"$d/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(path)
+    val name = s"graft_q43_${runSeq.incrementAndGet()}"
+    val stream = s.readStream.schema(raw.schema).parquet(path + "*")
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+    def update(user: Long, rows: Iterator[(Long, Long)],
+        state: GroupState[UserAgg]): Iterator[UserAgg] = {
+      val prev = state.getOption.getOrElse(UserAgg(user, 0L, 0L))
+      var n = prev.n; var c = prev.sum_cents
+      rows.foreach { r => n += 1; c += r._2 }
+      val next = UserAgg(user, n, c)
+      state.update(next)
+      Iterator.single(next)
+    }
+    val q = stream.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    s.table(name)
+      .select(col("user_id"), col("n"), (col("sum_cents") / 100.0).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q43Sql: String =
+    """SELECT user_id, count(*) AS n,
+      | CAST(sum(CAST(round("value"*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val q34Sql: String =
     """SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_bucket,
       | event_type, count(*) AS n,
