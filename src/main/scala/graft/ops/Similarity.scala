@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
  *
  * q26 is the exact brute-force baseline: broadcast the (small) query
  * set against all candidates — one scan of the corpus, no shuffle of
- * the big side; cosine is computed in double precision with
- * codegen'd higher-order functions (zip_with/aggregate), no UDF.
+ * the big side; cosine runs through the native CosineSimilarity
+ * codegen expression (graft.functions), no UDF.
  *
  * q27 is the approximate scale path: seed-deterministic
  * random-hyperplane LSH prunes the candidate set before exact

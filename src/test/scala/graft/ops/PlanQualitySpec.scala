@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: these lock in the scan pushdown /
+  * broadcast / partial-aggregation properties the operators are
+  * designed around — a regression here is a silent 100×-at-scale
+  * cost even when results stay correct. */
+class PlanQualitySpec extends AnyFunSuite with SparkSuite {
+
+  private val d = "/root/testdata/sf0.001"
+
+  // formatted mode keeps the full scan metadata (PushedFilters /
+  // ReadSchema) that plain toString truncates
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q02 selective scan pushes every predicate into the parquet reader") {
+    val p = plan(Relational.q02ScanRevenue(spark, d))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(400))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("LessThan(l_quantity,24.0)"))
+    // column pruning: scan reads only the 4 referenced columns
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"))
+  }
+
+  test("q04 snowflake joins broadcast all four dimensions") {
+    val p = plan(Relational.q04RegionBrand(spark, d))
+    // formatted mode mentions each node in tree + detail → ≥4 joins
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(400))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
+
+  test("q01 aggregate has map-side partials") {
+    val p = plan(Relational.q01PricingSummary(spark, d))
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "more than one aggregate shuffle")
+  }
+
+  test("q26 brute-force kNN broadcasts the query side, not the corpus") {
+    val p = plan(Similarity.q26KnnBrute(spark, d))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("whole-stage codegen covers the native cosine expression") {
+    // parquet-backed input — a local relation would be constant-folded
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, d)
+    val df = e.select(graft.functions.GraftFunctions.cosine_sim(
+      org.apache.spark.sql.functions.col("embedding"),
+      org.apache.spark.sql.functions.col("embedding")).as("selfsim"))
+    // '*(n)' prefixes mark whole-stage-codegen stages in toString
+    val p0 = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[cosinesimilarity""".r.findFirstIn(p0).isDefined, p0.take(300))
+    // and it evaluates to 1.0 for self-similarity through codegen
+    val vals = df.limit(5).collect().map(_.getDouble(0))
+    vals.foreach(v => assert(math.abs(v - 1.0) < 1e-9))
+  }
+}
