@@ -35,6 +35,7 @@ object SparkEntry {
     "q16_cube" -> (Relational.q16Cube _),
     "q18_interval_join" -> (Relational.q18IntervalJoin _),
     "q19_pivot" -> (Relational.q19Pivot _),
+    "q44_percentiles" -> (Relational.q44Percentiles _),
     // event / semi-structured / temporal
     "q12_json_extract" -> (EventOps.q12JsonExtract _),
     "q13_hourly_tumbling" -> (EventOps.q13HourlyTumbling _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "q39_vector_stats" -> Similarity.q39Sql,
     "q18_interval_join" -> Relational.q18Sql,
     "q19_pivot" -> Relational.q19Sql,
+    "q44_percentiles" -> Relational.q44Sql,
     "q12_json_extract" -> EventOps.q12Sql,
     "q13_hourly_tumbling" -> EventOps.q13Sql,
     "q14_asof_last_signup" -> EventOps.q14Sql,

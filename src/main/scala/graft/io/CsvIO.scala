@@ -126,6 +126,14 @@ object CsvIO {
       .option("header", "true")
       .option("delimiter", d)
       .option("emptyValue", "")
+      // RFC-4180 doubled quotes, like the reference's csv.writer —
+      // Spark's writer defaults to backslash-escaping, which our own
+      // (and most) readers would misparse
+      .option("escape", "\"")
+      // the reference's csv.writer preserves whitespace; Spark's CSV
+      // writer trims it by default
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .option("lineSep", if (unixLineSep) "\n" else "\r\n")
       .mode("overwrite")
     val writer = if (useGzip) writer0.option("compression", "gzip") else writer0

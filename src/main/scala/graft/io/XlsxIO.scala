@@ -266,7 +266,11 @@ object XlsxIO {
                   if (cellS >= 0 && cellS < styles.length) styles(cellS) else (false, false)
                 if (isD || isT) fromSerial(d, isD, isT) else XNum(d)
             }
-          if (cur != null && cell != XNull) cur += colIndex(cellRef) -> cell
+          // writers may omit the cell ref (@r) — fall back to the
+          // next sequential column of this row
+          val ci = if (cellRef.nonEmpty) colIndex(cellRef)
+                   else cur.lastOption.map(_._1 + 1).getOrElse(0)
+          if (cur != null && cell != XNull) cur += ci -> cell
           text = null
         case "row" =>
           if (cur != null) rows += cur

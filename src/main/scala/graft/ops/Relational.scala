@@ -245,6 +245,26 @@ object Relational {
       | TRUE AS approx_within_15pct
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Exact percentiles (linear interpolation over integral cents →
+   *  engine-independent doubles) per order priority. */
+  def q44Percentiles(s: SparkSession, d: String): DataFrame = {
+    def pct(q: Double) = round(
+      expr(s"percentile(CAST(round(o_totalprice*100) AS BIGINT), $q)") / 100.0, 4)
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(pct(0.25).as("p25"), pct(0.5).as("p50"), pct(0.9).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q44Sql: String =
+    """SELECT o_orderpriority,
+      | round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25)/100.0, 4) AS p25,
+      | round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.50)/100.0, 4) AS p50,
+      | round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.90)/100.0, 4) AS p90,
+      | count(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** CUBE aggregate — all grouping-set combinations. */
   def q16Cube(s: SparkSession, d: String): DataFrame =
     orders(s, d)

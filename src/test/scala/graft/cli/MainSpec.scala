@@ -40,8 +40,10 @@ class MainSpec extends AnyFunSuite with SparkSuite {
     val out = work.resolve("out.csv").toString
     Main.run(spark, Main.parseArgs(Seq(
       "export", "--config", ini.toString, "--unix", "cli...clitable", out)))
+    // 5 physical lines: header + 3 records, one with a quoted
+    // embedded newline
     val lines = Files.readAllLines(work.resolve("out.csv")).asScala
-    assert(lines.size == 4 && lines.head.contains("string"))
+    assert(lines.size == 5 && lines.head.contains("string"))
 
     intercept[IllegalArgumentException](
       Main.run(spark, Main.parseArgs(Seq("frobnicate", "--config", ini.toString))))

@@ -45,10 +45,13 @@ class EngineJdbcSpec extends AnyFunSuite with SparkSuite {
     import scala.jdk.CollectionConverters._
     val out = Files.createTempDirectory("graftexp").toString + "/basic_out.csv"
     engine.exportTable("test...basic", out, unix = true)
+    // NB: the "return\n" value is a quoted MULTI-LINE field, so the
+    // file has 5 physical lines for 4 CSV records
     val lines = Files.readAllLines(java.nio.file.Paths.get(out)).asScala
-    assert(lines.size == 4) // header + 3 rows
     assert(lines.head.toLowerCase.startsWith("string,"))
     assert(lines.exists(_.contains("2013-10-11T13:04:05")))
+    val (reread, _) = CsvIO.importCsv(spark, out)
+    assert(reread.count() == 3)
   }
 
   test("xlsx import via $SHEET selector into Derby") {
