@@ -70,6 +70,7 @@ object SparkEntry {
     // rolling-hash fingerprint + multimodal frame sampling
     "q41_rolling_fingerprint" -> (TextAnalysis.q41RollingFingerprint _),
     "q42_frame_sample" -> (Multimodal.q42FrameSample _),
+    "q45_resize_features" -> (Multimodal.q45ResizeFeatures _),
     // xlsx + jdbc round-trips (S4-S6/K6, S9-S10/K1-K3)
     "q35_xlsx_roundtrip" -> (InferOps.q35XlsxRoundtrip _),
     "q36_jdbc_roundtrip" -> (InferOps.q36JdbcRoundtrip _)
@@ -113,6 +114,7 @@ object SparkEntry {
     "q43_stream_stateful" -> StreamingOps.q43Sql,
     "q41_rolling_fingerprint" -> TextAnalysis.q41Sql,
     "q42_frame_sample" -> Multimodal.q42Sql,
+    "q45_resize_features" -> Multimodal.q45Sql,
     "q35_xlsx_roundtrip" -> InferOps.q35Sql,
     "q36_jdbc_roundtrip" -> InferOps.q36Sql
   )

@@ -60,6 +60,61 @@ object Multimodal {
       | md5(text) AS content_hash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  final case class ResizedMeta(doc_id: Long, width: Long, height: Long,
+      new_width: Long, new_height: Long,
+      f_alpha: Long, f_digit: Long, f_space: Long, f_other: Long)
+
+  /** Resize + feature-extract over decoded media metadata: fit into
+   *  224×224 preserving aspect ratio (integer arithmetic →
+   *  deterministic), plus a STUB feature vector (char-class
+   *  histogram standing in for a pixel histogram — same shape, same
+   *  batch semantics). */
+  def q45ResizeFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("text"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, text, payload) =>
+          val m = decodeStub(MediaRow(id, payload))
+          // fit into 224×224, round-half-up, floor at 1
+          val scaleNum = 224L
+          val (nw, nh) =
+            if (m.width >= m.height)
+              (scaleNum, math.max(1L, (m.height * scaleNum + m.width / 2) / m.width))
+            else
+              (math.max(1L, (m.width * scaleNum + m.height / 2) / m.height), scaleNum)
+          // ASCII classes to match the oracle's regex semantics
+          def alpha(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+          def digit(c: Char) = c >= '0' && c <= '9'
+          ResizedMeta(id, m.width, m.height, nw, nh,
+            text.count(alpha).toLong,
+            text.count(digit).toLong,
+            text.count(_ == ' ').toLong,
+            text.count(c => !alpha(c) && !digit(c) && c != ' ').toLong)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val q45Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text,
+      |   64 + CAST(octet_length(encode(text)) AS BIGINT) % 512 AS width,
+      |   64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 512 AS height
+      |  FROM documents)
+      |SELECT doc_id, width, height,
+      | CASE WHEN width >= height THEN 224
+      |      ELSE greatest(1, (width * 224 + height // 2) // height) END AS new_width,
+      | CASE WHEN width >= height THEN greatest(1, (height * 224 + width // 2) // width)
+      |      ELSE 224 END AS new_height,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS f_alpha,
+      | CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS f_digit,
+      | CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS f_space,
+      | CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS f_other
+      |FROM m ORDER BY doc_id""".stripMargin
+
   final case class Frame(doc_id: Long, frame_idx: Long, frame_ts_ms: Long,
       frame_hash: String)
 
