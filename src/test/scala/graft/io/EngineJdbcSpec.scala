@@ -54,6 +54,23 @@ class EngineJdbcSpec extends AnyFunSuite with SparkSuite {
     assert(reread.count() == 3)
   }
 
+  test("reference test matrix: export to .csv.gz, .tab, and .xlsx (diepy_tests.py:26-48)") {
+    val work = Files.createTempDirectory("graftexp2")
+    // .csv.gz
+    engine.exportTable("test...basic", s"$work/basic.csv", unix = true, gzip = true)
+    val (gz, _) = CsvIO.importCsv(spark, s"$work/basic.csv.gz")
+    assert(gz.count() == 3)
+    // .tab → TSV by extension
+    engine.exportTable("test...basic", s"$work/basic.tab", unix = true)
+    val firstLine = Files.readAllLines(java.nio.file.Paths.get(s"$work/basic.tab")).get(0)
+    assert(firstLine.contains("\t") && !firstLine.contains(","))
+    // .xlsx → sheet named after the table
+    engine.exportTable("test...basic", s"$work/basic.xlsx")
+    assert(XlsxIO.listSheets(s"$work/basic.xlsx") == Seq("basic"))
+    val (xl, _) = XlsxIO.importSheet(spark, s"$work/basic.xlsx", "basic")
+    assert(xl.count() == 3)
+  }
+
   test("xlsx import via $SHEET selector into Derby") {
     val n = engine.importFile("/root/reference/tests/excel.xlsx$basic2", "test...fromxlsx")
     assert(n.contains(3L))
