@@ -36,6 +36,9 @@ object SparkEntry {
     "q18_interval_join" -> (Relational.q18IntervalJoin _),
     "q19_pivot" -> (Relational.q19Pivot _),
     "q44_percentiles" -> (Relational.q44Percentiles _),
+    "q46_window_suite" -> (Relational.q46WindowSuite _),
+    "q47_string_fns" -> (Relational.q47StringFns _),
+    "q48_date_fns" -> (Relational.q48DateFns _),
     // event / semi-structured / temporal
     "q12_json_extract" -> (EventOps.q12JsonExtract _),
     "q13_hourly_tumbling" -> (EventOps.q13HourlyTumbling _),
@@ -94,6 +97,9 @@ object SparkEntry {
     "q18_interval_join" -> Relational.q18Sql,
     "q19_pivot" -> Relational.q19Sql,
     "q44_percentiles" -> Relational.q44Sql,
+    "q46_window_suite" -> Relational.q46Sql,
+    "q47_string_fns" -> Relational.q47Sql,
+    "q48_date_fns" -> Relational.q48Sql,
     "q12_json_extract" -> EventOps.q12Sql,
     "q13_hourly_tumbling" -> EventOps.q13Sql,
     "q14_asof_last_signup" -> EventOps.q14Sql,

@@ -334,6 +334,89 @@ object Relational {
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** Window-function variety: lead/lag/ntile/percent_rank/first over
+   *  one partition spec (single shuffle serves all five). */
+  def q46WindowSuite(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (cents(col("o_totalprice")) / 100.0).as("price"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        first(col("o_orderkey")).over(w).as("cheapest_key"))
+      .orderBy(col("o_orderpriority"), col("price"), col("o_orderkey"))
+  }
+
+  val q46Sql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      | CAST(round(o_totalprice*100) AS BIGINT)/100.0 AS price,
+      | lag(o_orderkey, 1) OVER w AS prev_key,
+      | lead(o_orderkey, 1) OVER w AS next_key,
+      | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      | round(percent_rank() OVER w, 6) AS pct_rank,
+      | first_value(o_orderkey) OVER w AS cheapest_key
+      |FROM orders WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, price, o_orderkey""".stripMargin
+
+  /** String-function registry coverage: substr/replace/concat/pad/
+   *  levenshtein — all codegen'd builtins. */
+  def q47StringFns(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        length(col("c_name")).cast("long").as("name_len"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        levenshtein(col("c_name"), col("c_mktsegment")).cast("long").as("lev"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
+      .orderBy(col("c_custkey"))
+
+  val q47Sql: String =
+    """SELECT c_custkey,
+      | upper(c_name) AS uname,
+      | substring(c_name, 1, 8) AS prefix,
+      | regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+      | CAST(length(c_name) AS BIGINT) AS name_len,
+      | lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+      | CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS lev,
+      | concat_ws('|', c_mktsegment, c_name) AS joined
+      |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin
+
+  /** Date/time-function registry coverage over order dates. */
+  def q48DateFns(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        date_add(to_date(col("o_orderdate")), 90).as("due"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(lit("1999-01-01").cast("date"), to_date(col("o_orderdate")))
+          .cast("long").as("days_to_99"))
+      .orderBy(col("o_orderkey"))
+
+  val q48Sql: String =
+    """SELECT o_orderkey,
+      | CAST(o_orderdate AS DATE) AS od,
+      | CAST(year(o_orderdate) AS BIGINT) AS y,
+      | CAST(quarter(o_orderdate) AS BIGINT) AS q,
+      | CAST(month(o_orderdate) AS BIGINT) AS m,
+      | CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+      | CAST(o_orderdate AS DATE) + 90 AS due,
+      | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_99
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+
   /** Left-semi / left-anti joins (EXISTS / NOT EXISTS). Customers with
    *  an open order vs customers with no orders at all. */
   def q11SemiAnti(s: SparkSession, d: String): DataFrame = {
