@@ -39,6 +39,8 @@ object SparkEntry {
     "q46_window_suite" -> (Relational.q46WindowSuite _),
     "q47_string_fns" -> (Relational.q47StringFns _),
     "q48_date_fns" -> (Relational.q48DateFns _),
+    "q49_math_fns" -> (Relational.q49MathFns _),
+    "q50_bag_setops" -> (Relational.q50BagSetOps _),
     // event / semi-structured / temporal
     "q12_json_extract" -> (EventOps.q12JsonExtract _),
     "q13_hourly_tumbling" -> (EventOps.q13HourlyTumbling _),
@@ -100,6 +102,8 @@ object SparkEntry {
     "q46_window_suite" -> Relational.q46Sql,
     "q47_string_fns" -> Relational.q47Sql,
     "q48_date_fns" -> Relational.q48Sql,
+    "q49_math_fns" -> Relational.q49Sql,
+    "q50_bag_setops" -> Relational.q50Sql,
     "q12_json_extract" -> EventOps.q12Sql,
     "q13_hourly_tumbling" -> EventOps.q13Sql,
     "q14_asof_last_signup" -> EventOps.q14Sql,

@@ -417,6 +417,56 @@ object Relational {
       | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_99
       |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
 
+  /** Math-function registry coverage (libm last-ulp differences are
+   *  absorbed by round-6). */
+  def q49MathFns(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"),
+        round(sqrt(col("p_retailprice")), 6).as("sqrt_price"),
+        round(log(col("p_retailprice")), 6).as("ln_price"),
+        round(pow(col("p_size"), 2).cast("double"), 6).as("size_sq"),
+        ceil(col("p_retailprice")).cast("long").as("ceil_p"),
+        floor(col("p_retailprice")).cast("long").as("floor_p"),
+        abs(col("p_size") - 25).cast("long").as("dist25"),
+        pmod(col("p_partkey"), lit(7)).cast("long").as("mod7"),
+        signum(col("p_size") - 25).cast("long").as("sign25"))
+      .orderBy(col("p_partkey"))
+
+  val q49Sql: String =
+    """SELECT p_partkey,
+      | round(sqrt(p_retailprice), 6) AS sqrt_price,
+      | round(ln(p_retailprice), 6) AS ln_price,
+      | round(CAST(pow(p_size, 2) AS DOUBLE), 6) AS size_sq,
+      | CAST(ceil(p_retailprice) AS BIGINT) AS ceil_p,
+      | CAST(floor(p_retailprice) AS BIGINT) AS floor_p,
+      | CAST(abs(p_size - 25) AS BIGINT) AS dist25,
+      | CAST(p_partkey % 7 AS BIGINT) AS mod7,
+      | CAST(sign(p_size - 25) AS BIGINT) AS sign25
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) — duplicates
+   *  preserved by multiplicity. */
+  def q50BagSetOps(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_nationkey").as("k"))
+    val sup = supplier(s, d).select(col("s_nationkey").as("k"))
+    val ia = c.intersectAll(sup).groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    val ea = c.exceptAll(sup).groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    ia.unionByName(ea).select(col("op"), col("k"), col("n"))
+      .orderBy(col("op"), col("k"))
+  }
+
+  val q50Sql: String =
+    """SELECT 'intersect_all' AS op, k, count(*) AS n FROM
+      | (SELECT c_nationkey AS k FROM customer
+      |  INTERSECT ALL SELECT s_nationkey FROM supplier) a GROUP BY k
+      |UNION ALL
+      |SELECT 'except_all' AS op, k, count(*) AS n FROM
+      | (SELECT c_nationkey AS k FROM customer
+      |  EXCEPT ALL SELECT s_nationkey FROM supplier) b GROUP BY k
+      |ORDER BY op, k""".stripMargin
+
   /** Left-semi / left-anti joins (EXISTS / NOT EXISTS). Customers with
    *  an open order vs customers with no orders at all. */
   def q11SemiAnti(s: SparkSession, d: String): DataFrame = {
