@@ -78,7 +78,9 @@ object SparkEntry {
     "q45_resize_features" -> (Multimodal.q45ResizeFeatures _),
     // xlsx + jdbc round-trips (S4-S6/K6, S9-S10/K1-K3)
     "q35_xlsx_roundtrip" -> (InferOps.q35XlsxRoundtrip _),
-    "q36_jdbc_roundtrip" -> (InferOps.q36JdbcRoundtrip _)
+    "q36_jdbc_roundtrip" -> (InferOps.q36JdbcRoundtrip _),
+    "q51_jsonl_roundtrip" -> (InferOps.q51JsonlRoundtrip _),
+    "q52_orc_roundtrip" -> (InferOps.q52OrcRoundtrip _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -126,6 +128,8 @@ object SparkEntry {
     "q42_frame_sample" -> Multimodal.q42Sql,
     "q45_resize_features" -> Multimodal.q45Sql,
     "q35_xlsx_roundtrip" -> InferOps.q35Sql,
-    "q36_jdbc_roundtrip" -> InferOps.q36Sql
+    "q36_jdbc_roundtrip" -> InferOps.q36Sql,
+    "q51_jsonl_roundtrip" -> InferOps.q51Sql,
+    "q52_orc_roundtrip" -> InferOps.q52Sql
   )
 }

@@ -118,4 +118,40 @@ object InferOps {
     """SELECT c_mktsegment, count(*) AS n,
       | CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_acctbal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** JSONL round-trip — the de-facto training-corpus format: export
+   *  documents as JSON lines, re-read with an explicit schema (no
+   *  sampling pass at scale), aggregate; oracle aggregates the
+   *  parquet directly. */
+  def q51JsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_jsonl_rt_${Integer.toHexString(d.hashCode)}"
+    val docs = documents(s, d)
+    docs.write.mode("overwrite").json(dir)
+    val back = s.read.schema(docs.schema).json(dir)
+    back.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_len"))
+      .orderBy(col("lang"))
+  }
+
+  val q51Sql: String =
+    """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      | CAST(sum(length(text)) AS BIGINT) AS sum_len
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** ORC round-trip — the columnar alternative on the same query. */
+  def q52OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_orc_rt_${Integer.toHexString(d.hashCode)}"
+    lineitem(s, d).write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .filter(col("l_discount") > 0.05) // pushdown survives the format hop
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q52Sql: String =
+    """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+      |FROM lineitem WHERE l_discount > 0.05
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }
