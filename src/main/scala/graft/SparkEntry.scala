@@ -64,6 +64,7 @@ object SparkEntry {
     "q28_lang_id" -> (TextAnalysis.q28LangId _),
     "q29_text_quality" -> (TextAnalysis.q29TextQuality _),
     "q30_token_count" -> (TextAnalysis.q30TokenCount _),
+    "q53_heavy_hitters" -> (TextAnalysis.q53HeavyHitters _),
     // multimodal plumbing
     "q31_multimodal_meta" -> (Multimodal.q31MultimodalMeta _),
     // reference-core: inference + CSV round-trip
@@ -119,6 +120,7 @@ object SparkEntry {
     "q28_lang_id" -> TextAnalysis.q28Sql,
     "q29_text_quality" -> TextAnalysis.q29Sql,
     "q30_token_count" -> TextAnalysis.q30Sql,
+    "q53_heavy_hitters" -> TextAnalysis.q53Sql,
     "q31_multimodal_meta" -> Multimodal.q31Sql,
     "q32_schema_infer" -> InferOps.q32Sql,
     "q33_csv_roundtrip" -> InferOps.q33Sql,

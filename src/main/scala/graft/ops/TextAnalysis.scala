@@ -147,6 +147,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-wide heavy hitters via the custom space-saving
+   *  TypedImperativeAggregate (graft.functions.HeavyHitters) —
+   *  capacity 4096 exceeds this corpus's vocabulary, so the sketch is
+   *  exact and oracle-checkable against a plain count. */
+  def q53HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HeavyHitters.register(s)
+    import org.apache.spark.sql.expressions.Window
+    documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .agg(graft.functions.HeavyHitters.heavy_hitters(col("tok"), 10, 4096).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("token"), col("e.cnt").as("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+      .orderBy(col("rnk"))
+  }
+
+  val q53Sql: String =
+    """SELECT token, cnt, rnk FROM (
+      | SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+      | FROM (
+      |  SELECT tok AS token, count(*) AS cnt FROM (
+      |   SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents) u
+      |  GROUP BY 1) c ) r
+      |WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+
   val q41Sql: String =
     """SELECT doc_id,
       | list_reduce(
