@@ -50,6 +50,35 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val _ = raw
   }
 
+  test("checkpointed stream resumes without reprocessing (exactly-once file source)") {
+    import java.nio.file.{Files, Paths}
+    val work = Files.createTempDirectory("graftckpt")
+    val srcDir = work.resolve("src").toString
+    val ckpt = work.resolve("ckpt").toString
+    Files.createDirectories(Paths.get(srcDir))
+    val e = Tables.events(spark, dir).limit(400).cache()
+    e.filter(col("event_id") < 200).write.mode("overwrite").parquet(s"$srcDir/batch1")
+
+    def runOnce(): Long = {
+      val stream = spark.readStream
+        .schema(e.schema).option("maxFilesPerTrigger", "100")
+        .parquet(s"$srcDir/*")
+      val q = stream.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("graft_ckpt").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      spark.table("graft_ckpt").agg(sum(col("n"))).head.getLong(0)
+    }
+
+    assert(runOnce() == e.filter(col("event_id") < 200).count())
+    // second batch of files arrives; the restarted query (same
+    // checkpoint) picks up ONLY the new files and the complete-mode
+    // state covers everything exactly once
+    e.filter(col("event_id") >= 200).write.mode("overwrite").parquet(s"$srcDir/batch2")
+    assert(runOnce() == e.count())
+  }
+
   test("q34 streaming result equals its batch equivalent") {
     val streamed = StreamingOps.q34StreamTumbling(spark, dir)
     val batch = Tables.events(spark, dir)
