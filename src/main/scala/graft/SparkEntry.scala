@@ -54,6 +54,7 @@ object SparkEntry {
     "q24_dedup_simhash" -> (Dedup.q24SimHash _),
     "q25_embedding_neardup" -> (Dedup.q25EmbeddingNearDup _),
     "q40_dedup_apply" -> (Dedup.q40DedupApply _),
+    "q54_corpus_pipeline" -> (CorpusPipeline.q54Pipeline _),
     // similarity search
     "q26_knn_brute" -> (Similarity.q26KnnBrute _),
     "q27_knn_lsh" -> (Similarity.q27KnnLsh _),
@@ -116,6 +117,7 @@ object SparkEntry {
     "q23_dedup_ngram_jaccard" -> Dedup.q23Sql,
     "q25_embedding_neardup" -> Dedup.q25Sql,
     "q40_dedup_apply" -> Dedup.q40Sql,
+    "q54_corpus_pipeline" -> CorpusPipeline.q54Sql,
     "q26_knn_brute" -> Similarity.q26Sql,
     "q28_lang_id" -> TextAnalysis.q28Sql,
     "q29_text_quality" -> TextAnalysis.q29Sql,

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Fluent corpus-preparation pipeline — the user-facing composition of
+ * the engine's text/dedup operators into the standard training-data
+ * flow: annotate → filter → dedup → materialize.
+ *
+ * Every stage is a lazy DataFrame transformation; nothing executes
+ * until the result is consumed, so Catalyst optimizes ACROSS stages
+ * (e.g. a later language filter pushes below an earlier annotation
+ * projection and into the scan). Stages only add columns or filter
+ * rows — the pipeline never collects to the driver.
+ *
+ * {{{
+ * CorpusPipeline(docs)
+ *   .annotateQuality()
+ *   .filterLangs(Set("en", "de"))
+ *   .filterQuality(min = 15)
+ *   .dedupExact()
+ *   .dedupFuzzyJaccard(threshold = 0.6)
+ *   .result
+ * }}}
+ */
+final case class CorpusPipeline(df: DataFrame, textCol: String = "text",
+    idCol: String = "doc_id", langCol: String = "lang") {
+
+  private def text: Column = col(textCol)
+
+  /** Adds n_words / n_punct / quality_score (same integer-arithmetic
+    * signals as TextAnalysis.q29). */
+  def annotateQuality(): CorpusPipeline = {
+    val words = regexp_count(text, lit("\\S+")).cast("long")
+    val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("long")
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+      .map(w => regexp_count(lower(text), lit("\\b" + w + "\\b")).cast("long"))
+      .reduce(_ + _)
+    copy(df = df
+      .withColumn("n_words", words)
+      .withColumn("n_punct", punct)
+      .withColumn("quality_score", least(words, lit(100)) + lit(2) * stop - punct))
+  }
+
+  def filterQuality(min: Long): CorpusPipeline =
+    copy(df = df.filter(col("quality_score") >= min))
+
+  def filterLangs(langs: Set[String]): CorpusPipeline =
+    copy(df = df.filter(col(langCol).isin(langs.toSeq: _*)))
+
+  /** Exact dedup, keep-smallest-id per identical normalized text. */
+  def dedupExact(): CorpusPipeline = {
+    val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(norm).orderBy(col(idCol))
+    copy(df = df
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn"))
+  }
+
+  /** Fuzzy dedup: drop the larger id of every exact-Jaccard near-dup
+    * pair (same greedy keep-smallest semantics as Dedup.q40; at scale
+    * swap the pair source for the banded-MinHash candidates). */
+  def dedupFuzzyJaccard(threshold: Double): CorpusPipeline = {
+    import df.sparkSession.implicits._
+    val shingled = df.select(col(idCol), col(langCol), text)
+      .as[(Long, String, String)]
+      .flatMap { case (id, lang, t) =>
+        val toks = t.trim.split("\\s+")
+        if (toks.length < 3) Iterator.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSet[String]
+          .iterator.map(sh => (id, lang, sh))
+      }.toDF("__id", "__lang", "__s")
+    val sizes = shingled.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val co = shingled.as("a").join(shingled.as("b"),
+        col("a.__s") === col("b.__s") && col("a.__lang") === col("b.__lang") &&
+          col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("da"), col("b.__id").as("db"))
+      .agg(count(lit(1)).as("co"))
+    val dupIds = co
+      .join(sizes.as("sa"), col("da") === col("sa.__id"))
+      .join(sizes.as("sb"), col("db") === col("sb.__id"))
+      .filter(round(col("co") * lit(1.0) / (col("sa.__n") + col("sb.__n") - col("co")), 6)
+        >= threshold)
+      .select(col("db")).distinct()
+    copy(df = df.join(dupIds, col(idCol) === col("db"), "left_anti"))
+  }
+
+  def result: DataFrame = df
+}
+
+object CorpusPipeline {
+
+  /** Driver-gated end-to-end pipeline run: annotate → lang filter →
+    * quality filter → exact dedup → fuzzy dedup → per-lang stats. */
+  def q54Pipeline(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    CorpusPipeline(Tables.documents(s, d))
+      .annotateQuality()
+      .filterLangs(Set("en", "de", "fr"))
+      .filterQuality(min = 15)
+      .dedupExact()
+      .dedupFuzzyJaccard(threshold = 0.6)
+      .result
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("quality_score")).as("sum_quality"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
+  val q54Sql: String =
+    """WITH q AS (
+      |  SELECT doc_id, lang, text, n_chars,
+      |   least(len(regexp_extract_all(text, '\S+')), 100)
+      |   + 2*(len(regexp_extract_all(lower(text), '\bthe\b'))
+      |       + len(regexp_extract_all(lower(text), '\ba\b'))
+      |       + len(regexp_extract_all(lower(text), '\bof\b'))
+      |       + len(regexp_extract_all(lower(text), '\band\b'))
+      |       + len(regexp_extract_all(lower(text), '\bto\b'))
+      |       + len(regexp_extract_all(lower(text), '\bin\b')))
+      |   - len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS quality_score
+      |  FROM documents WHERE lang IN ('en', 'de', 'fr')),
+      |qf AS (SELECT * FROM q WHERE quality_score >= 15),
+      |ex AS (
+      |  SELECT * FROM (
+      |   SELECT *, row_number() OVER (
+      |     PARTITION BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+      |     ORDER BY doc_id) AS rn
+      |   FROM qf) t WHERE rn = 1),
+      |toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM ex),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |co AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS co
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |dups AS (
+      |  SELECT DISTINCT db FROM co
+      |  JOIN sizes x ON x.doc_id = da JOIN sizes y ON y.doc_id = db
+      |  WHERE round(co*1.0/(x.n + y.n - co), 6) >= 0.6)
+      |SELECT lang, count(*) AS n_docs,
+      | CAST(sum(quality_score) AS BIGINT) AS sum_quality,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM ex WHERE doc_id NOT IN (SELECT db FROM dups)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+}
