@@ -41,6 +41,8 @@ object SparkEntry {
     "q48_date_fns" -> (Relational.q48DateFns _),
     "q49_math_fns" -> (Relational.q49MathFns _),
     "q50_bag_setops" -> (Relational.q50BagSetOps _),
+    "q55_moving_window" -> (Relational.q55MovingWindow _),
+    "q56_correlated_subquery" -> (Relational.q56CorrelatedSubquery _),
     // event / semi-structured / temporal
     "q12_json_extract" -> (EventOps.q12JsonExtract _),
     "q13_hourly_tumbling" -> (EventOps.q13HourlyTumbling _),
@@ -108,6 +110,8 @@ object SparkEntry {
     "q48_date_fns" -> Relational.q48Sql,
     "q49_math_fns" -> Relational.q49Sql,
     "q50_bag_setops" -> Relational.q50Sql,
+    "q55_moving_window" -> Relational.q55Sql,
+    "q56_correlated_subquery" -> Relational.q56Sql,
     "q12_json_extract" -> EventOps.q12Sql,
     "q13_hourly_tumbling" -> EventOps.q13Sql,
     "q14_asof_last_signup" -> EventOps.q14Sql,

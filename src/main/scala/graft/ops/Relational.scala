@@ -467,6 +467,56 @@ object Relational {
       |  EXCEPT ALL SELECT s_nationkey FROM supplier) b GROUP BY k
       |ORDER BY op, k""".stripMargin
 
+  /** Trailing time-RANGE window: 7-day moving quantity per supplier
+   *  (RANGE frame over epoch-days — value-based, not row-based). */
+  def q55MovingWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("epoch_day"))
+      .rangeBetween(-6, 0)
+    lineitem(s, d)
+      .filter(col("l_suppkey") <= 3)
+      .withColumn("epoch_day", (unix_timestamp(col("l_shipdate")) / 86400L).cast("long"))
+      .groupBy(col("l_suppkey"), col("epoch_day"))
+      .agg(sum(col("l_quantity")).as("day_qty"))
+      .withColumn("qty_7d", sum(col("day_qty")).over(w))
+      .orderBy(col("l_suppkey"), col("epoch_day"))
+  }
+
+  val q55Sql: String =
+    """SELECT l_suppkey, epoch_day, day_qty,
+      | sum(day_qty) OVER (PARTITION BY l_suppkey ORDER BY epoch_day
+      |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS qty_7d
+      |FROM (
+      | SELECT l_suppkey,
+      |  CAST(floor(epoch(l_shipdate)/86400) AS BIGINT) AS epoch_day,
+      |  sum(l_quantity) AS day_qty
+      | FROM lineitem WHERE l_suppkey <= 3 GROUP BY 1, 2) t
+      |ORDER BY l_suppkey, epoch_day""".stripMargin
+
+  /** Correlated scalar subquery through the SQL surface — customers'
+   *  orders priced ≥1.5× their own average (avg over integral cents
+   *  → engine-independent). */
+  def q56CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o.o_orderkey, o.o_custkey,
+        | CAST(round(o.o_totalprice*100) AS BIGINT) AS price_cents
+        |FROM orders_v o
+        |WHERE CAST(round(o.o_totalprice*100) AS BIGINT) >=
+        |  (SELECT 1.5 * avg(CAST(round(i.o_totalprice*100) AS BIGINT))
+        |   FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val q56Sql: String =
+    """SELECT o.o_orderkey, o.o_custkey,
+      | CAST(round(o.o_totalprice*100) AS BIGINT) AS price_cents
+      |FROM orders o
+      |WHERE CAST(round(o.o_totalprice*100) AS BIGINT) >=
+      |  (SELECT 1.5 * avg(CAST(round(i.o_totalprice*100) AS BIGINT))
+      |   FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Left-semi / left-anti joins (EXISTS / NOT EXISTS). Customers with
    *  an open order vs customers with no orders at all. */
   def q11SemiAnti(s: SparkSession, d: String): DataFrame = {
