@@ -84,6 +84,7 @@ object SparkEntry {
     "q35_xlsx_roundtrip" -> (InferOps.q35XlsxRoundtrip _),
     "q36_jdbc_roundtrip" -> (InferOps.q36JdbcRoundtrip _),
     "q51_jsonl_roundtrip" -> (InferOps.q51JsonlRoundtrip _),
+    "q57_partition_prune" -> (InferOps.q57PartitionedPrune _),
     "q52_orc_roundtrip" -> (InferOps.q52OrcRoundtrip _)
   )
 
@@ -138,6 +139,7 @@ object SparkEntry {
     "q35_xlsx_roundtrip" -> InferOps.q35Sql,
     "q36_jdbc_roundtrip" -> InferOps.q36Sql,
     "q51_jsonl_roundtrip" -> InferOps.q51Sql,
+    "q57_partition_prune" -> InferOps.q57Sql,
     "q52_orc_roundtrip" -> InferOps.q52Sql
   )
 }

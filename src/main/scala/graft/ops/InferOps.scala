@@ -139,6 +139,31 @@ object InferOps {
       | CAST(sum(length(text)) AS BIGINT) AS sum_len
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Hive-style partitioned layout: write documents partitioned BY
+   *  lang, read back with a partition predicate — the scan must touch
+   *  only the matching directories (PartitionFilters, asserted in
+   *  PlanQualitySpec). The layout primitive for 100 TB corpora. */
+  def q57PartitionedPrune(s: SparkSession, d: String): DataFrame = {
+    partitionedDocs(s, d)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Partitioned copy of documents (written once per sfDir). */
+  def partitionedDocs(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_part_docs_${Integer.toHexString(d.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+      documents(s, d).write.mode("overwrite").partitionBy("lang").parquet(dir)
+    s.read.parquet(dir)
+  }
+
+  val q57Sql: String =
+    """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang IN ('en', 'de')
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** ORC round-trip — the columnar alternative on the same query. */
   def q52OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_orc_rt_${Integer.toHexString(d.hashCode)}"

@@ -44,6 +44,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("q57 partitioned layout prunes at the directory level") {
+    val p = plan(InferOps.q57PartitionedPrune(spark, d))
+    assert("""PartitionFilters: \[lang#\d+ IN \(en,de\)\]""".r.findFirstIn(p).isDefined,
+      "partition predicate missing:\n" + p.substring(p.indexOf("Scan parquet")).take(500))
+  }
+
   test("whole-stage codegen covers the native cosine expression") {
     // parquet-backed input — a local relation would be constant-folded
     graft.functions.GraftFunctions.register(spark)
