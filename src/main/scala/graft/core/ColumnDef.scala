@@ -46,7 +46,13 @@ final case class ColumnDef(
         afterType.copy(length = value.length)
       else afterType
     if (afterLen.tpe == "int") {
-      val v = value.trim.toLong
+      // Python's int() is arbitrary-precision; saturate instead of
+      // throwing on digit strings beyond Long range (stays `int`,
+      // emits the widest tier)
+      val v = try value.trim.toLong catch {
+        case _: NumberFormatException =>
+          if (value.trim.startsWith("-")) Long.MinValue else Long.MaxValue
+      }
       afterLen.copy(
         minValue = math.min(afterLen.minValue, v),
         maxValue = math.max(afterLen.maxValue, v))

@@ -12,7 +12,9 @@ import scala.jdk.CollectionConverters._
  */
 final case class ServerRegistry(servers: Map[String, String]) {
   def connectionString(server: String, database: Option[String]): String = {
-    val base = servers.getOrElse(server,
+    // the reference's SafeConfigParser lowercases option keys on both
+    // store and get (optionxform) — lookups are case-insensitive
+    val base = servers.getOrElse(server.toLowerCase,
       throw new IllegalArgumentException(s"No server '$server' in [servers]"))
     database match {
       case Some(db) => base.reverse.dropWhile(_ == '/').reverse + "/" + db
@@ -50,7 +52,7 @@ object ServerRegistry {
         else if (section == "servers") {
           val idx = line.indexOf('=')
           if (idx > 0)
-            acc += line.substring(0, idx).trim -> line.substring(idx + 1).trim
+            acc += line.substring(0, idx).trim.toLowerCase -> line.substring(idx + 1).trim
         }
       }
     }

@@ -66,5 +66,6 @@ object SchemaInfer {
    *  tiers (core.py:530-544 → SURVEY.md §2.2 K2). Empty when every
    *  column uses the dialect default. */
   def createTableColumnTypes(cols: Seq[ColumnDef]): String =
-    cols.flatMap(c => c.jdbcDdlType.map(t => s"${c.name} $t")).mkString(", ")
+    // backtick-quote: headers may contain spaces/reserved words
+    cols.flatMap(c => c.jdbcDdlType.map(t => s"`${c.name}` $t")).mkString(", ")
 }

@@ -31,15 +31,18 @@ object CsvIO {
       if (base.endsWith(".tab") || base.endsWith(".tsv")) "\t" else ","
     }
 
-  /** Raw all-string read (pass 1). `multiLine` handles quoted embedded
-   *  newlines (tests/basic.csv row 3). */
-  def readRaw(spark: SparkSession, path: String, delimiter: String): DataFrame = {
+  /** Raw all-string read (pass 1). `multiLine=true` (the default)
+   *  handles quoted embedded newlines (tests/basic.csv row 3) but
+   *  makes files unsplittable — pass false on the scale path when
+   *  values are known newline-free so big files read in parallel. */
+  def readRaw(spark: SparkSession, path: String, delimiter: String,
+      multiLine: Boolean = true): DataFrame = {
     val df = spark.read
       .option("header", "true")
       .option("delimiter", delimiter)
       .option("quote", "\"")
       .option("escape", "\"")
-      .option("multiLine", "true")
+      .option("multiLine", multiLine.toString)
       .csv(path)
     // header sanitation: BOM strip + unnamed<N> (core.py:443-448)
     val clean = ColumnDef.sanitizeHeaders(df.columns.toSeq)
@@ -52,28 +55,51 @@ object CsvIO {
       spark: SparkSession,
       path: String,
       delimiter: Option[String] = None,
-      sampleSize: Int = SchemaInfer.DefaultSampleSize): (DataFrame, Seq[ColumnDef]) = {
+      sampleSize: Int = SchemaInfer.DefaultSampleSize,
+      multiLine: Boolean = true): (DataFrame, Seq[ColumnDef]) = {
     val d = delimiterFor(path, delimiter)
-    val raw = readRaw(spark, path, d)
+    val raw = readRaw(spark, path, d, multiLine)
     val cols = SchemaInfer.inferSample(raw, sampleSize)
     val typed = castTo(raw, cols)
     (typed, cols)
   }
 
+  // the SAME format lists TypeInfer classifies with — a value that
+  // inferred as date/datetime must cast back with one of these
+  private val tsFormats = Seq(
+    "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd HH:mm:ss.SSS", "yyyy-MM-dd HH:mm",
+    "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss.SSS", "yyyy-MM-dd'T'HH:mm",
+    "MM/dd/yyyy HH:mm:ss", "MM/dd/yyyy HH:mm",
+    "M/d/yyyy H:mm:ss", "M/d/yyyy H:mm")
+  private val dateFormats = Seq(
+    "yyyy-MM-dd", "yyyy/MM/dd", "MM/dd/yyyy", "M/d/yyyy", "MM/dd/yy",
+    "M/d/yy", "yyyyMMdd", "dd-MMM-yyyy", "MMM d, yyyy", "MMMM d, yyyy")
+
+  private def tryTemporal(src: Column, formats: Seq[String]): Column =
+    // the default parser first: it handles ISO shapes with arbitrary
+    // fraction digits; explicit formats cover the non-ISO lattice
+    coalesce(try_to_timestamp(src) +: formats.map(f => try_to_timestamp(src, lit(f))): _*)
+
   /** Pass 2 as a projection over the raw read — equivalent to the
    *  reference's per-cell `cast_data` (core.py:374-389): empty→NULL,
-   *  temporal parse, numeric cast. */
+   *  temporal parse, numeric cast. All casts are try_* variants:
+   *  under Spark 4's default ANSI mode a plain cast would abort the
+   *  whole import on one malformed cell the 20k-row sample missed
+   *  (and temporal parsing must accept every format the inference
+   *  lattice accepts, not just ISO). */
   def castTo(raw: DataFrame, cols: Seq[ColumnDef]): DataFrame = {
     val projections = cols.map { c =>
       val src = col(c.name)
       val nonEmpty = when(src.isNull || src === "", lit(null)).otherwise(src)
       val casted: Column = c.toStructField.dataType match {
-        case ShortType     => nonEmpty.cast(ShortType)
-        case IntegerType   => nonEmpty.cast(IntegerType)
-        case LongType      => nonEmpty.cast(LongType)
-        case DoubleType    => nonEmpty.cast(DoubleType)
-        case TimestampType => to_timestamp(nonEmpty)
-        case DateType      => to_date(nonEmpty)
+        case ShortType     => nonEmpty.try_cast(ShortType)
+        case IntegerType   => nonEmpty.try_cast(IntegerType)
+        case LongType      => nonEmpty.try_cast(LongType)
+        case DoubleType    => nonEmpty.try_cast(DoubleType)
+        case TimestampType => tryTemporal(nonEmpty, tsFormats ++ dateFormats)
+        case DateType      => tryTemporal(nonEmpty, dateFormats ++ tsFormats).cast(DateType)
         case _             => nonEmpty
       }
       casted.as(c.name)

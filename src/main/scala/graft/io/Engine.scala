@@ -27,6 +27,10 @@ final class Engine(spark: SparkSession, registry: ServerRegistry) {
     try {
       val addr = DbPath.parse(dst)
       val url = urlFor(addr)
+      // SCHEMA address segment qualifies the target table (reference
+      // passes schema through to create_table/Table, core.py:136-140)
+      def qualified(table: String): String =
+        addr.schema.map(sch => s"$sch.$table").getOrElse(table)
       if (CsvIO.isExcel(path)) {
         val (file, sheetSel) = XlsxIO.splitSheetSelector(path)
         val sheets = sheetSel.map(Seq(_)).getOrElse(XlsxIO.listSheets(file))
@@ -35,8 +39,7 @@ final class Engine(spark: SparkSession, registry: ServerRegistry) {
           try {
             val (df, cols) = XlsxIO.importSheet(spark, file, sheet)
             val table = addr.table.getOrElse(sheet)
-            JdbcIO.writeTable(df, url, table, Some(cols), truncate)
-            total += df.count()
+            total += JdbcIO.writeTableCounted(df, url, qualified(table), Some(cols), truncate)
           } catch { case e: Exception =>
             System.err.println(s"[engine] trouble importing worksheet $sheet: ${e.getMessage}")
           }
@@ -46,8 +49,7 @@ final class Engine(spark: SparkSession, registry: ServerRegistry) {
         val (df, cols) = CsvIO.importCsv(spark, path, delimiter)
         val table = addr.table.getOrElse(
           new java.io.File(path).getName.replaceAll("\\.[^.]*$", ""))
-        JdbcIO.writeTable(df, url, table, Some(cols), truncate)
-        Some(df.count())
+        Some(JdbcIO.writeTableCounted(df, url, qualified(table), Some(cols), truncate))
       }
     } catch {
       case e: Exception =>
@@ -60,7 +62,8 @@ final class Engine(spark: SparkSession, registry: ServerRegistry) {
       gzip: Boolean = false): Unit = {
     val addr = DbPath.parse(src)
     val table = addr.table.getOrElse(throw new IllegalArgumentException("no table in path"))
-    val df: DataFrame = JdbcIO.readTable(spark, urlFor(addr), table)
+    val qualified = addr.schema.map(sch => s"$sch.$table").getOrElse(table)
+    val df: DataFrame = JdbcIO.readTable(spark, urlFor(addr), qualified)
     if (CsvIO.isExcel(dst)) XlsxIO.writeSheet(df, dst, table)
     else CsvIO.exportCsv(df, dst, gzip = gzip, unixLineSep = unix)
   }

@@ -49,11 +49,30 @@ object JdbcIO {
   }
   org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DerbyVarcharDialect)
 
+  /** Existence probe; accepts `table` or `schema.table`. Checks the
+    * exact name plus the connection's identifier-folding convention
+    * (Derby/Oracle fold to upper, Postgres to lower). */
   def tableExists(url: String, table: String): Boolean = {
     val cn = DriverManager.getConnection(url)
     try {
-      val rs = cn.getMetaData.getTables(null, null, table.toUpperCase, null)
-      try rs.next() finally rs.close()
+      val (schemaPat, tablePat) = table.lastIndexOf('.') match {
+        case -1 => (null: String, table)
+        case i  => (table.substring(0, i), table.substring(i + 1))
+      }
+      val md = cn.getMetaData
+      val candidates =
+        Seq(tablePat) ++
+          (if (md.storesUpperCaseIdentifiers) Seq(tablePat.toUpperCase) else Nil) ++
+          (if (md.storesLowerCaseIdentifiers) Seq(tablePat.toLowerCase) else Nil)
+      def schemaCand(t: String): String =
+        if (schemaPat == null) null
+        else if (md.storesUpperCaseIdentifiers && t == tablePat.toUpperCase) schemaPat.toUpperCase
+        else if (md.storesLowerCaseIdentifiers && t == tablePat.toLowerCase) schemaPat.toLowerCase
+        else schemaPat
+      candidates.distinct.exists { t =>
+        val rs = md.getTables(null, schemaCand(t), t, null)
+        try rs.next() finally rs.close()
+      }
     } finally cn.close()
   }
 
@@ -80,6 +99,19 @@ object JdbcIO {
       }
       df.write.mode("append").option("batchsize", BatchSize).jdbc(url, table, props)
     }
+  }
+
+  /** writeTable + imported row count WITHOUT a second read of the
+    * source: an Observation on the written plan collects the count
+    * during the write pass itself (the reference counted rows as it
+    * inserted, core.py:239-254). */
+  def writeTableCounted(df: DataFrame, url: String, table: String,
+      cols: Option[Seq[graft.core.ColumnDef]] = None, truncate: Boolean = false): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows"))
+    writeTable(observed, url, table, cols, truncate)
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** Full-table scan; `partitionOn` enables parallel range reads. */

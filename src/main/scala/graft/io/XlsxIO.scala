@@ -105,9 +105,7 @@ object XlsxIO {
       while (r.hasNext) {
         if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
           val name = attr(r, "name").getOrElse("")
-          val rid = (0 until r.getAttributeCount)
-            .find(i => r.getAttributeLocalName(i) == "id")
-            .map(r.getAttributeValue).getOrElse("")
+          val rid = attr(r, "id").getOrElse("")
           val target = rels.getOrElse(rid, "")
           val full = if (target.startsWith("/")) target.substring(1)
                      else if (target.startsWith("xl/")) target else s"xl/$target"
@@ -193,8 +191,11 @@ object XlsxIO {
   private val serialEpoch = LocalDate.of(1899, 12, 30)
 
   private def fromSerial(serial: Double, isDate: Boolean, isTime: Boolean): Cell = {
-    val days = math.floor(serial).toLong
-    val millis = math.round((serial - days) * 86400000.0)
+    var days = math.floor(serial).toLong
+    var millis = math.round((serial - days) * 86400000.0)
+    // rounding can hit a full day (e.g. ...T23:59:59.9999): carry it,
+    // otherwise LocalTime wraps to 00:00 a day early
+    if (millis >= 86400000L) { days += 1; millis -= 86400000L }
     val time = LocalTime.MIDNIGHT.plus(Duration.ofMillis(millis))
     if (!isDate && serial < 1.0) XTime(time)
     else {

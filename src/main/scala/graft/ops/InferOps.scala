@@ -63,7 +63,8 @@ object InferOps {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_csv_rt_${Integer.toHexString(d.hashCode)}"
     CsvIO.exportCsv(lineitem(s, d), s"$dir/lineitem.csv", singleFile = false,
       unixLineSep = true)
-    val (typed, _) = CsvIO.importCsv(s, s"$dir/lineitem.csv")
+    // newline-free values → multiLine off keeps the files splittable
+    val (typed, _) = CsvIO.importCsv(s, s"$dir/lineitem.csv", multiLine = false)
     typed.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity")).as("sum_qty"),

@@ -77,6 +77,14 @@ class ColumnDefSpec extends AnyFunSuite {
       Seq("a", "unnamed1", "b", "unnamed2", "c"))
   }
 
+  test("digit strings beyond Long range saturate instead of throwing (python int parity)") {
+    val c = fold(Seq("5", "12345678901234567890123"))
+    assert(c.settledType == "int" && c.ddlType == "BIGINT")
+    assert(c.maxValue == Long.MaxValue)
+    val n = fold(Seq("-99999999999999999999999"))
+    assert(n.settledType == "int" && n.minValue == Long.MinValue)
+  }
+
   test("merge is a commutative, associative monoid with identity (randomized)") {
     val rnd = new scala.util.Random(42)
     val pool = Seq("2013-10-11", "12:01:02", "2013-10-11 13:04:05", "abc", "",

@@ -34,6 +34,12 @@ class DbPathConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](reg.connectionString("nope", None))
   }
 
+  test("alias lookup is case-insensitive (SafeConfigParser optionxform parity)") {
+    val reg = ServerRegistry.fromLines(Seq("[servers]", "Prod = jdbc:derby:memory:p"))
+    assert(reg.connectionString("prod", None) == "jdbc:derby:memory:p")
+    assert(reg.connectionString("PROD", None) == "jdbc:derby:memory:p")
+  }
+
   test("explicit config file loads; missing file errors") {
     val f = Files.createTempFile("graft", ".ini")
     Files.writeString(f, "[servers]\nt = jdbc:derby:memory:x\n")

@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 import graft.SparkSuite
 import graft.core.SchemaInfer
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -94,6 +95,34 @@ class CsvIOSpec extends AnyFunSuite with SparkSuite {
     val (back, _) = CsvIO.importCsv(spark, out)
     assert(back.count() == 3)
     assert(back.schema.fields.map(_.name).toSeq == typed.schema.fields.map(_.name).toSeq)
+  }
+
+  test("non-ISO temporal formats that infer as date/datetime also cast (ANSI-safe)") {
+    val dir = Files.createTempDirectory("graftfmt")
+    val f = dir.resolve("us.csv")
+    Files.writeString(f,
+      "when,stamp,id\n01/02/2024,01/02/2024 13:30,x\n11/30/2023,11/30/2023 07:05,y\n")
+    val (typed, cols) = CsvIO.importCsv(spark, f.toString)
+    val byName = cols.map(c => c.name -> c.settledType).toMap
+    assert(byName("when") == "date" && byName("stamp") == "datetime")
+    val rows = typed.orderBy("id").collect()
+    assert(rows(0).getAs[java.sql.Date]("when").toString == "2024-01-02")
+    assert(rows(0).getAs[java.sql.Timestamp]("stamp").toString.startsWith("2024-01-02 13:30"))
+    assert(!rows.exists(_.isNullAt(0)), "date cast produced NULLs")
+  }
+
+  test("malformed stragglers the sample missed become NULL, not a job abort") {
+    val dir = Files.createTempDirectory("graftbad")
+    val f = dir.resolve("bad.csv")
+    // 21k rows: sample (20k) sees only ints; row 21000 is garbage
+    val sb = new StringBuilder("n\n")
+    (1 to 20999).foreach(i => sb.append(i % 1000).append('\n'))
+    sb.append("not-a-number\n")
+    Files.writeString(f, sb.toString)
+    val (typed, cols) = CsvIO.importCsv(spark, f.toString)
+    assert(cols.head.settledType == "int")
+    assert(typed.count() == 21000)
+    assert(typed.filter(col("n").isNull).count() == 1) // try_cast, no crash
   }
 
   test("inferFull (treeAggregate) agrees with inferSample on the fixture") {

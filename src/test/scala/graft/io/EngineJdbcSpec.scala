@@ -77,6 +77,14 @@ class EngineJdbcSpec extends AnyFunSuite with SparkSuite {
     assert(JdbcIO.readTable(spark, url, "fromxlsx").count() == 3)
   }
 
+  test("4-part address qualifies the schema (srv.db.schema.table)") {
+    // Derby's default schema is APP — create/read through it explicitly
+    val n = engine.importFile(fixture, "test..app.qualified")
+    assert(n.contains(3L))
+    assert(JdbcIO.tableExists(url, "app.qualified"))
+    assert(JdbcIO.readTable(spark, url, "app.qualified").count() == 3)
+  }
+
   test("broken import is swallowed per-file (P4) and returns None") {
     assert(engine.importFile("/nonexistent/x.csv", "test...nope").isEmpty)
     assert(!JdbcIO.tableExists(url, "nope"))

@@ -58,6 +58,16 @@ class XlsxIOSpec extends AnyFunSuite with SparkSuite {
     assert(df.count() == 9)
   }
 
+  test("serial rounding at the day boundary carries into the next day") {
+    val xml = ("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      """<sheetData><row r="1"><c r="A1" t="n" s="0"><v>45291.99999999999</v></c></row>""" +
+      """</sheetData></worksheet>""").getBytes("UTF-8")
+    val rows = XlsxIO.parseSheet(xml, IndexedSeq.empty, IndexedSeq((true, true)))
+    // 45292 = 2024-01-01 in the 1900 serial system; without the carry
+    // this wrapped to 2023-12-31T00:00
+    assert(rows == Seq(Seq(XlsxIO.XDateTime(java.time.LocalDateTime.of(2024, 1, 1, 0, 0)))))
+  }
+
   test("writer round-trip preserves values and replace-sheet keeps other sheets") {
     val (df, _) = XlsxIO.importSheet(spark, refXlsx, "basic2")
     val out = Files.createTempDirectory("graftxlsx").toString + "/rt.xlsx"
