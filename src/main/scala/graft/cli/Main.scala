@@ -41,6 +41,10 @@ object Main {
       case "--zip" :: t => loop(t, acc.copy(zip = true))
       case "--datestamp" :: t => loop(t, acc.copy(datestamp = true))
       case "--timestamp" :: t => loop(t, acc.copy(timestamp = true))
+      case "--config" :: Nil =>
+        throw new IllegalArgumentException("--config requires a value")
+      case bad :: _ if bad.startsWith("--") =>
+        throw new IllegalArgumentException(s"unknown option '$bad'")
       case p :: t => loop(t, acc.copy(positional = acc.positional :+ p))
     }
     args.toList match {
@@ -49,12 +53,16 @@ object Main {
     }
   }
 
-  /** `name-YYYY.MM.DD[.HHMM].ext` (cli.py:55-56, 77-82). */
+  /** `name-YYYY.MM.DD[.HHMM].ext` (cli.py:55-56, 77-82). Splits the
+    * extension off the BASENAME only — a dotted directory component
+    * must not be touched. */
   def stampFilename(path: String, date: Boolean, time: Boolean,
       now: java.time.LocalDateTime = java.time.LocalDateTime.now()): String = {
     if (!date && !time) return path
+    val slash = path.lastIndexOf('/')
     val dot = path.lastIndexOf('.')
-    val (base, ext) = if (dot >= 0) (path.substring(0, dot), path.substring(dot)) else (path, "")
+    val (base, ext) =
+      if (dot > slash) (path.substring(0, dot), path.substring(dot)) else (path, "")
     val d = f"${now.getYear}%04d.${now.getMonthValue}%02d.${now.getDayOfMonth}%02d"
     val stamp = if (time) d + f".${now.getHour}%02d${now.getMinute}%02d" else d
     s"$base-$stamp$ext"
@@ -73,23 +81,37 @@ object Main {
   }
 
   def run(spark: SparkSession, opts: Opts): Unit = {
+    // validate the command line BEFORE loading config/engine so arg
+    // errors surface as usage messages, not config failures
+    val validated: Either[(String, String), String] = opts.command match {
+      case "import" => opts.positional match {
+        case s :: t :: _ => Left((s, t))
+        case _ => throw new IllegalArgumentException(
+          "usage: graft import [options] SRC SERVER[.DB[.SCHEMA[.TABLE]]]")
+      }
+      case "export" => Right(opts.positional.headOption.getOrElse(
+        throw new IllegalArgumentException(
+          "usage: graft export [options] SERVER[.DB[.SCHEMA]].TABLE [DEST]")))
+      case other =>
+        throw new IllegalArgumentException(s"unknown command '$other' (import|export)")
+    }
     val engine = new Engine(spark, ServerRegistry.resolve(opts.config))
     val delim = if (opts.tab) Some("\t") else None
-    opts.command match {
-      case "import" =>
-        val List(src, dst) = opts.positional.take(2)
+    validated match {
+      case Left((src, dst)) =>
         val f = new java.io.File(src)
         if (f.isDirectory) engine.importDir(src, dst, delim)
         else engine.importFile(src, dst, delim, opts.truncate)
-      case "export" =>
-        val src = opts.positional.head
+      case Right(src) =>
         val table = graft.core.DbPath.parse(src).table
           .getOrElse(throw new IllegalArgumentException("no table in path"))
         val dst0 = opts.positional.lift(1).getOrElse(s"$table.csv")
-        val dst = stampFilename(dst0, opts.datestamp || opts.timestamp, opts.timestamp)
-        engine.exportTable(src, dst, unix = opts.unix, gzip = opts.zip)
-      case other =>
-        throw new IllegalArgumentException(s"unknown command '$other' (import|export)")
+        // reference strips a .gz suffix BEFORE stamping (cli.py:71-82)
+        // so the stamp lands inside the real extension, not after .gz
+        val gz = opts.zip || dst0.endsWith(".gz")
+        val dstBase = dst0.stripSuffix(".gz")
+        val dst = stampFilename(dstBase, opts.datestamp || opts.timestamp, opts.timestamp)
+        engine.exportTable(src, dst, unix = opts.unix, gzip = gz)
     }
   }
 }

@@ -80,11 +80,16 @@ case class HeavyHitters(
     }.toArray[Any])
   }
 
+  // length-prefixed raw UTF-8 (writeUTF caps items at 64KB and would
+  // abort the query on a single giant token)
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (i, c) => out.writeUTF(i); out.writeLong(c) }
+    buf.foreach { case (i, c) =>
+      val b = i.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -92,7 +97,11 @@ case class HeavyHitters(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
-    (0 until n).foreach(_ => buf.update(in.readUTF(), in.readLong()))
+    (0 until n).foreach { _ =>
+      val len = in.readInt()
+      val b = new Array[Byte](len); in.readFully(b)
+      buf.update(new String(b, "UTF-8"), in.readLong())
+    }
     buf
   }
 

@@ -29,19 +29,13 @@ final case class CorpusPipeline(df: DataFrame, textCol: String = "text",
 
   private def text: Column = col(textCol)
 
-  /** Adds n_words / n_punct / quality_score (same integer-arithmetic
-    * signals as TextAnalysis.q29). */
-  def annotateQuality(): CorpusPipeline = {
-    val words = regexp_count(text, lit("\\S+")).cast("long")
-    val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("long")
-    val stop = Seq("the", "a", "of", "and", "to", "in")
-      .map(w => regexp_count(lower(text), lit("\\b" + w + "\\b")).cast("long"))
-      .reduce(_ + _)
+  /** Adds n_words / n_punct / quality_score — the SAME shared
+    * helpers TextAnalysis.q29 uses, so the two can't drift. */
+  def annotateQuality(): CorpusPipeline =
     copy(df = df
-      .withColumn("n_words", words)
-      .withColumn("n_punct", punct)
-      .withColumn("quality_score", least(words, lit(100)) + lit(2) * stop - punct))
-  }
+      .withColumn("n_words", TextAnalysis.tokenCount(text))
+      .withColumn("n_punct", TextAnalysis.punctCount(text))
+      .withColumn("quality_score", TextAnalysis.qualityScore(text)))
 
   def filterQuality(min: Long): CorpusPipeline =
     copy(df = df.filter(col("quality_score") >= min))
@@ -60,31 +54,15 @@ final case class CorpusPipeline(df: DataFrame, textCol: String = "text",
   }
 
   /** Fuzzy dedup: drop the larger id of every exact-Jaccard near-dup
-    * pair (same greedy keep-smallest semantics as Dedup.q40; at scale
-    * swap the pair source for the banded-MinHash candidates). */
+    * pair — delegates to Dedup.jaccardPairs (same machinery as
+    * q23/q40; at scale swap the pair source for the banded-MinHash
+    * candidates). */
   def dedupFuzzyJaccard(threshold: Double): CorpusPipeline = {
-    import df.sparkSession.implicits._
-    val shingled = df.select(col(idCol), col(langCol), text)
-      .as[(Long, String, String)]
-      .flatMap { case (id, lang, t) =>
-        val toks = t.trim.split("\\s+")
-        if (toks.length < 3) Iterator.empty
-        else toks.sliding(3).map(_.mkString(" ")).toSet[String]
-          .iterator.map(sh => (id, lang, sh))
-      }.toDF("__id", "__lang", "__s")
-    val sizes = shingled.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
-    val co = shingled.as("a").join(shingled.as("b"),
-        col("a.__s") === col("b.__s") && col("a.__lang") === col("b.__lang") &&
-          col("a.__id") < col("b.__id"))
-      .groupBy(col("a.__id").as("da"), col("b.__id").as("db"))
-      .agg(count(lit(1)).as("co"))
-    val dupIds = co
-      .join(sizes.as("sa"), col("da") === col("sa.__id"))
-      .join(sizes.as("sb"), col("db") === col("sb.__id"))
-      .filter(round(col("co") * lit(1.0) / (col("sa.__n") + col("sb.__n") - col("co")), 6)
-        >= threshold)
-      .select(col("db")).distinct()
-    copy(df = df.join(dupIds, col(idCol) === col("db"), "left_anti"))
+    val canonical = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+      text.as("text"))
+    val dupIds = Dedup.jaccardPairs(canonical, threshold)
+      .select(col("doc_b")).distinct()
+    copy(df = df.join(dupIds, col(idCol) === col("doc_b"), "left_anti"))
   }
 
   def result: DataFrame = df

@@ -21,25 +21,15 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import Tables._
 
-  /** Distinct word 3-gram shingles as an array column (empty when the
-   *  doc has fewer than 3 tokens, matching generate_series in the
-   *  oracle). */
-  def shingles(text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
-    val grams = transform(
-      sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-    array_distinct(when(size(toks) >= 3, grams).otherwise(array()))
-  }
-
-  /** Exploded (doc_id, lang, shingle) rows via a typed flatMap: the
-   *  column-expression form re-evaluates the regex split inside every
-   *  element_at after Catalyst inlines the projection (3 splits per
-   *  shingle); tokenizing once per document in JVM code is ~5×
-   *  cheaper and stays fully distributed. */
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+  /** Exploded (doc_id, lang, shingle) rows via a typed flatMap — a
+   *  column-expression formulation re-evaluates the regex split
+   *  inside every element_at after Catalyst inlines the projection
+   *  (3 splits per shingle); tokenizing once per document in JVM
+   *  code is ~5× cheaper and stays fully distributed. Expects
+   *  (doc_id, lang, text) columns. */
+  def shingleRows(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("lang"), col("text"))
       .as[(Long, String, String)]
       .flatMap { case (id, lang, text) =>
         val toks = text.trim.split("\\s+")
@@ -48,6 +38,28 @@ object Dedup {
           .iterator.map(sh => (id, lang, sh))
       }
       .toDF("doc_id", "lang", "s")
+  }
+
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    shingleRows(documents(s, d))
+
+  /** Exact lang-blocked Jaccard pairs ≥ threshold over 3-gram
+   *  shingles: (doc_a, doc_b, co, jaccard). Shared by q23, q40 and
+   *  CorpusPipeline.dedupFuzzyJaccard. */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleRows(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val co = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("co"))
+    co.join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard", round(col("co") * lit(1.0) / (col("sa.n") + col("sb.n") - col("co")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("co"), col("jaccard"))
   }
 
   /** Exact dedup: keeper = min doc_id per identical text. */
@@ -65,22 +77,8 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.6), blocked by
    *  lang. co/sizes are exact integers, so the similarity is
    *  engine-independent. */
-  def q23NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = shingleRows(s, d)
-    val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val co = docs.as("a")
-      .join(docs.as("b"),
-        col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("co"))
-    co.join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("jaccard", round(col("co") * lit(1.0) / (col("sa.n") + col("sb.n") - col("co")), 6))
-      .filter(col("jaccard") >= 0.6)
-      .select(col("doc_a"), col("doc_b"), col("co"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
+  def q23NgramJaccard(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(documents(s, d), 0.6).orderBy(col("doc_a"), col("doc_b"))
 
   val q23Sql: String =
     """WITH toks AS (

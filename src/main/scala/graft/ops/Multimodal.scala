@@ -84,14 +84,22 @@ object Multimodal {
               (scaleNum, math.max(1L, (m.height * scaleNum + m.width / 2) / m.width))
             else
               (math.max(1L, (m.width * scaleNum + m.height / 2) / m.height), scaleNum)
-          // ASCII classes to match the oracle's regex semantics
-          def alpha(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
-          def digit(c: Char) = c >= '0' && c <= '9'
-          ResizedMeta(id, m.width, m.height, nw, nh,
-            text.count(alpha).toLong,
-            text.count(digit).toLong,
-            text.count(_ == ' ').toLong,
-            text.count(c => !alpha(c) && !digit(c) && c != ' ').toLong)
+          // ASCII classes; iterate CODE POINTS (the oracle's regex
+          // counts codepoints — counting UTF-16 chars would double
+          // count surrogate pairs into f_other)
+          def alpha(cp: Int) = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')
+          def digit(cp: Int) = cp >= '0' && cp <= '9'
+          var fa = 0L; var fd = 0L; var fs = 0L; var fo = 0L
+          var ci = 0
+          while (ci < text.length) {
+            val cp = text.codePointAt(ci)
+            if (alpha(cp)) fa += 1
+            else if (digit(cp)) fd += 1
+            else if (cp == ' ') fs += 1
+            else fo += 1
+            ci += Character.charCount(cp)
+          }
+          ResizedMeta(id, m.width, m.height, nw, nh, fa, fd, fs, fo)
         }
       }
       .toDF()

@@ -95,8 +95,8 @@ object Similarity {
   private val IvfProbes = 4
 
   private val Dim = 64
-  // r=4 bits per table, L=8 tables: collision prob for a cosine-0.4
-  // neighbor ≈ 1-(1-p^4)^8 ≈ 0.75 (p = 1-θ/π ≈ 0.63) — wider buckets
+  // r=4 bits per table, L=16 tables: collision prob for a cosine-0.4
+  // neighbor ≈ 1-(1-p^4)^16 ≈ 0.94 (p = 1-θ/π ≈ 0.63) — wider buckets
   // with more tables beat narrow buckets on weakly-clustered vectors
   private val BitsPerTable = 4
   private val NumTables = 16
@@ -127,7 +127,7 @@ object Similarity {
     Array.fill(NumTables * BitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
   }
 
-  /** Approximate NN via random-hyperplane (sign) LSH: 4 tables × 8
+  /** Approximate NN via random-hyperplane (sign) LSH: 16 tables × 4
    *  sign bits; candidates collide on a whole table key, then exact
    *  cosine re-rank. Pure column expressions (no UDF, no driver
    *  loop): the bucket join replaces the cross product at scale.

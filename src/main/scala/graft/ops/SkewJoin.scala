@@ -25,6 +25,8 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltSource: Column, buckets: Int = 8): DataFrame = {
     require(buckets > 0)
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "inputs already carry a __salt column")
     val saltedBig = big.withColumn("__salt", pmod(xxhash64(saltSource), lit(buckets)))
     val replicatedSmall = small.withColumn("__salt",
       explode(array((0 until buckets).map(lit(_)): _*)))

@@ -20,11 +20,18 @@ object TextAnalysis {
   // every count is cast to BIGINT: Spark's regexp_count/length return
   // INT while DuckDB returns BIGINT — outputs must agree for the
   // driver's schema check
-  private def tokenCount(c: Column): Column =
+  def tokenCount(c: Column): Column =
     regexp_count(c, lit("\\S+")).cast("long")
 
-  private def markerScore(c: Column, words: Seq[String]): Column =
+  def markerScore(c: Column, words: Seq[String]): Column =
     words.map(w => regexp_count(c, lit("\\b" + w + "\\b")).cast("long")).reduce(_ + _)
+
+  /** Quality-score building blocks, shared with CorpusPipeline. */
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+  def punctCount(c: Column): Column =
+    regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("long")
+  def qualityScore(c: Column): Column =
+    least(tokenCount(c), lit(100)) + lit(2) * markerScore(lower(c), StopWords) - punctCount(c)
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and"),
@@ -70,8 +77,8 @@ object TextAnalysis {
       col("doc_id"),
       length(text).cast("long").as("n_chars"),
       tokenCount(text).as("n_words"),
-      regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("long").as("n_punct"),
-      markerScore(lower(text), Seq("the", "a", "of", "and", "to", "in")).as("n_stop"))
+      punctCount(text).as("n_punct"),
+      markerScore(lower(text), StopWords).as("n_stop"))
       .withColumn("quality_score",
         least(col("n_words"), lit(100)) + lit(2) * col("n_stop") - col("n_punct"))
       .withColumn("quality_bucket",

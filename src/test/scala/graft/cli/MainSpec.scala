@@ -23,6 +23,15 @@ class MainSpec extends AnyFunSuite with SparkSuite {
     assert(Main.stampFilename("out.csv", date = true, time = true, now) ==
       "out-2026.08.12.0705.csv")
     assert(Main.stampFilename("out.csv", date = false, time = false, now) == "out.csv")
+    // dotted directory components are not an extension
+    assert(Main.stampFilename("/srv/v1.2/report", date = true, time = false, now) ==
+      "/srv/v1.2/report-2026.08.12")
+  }
+
+  test("unknown/incomplete options error instead of becoming positionals") {
+    intercept[IllegalArgumentException](Main.parseArgs(Seq("import", "--truncat", "a", "b")))
+    intercept[IllegalArgumentException](Main.parseArgs(Seq("import", "a", "b", "--config")))
+    intercept[IllegalArgumentException](Main.run(spark, Main.parseArgs(Seq("import", "only-src"))))
   }
 
   test("import + export end-to-end through the CLI path") {

@@ -36,6 +36,11 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkSuite {
       .head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.isNullAt(1))
+    // a NULL *element* also yields NULL (matches zip_with semantics)
+    val r2 = spark.sql(
+      "SELECT graft_cosine_sim(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS s")
+      .head()
+    assert(r2.isNullAt(0))
   }
 
   test("interpreted eval agrees with codegen") {
