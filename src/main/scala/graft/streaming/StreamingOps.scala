@@ -101,6 +101,50 @@ object StreamingOps {
       | CAST(sum(CAST(round("value"*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Stream-stream interval join: the error stream joined to the
+   *  purchase stream on user + a 1-hour event-time range, both sides
+   *  watermarked (bounding the join state buffers). With an
+   *  AvailableNow drain the inner join emits every match, so the
+   *  result equals the batch interval join (q18's inner form). */
+  def q58StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(path)
+    def src() = {
+      val st = s.readStream.schema(raw.schema).parquet(path + "*")
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else st
+    }
+    val errs = src().filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", "2 hours")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = errs.join(purchases,
+      col("err_user") === col("p_user") &&
+        col("p_ts") >= col("err_ts") &&
+        col("p_ts") < col("err_ts") + expr("INTERVAL 1 HOUR"))
+    val name = s"graft_q58_${runSeq.incrementAndGet()}"
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    s.table(name)
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_purchases_1h"))
+      .orderBy(col("err_id"))
+  }
+
+  val q58Sql: String =
+    """SELECT e.event_id AS err_id, count(*) AS n_purchases_1h
+      |FROM events e JOIN events p
+      |  ON p.user_id = e.user_id AND p.event_type = 'purchase'
+      | AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 1 HOUR
+      |WHERE e.event_type = 'error'
+      |GROUP BY e.event_id ORDER BY err_id""".stripMargin
+
   val q34Sql: String =
     """SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_bucket,
       | event_type, count(*) AS n,
