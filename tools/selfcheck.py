@@ -37,10 +37,17 @@ def main():
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # iterate the MANIFEST, not the directory listing: a query that
+    # crashed in Verify leaves no output and must FAIL, not vanish
+    manifest_path = f"{out_dir}/queries.json"
+    names = (json.load(open(manifest_path)) if os.path.exists(manifest_path)
+             else sorted(os.listdir(out_dir)))
     n_pass = n_fail = 0
-    for name in sorted(os.listdir(out_dir)):
+    for name in sorted(names):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
+            print(f"[MISS] {name}: query produced no output (crashed?)")
+            n_fail += 1
             continue
         parts = glob.glob(f"{d}/*.parquet")
         if not parts:
@@ -50,7 +57,14 @@ def main():
         got = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
         got_cols, got_rows = got.columns, got.fetchall()
         if name not in oracle:
-            print(f"[ROWS] {name}: {len(got_rows)} rows (no oracle)")
+            # rows-only check: an empty result from a generator-style
+            # operator means it is broken
+            if len(got_rows) == 0:
+                print(f"[FAIL] {name}: 0 rows (rows-only check)")
+                n_fail += 1
+            else:
+                print(f"[ROWS] {name}: {len(got_rows)} rows (no oracle)")
+                n_pass += 1
             continue
         try:
             exp = con.sql(oracle[name])
