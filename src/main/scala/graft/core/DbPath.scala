@@ -16,8 +16,9 @@ final case class DbPath(
     database: Option[String],
     schema: Option[String],
     table: Option[String]) {
-  def qualifiedTable: String =
-    (schema.toSeq ++ table.toSeq).mkString(".")
+  /** schema-qualified table name used by the JDBC leg. */
+  def qualified(tableName: String): String =
+    schema.map(sch => s"$sch.$tableName").getOrElse(tableName)
 }
 
 object DbPath {

@@ -26,26 +26,34 @@ object TypeInfer {
   /** Result of parsing a temporal string. */
   final case class Temporal(date: Option[LocalDate], time: Option[LocalTime])
 
-  private val dateFormats: Seq[DateTimeFormatter] = Seq(
-    "yyyy-MM-dd", "yyyy/MM/dd", "MM/dd/yyyy", "M/d/yyyy", "MM/dd/yy",
-    "M/d/yy", "yyyyMMdd", "dd-MMM-yyyy", "MMM d, yyyy", "MMMM d, yyyy"
-  ).map(DateTimeFormatter.ofPattern)
+  /** Pattern lists are the SINGLE source of truth — CsvIO.castTo
+   *  builds its try_to_timestamp chain from the same sequences, so a
+   *  value that classifies as date/datetime always casts. */
+  val datePatterns: Seq[String] = Seq(
+    "yyyy-MM-dd", "yyyy/MM/dd", "yyyy.MM.dd", "MM/dd/yyyy", "M/d/yyyy",
+    "MM/dd/yy", "M/d/yy", "yyyyMMdd", "dd-MMM-yyyy", "d MMM yyyy",
+    "MMM d, yyyy", "MMMM d, yyyy")
 
-  private val timeFormats: Seq[DateTimeFormatter] = Seq(
+  val timePatterns: Seq[String] = Seq(
     "HH:mm:ss.SSSSSS", "HH:mm:ss.SSS", "HH:mm:ss", "HH:mm",
-    "h:mm:ss a", "h:mm a"
-  ).map(DateTimeFormatter.ofPattern)
+    "h:mm:ss a", "h:mm a")
 
   // common-case-first ordering: the first pattern handles the
   // canonical cast/export rendering without an exception
-  private val dateTimeFormats: Seq[DateTimeFormatter] = Seq(
+  val dateTimePatterns: Seq[String] = Seq(
     "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm:ss.SSSSSS",
     "yyyy-MM-dd HH:mm:ss.SSS", "yyyy-MM-dd HH:mm",
     "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
     "yyyy-MM-dd'T'HH:mm:ss.SSS", "yyyy-MM-dd'T'HH:mm",
     "MM/dd/yyyy HH:mm:ss", "MM/dd/yyyy HH:mm",
-    "M/d/yyyy H:mm:ss", "M/d/yyyy H:mm"
-  ).map(DateTimeFormatter.ofPattern)
+    "M/d/yyyy H:mm:ss", "M/d/yyyy H:mm")
+
+  private val dateFormats: Seq[DateTimeFormatter] =
+    datePatterns.map(DateTimeFormatter.ofPattern)
+  private val timeFormats: Seq[DateTimeFormatter] =
+    timePatterns.map(DateTimeFormatter.ofPattern)
+  private val dateTimeFormats: Seq[DateTimeFormatter] =
+    dateTimePatterns.map(DateTimeFormatter.ofPattern)
 
   /** Parse a string into date and/or time parts; None if not temporal.
    *  Cheap character gates avoid the (expensive) formatter-exception
@@ -61,7 +69,7 @@ object TypeInfer {
       val c = s.charAt(i)
       if (c.isDigit) hasDigit = true else allDigits = false
       if (c == ':') hasColon = true
-      if (c == '-' || c == '/' || c == ',') hasDateSep = true
+      if (c == '-' || c == '/' || c == ',' || c == '.' || c == ' ') hasDateSep = true
       i += 1
     }
     if (!hasDigit) return None

@@ -66,16 +66,8 @@ object CsvIO {
 
   // the SAME format lists TypeInfer classifies with — a value that
   // inferred as date/datetime must cast back with one of these
-  private val tsFormats = Seq(
-    "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm:ss.SSSSSS",
-    "yyyy-MM-dd HH:mm:ss.SSS", "yyyy-MM-dd HH:mm",
-    "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
-    "yyyy-MM-dd'T'HH:mm:ss.SSS", "yyyy-MM-dd'T'HH:mm",
-    "MM/dd/yyyy HH:mm:ss", "MM/dd/yyyy HH:mm",
-    "M/d/yyyy H:mm:ss", "M/d/yyyy H:mm")
-  private val dateFormats = Seq(
-    "yyyy-MM-dd", "yyyy/MM/dd", "MM/dd/yyyy", "M/d/yyyy", "MM/dd/yy",
-    "M/d/yy", "yyyyMMdd", "dd-MMM-yyyy", "MMM d, yyyy", "MMMM d, yyyy")
+  private def tsFormats = graft.core.TypeInfer.dateTimePatterns
+  private def dateFormats = graft.core.TypeInfer.datePatterns
 
   private def tryTemporal(src: Column, formats: Seq[String]): Column =
     // the default parser first: it handles ISO shapes with arbitrary

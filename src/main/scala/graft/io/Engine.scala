@@ -29,8 +29,7 @@ final class Engine(spark: SparkSession, registry: ServerRegistry) {
       val url = urlFor(addr)
       // SCHEMA address segment qualifies the target table (reference
       // passes schema through to create_table/Table, core.py:136-140)
-      def qualified(table: String): String =
-        addr.schema.map(sch => s"$sch.$table").getOrElse(table)
+      def qualified(table: String): String = addr.qualified(table)
       if (CsvIO.isExcel(path)) {
         val (file, sheetSel) = XlsxIO.splitSheetSelector(path)
         val sheets = sheetSel.map(Seq(_)).getOrElse(XlsxIO.listSheets(file))
@@ -62,8 +61,7 @@ final class Engine(spark: SparkSession, registry: ServerRegistry) {
       gzip: Boolean = false): Unit = {
     val addr = DbPath.parse(src)
     val table = addr.table.getOrElse(throw new IllegalArgumentException("no table in path"))
-    val qualified = addr.schema.map(sch => s"$sch.$table").getOrElse(table)
-    val df: DataFrame = JdbcIO.readTable(spark, urlFor(addr), qualified)
+    val df: DataFrame = JdbcIO.readTable(spark, urlFor(addr), addr.qualified(table))
     if (CsvIO.isExcel(dst)) XlsxIO.writeSheet(df, dst, table)
     else CsvIO.exportCsv(df, dst, gzip = gzip, unixLineSep = unix)
   }

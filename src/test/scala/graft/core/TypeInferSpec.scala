@@ -22,6 +22,8 @@ class TypeInferSpec extends AnyFunSuite {
 
   test("date-only strings classify as date") {
     assert(isDate("2013-10-11")); assert(isDate("10/11/2013"))
+    assert(isDate("2013.10.11")); assert(isDate("11 Oct 2013"))
+    assert(isDate("Oct 11, 2013")); assert(isDate("20131011"))
     assert(!isTime("2013-10-11")); assert(!isDateTime("2013-10-11"))
   }
 
