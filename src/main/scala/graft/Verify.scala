@@ -26,8 +26,10 @@ object Verify {
       // no previous round's parquet behind to be graded as current
       val target = Paths.get(s"$outDir/$name")
       if (Files.exists(target)) {
-        Files.walk(target).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
+        scala.util.Using.resource(Files.walk(target)) {
+          _.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+        }
       }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -147,10 +147,17 @@ object ColumnDef {
   /** Header sanitation (core.py:416-420, 443-448): strip UTF-8 BOM,
    *  blank headers become unnamed<N> (N counts blanks, 1-based). */
   def sanitizeHeaders(headers: Seq[String]): Seq[String] = {
+    // duplicates get _2/_3/… suffixes: the reference's
+    // dict(zip(header, values)) silently kept only the LAST duplicate
+    // column; suffixing preserves every column (documented divergence)
     var unnamed = 0
+    val seen = scala.collection.mutable.Map[String, Int]()
     headers.map { h0 =>
-      val h = Option(h0).getOrElse("").stripPrefix("﻿").trim
-      if (h.isEmpty) { unnamed += 1; s"unnamed$unnamed" } else h
+      val h1 = Option(h0).getOrElse("").stripPrefix("﻿").trim
+      val h = if (h1.isEmpty) { unnamed += 1; s"unnamed$unnamed" } else h1
+      val n = seen.getOrElse(h, 0) + 1
+      seen(h) = n
+      if (n == 1) h else s"${h}_$n"
     }
   }
 }

@@ -63,17 +63,23 @@ object TypeInfer {
     val s = raw.trim
     if (s.length < 4 || s.length > 40) return None
     var hasDigit = false; var hasColon = false; var hasDateSep = false
+    var hasDotOrSpace = false
     var allDigits = true
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (c.isDigit) hasDigit = true else allDigits = false
       if (c == ':') hasColon = true
-      if (c == '-' || c == '/' || c == ',' || c == '.' || c == ' ') hasDateSep = true
+      // '.' and ' ' must NOT count as date separators: they appear in
+      // fractional-second and AM/PM TIME shapes ("09:30:15.123",
+      // "1:30 PM") and would wrongly disable the time-only path
+      if (c == '-' || c == '/' || c == ',') hasDateSep = true
+      if (c == '.' || c == ' ') hasDotOrSpace = true
       i += 1
     }
     if (!hasDigit) return None
-    if (!hasColon && !hasDateSep && !(allDigits && s.length == 8)) return None
+    if (!hasColon && !hasDateSep && !hasDotOrSpace && !(allDigits && s.length == 8))
+      return None
     val tryDateTime = hasColon && (hasDateSep || s.exists(_ == 'T'))
     val tryTimeOnly = hasColon && !hasDateSep
     val tryDateOnly = !hasColon

@@ -57,6 +57,11 @@ object CsvIO {
       delimiter: Option[String] = None,
       sampleSize: Int = SchemaInfer.DefaultSampleSize,
       multiLine: Boolean = true): (DataFrame, Seq[ColumnDef]) = {
+    // the reference's regex ACCEPTED .zip but its reader couldn't open
+    // it (SURVEY §2.7.1); Spark has no zip codec either — reading
+    // would silently import the raw archive bytes as garbage rows
+    if (path.endsWith(".zip")) throw new IllegalArgumentException(
+      s"$path: zip archives are not supported — use gzip (.gz)")
     val d = delimiterFor(path, delimiter)
     val raw = readRaw(spark, path, d, multiLine)
     val cols = SchemaInfer.inferSample(raw, sampleSize)
@@ -82,8 +87,10 @@ object CsvIO {
    *  (and temporal parsing must accept every format the inference
    *  lattice accepts, not just ISO). */
   def castTo(raw: DataFrame, cols: Seq[ColumnDef]): DataFrame = {
-    val projections = cols.map { c =>
-      val src = col(c.name)
+    val projections = cols.zipWithIndex.map { case (c, i) =>
+      // select by POSITION: duplicate header names (pre-sanitation
+      // callers) would make col(name) ambiguous
+      val src = raw(raw.columns(i))
       val nonEmpty = when(src.isNull || src === "", lit(null)).otherwise(src)
       val casted: Column = c.toStructField.dataType match {
         case ShortType     => nonEmpty.try_cast(ShortType)
@@ -167,11 +174,14 @@ object CsvIO {
   /** Move the single part file out of the Spark output dir to `dst`. */
   private def promoteSingleFile(dir: String, dst: String): Unit = {
     import java.nio.file._
+    import scala.util.Using
     val d = Paths.get(dir)
-    val part = Files.list(d).filter(p => p.getFileName.toString.startsWith("part-"))
-      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $dir"))
+    val part = Using.resource(Files.list(d)) {
+      _.filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $dir"))
+    }
     Files.move(part, Paths.get(dst), StandardCopyOption.REPLACE_EXISTING)
-    Files.list(d).forEach(Files.delete(_))
+    Using.resource(Files.list(d))(_.forEach(Files.delete(_)))
     Files.delete(d)
   }
 }

@@ -80,7 +80,20 @@ object XlsxIO {
     out.toMap
   }
 
+  /** The reference's isExcel regex also matches legacy .xls and
+    * compressed workbooks; this engine reads OOXML zips only — fail
+    * with a precise message instead of an opaque ZipException. */
+  private def requireOoxml(path: String): Unit = {
+    val in = new java.io.FileInputStream(path)
+    val magic = try { val b = new Array[Byte](4); in.read(b); b } finally in.close()
+    val isZip = magic(0) == 'P' && magic(1) == 'K'
+    if (!isZip) throw new IllegalArgumentException(
+      s"$path is not an OOXML (.xlsx) workbook — legacy .xls and " +
+        "gzip/zip-compressed workbooks are not supported")
+  }
+
   def listSheets(path: String): Seq[String] = {
+    requireOoxml(path)
     val zf = new ZipFile(path)
     try sheetTargets(zf).map(_._1) finally zf.close()
   }
@@ -216,6 +229,7 @@ object XlsxIO {
 
   /** Parse one worksheet into dense rows of Cells. */
   def readSheet(path: String, sheet: String): Seq[Seq[Cell]] = {
+    requireOoxml(path)
     val zf = new ZipFile(path)
     try {
       val target = sheetTargets(zf).collectFirst { case (n, t) if n == sheet => t }
@@ -234,11 +248,12 @@ object XlsxIO {
     val r = xif.createXMLStreamReader(new ByteArrayInputStream(bytes))
     var cur: mutable.ArrayBuffer[(Int, Cell)] = null
     var cellRef = ""; var cellT = ""; var cellS = -1
+    var nextCol = 0
     var text: StringBuilder = null
     var inV = false; var inIsT = false
     while (r.hasNext) r.next() match {
       case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
-        case "row" => cur = mutable.ArrayBuffer()
+        case "row" => cur = mutable.ArrayBuffer(); nextCol = 0
         case "c" =>
           cellRef = attr(r, "r").getOrElse("")
           cellT = attr(r, "t").getOrElse("n")
@@ -261,16 +276,21 @@ object XlsxIO {
               case "s"               => XStr(shared(raw.trim.toInt))
               case "str" | "inlineStr" => XStr(raw)
               case "b"               => XBool(raw.trim == "1")
+              case "e"               => XNull // formula error (#DIV/0! etc.)
               case _ => // numeric; maybe a serial date/time per style
-                val d = raw.trim.toDouble
                 val (isD, isT) =
                   if (cellS >= 0 && cellS < styles.length) styles(cellS) else (false, false)
-                if (isD || isT) fromSerial(d, isD, isT) else XNum(d)
+                raw.trim.toDoubleOption match {
+                  case Some(d) if isD || isT => fromSerial(d, isD, isT)
+                  case Some(d)               => XNum(d)
+                  case None                  => XStr(raw) // malformed <v>: keep as text
+                }
             }
-          // writers may omit the cell ref (@r) — fall back to the
-          // next sequential column of this row
-          val ci = if (cellRef.nonEmpty) colIndex(cellRef)
-                   else cur.lastOption.map(_._1 + 1).getOrElse(0)
+          // writers may omit the cell ref (@r) — fall back to the next
+          // sequential column (tracked even across XNull cells, which
+          // are not appended to cur)
+          val ci = if (cellRef.nonEmpty) colIndex(cellRef) else nextCol
+          nextCol = ci + 1
           if (cur != null && cell != XNull) cur += ci -> cell
           text = null
         case "row" =>
@@ -407,7 +427,22 @@ object XlsxIO {
   }
 
   def writeWorkbook(path: String, sheets: Seq[(String, Seq[Seq[Cell]])]): Unit = {
+    // write to a sibling temp file and move into place: truncating the
+    // destination directly would destroy the existing workbook if any
+    // exception hits mid-write (replace-sheet reads it first!)
+    val tmp = Paths.get(path + ".tmp")
+    writeWorkbookTo(tmp.toString, sheets)
+    Files.move(tmp, Paths.get(path),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def writeWorkbookTo(path: String, sheets: Seq[(String, Seq[Seq[Cell]])]): Unit = {
     val zos = new ZipOutputStream(new FileOutputStream(path))
+    try writeWorkbookEntries(zos, sheets) finally zos.close()
+  }
+
+  private def writeWorkbookEntries(zos: ZipOutputStream,
+      sheets: Seq[(String, Seq[Seq[Cell]])]): Unit = {
     def put(name: String, content: String): Unit = {
       zos.putNextEntry(new ZipEntry(name))
       zos.write(content.getBytes("UTF-8"))
@@ -490,7 +525,6 @@ object XlsxIO {
       sb.append("</sheetData></worksheet>")
       put(s"xl/worksheets/sheet${si + 1}.xml", sb.toString)
     }
-    zos.close()
   }
 
   private def colLetters(idx: Int): String = {

@@ -31,7 +31,11 @@ object Dedup {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("lang"), col("text"))
       .as[(Long, String, String)]
-      .flatMap { case (id, lang, text) =>
+      .flatMap { case (id, lang0, text0) =>
+        // user-facing entry point (CorpusPipeline): tolerate NULL
+        // text/lang rather than NPE-ing an executor task
+        val text = Option(text0).getOrElse("")
+        val lang = Option(lang0).getOrElse("")
         val toks = text.trim.split("\\s+")
         if (toks.length < 3) Iterator.empty
         else toks.sliding(3).map(_.mkString(" ")).toSet[String]

@@ -77,6 +77,11 @@ class ColumnDefSpec extends AnyFunSuite {
       Seq("a", "unnamed1", "b", "unnamed2", "c"))
   }
 
+  test("duplicate headers are suffixed so no column's data is lost") {
+    assert(ColumnDef.sanitizeHeaders(Seq("id", "id", "val", "id")) ==
+      Seq("id", "id_2", "val", "id_3"))
+  }
+
   test("digit strings beyond Long range saturate instead of throwing (python int parity)") {
     val c = fold(Seq("5", "12345678901234567890123"))
     assert(c.settledType == "int" && c.ddlType == "BIGINT")

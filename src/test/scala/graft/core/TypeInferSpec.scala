@@ -29,6 +29,9 @@ class TypeInferSpec extends AnyFunSuite {
 
   test("time-only strings classify as time") {
     assert(isTime("12:01:02")); assert(isTime("13:04"))
+    // fractional seconds and AM/PM shapes contain '.'/' ' but are TIME
+    assert(isTime("09:30:15.123456")); assert(isTime("09:30:15.123"))
+    assert(isTime("1:30 PM")); assert(isTime("1:30:05 AM"))
     assert(!isDate("12:01:02")); assert(!isDateTime("12:01:02"))
   }
 

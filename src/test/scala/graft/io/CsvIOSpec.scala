@@ -125,6 +125,19 @@ class CsvIOSpec extends AnyFunSuite with SparkSuite {
     assert(typed.filter(col("n").isNull).count() == 1) // try_cast, no crash
   }
 
+  test("duplicate headers import with suffixed names; .zip is rejected with a clear error") {
+    val dir = Files.createTempDirectory("graftdup")
+    val f = dir.resolve("dup.csv")
+    Files.writeString(f, "id,id,val\n1,2,x\n3,4,y\n")
+    val (typed, cols) = CsvIO.importCsv(spark, f.toString)
+    // Spark's CSV reader renames duplicates (id0/id1) before our
+    // sanitation; the contract is distinct names + no data loss
+    assert(cols.map(_.name).distinct.size == 3)
+    val r = typed.orderBy(typed.columns.head).collect()(0)
+    assert(r.getAs[Number](0).intValue() == 1 && r.getAs[Number](1).intValue() == 2)
+    intercept[IllegalArgumentException](CsvIO.importCsv(spark, "data.csv.zip"))
+  }
+
   test("inferFull (treeAggregate) agrees with inferSample on the fixture") {
     val raw = CsvIO.readRaw(spark, fixture, ",")
     val a = SchemaInfer.inferSample(raw)

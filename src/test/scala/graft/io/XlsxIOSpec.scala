@@ -58,6 +58,24 @@ class XlsxIOSpec extends AnyFunSuite with SparkSuite {
     assert(df.count() == 9)
   }
 
+  test("error cells are null; omitted cell refs track across empty cells") {
+    val ns = """xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main""""
+    // row of cells WITHOUT r= refs: 1, <error>, 3 — the third value
+    // must land in column C (index 2), not shift left into B
+    val xml = (s"""<worksheet $ns><sheetData>""" +
+      """<row><c t="n"><v>1</v></c><c t="e"><v>#DIV/0!</v></c><c t="n"><v>3</v></c></row>""" +
+      """</sheetData></worksheet>""").getBytes("UTF-8")
+    val rows = XlsxIO.parseSheet(xml, IndexedSeq.empty, IndexedSeq.empty)
+    assert(rows == Seq(Seq(XlsxIO.XNum(1.0), XlsxIO.XNull, XlsxIO.XNum(3.0))))
+  }
+
+  test("legacy .xls content is rejected with a precise message") {
+    val f = Files.createTempFile("graftole", ".xls")
+    Files.write(f, Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte, 0, 0, 0, 0))
+    val e = intercept[IllegalArgumentException](XlsxIO.listSheets(f.toString))
+    assert(e.getMessage.contains("not an OOXML"))
+  }
+
   test("serial rounding at the day boundary carries into the next day") {
     val xml = ("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
       """<sheetData><row r="1"><c r="A1" t="n" s="0"><v>45291.99999999999</v></c></row>""" +
