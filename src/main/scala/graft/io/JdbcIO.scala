@@ -55,10 +55,16 @@ object JdbcIO {
   def tableExists(url: String, table: String): Boolean = {
     val cn = DriverManager.getConnection(url)
     try {
-      val (schemaPat, tablePat) = table.lastIndexOf('.') match {
+      val (schemaPat0, tablePat) = table.lastIndexOf('.') match {
         case -1 => (null: String, table)
         case i  => (table.substring(0, i), table.substring(i + 1))
       }
+      // unqualified names must scope to the CONNECTION's current
+      // schema — a null pattern would match a same-named table in ANY
+      // schema and misreport existence
+      val schemaPat =
+        if (schemaPat0 != null) schemaPat0
+        else try cn.getSchema catch { case _: Exception => null }
       val md = cn.getMetaData
       val candidates =
         Seq(tablePat) ++
