@@ -45,10 +45,23 @@ final class Engine(spark: SparkSession, registry: ServerRegistry) {
         }
         Some(total)
       } else {
-        val (df, cols) = CsvIO.importCsv(spark, path, delimiter)
+        // columnar/JSONL inputs route to their native readers — the
+        // reference fed EVERYTHING non-Excel to the CSV parser, which
+        // would shred a parquet file into garbage rows
         val table = addr.table.getOrElse(
           new java.io.File(path).getName.replaceAll("\\.[^.]*$", ""))
-        Some(JdbcIO.writeTableCounted(df, url, qualified(table), Some(cols), truncate))
+        val base = path.stripSuffix(".gz")
+        if (base.endsWith(".parquet") || base.endsWith(".orc")) {
+          val df = if (base.endsWith(".orc")) spark.read.orc(path)
+                   else spark.read.parquet(path)
+          Some(JdbcIO.writeTableCounted(df, url, qualified(table), None, truncate))
+        } else if (base.endsWith(".json") || base.endsWith(".jsonl")) {
+          val df = spark.read.json(path)
+          Some(JdbcIO.writeTableCounted(df, url, qualified(table), None, truncate))
+        } else {
+          val (df, cols) = CsvIO.importCsv(spark, path, delimiter)
+          Some(JdbcIO.writeTableCounted(df, url, qualified(table), Some(cols), truncate))
+        }
       }
     } catch {
       case e: Exception =>

@@ -85,6 +85,17 @@ class EngineJdbcSpec extends AnyFunSuite with SparkSuite {
     assert(JdbcIO.readTable(spark, url, "app.qualified").count() == 3)
   }
 
+  test("parquet and jsonl inputs route to native readers, not the CSV parser") {
+    val work = Files.createTempDirectory("graftnative")
+    val df = spark.range(5).selectExpr("id", "concat('n', id) AS name")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$work/p.parquet")
+    assert(engine.importFile(s"$work/p.parquet", "test...fromparquet").contains(5L))
+    assert(JdbcIO.readTable(spark, url, "fromparquet").count() == 5)
+    df.coalesce(1).write.mode("overwrite").json(s"$work/j.json")
+    assert(engine.importFile(s"$work/j.json", "test...fromjson").contains(5L))
+    assert(JdbcIO.readTable(spark, url, "fromjson").count() == 5)
+  }
+
   test("broken import is swallowed per-file (P4) and returns None") {
     assert(engine.importFile("/nonexistent/x.csv", "test...nope").isEmpty)
     assert(!JdbcIO.tableExists(url, "nope"))
