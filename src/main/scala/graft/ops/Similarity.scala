@@ -136,10 +136,13 @@ object Similarity {
     graft.functions.GraftFunctions.register(s)
     val e = embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // native DotProduct: the zip_with/aggregate formulation allocates
+    // an intermediate array per (row, plane) — 64 allocations per row
     def tableKey(t: Int): Column =
       (0 until BitsPerTable).map { b =>
         val plane = typedLit(hyperplanes(t * BitsPerTable + b).toSeq)
-        when(dot(col("v"), plane) > 0, lit(1L << b)).otherwise(lit(0L))
+        when(graft.functions.GraftFunctions.dot(col("v"), plane) > 0, lit(1L << b))
+          .otherwise(lit(0L))
       }.reduce(_ + _)
     val keyed = e.select(col("vec_id"), col("v"),
       explode(array((0 until NumTables).map(t =>
