@@ -42,6 +42,7 @@ object SparkEntry {
     "q49_math_fns" -> (Relational.q49MathFns _),
     "q50_bag_setops" -> (Relational.q50BagSetOps _),
     "q55_moving_window" -> (Relational.q55MovingWindow _),
+    "q59_grouped_topk" -> (Relational.q59GroupedTopK _),
     "q56_correlated_subquery" -> (Relational.q56CorrelatedSubquery _),
     // event / semi-structured / temporal
     "q12_json_extract" -> (EventOps.q12JsonExtract _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "q49_math_fns" -> Relational.q49Sql,
     "q50_bag_setops" -> Relational.q50Sql,
     "q55_moving_window" -> Relational.q55Sql,
+    "q59_grouped_topk" -> Relational.q59Sql,
     "q56_correlated_subquery" -> Relational.q56Sql,
     "q12_json_extract" -> EventOps.q12Sql,
     "q13_hourly_tumbling" -> EventOps.q13Sql,

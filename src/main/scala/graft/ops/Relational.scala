@@ -245,6 +245,34 @@ object Relational {
       | TRUE AS approx_within_15pct
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Top-3 orders per priority via the bounded-heap TopK aggregate
+   *  (graft.functions.TopK) — same answer as the window formulation
+   *  (q05) but with map-side partial merges: a huge group costs
+   *  O(n log k) and ships k rows per partition, where the window
+   *  must sort the whole group. */
+  def q59GroupedTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TopK.register(s)
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.TopK.topk(
+        cents(col("o_totalprice")), col("o_orderkey"), 3).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.payload").as("o_orderkey"),
+        (col("col.v") / 100.0).as("totalprice"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+  }
+
+  val q59Sql: String =
+    """SELECT o_orderpriority, rnk, o_orderkey, totalprice FROM (
+      | SELECT o_orderpriority, o_orderkey,
+      |  CAST(round(o_totalprice*100) AS BIGINT)/100.0 AS totalprice,
+      |  row_number() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rnk
+      | FROM orders) t
+      |WHERE rnk <= 3
+      |ORDER BY o_orderpriority, rnk""".stripMargin
+
   /** Exact percentiles (linear interpolation over integral cents →
    *  engine-independent doubles) per order priority. */
   def q44Percentiles(s: SparkSession, d: String): DataFrame = {
