@@ -40,12 +40,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  // a NULL element anywhere makes the whole result NULL — matching
-  // the zip_with/aggregate formulation and the SQL oracles
+  // a NULL element anywhere — or a length mismatch (truncated /
+  // corrupt vector) — makes the whole result NULL, matching the
+  // zip_with/aggregate formulation; zero vectors produce IEEE NaN
+  // exactly like the oracle's dot/(sqrt*sqrt) expression
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -56,8 +59,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) 0.0 else dot / denom
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -73,17 +75,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val getX = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getY = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $x = $getX;
          |  double $y = $getY;
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |if (!${ev.isNull}) {
-         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |  ${ev.value} = ($denom == 0.0) ? 0.0 : ($dot / $denom);
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
        """.stripMargin
     })
@@ -120,7 +122,8 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var dot = 0.0
     var i = 0
@@ -142,9 +145,10 @@ case class DotProduct(left: Expression, right: Expression)
       val getX = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getY = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |int $n = $a.numElements();
          |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $dot += ($getX) * ($getY);
          |}

@@ -124,7 +124,7 @@ object HeavyHitters {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_heavy_hitters",
       exprs => HeavyHitters(exprs(0),
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]),
+        TopK.foldableInt(exprs, 1, "graft_heavy_hitters", "k"),
+        TopK.foldableInt(exprs, 2, "graft_heavy_hitters", "capacity")),
       "built-in")
 }

@@ -106,6 +106,23 @@ object TopK {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk",
-      exprs => TopK(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int]),
+      exprs => TopK(exprs(0), exprs(1), foldableInt(exprs, 2, "graft_topk", "k")),
       "built-in")
+
+  /** Arity/foldability/type guard for literal int parameters of
+    * registry-built functions — produces an analysis-time error
+    * instead of CCE/IOOBE/NPE. */
+  private[functions] def foldableInt(exprs: Seq[Expression], i: Int,
+      fn: String, name: String): Int = {
+    if (exprs.length <= i) throw new IllegalArgumentException(
+      s"$fn: missing argument '$name' (expected ${i + 1} arguments)")
+    val e = exprs(i)
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: argument '$name' must be a literal integer")
+    e.eval() match {
+      case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$name' must be an integer, got $other")
+    }
+  }
 }

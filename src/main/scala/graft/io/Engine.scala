@@ -34,11 +34,18 @@ final class Engine(spark: SparkSession, registry: ServerRegistry) {
         val (file, sheetSel) = XlsxIO.splitSheetSelector(path)
         val sheets = sheetSel.map(Seq(_)).getOrElse(XlsxIO.listSheets(file))
         var total = 0L
+        var first = true
         sheets.foreach { sheet =>
           try {
             val (df, cols) = XlsxIO.importSheet(spark, file, sheet)
             val table = addr.table.getOrElse(sheet)
-            total += JdbcIO.writeTableCounted(df, url, qualified(table), Some(cols), truncate)
+            // when all sheets target ONE named table, truncate only
+            // before the first sheet — re-truncating per sheet would
+            // leave only the last sheet's rows while the summed count
+            // claims all of them
+            val trunc = truncate && (first || addr.table.isEmpty)
+            total += JdbcIO.writeTableCounted(df, url, qualified(table), Some(cols), trunc)
+            first = false
           } catch { case e: Exception =>
             System.err.println(s"[engine] trouble importing worksheet $sheet: ${e.getMessage}")
           }
@@ -80,8 +87,13 @@ final class Engine(spark: SparkSession, registry: ServerRegistry) {
   }
 
   /** Directory import: every *.csv becomes its own table
-    * (core.py:71-79). */
+    * (core.py:71-79). A directory plus an explicit TABLE segment is
+    * an error — the reference guards the same way (cli.py:129-130);
+    * funneling every file into one table would silently merge data. */
   def importDir(dir: String, dst: String, delimiter: Option[String] = None): Seq[(String, Option[Long])] = {
+    if (DbPath.parse(dst).table.isDefined)
+      throw new IllegalArgumentException(
+        "cannot import a directory into an explicit table (cli.py:129-130)")
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".csv")).sortBy(_.getName)
     files.toSeq.map(f => f.getName -> importFile(f.getPath, dst, delimiter))

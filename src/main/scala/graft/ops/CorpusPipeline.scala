@@ -43,9 +43,10 @@ final case class CorpusPipeline(df: DataFrame, textCol: String = "text",
   def filterLangs(langs: Set[String]): CorpusPipeline =
     copy(df = df.filter(col(langCol).isin(langs.toSeq: _*)))
 
-  /** Exact dedup, keep-smallest-id per identical normalized text. */
+  /** Exact dedup, keep-smallest-id per identical normalized text
+    * (same normalization as TextAnalysis.fingerprint). */
   def dedupExact(): CorpusPipeline = {
-    val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
+    val norm = TextAnalysis.normalizeText(text)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(norm).orderBy(col(idCol))
     copy(df = df

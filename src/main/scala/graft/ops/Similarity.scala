@@ -22,8 +22,6 @@ object Similarity {
   import Tables._
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Exact top-5 cosine neighbors for query vectors vec_id < 10.
    *  Similarity runs through the native CosineSimilarity expression

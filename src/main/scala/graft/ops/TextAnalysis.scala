@@ -124,10 +124,15 @@ object TextAnalysis {
       |       / greatest(length(text), 1), 4) AS tokens_per_100chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Document fingerprint: md5 over whitespace-normalized lowercase
-   *  text — the canonical near-exact-dedup key. */
+  /** Whitespace-collapsed lowercase text — the shared dedup key
+   *  normalization (fingerprints, exact dedup, pipeline). */
+  def normalizeText(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** Document fingerprint: md5 over the normalized text — the
+   *  canonical near-exact-dedup key. */
   def fingerprint(c: Column): Column =
-    md5(regexp_replace(trim(lower(c)), "\\s+", " ").cast("binary"))
+    md5(normalizeText(c).cast("binary"))
 
   def q21Fingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d)
