@@ -66,6 +66,7 @@ object SparkEntry {
     "q39_vector_stats" -> (Similarity.q39VectorStats _),
     // text analysis
     "q28_lang_id" -> (TextAnalysis.q28LangId _),
+    "q60_lang_id_ngram" -> (TextAnalysis.q60LangIdNgram _),
     "q29_text_quality" -> (TextAnalysis.q29TextQuality _),
     "q30_token_count" -> (TextAnalysis.q30TokenCount _),
     "q53_heavy_hitters" -> (TextAnalysis.q53HeavyHitters _),
@@ -128,6 +129,7 @@ object SparkEntry {
     "q54_corpus_pipeline" -> CorpusPipeline.q54Sql,
     "q26_knn_brute" -> Similarity.q26Sql,
     "q28_lang_id" -> TextAnalysis.q28Sql,
+    "q60_lang_id_ngram" -> TextAnalysis.q60Sql,
     "q29_text_quality" -> TextAnalysis.q29Sql,
     "q30_token_count" -> TextAnalysis.q30Sql,
     "q53_heavy_hitters" -> TextAnalysis.q53Sql,

@@ -69,6 +69,50 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Character n-gram profiles per language: counts of distinctive
+   *  char bigrams/trigrams (no word boundaries — robust to
+   *  agglutinative scripts where marker WORDS fail). */
+  private val charNgramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "ing", "er"),
+    "de" -> Seq("sch", "ch", "ei", "ung"),
+    "es" -> Seq("ll", "ción", "que", "os "),
+    "fr" -> Seq("eau", "oux", "les", "ée"))
+
+  /** Language ID via char-n-gram profile scoring — same argmax
+   *  contract as q28 but over substring counts. */
+  def q60LangIdNgram(s: SparkSession, d: String): DataFrame = {
+    val text = lower(col("text"))
+    def score(grams: Seq[String]): Column =
+      grams.map(g =>
+        regexp_count(text, lit(java.util.regex.Pattern.quote(g))).cast("long"))
+        .reduce(_ + _)
+    val scored = documents(s, d).select(
+      col("doc_id") +: charNgramProfiles.map { case (l, gs) => score(gs).as(s"ng_$l") }: _*)
+    val langs = charNgramProfiles.map(_._1)
+    val mx = greatest(langs.map(l => col(s"ng_$l")): _*)
+    val best = langs.foldRight(lit("und"): Column) { (l, rest) =>
+      when(col(s"ng_$l") === mx, lit(l)).otherwise(rest)
+    }
+    scored
+      .withColumn("predicted", when(mx <= 0, lit("und")).otherwise(best))
+      .orderBy(col("doc_id"))
+  }
+
+  val q60Sql: String = {
+    val langs = charNgramProfiles.map(_._1)
+    def sc(l: String): String = charNgramProfiles.toMap.apply(l)
+      // literal (non-regex) substring counts: how many times does g occur
+      .map(g => s"CAST((length(lower(text)) - length(replace(lower(text), '$g', ''))) / length('$g') AS BIGINT)")
+      .mkString(" + ")
+    val mx = s"greatest(${langs.map(l => s"ng_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN ng_$l = $mx THEN '$l'").mkString(" ")
+    s"""SELECT doc_id, ${langs.map(l => s"ng_$l").mkString(", ")},
+       | CASE WHEN $mx <= 0 THEN 'und' $cases END AS predicted
+       |FROM (SELECT doc_id, ${langs.map(l => s"${sc(l)} AS ng_$l").mkString(", ")}
+       |      FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Quality scoring: integer-arithmetic signals (word count, char
    *  count, punct count, stopword hits) → deterministic score. */
   def q29TextQuality(s: SparkSession, d: String): DataFrame = {
