@@ -106,9 +106,14 @@ object InferOps {
   def q36JdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
     import graft.io.JdbcIO
     val url = s"jdbc:derby:${sys.props("java.io.tmpdir")}/graft_derby_${Integer.toHexString(d.hashCode)}/db;create=true"
-    JdbcIO.writeTable(customer(s, d), url, "customer_rt", None, truncate = true)
+    val cust = customer(s, d)
+    JdbcIO.writeTable(cust, url, "customer_rt", None, truncate = true)
+    // partition bounds from the ACTUAL key range — hardcoded wide
+    // bounds would put every row in stride 1 and leave 7 partitions
+    // issuing empty range queries
+    val bounds = cust.agg(min(col("c_custkey")), max(col("c_custkey"))).head()
     JdbcIO.readTable(s, url, "customer_rt",
-        partitionOn = Some(("c_custkey", 0L, 1000000L, 8)))
+        partitionOn = Some(("c_custkey", bounds.getLong(0), bounds.getLong(1) + 1, 8)))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
         (sum(cents(col("c_acctbal"))) / 100.0).as("sum_acctbal"))
@@ -152,9 +157,12 @@ object InferOps {
       .orderBy(col("lang"))
   }
 
-  /** Partitioned copy of documents (written once per sfDir). */
+  /** Partitioned copy of documents, written once per JVM — the pid in
+    * the path prevents a concurrent process (or a stale prior run
+    * against regenerated source data) from serving its copy to us. */
   def partitionedDocs(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_part_docs_${Integer.toHexString(d.hashCode)}"
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_part_docs_" +
+      s"${ProcessHandle.current().pid()}_${Integer.toHexString(d.hashCode)}"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
       documents(s, d).write.mode("overwrite").partitionBy("lang").parquet(dir)
     s.read.parquet(dir)

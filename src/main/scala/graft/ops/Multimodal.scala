@@ -28,10 +28,12 @@ object Multimodal {
       height: Long, channels: Long, content_hash: String)
 
   /** STUB decoder — deterministic fake of an image header parse. A
-   *  real deployment swaps only this function for a codec call. */
-  def decodeStub(r: MediaRow): MediaMeta = {
+   *  real deployment swaps only this function for a codec call; the
+   *  digest/codec handle is instantiated once per PARTITION and
+   *  passed in. */
+  def decodeStub(md: java.security.MessageDigest, r: MediaRow): MediaMeta = {
     val n = r.payload.length.toLong
-    val md = java.security.MessageDigest.getInstance("MD5")
+    md.reset()
     val hex = md.digest(r.payload).map("%02x".format(_)).mkString
     MediaMeta(r.doc_id, n, 64 + n % 512, 64 + (n * 7) % 512, 3L, hex)
   }
@@ -45,7 +47,8 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { it =>
         // per-partition decoder instantiation point (codec/JNI handle)
-        it.map(decodeStub)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map(r => decodeStub(md, r))
       }
       .toDF()
       .orderBy(col("doc_id"))
@@ -75,8 +78,9 @@ object Multimodal {
       .select(col("doc_id"), col("text"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text, payload) =>
-          val m = decodeStub(MediaRow(id, payload))
+          val m = decodeStub(digest, MediaRow(id, payload))
           // fit into 224×224, round-half-up, floor at 1
           val scaleNum = 224L
           val (nw, nh) =

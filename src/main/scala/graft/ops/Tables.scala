@@ -42,6 +42,21 @@ object Tables {
     }
   }
 
+  /** Streaming twin of [[events]]: same nanos normalization over a
+    * readStream file source. The `{name}` glob matches ONLY the exact
+    * file (FileStreamSource needs a dir/glob; a bare `name*` prefix
+    * would silently pull in stray siblings like events.parquet.bak). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val st = spark.readStream.schema(raw.schema).parquet(s"$dir/{events.parquet}")
+    raw.schema("ts").dataType match {
+      case TimestampType => st
+      case LongType => st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case other => throw new IllegalStateException(s"unexpected ts type $other")
+    }
+  }
+
   /** Money-exact aggregation helper: doubles → integral cents, so sums
    *  are order-independent and engine-independent (used by every
    *  oracle-compared revenue aggregate). */

@@ -2,79 +2,73 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
+import graft.ops.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /**
  * Structured Streaming surface: the same event analytics as the batch
- * operators, driven through `readStream` → windowed aggregation →
- * `writeStream`, proving the engine's stream/batch parity.
- *
- * q34 runs a real streaming query over the events parquet (file
- * source, one-shot drain via processAllAvailable) with a tumbling
- * 1-day window; complete output mode into a memory sink so the final
- * answer equals the batch/oracle result regardless of the
- * micro-batch cut points. Watermarking + append-mode variants are
- * exercised in the test suite (SessionWindowSpec) — their outputs
- * depend on watermark progress, so they are demo, not oracle-gated.
+ * operators, driven through `readStream` → transforms → `writeStream`,
+ * proving the engine's stream/batch parity. All three queries drain
+ * the file source with AvailableNow into a uniquely-named memory
+ * sink, materialize the result locally, and DROP the sink table —
+ * repeated invocations (Verify + Bench share a session) must not pin
+ * result sets in driver memory.
  *
  * Scale notes: the file source is replaced by Kafka/queue sources in
- * production; the aggregation state is keyed by (window, type) —
- * bounded and shuffle-partitioned, no driver state.
+ * production; aggregation/join state is keyed and shuffle-partitioned,
+ * no driver state.
  */
 object StreamingOps {
 
   private val runSeq = new AtomicInteger(0)
 
+  /** Drain a streaming writeStream into a memory sink, materialize the
+    * (small) final result locally, and drop the sink table. */
+  private def drainToLocal(s: SparkSession, df: DataFrame,
+      outputMode: String)(post: DataFrame => DataFrame): DataFrame = {
+    val name = s"graft_stream_${runSeq.incrementAndGet()}"
+    val q = df.writeStream.outputMode(outputMode).format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val result = post(s.table(name))
+    val rows = result.collect()
+    s.catalog.dropTempView(name)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
   def q34StreamTumbling(s: SparkSession, d: String): DataFrame = {
-    // a batch read resolves the physical schema (incl. the
-    // nanos-as-long escape hatch — see Tables.events); the stream
-    // uses the RAW schema and applies the same ts conversion
-    val path = s"$d/events.parquet"
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(path)
-    val name = s"graft_q34_${runSeq.incrementAndGet()}"
-    // FileStreamSource wants a directory or glob, not a bare file —
-    // the trailing '*' makes the exact-file path a glob
-    val stream0 = s.readStream.schema(raw.schema).parquet(path + "*")
-    val stream = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        stream0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => stream0
-    }
-    val agg = stream
+    val agg = Tables.eventsStream(s, d)
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+        (sum(Tables.cents(col("value"))) / 100.0).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("day_bucket"),
         col("event_type"), col("n"), col("sum_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
-    s.table(name).orderBy(col("day_bucket"), col("event_type"))
+    drainToLocal(s, agg, "complete")(
+      _.orderBy(col("day_bucket"), col("event_type")))
   }
+
+  val q34Sql: String =
+    """SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_bucket,
+      | event_type, count(*) AS n,
+      | CAST(sum(CAST(round("value"*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY day_bucket, event_type""".stripMargin
 
   final case class UserAgg(user_id: Long, n: Long, sum_cents: Long)
 
   /** Custom stateful streaming: per-user running aggregates via
    *  flatMapGroupsWithState — explicit GroupState instead of a
    *  built-in aggregation (the pattern for custom session/state
-   *  machines). Drained with AvailableNow, so the emitted state
-   *  equals the batch aggregate and is oracle-checkable. */
+   *  machines). Append mode emits the running aggregate once per
+   *  key per micro-batch, so the final answer is the LAST (max-n)
+   *  row per user — correct for any batch split, not just the
+   *  single-batch drain. */
   def q43StreamStateful(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val path = s"$d/events.parquet"
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(path)
-    val name = s"graft_q43_${runSeq.incrementAndGet()}"
-    val stream = s.readStream.schema(raw.schema).parquet(path + "*")
-      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+    val stream = Tables.eventsStream(s, d)
+      .select(col("user_id"), Tables.cents(col("value")).as("cents"))
       .as[(Long, Long)]
     def update(user: Long, rows: Iterator[(Long, Long)],
         state: GroupState[UserAgg]): Iterator[UserAgg] = {
@@ -85,15 +79,18 @@ object StreamingOps {
       state.update(next)
       Iterator.single(next)
     }
-    val q = stream.groupByKey(_._1)
+    val emitted = stream.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
       .toDF()
-      .writeStream.outputMode("append").format("memory")
-      .queryName(name).trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
-    s.table(name)
-      .select(col("user_id"), col("n"), (col("sum_cents") / 100.0).as("sum_value"))
-      .orderBy(col("user_id"))
+    drainToLocal(s, emitted, "append") { t =>
+      // keep only the final per-user state (max n) — intermediate
+      // emissions appear whenever the source splits into batches
+      t.groupBy(col("user_id"))
+        .agg(max(struct(col("n"), col("sum_cents"))).as("fin"))
+        .select(col("user_id"), col("fin.n").as("n"),
+          (col("fin.sum_cents") / 100.0).as("sum_value"))
+        .orderBy(col("user_id"))
+    }
   }
 
   val q43Sql: String =
@@ -105,45 +102,35 @@ object StreamingOps {
    *  purchase stream on user + a 1-hour event-time range, both sides
    *  watermarked (bounding the join state buffers). With an
    *  AvailableNow drain the inner join emits every match, so the
-   *  result equals the batch interval join (q18's inner form). */
+   *  result equals the batch interval join (q18's inner form).
+   *  Scoped to a user subset: per-row state-store traffic dominates
+   *  the demo's cost. */
   def q58StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
-    val path = s"$d/events.parquet"
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(path)
-    def src() = {
-      val st = s.readStream.schema(raw.schema).parquet(path + "*")
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else st
-    }
-    // scope to a user subset: per-row state-store traffic dominates
-    // the demo's cost and scales linearly with the input slice
-    val errs = src().filter(col("event_type") === "error" && col("user_id") < 30)
+    val errs = Tables.eventsStream(s, d)
+      .filter(col("event_type") === "error" && col("user_id") < 30)
       .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
         col("ts").as("err_ts"))
       .withWatermark("err_ts", "2 hours")
-    val purchases = src().filter(col("event_type") === "purchase" && col("user_id") < 30)
+    val purchases = Tables.eventsStream(s, d)
+      .filter(col("event_type") === "purchase" && col("user_id") < 30)
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "2 hours")
     val joined = errs.join(purchases,
       col("err_user") === col("p_user") &&
         col("p_ts") >= col("err_ts") &&
         col("p_ts") < col("err_ts") + expr("INTERVAL 1 HOUR"))
-    val name = s"graft_q58_${runSeq.incrementAndGet()}"
     // stream-state checkpoint I/O scales with shuffle partitions
     // (4 store instances per side per partition per batch): a narrow
     // stateful query wants FEW partitions
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = joined.writeStream.outputMode("append").format("memory")
-        .queryName(name).trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    s.table(name)
-      .groupBy(col("err_id"))
-      .agg(count(lit(1)).as("n_purchases_1h"))
-      .orderBy(col("err_id"))
+    try
+      drainToLocal(s, joined, "append") { t =>
+        t.groupBy(col("err_id"))
+          .agg(count(lit(1)).as("n_purchases_1h"))
+          .orderBy(col("err_id"))
+      }
+    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   val q58Sql: String =
@@ -153,10 +140,4 @@ object StreamingOps {
       | AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 1 HOUR
       |WHERE e.event_type = 'error' AND e.user_id < 30 AND p.user_id < 30
       |GROUP BY e.event_id ORDER BY err_id""".stripMargin
-
-  val q34Sql: String =
-    """SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_bucket,
-      | event_type, count(*) AS n,
-      | CAST(sum(CAST(round("value"*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value
-      |FROM events GROUP BY 1, 2 ORDER BY day_bucket, event_type""".stripMargin
 }

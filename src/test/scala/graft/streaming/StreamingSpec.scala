@@ -27,14 +27,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("streaming session windows with watermark produce closed sessions (append mode)") {
-    val raw = Tables.events(spark, dir) // ensures nanosAsLong conf set
-    val stream0 = spark.readStream.schema(
-      spark.read.parquet(s"$dir/events.parquet").schema)
-      .parquet(s"$dir/events.parquet*")
-    val stream =
-      if (stream0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else stream0
+    val stream = Tables.eventsStream(spark, dir)
     val q = stream
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -47,7 +40,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     // tail of the month of data is closed after the single batch
     assert(out.count() > 0)
     assert(out.columns.toSet == Set("session_window", "user_id", "n"))
-    val _ = raw
+    spark.catalog.dropTempView("graft_sessions")
   }
 
   test("checkpointed stream resumes without reprocessing (exactly-once file source)") {
