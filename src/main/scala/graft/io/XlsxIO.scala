@@ -404,29 +404,46 @@ object XlsxIO {
     Duration.between(serialEpoch.atStartOfDay(), dt).toMillis / 86400000.0
 
   /** Write `df` as sheet `sheetName`; existing workbook keeps its
-    * other sheets, a same-named sheet is replaced (core.py:338-358). */
+    * other sheets, a same-named sheet is replaced (core.py:338-358).
+    *
+    * Rows stream from the executors through `toLocalIterator()` into
+    * the ZIP entry — driver memory stays O(row), not O(sheet). The
+    * single-writer bottleneck is inherent to the format (one workbook
+    * file); the bounded-memory stream is as scale-safe as xlsx gets. */
   def writeSheet(df: DataFrame, path: String, sheetName: String): Unit = {
-    val existing: Seq[(String, Seq[Seq[Cell]])] =
+    val existing: Seq[(String, () => Iterator[Seq[Cell]])] =
       if (Files.exists(Paths.get(path)))
-        listSheets(path).filterNot(_ == sheetName).map(s => s -> readSheet(path, s))
+        listSheets(path).filterNot(_ == sheetName)
+          .map(s => s -> (() => readSheet(path, s).iterator))
       else Seq.empty
     val header: Seq[Cell] = df.schema.fieldNames.toSeq.map(XStr(_))
-    val body = df.collect().toSeq.map { row =>
-      row.toSeq.map {
-        case null                     => XNull
-        case s: String                => XStr(s)
-        case b: Boolean               => XBool(b)
-        case t: java.sql.Timestamp    => XDateTime(t.toLocalDateTime)
-        case dte: java.sql.Date       => XDate(dte.toLocalDate)
-        case n: Number                => XNum(n.doubleValue())
-        case other                    => XStr(other.toString)
+    def body: Iterator[Seq[Cell]] = {
+      import scala.jdk.CollectionConverters._
+      df.toLocalIterator().asScala.map { row =>
+        row.toSeq.map {
+          case null                     => XNull
+          case s: String                => XStr(s)
+          case b: Boolean               => XBool(b)
+          case t: java.sql.Timestamp    => XDateTime(t.toLocalDateTime)
+          case dte: java.sql.Date       => XDate(dte.toLocalDate)
+          case n: Number                => XNum(n.doubleValue())
+          case other                    => XStr(other.toString)
+        }
       }
     }
-    val sheets = existing :+ (sheetName -> (header +: body))
-    writeWorkbook(path, sheets)
+    writeWorkbookStreaming(path,
+      existing :+ (sheetName -> (() => Iterator.single(header) ++ body)))
   }
 
-  def writeWorkbook(path: String, sheets: Seq[(String, Seq[Seq[Cell]])]): Unit = {
+  def writeWorkbook(path: String, sheets: Seq[(String, Seq[Seq[Cell]])]): Unit =
+    writeWorkbookStreaming(path,
+      sheets.map { case (name, rows) => name -> (() => rows.iterator) })
+
+  /** Sheet bodies are thunked iterators so a large DataFrame streams
+    * row-at-a-time; the thunk defers the Spark job until the ZIP entry
+    * is actually being written. */
+  def writeWorkbookStreaming(path: String,
+      sheets: Seq[(String, () => Iterator[Seq[Cell]])]): Unit = {
     // write to a sibling temp file and move into place: truncating the
     // destination directly would destroy the existing workbook if any
     // exception hits mid-write (replace-sheet reads it first!)
@@ -436,13 +453,14 @@ object XlsxIO {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def writeWorkbookTo(path: String, sheets: Seq[(String, Seq[Seq[Cell]])]): Unit = {
+  private def writeWorkbookTo(path: String,
+      sheets: Seq[(String, () => Iterator[Seq[Cell]])]): Unit = {
     val zos = new ZipOutputStream(new FileOutputStream(path))
     try writeWorkbookEntries(zos, sheets) finally zos.close()
   }
 
   private def writeWorkbookEntries(zos: ZipOutputStream,
-      sheets: Seq[(String, Seq[Seq[Cell]])]): Unit = {
+      sheets: Seq[(String, () => Iterator[Seq[Cell]])]): Unit = {
     def put(name: String, content: String): Unit = {
       zos.putNextEntry(new ZipEntry(name))
       zos.write(content.getBytes("UTF-8"))
@@ -496,10 +514,16 @@ object XlsxIO {
         """<xf numFmtId="21" fontId="0" fillId="0" borderId="0" xfId="0" applyNumberFormat="1"/>""" +
         "</cellXfs></styleSheet>")
     sheets.zipWithIndex.foreach { case ((_, rows), si) =>
+      // stream the sheet row-at-a-time: one ZIP entry, one StringBuilder
+      // reused per row — never the whole sheet in memory
+      zos.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${si + 1}.xml"))
+      def write(s: String): Unit = zos.write(s.getBytes("UTF-8"))
+      write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
       val sb = new StringBuilder
-      sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-      sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
-      rows.zipWithIndex.foreach { case (cells, ri) =>
+      var ri = 0
+      rows().foreach { cells =>
+        sb.setLength(0)
         sb.append(s"""<row r="${ri + 1}">""")
         cells.zipWithIndex.foreach { case (cell, ci) =>
           val ref = s"${colLetters(ci)}${ri + 1}"
@@ -521,9 +545,11 @@ object XlsxIO {
           }
         }
         sb.append("</row>")
+        write(sb.toString)
+        ri += 1
       }
-      sb.append("</sheetData></worksheet>")
-      put(s"xl/worksheets/sheet${si + 1}.xml", sb.toString)
+      write("</sheetData></worksheet>")
+      zos.closeEntry()
     }
   }
 

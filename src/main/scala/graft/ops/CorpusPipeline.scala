@@ -54,15 +54,24 @@ final case class CorpusPipeline(df: DataFrame, textCol: String = "text",
       .filter(col("__rn") === 1).drop("__rn"))
   }
 
-  /** Fuzzy dedup: drop the larger id of every exact-Jaccard near-dup
-    * pair — delegates to Dedup.jaccardPairs (same machinery as
-    * q23/q40; at scale swap the pair source for the banded-MinHash
-    * candidates). */
-  def dedupFuzzyJaccard(threshold: Double): CorpusPipeline = {
+  /** Fuzzy dedup: drop the larger id of every Jaccard-near-dup pair.
+    *
+    * Default (`exact = false`) is the SCALE path: banded-MinHash
+    * candidate generation (Dedup.minhashCandidates — whole-band
+    * collisions, hot-bucket guarded) followed by exact-Jaccard
+    * verification of only those candidates. Work is linear-ish in
+    * corpus size instead of quadratic in the hottest shingle.
+    *
+    * `exact = true` keeps the all-shingle self-join (q23/q40
+    * machinery) — the oracle-faithful variant whose recall is exact
+    * by construction; use it to audit the banded path's recall. */
+  def dedupFuzzyJaccard(threshold: Double, exact: Boolean = false): CorpusPipeline = {
     val canonical = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
       text.as("text"))
-    val dupIds = Dedup.jaccardPairs(canonical, threshold)
-      .select(col("doc_b")).distinct()
+    val pairs =
+      if (exact) Dedup.jaccardPairs(canonical, threshold)
+      else Dedup.jaccardVerify(canonical, Dedup.minhashCandidates(canonical), threshold)
+    val dupIds = pairs.select(col("doc_b")).distinct()
     copy(df = df.join(dupIds, col(idCol) === col("doc_b"), "left_anti"))
   }
 

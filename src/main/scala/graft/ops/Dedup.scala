@@ -49,7 +49,11 @@ object Dedup {
 
   /** Exact lang-blocked Jaccard pairs ≥ threshold over 3-gram
    *  shingles: (doc_a, doc_b, co, jaccard). Shared by q23, q40 and
-   *  CorpusPipeline.dedupFuzzyJaccard. */
+   *  CorpusPipeline.dedupFuzzyJaccard(exact = true). All-pairs over
+   *  shared shingles — the ORACLE-faithful formulation; skew-prone as
+   *  a primary path at scale (a viral shingle makes one join key
+   *  huge), which is why the banded-MinHash candidate generator below
+   *  is the pipeline default. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingleRows(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -59,12 +63,63 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("co"))
+    jaccardFromCo(co, sizes, threshold)
+  }
+
+  private def jaccardFromCo(co: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
     co.join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard", round(col("co") * lit(1.0) / (col("sa.n") + col("sb.n") - col("co")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("co"), col("jaccard"))
+
+  /** Exact Jaccard computed ONLY for the given candidate (doc_a,
+   *  doc_b) pairs — the verification leg behind a banded candidate
+   *  generator. Work is proportional to candidate count × shingles
+   *  per doc, never all-pairs; lang blocking matches jaccardPairs so
+   *  the two paths agree wherever both emit a pair. */
+  def jaccardVerify(docs: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
+    val sh = shingleRows(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val co = candidates
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s") &&
+          col("a.lang") === col("b.lang"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("co"))
+    jaccardFromCo(co, sizes, threshold)
   }
+
+  /** Candidate pairs from a banded (doc_id, band, key) layout with a
+   *  hot-bucket guard: buckets of ≤ `cap` rows pair as a full clique;
+   *  a degenerate bucket (boilerplate-heavy corpora, all-identical
+   *  docs) pairs as a STAR around its min doc_id — O(n) pairs instead
+   *  of O(n²), and exactly what keep-smallest dedup needs (every
+   *  member still pairs with the cluster minimum, so every non-min
+   *  member is still droppable after verification). The window runs
+   *  on the same (band, key) shuffle the join needs anyway. */
+  private[ops] def bandedPairs(banded: DataFrame, cap: Int = HotBucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("key"))
+    val sized = banded
+      .withColumn("bn", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("doc_id")).over(w))
+    val cold = sized.filter(col("bn") <= cap)
+      .select(col("doc_id"), col("band"), col("key"))
+    val cliques = cold.as("a")
+      .join(cold.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val stars = sized.filter(col("bn") > cap && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
+    cliques.union(stars).distinct()
+  }
+
+  private val HotBucketCap = 64
 
   /** Exact dedup: keeper = min doc_id per identical text. */
   def q20DedupExact(s: SparkSession, d: String): DataFrame =
@@ -146,25 +201,8 @@ object Dedup {
    *  the linear-ish 100 TB path for fuzzy dedup. Engine-specific
    *  hashing → rows-only check. */
   def q22MinHashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(s, d)
-    // one pass: all k minhashes in a single hash aggregate
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(
-        min(xxhash64(lit(0), col("s"))).as("m0"),
-        (1 until MinHashK).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i")): _*)
-    val bandKeys = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((b * MinHashK / Bands until (b + 1) * MinHashK / Bands)
-          .map(i => col(s"m$i")): _*).as("key"))
-    }
-    val banded = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val sig = minhashSignatures(shingleRows(s, d))
+    val cand = bandedPairs(mkBanded(sig))
     val agree = (0 until MinHashK)
       .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -176,6 +214,31 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** All k minhashes in ONE hash aggregate over exploded shingles. */
+  private def minhashSignatures(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(
+        min(xxhash64(lit(0), col("s"))).as("m0"),
+        (1 until MinHashK).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i")): _*)
+
+  /** Signature rows → exploded (doc_id, band, key) with whole-band
+   *  keys (AND within a band, OR across bands). */
+  private def mkBanded(sig: DataFrame): DataFrame = {
+    val bandKeys = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * MinHashK / Bands until (b + 1) * MinHashK / Bands)
+          .map(i => col(s"m$i")): _*).as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
+
+  /** Banded-MinHash candidate (doc_a, doc_b) pairs for an arbitrary
+   *  (doc_id, lang, text) corpus — the scale-path candidate source
+   *  CorpusPipeline feeds into jaccardVerify. */
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    bandedPairs(mkBanded(minhashSignatures(shingleRows(docs))))
 
   /** SimHash: 64-bit signature over shingle xxhash64s; near-pairs =
    *  same 8-bit band ∧ Hamming distance ≤ 12. Banding turns the
@@ -200,18 +263,16 @@ object Dedup {
     // Hamming < 8 and near-certain collision at the ≤12 threshold
     // (4×16-bit bands only guarantee Hamming < 4 — verified to miss
     // planted near-dups)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    val banded = sigs.select(col("doc_id"),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL)).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-      .distinct()
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    bandedPairs(banded)
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa.simhash").bitwiseXOR(col("sb.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 12)
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -34,7 +34,7 @@ object EventOps {
 
   val q12Sql: String =
     """SELECT event_type, count(*) AS n,
-      | sum(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS sum_k,
+      | CAST(sum(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
       | max(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 

@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
 object InferOps {
   import Tables._
 
+  /** Temp artifact path keyed by BOTH pid and source dir: two graft
+   *  JVMs on the same sfDir must not share round-trip scratch space
+   *  (embedded Derby refuses a second boot; csv/orc dirs could be
+   *  overwritten mid-read). */
+  private[ops] def tmpPath(tag: String, d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
+      s"${ProcessHandle.current().pid()}_${Integer.toHexString(d.hashCode)}"
+
   /**
    * Distributed schema inference (treeAggregate of the ColumnDef
    * monoid) over lineitem rendered as raw strings — the shape every
@@ -60,7 +68,7 @@ object InferOps {
    * Directory-of-parts layout (singleFile=false) is the scale path.
    */
   def q33CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_csv_rt_${Integer.toHexString(d.hashCode)}"
+    val dir = tmpPath("csv_rt", d)
     CsvIO.exportCsv(lineitem(s, d), s"$dir/lineitem.csv", singleFile = false,
       unixLineSep = true)
     // newline-free values → multiLine off keeps the files splittable
@@ -87,7 +95,7 @@ object InferOps {
     val df = nation(s, d)
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey"), col("n_name"), col("r_name"))
-    val out = s"${sys.props("java.io.tmpdir")}/graft_xlsx_rt_${Integer.toHexString(d.hashCode)}.xlsx"
+    val out = tmpPath("xlsx_rt", d) + ".xlsx"
     XlsxIO.writeSheet(df, out, "nation")
     val (back, _) = XlsxIO.importSheet(s, out, "nation")
     back.groupBy(col("r_name"))
@@ -105,7 +113,7 @@ object InferOps {
    *  range read back, aggregate; oracle aggregates the parquet. */
   def q36JdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
     import graft.io.JdbcIO
-    val url = s"jdbc:derby:${sys.props("java.io.tmpdir")}/graft_derby_${Integer.toHexString(d.hashCode)}/db;create=true"
+    val url = s"jdbc:derby:${tmpPath("derby", d)}/db;create=true"
     val cust = customer(s, d)
     JdbcIO.writeTable(cust, url, "customer_rt", None, truncate = true)
     // partition bounds from the ACTUAL key range — hardcoded wide
@@ -130,7 +138,7 @@ object InferOps {
    *  sampling pass at scale), aggregate; oracle aggregates the
    *  parquet directly. */
   def q51JsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_jsonl_rt_${Integer.toHexString(d.hashCode)}"
+    val dir = tmpPath("jsonl_rt", d)
     val docs = documents(s, d)
     docs.write.mode("overwrite").json(dir)
     val back = s.read.schema(docs.schema).json(dir)
@@ -161,8 +169,7 @@ object InferOps {
     * the path prevents a concurrent process (or a stale prior run
     * against regenerated source data) from serving its copy to us. */
   def partitionedDocs(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_part_docs_" +
-      s"${ProcessHandle.current().pid()}_${Integer.toHexString(d.hashCode)}"
+    val dir = tmpPath("part_docs", d)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
       documents(s, d).write.mode("overwrite").partitionBy("lang").parquet(dir)
     s.read.parquet(dir)
@@ -175,7 +182,7 @@ object InferOps {
 
   /** ORC round-trip — the columnar alternative on the same query. */
   def q52OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_orc_rt_${Integer.toHexString(d.hashCode)}"
+    val dir = tmpPath("orc_rt", d)
     lineitem(s, d).write.mode("overwrite").orc(dir)
     s.read.orc(dir)
       .filter(col("l_discount") > 0.05) // pushdown survives the format hop

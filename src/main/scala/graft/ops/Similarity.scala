@@ -62,22 +62,32 @@ object Similarity {
   def q37KnnIvf(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
-    val cents = e.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // nearest-cell assignment: argmax over broadcast centroids via
-    // max(struct(sim, cid)) — one pass, no window
-    val simToCell = e.join(broadcast(cents), col("vec_id") =!= lit(-1))
-      .withColumn("csim", cosine_sim(col("v"), col("cv")))
-    val assign = simToCell
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("csim"), col("cid"))).getField("cid").as("cell"))
-    val corpus = e.join(assign, "vec_id")
-    // queries probe their top-IvfProbes cells
-    val probes = simToCell.filter(col("vec_id") < 10)
-      .withColumn("prnk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
-      .filter(col("prnk") <= IvfProbes)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid").as("cell"))
+    // The coarse codebook is IvfCells (16) vectors by construction —
+    // collect it once and inline the centroids as literals, so cell
+    // assignment is a pure per-row projection: no row amplification,
+    // no groupBy shuffle, whole corpus stays in one codegen stage.
+    // (At 100 TB the codebook is still driver-sized: k centroids of
+    // dim floats, independent of corpus size.)
+    val cents: Array[(Int, Seq[Float])] = e.filter(col("vec_id") < IvfCells)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+      .sortBy(_._1)
+    // struct(csim, cid) max == "nearest cell, ties to larger cid" —
+    // identical semantics to the former max(struct) aggregation
+    val simCells = cents.map { case (cid, cv) =>
+      struct(cosine_sim(col("v"), typedLit(cv)).as("csim"), lit(cid).as("cid"))
+    }
+    val corpus = e.withColumn("cell", greatest(simCells.toIndexedSeq: _*).getField("cid"))
+    // queries probe their top-IvfProbes cells: sort the 16 (nsim, cid)
+    // structs ascending == csim desc with cid-asc tie-break (the same
+    // order the former row_number window produced)
+    val negSimCells = cents.map { case (cid, cv) =>
+      struct((-cosine_sim(col("v"), typedLit(cv))).as("nsim"), lit(cid).as("cid"))
+    }
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(slice(array_sort(array(negSimCells.toIndexedSeq: _*)), 1, IvfProbes)).as("pc"))
+      .select(col("qid"), col("qv"), col("pc.cid").as("cell"))
     corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .dropDuplicates("qid", "vec_id")

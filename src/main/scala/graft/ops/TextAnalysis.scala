@@ -23,8 +23,14 @@ object TextAnalysis {
   def tokenCount(c: Column): Column =
     regexp_count(c, lit("\\S+")).cast("long")
 
+  /** Total whole-word hits for ANY of `words` in ONE text scan: a
+   *  single alternation regex replaces the per-word regexp_count pass
+   *  (16+ scans/row across q28/q29/q54 before). Counts are identical
+   *  to summed per-word counts — every word occurrence matches exactly
+   *  one alternative and consumes the whole word, so alternatives
+   *  can't overlap. */
   def markerScore(c: Column, words: Seq[String]): Column =
-    words.map(w => regexp_count(c, lit("\\b" + w + "\\b")).cast("long")).reduce(_ + _)
+    regexp_count(c, lit(words.mkString("\\b(", "|", ")\\b"))).cast("long")
 
   /** Quality-score building blocks, shared with CorpusPipeline. */
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
@@ -82,9 +88,13 @@ object TextAnalysis {
    *  contract as q28 but over substring counts. */
   def q60LangIdNgram(s: SparkSession, d: String): DataFrame = {
     val text = lower(col("text"))
+    // overlapping grams ("th"/"he" in "the") forbid one alternation
+    // regex here — but substring counts don't need regex at all: the
+    // length-delta-of-replace trick is a plain memchr-style scan per
+    // gram (the DuckDB oracle uses the identical formulation)
     def score(grams: Seq[String]): Column =
       grams.map(g =>
-        regexp_count(text, lit(java.util.regex.Pattern.quote(g))).cast("long"))
+        ((length(text) - length(replace(text, lit(g), lit("")))) / lit(g.length)).cast("long"))
         .reduce(_ + _)
     val scored = documents(s, d).select(
       col("doc_id") +: charNgramProfiles.map { case (l, gs) => score(gs).as(s"ng_$l") }: _*)

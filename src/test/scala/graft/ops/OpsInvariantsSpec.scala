@@ -50,6 +50,38 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
     assert(ivfRecall > 0.2, s"IVF recall@5 $ivfRecall")
   }
 
+  test("hot-bucket guard: all-identical corpus yields linear candidates, not a clique") {
+    import spark.implicits._
+    val n = 300
+    val docs = (0 until n).map(i =>
+      (i.toLong, "en", "the same exact boilerplate text repeated over and over again"))
+      .toDF("doc_id", "lang", "text")
+    val cand = Dedup.minhashCandidates(docs).collect()
+    // every bucket is one degenerate hot bucket → star pairing around
+    // doc 0: exactly n-1 candidate pairs instead of n(n-1)/2 ≈ 45k
+    assert(cand.length == n - 1, s"expected ${n - 1} star pairs, got ${cand.length}")
+    assert(cand.forall(r => r.getLong(0) == 0L), "star pivot must be the min doc_id")
+    // and keep-smallest dedup still removes every duplicate
+    val verified = Dedup.jaccardVerify(docs, Dedup.minhashCandidates(docs), 0.6)
+    assert(verified.count() == n - 1)
+  }
+
+  test("pipeline banded fuzzy dedup matches the exact variant on this corpus") {
+    val docs = Tables.documents(spark, d)
+    def surviving(exact: Boolean): Set[Long] =
+      CorpusPipeline(docs)
+        .annotateQuality()
+        .filterLangs(Set("en", "de", "fr"))
+        .filterQuality(min = 15)
+        .dedupExact()
+        .dedupFuzzyJaccard(threshold = 0.6, exact = exact)
+        .result.select("doc_id").collect().map(_.getLong(0)).toSet
+    val banded = surviving(exact = false)
+    val exactSet = surviving(exact = true)
+    assert(banded == exactSet,
+      s"banded-candidate path diverged: only-banded=${banded -- exactSet} only-exact=${exactSet -- banded}")
+  }
+
   test("multimodal metadata matches its defining formula") {
     val rows = Multimodal.q31MultimodalMeta(spark, d).limit(50).collect()
     rows.foreach { r =>

@@ -41,7 +41,8 @@ def main():
     # crashed in Verify leaves no output and must FAIL, not vanish
     manifest_path = f"{out_dir}/queries.json"
     names = (json.load(open(manifest_path)) if os.path.exists(manifest_path)
-             else sorted(os.listdir(out_dir)))
+             else sorted(n for n in os.listdir(out_dir)
+                         if os.path.isdir(os.path.join(out_dir, n))))
     n_pass = n_fail = 0
     for name in sorted(names):
         d = os.path.join(out_dir, name)
