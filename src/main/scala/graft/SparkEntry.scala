@@ -64,6 +64,7 @@ object SparkEntry {
     "q37_knn_ivf" -> (Similarity.q37KnnIvf _),
     "q38_approx_distinct" -> (Relational.q38ApproxDistinct _),
     "q39_vector_stats" -> (Similarity.q39VectorStats _),
+    "q61_approx_recall" -> (RecallGates.q61ApproxRecall _),
     // text analysis
     "q28_lang_id" -> (TextAnalysis.q28LangId _),
     "q60_lang_id_ngram" -> (TextAnalysis.q60LangIdNgram _),
@@ -128,6 +129,7 @@ object SparkEntry {
     "q40_dedup_apply" -> Dedup.q40Sql,
     "q54_corpus_pipeline" -> CorpusPipeline.q54Sql,
     "q26_knn_brute" -> Similarity.q26Sql,
+    "q61_approx_recall" -> RecallGates.q61Sql,
     "q28_lang_id" -> TextAnalysis.q28Sql,
     "q60_lang_id_ngram" -> TextAnalysis.q60Sql,
     "q29_text_quality" -> TextAnalysis.q29Sql,

@@ -101,6 +101,9 @@ object Main {
       case Left((src, dst)) =>
         val f = new java.io.File(src)
         if (f.isDirectory) engine.importDir(src, dst, delim)
+        // glob → table per matching file (cli.py:140-144); a literal
+        // path containing these chars would have failed import anyway
+        else if (src.exists("*?[".contains(_))) engine.importGlob(src, dst, delim)
         else engine.importFile(src, dst, delim, opts.truncate)
       case Right(src) =>
         val table = graft.core.DbPath.parse(src).table

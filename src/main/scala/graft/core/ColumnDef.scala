@@ -136,7 +136,12 @@ final case class ColumnDef(
       case "float"    => DoubleType
       case "datetime" => TimestampType
       case "date"     => DateType
-      case "time"     => StringType // TimeType exists in 4.1 but CSV read lacks it
+      // TimeType probed on Spark 4.1.2: even with
+      // spark.sql.timeType.enabled=true, the CSV datasource rejects
+      // TIME(6) on BOTH read and write (UNSUPPORTED_DATA_TYPE_FOR_
+      // DATASOURCE; casts and parquet do work) — the string carrier
+      // is the only CSV-ingest-compatible representation
+      case "time"     => StringType
       case "text"     => StringType
     }
     StructField(name, dt, nullable)

@@ -98,4 +98,32 @@ final class Engine(spark: SparkSession, registry: ServerRegistry) {
       .filter(f => f.isFile && f.getName.endsWith(".csv")).sortBy(_.getName)
     files.toSeq.map(f => f.getName -> importFile(f.getPath, dst, delimiter))
   }
+
+  /** Glob import, table per matching file (cli.py:140-144: the
+    * reference globs the pattern and loops single-file imports). The
+    * wildcard must sit in the filename component — a `*.csv` under a
+    * literal directory — the only shape the reference exercises. The
+    * same explicit-table guard as importDir applies: one table per
+    * file, named after it. Per-file failures are swallowed and show
+    * as None, like every other engine entry point (P4). */
+  def importGlob(pattern: String, dst: String, delimiter: Option[String] = None): Seq[(String, Option[Long])] = {
+    if (DbPath.parse(dst).table.isDefined)
+      throw new IllegalArgumentException(
+        "cannot import a glob into an explicit table (cli.py:129-130)")
+    val slash = pattern.lastIndexOf('/')
+    val (dirPart, filePat) =
+      if (slash >= 0) (pattern.substring(0, slash), pattern.substring(slash + 1))
+      else (".", pattern)
+    val dir = java.nio.file.Paths.get(dirPart)
+    if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val stream = java.nio.file.Files.newDirectoryStream(dir, filePat)
+      val matched =
+        try stream.asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally stream.close()
+      matched.map(p => p.getFileName.toString -> importFile(p.toString, dst, delimiter))
+    }
+  }
 }

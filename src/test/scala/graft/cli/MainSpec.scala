@@ -57,4 +57,26 @@ class MainSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException](
       Main.run(spark, Main.parseArgs(Seq("frobnicate", "--config", ini.toString))))
   }
+
+  test("glob import creates one table per matching file (cli.py:140-144)") {
+    val work = Files.createTempDirectory("graftcliglob")
+    val url = s"jdbc:derby:$work/db;create=true"
+    val ini = work.resolve("graft.ini")
+    Files.writeString(ini, s"[servers]\nglb = $url\n")
+    val src = java.nio.file.Paths.get(getClass.getResource("/fixtures/basic.csv").getPath)
+    Files.copy(src, work.resolve("alpha.csv"))
+    Files.copy(src, work.resolve("beta.csv"))
+    Files.writeString(work.resolve("notcsv.txt"), "x\n1\n")
+
+    Main.run(spark, Main.parseArgs(Seq(
+      "import", "--config", ini.toString, s"$work/*.csv", "glb")))
+    assert(JdbcIO.readTable(spark, url, "alpha").count() == 3)
+    assert(JdbcIO.readTable(spark, url, "beta").count() == 3)
+    assert(!JdbcIO.tableExists(url, "notcsv"))
+
+    // explicit-table guard matches importDir semantics
+    intercept[IllegalArgumentException](
+      Main.run(spark, Main.parseArgs(Seq(
+        "import", "--config", ini.toString, s"$work/*.csv", "glb...onetable"))))
+  }
 }

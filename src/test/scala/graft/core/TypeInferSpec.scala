@@ -13,6 +13,17 @@ class TypeInferSpec extends AnyFunSuite {
     assert(!isInt("1e3")); assert(!isInt("-")); assert(!isInt("12a"))
   }
 
+  test("unicode decimal digits parse like python int(), not saturate") {
+    // Character.isDigit accepts any Nd digit — and so does
+    // Long.parseLong (it goes through Character.digit), exactly like
+    // Python's int(); regression-guard that the sampleValue path never
+    // hits the saturation branch for such values
+    val arabicThree = "٣"
+    assert(isInt(arabicThree))
+    val cd = ColumnDef("c").sampleValue(arabicThree)
+    assert(cd.tpe == "int" && cd.minValue == 0L && cd.maxValue == 3L)
+  }
+
   test("isFloat accepts python-float forms") {
     assert(isFloat("2.83")); assert(isFloat("-0.5")); assert(isFloat("1e3"))
     assert(isFloat("135.134")); assert(isFloat("3")); assert(isFloat("inf"))

@@ -44,6 +44,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("q37 IVF assigns cells as a projection: no row-amplifying join, one corpus shuffle") {
+    val p = plan(Similarity.q37KnnIvf(spark, d))
+    // the codebook is inlined as literals → assignment must NOT appear
+    // as a centroid join + re-aggregation (the former 16× NLJ shape)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    // shuffles: probe join on cell + final per-query window — the
+    // corpus is never exchanged more than once for assignment
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "unexpected extra shuffle in IVF plan")
+  }
+
   test("q57 partitioned layout prunes at the directory level") {
     val p = plan(InferOps.q57PartitionedPrune(spark, d))
     assert("""PartitionFilters: \[lang#\d+ IN \(en,de\)\]""".r.findFirstIn(p).isDefined,
