@@ -99,11 +99,15 @@ object Main {
     val delim = if (opts.tab) Some("\t") else None
     validated match {
       case Left((src, dst)) =>
-        val f = new java.io.File(src)
-        if (f.isDirectory) engine.importDir(src, dst, delim)
-        // glob → table per matching file (cli.py:140-144); a literal
-        // path containing these chars would have failed import anyway
-        else if (src.exists("*?[".contains(_))) engine.importGlob(src, dst, delim)
+        // file/dir checks come FIRST, glob last — exactly the
+        // reference's dispatch (cli.py:128-144), so a literal filename
+        // that happens to contain glob chars still imports directly;
+        // the $SHEET selector is stripped for the existence checks
+        val f = new java.io.File(src.split('$')(0))
+        if (f.isDirectory) engine.importDir(src, dst, delim, opts.truncate)
+        else if (f.isFile) engine.importFile(src, dst, delim, opts.truncate)
+        else if (src.exists("*?[".contains(_)))
+          engine.importGlob(src, dst, delim, opts.truncate)
         else engine.importFile(src, dst, delim, opts.truncate)
       case Right(src) =>
         val table = graft.core.DbPath.parse(src).table

@@ -145,8 +145,9 @@ object CsvIO {
     val finalDst = if (useGzip && !dst.endsWith(".gz")) dst + ".gz" else dst
     val d = delimiterFor(finalDst, delimiter)
     val cleaned = cleanboolProjection(df)
-    val writer0 = cleaned
-      .coalesce(if (singleFile) 1 else cleaned.rdd.getNumPartitions)
+    // coalesce only on the single-file path — a no-op coalesce(n)
+    // still forces RDD lineage conversion on the scalable path
+    val writer0 = (if (singleFile) cleaned.coalesce(1) else cleaned)
       .write
       .option("header", "true")
       .option("delimiter", d)

@@ -58,15 +58,27 @@ final class Engine(spark: SparkSession, registry: ServerRegistry) {
         val table = addr.table.getOrElse(
           new java.io.File(path).getName.replaceAll("\\.[^.]*$", ""))
         val base = path.stripSuffix(".gz")
+        // Spark's readers treat paths as Hadoop globs: a LITERAL
+        // filename like lit[1].csv would silently match nothing —
+        // escape the metacharacters when the exact file exists.
+        // (The multiLine whole-file CSV reader double-unescapes and
+        // can't open such paths at all on 4.1.2, so escaped reads run
+        // splittable; embedded quoted newlines inside a bracket-named
+        // file are the one unsupported corner.)
+        val mustEscape =
+          new java.io.File(path).isFile && path.exists("*?[]{}".contains(_))
+        val readPath =
+          if (mustEscape) path.replaceAll("([\\[\\]{}*?])", "\\\\$1") else path
         if (base.endsWith(".parquet") || base.endsWith(".orc")) {
-          val df = if (base.endsWith(".orc")) spark.read.orc(path)
-                   else spark.read.parquet(path)
+          val df = if (base.endsWith(".orc")) spark.read.orc(readPath)
+                   else spark.read.parquet(readPath)
           Some(JdbcIO.writeTableCounted(df, url, qualified(table), None, truncate))
         } else if (base.endsWith(".json") || base.endsWith(".jsonl")) {
-          val df = spark.read.json(path)
+          val df = spark.read.json(readPath)
           Some(JdbcIO.writeTableCounted(df, url, qualified(table), None, truncate))
         } else {
-          val (df, cols) = CsvIO.importCsv(spark, path, delimiter)
+          val (df, cols) = CsvIO.importCsv(spark, readPath, delimiter,
+            multiLine = !mustEscape)
           Some(JdbcIO.writeTableCounted(df, url, qualified(table), Some(cols), truncate))
         }
       }
@@ -90,23 +102,27 @@ final class Engine(spark: SparkSession, registry: ServerRegistry) {
     * (core.py:71-79). A directory plus an explicit TABLE segment is
     * an error — the reference guards the same way (cli.py:129-130);
     * funneling every file into one table would silently merge data. */
-  def importDir(dir: String, dst: String, delimiter: Option[String] = None): Seq[(String, Option[Long])] = {
+  def importDir(dir: String, dst: String, delimiter: Option[String] = None,
+      truncate: Boolean = false): Seq[(String, Option[Long])] = {
     if (DbPath.parse(dst).table.isDefined)
       throw new IllegalArgumentException(
         "cannot import a directory into an explicit table (cli.py:129-130)")
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".csv")).sortBy(_.getName)
-    files.toSeq.map(f => f.getName -> importFile(f.getPath, dst, delimiter))
+    files.toSeq.map(f => f.getName -> importFile(f.getPath, dst, delimiter, truncate))
   }
 
-  /** Glob import, table per matching file (cli.py:140-144: the
-    * reference globs the pattern and loops single-file imports). The
-    * wildcard must sit in the filename component — a `*.csv` under a
-    * literal directory — the only shape the reference exercises. The
-    * same explicit-table guard as importDir applies: one table per
-    * file, named after it. Per-file failures are swallowed and show
-    * as None, like every other engine entry point (P4). */
-  def importGlob(pattern: String, dst: String, delimiter: Option[String] = None): Seq[(String, Option[Long])] = {
+  /** Glob import, table per matching .csv file (cli.py:139-144: the
+    * reference globs the pattern, skips non-csv matches, and loops
+    * single-file imports — truncate included). Only reached when the
+    * pattern is not an existing file/dir, mirroring the reference's
+    * isfile/isdir-first dispatch. Wildcards must sit in the filename
+    * component — a wildcard in a directory component errors loudly
+    * (documented divergence: the reference's glob.glob would walk it,
+    * but a silent empty import would be worse than the restriction).
+    * Per-file failures are swallowed and show as None (P4). */
+  def importGlob(pattern: String, dst: String, delimiter: Option[String] = None,
+      truncate: Boolean = false): Seq[(String, Option[Long])] = {
     if (DbPath.parse(dst).table.isDefined)
       throw new IllegalArgumentException(
         "cannot import a glob into an explicit table (cli.py:129-130)")
@@ -114,16 +130,24 @@ final class Engine(spark: SparkSession, registry: ServerRegistry) {
     val (dirPart, filePat) =
       if (slash >= 0) (pattern.substring(0, slash), pattern.substring(slash + 1))
       else (".", pattern)
+    if (dirPart.exists("*?[".contains(_)))
+      throw new IllegalArgumentException(
+        s"glob wildcards are only supported in the filename component: '$pattern'")
     val dir = java.nio.file.Paths.get(dirPart)
     if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
-      val stream = java.nio.file.Files.newDirectoryStream(dir, filePat)
       val matched =
-        try stream.asScala.filter(java.nio.file.Files.isRegularFile(_))
-          .toSeq.sortBy(_.getFileName.toString)
-        finally stream.close()
-      matched.map(p => p.getFileName.toString -> importFile(p.toString, dst, delimiter))
+        try {
+          val stream = java.nio.file.Files.newDirectoryStream(dir, filePat)
+          try stream.asScala.filter(java.nio.file.Files.isRegularFile(_))
+            .toSeq.sortBy(_.getFileName.toString)
+          finally stream.close()
+        } catch { case e: java.util.regex.PatternSyntaxException =>
+          throw new IllegalArgumentException(s"bad glob pattern '$pattern': ${e.getMessage}")
+        }
+      matched.filter(_.getFileName.toString.endsWith(".csv"))
+        .map(p => p.getFileName.toString -> importFile(p.toString, dst, delimiter, truncate))
     }
   }
 }

@@ -23,42 +23,55 @@ import org.apache.spark.sql.functions._
 object RecallGates {
 
   def q61ApproxRecall(s: SparkSession, d: String): DataFrame = {
+    // one pass per expensive subtree: the brute-force baseline is
+    // marker-joined with BOTH approximate kNNs, the exact pair set
+    // with BOTH dedup sketches — every operator evaluates once in the
+    // unioned plan instead of once per (hits, total) aggregate
     val brute = Similarity.q26KnnBrute(s, d).select(col("qid"), col("nid"))
-
-    // |approx ∩ exact| / |exact| over all (query, top-5 neighbor) rows
-    def annOk(name: String, approx: DataFrame, minRecall: Double): DataFrame = {
-      val hits = brute
-        .join(approx.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-      val tot = brute.agg(count(lit(1)).as("tot"))
-      hits.crossJoin(tot).select(lit(name).as("component"),
-        (col("tot") > 0 && col("hits") >= col("tot") * minRecall).as("ok"))
-    }
+    val lsh = Similarity.q27KnnLsh(s, d)
+      .select(col("qid"), col("nid"), lit(1).as("l"))
+    val ivf = Similarity.q37KnnIvf(s, d)
+      .select(col("qid"), col("nid"), lit(1).as("i"))
+    val annRows = brute
+      .join(lsh, Seq("qid", "nid"), "left")
+      .join(ivf, Seq("qid", "nid"), "left")
+      .agg(count(lit(1)).as("tot"),
+        count(col("l")).as("lhits"), count(col("i")).as("ihits"))
+      .select(explode(array(
+        struct(lit("ivf_knn").as("component"),
+          (col("tot") > 0 && col("ihits") >= col("tot") * 0.2).as("ok")),
+        struct(lit("lsh_knn").as("component"),
+          (col("tot") > 0 && col("lhits") >= col("tot") * 0.4).as("ok")))).as("r"))
+      .select(col("r.component"), col("r.ok"))
 
     // every exact near-dup pair (above the stated floor) must appear
-    // among the approximate pairs — banding is allowed extra
-    // candidates (verification prunes them) but never a miss
+    // among the approximate pairs on THIS corpus — deterministic with
+    // the fixed data + hash seeds; a >HotBucketCap degenerate cluster
+    // would legitimately trade tail pairs for boundedness (Dedup
+    // .bandedPairs), which this corpus doesn't contain
     val exact = Dedup.q23NgramJaccard(s, d)
-    def dedupOk(name: String, exactPairs: DataFrame, approx: DataFrame): DataFrame = {
-      val missed = exactPairs
-        .join(approx.select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"), "left_anti")
-        .agg(count(lit(1)).as("missed"))
-      val tot = exactPairs.agg(count(lit(1)).as("tot"))
-      missed.crossJoin(tot).select(lit(name).as("component"),
-        (col("tot") > 0 && col("missed") === 0).as("ok"))
-    }
-
-    annOk("ivf_knn", Similarity.q37KnnIvf(s, d), 0.2)
-      .union(annOk("lsh_knn", Similarity.q27KnnLsh(s, d), 0.4))
-      .union(dedupOk("minhash_lsh",
-        exact.select(col("doc_a"), col("doc_b")),
-        Dedup.q22MinHashLsh(s, d)))
-      .union(dedupOk("simhash",
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val mh = Dedup.q22MinHashLsh(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("m"))
+    val sh = Dedup.q24SimHash(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("h"))
+    val dedupRows = exact
+      .join(mh, Seq("doc_a", "doc_b"), "left")
+      .join(sh, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("tot"),
+        count(when(col("m").isNull, 1)).as("mh_missed"),
         // SimHash approximates term-set cosine, not Jaccard: only the
         // near-exact (≥0.9) pairs are guaranteed under the Hamming cut
-        exact.filter(col("jaccard") >= 0.9).select(col("doc_a"), col("doc_b")),
-        Dedup.q24SimHash(s, d)))
-      .orderBy(col("component"))
+        count(when(col("jaccard") >= 0.9, 1)).as("hi_tot"),
+        count(when(col("jaccard") >= 0.9 && col("h").isNull, 1)).as("sh_missed"))
+      .select(explode(array(
+        struct(lit("minhash_lsh").as("component"),
+          (col("tot") > 0 && col("mh_missed") === 0).as("ok")),
+        struct(lit("simhash").as("component"),
+          (col("hi_tot") > 0 && col("sh_missed") === 0).as("ok")))).as("r"))
+      .select(col("r.component"), col("r.ok"))
+
+    annRows.union(dedupRows).orderBy(col("component"))
   }
 
   val q61Sql: String =

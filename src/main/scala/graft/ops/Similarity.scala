@@ -72,12 +72,20 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
       .sortBy(_._1)
+    // degenerate corpora (the former join formulation returned empty
+    // gracefully; greatest() needs ≥2 args and must not see 0 or 1)
+    if (cents.isEmpty)
+      return e.filter(lit(false)).select(col("vec_id").as("qid"),
+        lit(0L).as("rnk"), col("vec_id").as("nid"), lit(0.0).as("sim"))
     // struct(csim, cid) max == "nearest cell, ties to larger cid" —
     // identical semantics to the former max(struct) aggregation
     val simCells = cents.map { case (cid, cv) =>
       struct(cosine_sim(col("v"), typedLit(cv)).as("csim"), lit(cid).as("cid"))
     }
-    val corpus = e.withColumn("cell", greatest(simCells.toIndexedSeq: _*).getField("cid"))
+    val cellOf =
+      if (simCells.length == 1) simCells.head.getField("cid")
+      else greatest(simCells.toIndexedSeq: _*).getField("cid")
+    val corpus = e.withColumn("cell", cellOf)
     // queries probe their top-IvfProbes cells: sort the 16 (nsim, cid)
     // structs ascending == csim desc with cid-asc tie-break (the same
     // order the former row_number window produced)

@@ -78,5 +78,25 @@ class MainSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException](
       Main.run(spark, Main.parseArgs(Seq(
         "import", "--config", ini.toString, s"$work/*.csv", "glb...onetable"))))
+
+    // --truncate flows through the glob loop (cli.py:143 passes it):
+    // re-importing must replace, not append
+    Main.run(spark, Main.parseArgs(Seq(
+      "import", "--truncate", "--config", ini.toString, s"$work/*.csv", "glb")))
+    assert(JdbcIO.readTable(spark, url, "alpha").count() == 3)
+
+    // a wildcard in a directory component errors loudly, never a
+    // silent empty import
+    intercept[IllegalArgumentException](
+      Main.run(spark, Main.parseArgs(Seq(
+        "import", "--config", ini.toString, s"$work*/x.csv", "glb"))))
+
+    // a LITERAL filename containing glob chars is a file first
+    // (reference checks isfile before globbing, cli.py:131); such
+    // files read in splittable mode, so newline-free content only
+    Files.writeString(work.resolve("lit[1].csv"), "id,name\n1,a\n2,b\n3,c\n")
+    Main.run(spark, Main.parseArgs(Seq(
+      "import", "--config", ini.toString, s"$work/lit[1].csv", "glb...litbracket")))
+    assert(JdbcIO.readTable(spark, url, "litbracket").count() == 3)
   }
 }

@@ -82,6 +82,21 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
       s"banded-candidate path diverged: only-banded=${banded -- exactSet} only-exact=${exactSet -- banded}")
   }
 
+  test("IVF kNN degrades gracefully on corpora with 0 or 1 centroid vectors") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graftivf").toString
+    def write(ids: Seq[Long]): Unit =
+      ids.map(i => (i, Array.fill(4)(0.5f + i * 0.01f), 0))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    // no vec_id < IvfCells → empty codebook → empty result, no crash
+    write(Seq(100L, 101L, 102L))
+    assert(Similarity.q37KnnIvf(spark, work).count() == 0)
+    // exactly one centroid → single-cell assignment still works
+    write(Seq(5L, 100L, 101L))
+    assert(Similarity.q37KnnIvf(spark, work).collect() != null)
+  }
+
   test("multimodal metadata matches its defining formula") {
     val rows = Multimodal.q31MultimodalMeta(spark, d).limit(50).collect()
     rows.foreach { r =>
