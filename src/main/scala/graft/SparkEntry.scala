@@ -80,6 +80,7 @@ object SparkEntry {
     "q34_stream_tumbling" -> (StreamingOps.q34StreamTumbling _),
     "q43_stream_stateful" -> (StreamingOps.q43StreamStateful _),
     "q58_stream_stream_join" -> (StreamingOps.q58StreamStreamJoin _),
+    "q62_stream_session" -> (StreamingOps.q62StreamSession _),
     // rolling-hash fingerprint + multimodal frame sampling
     "q41_rolling_fingerprint" -> (TextAnalysis.q41RollingFingerprint _),
     "q42_frame_sample" -> (Multimodal.q42FrameSample _),
@@ -141,6 +142,7 @@ object SparkEntry {
     "q34_stream_tumbling" -> StreamingOps.q34Sql,
     "q43_stream_stateful" -> StreamingOps.q43Sql,
     "q58_stream_stream_join" -> StreamingOps.q58Sql,
+    "q62_stream_session" -> StreamingOps.q62Sql,
     "q41_rolling_fingerprint" -> TextAnalysis.q41Sql,
     "q42_frame_sample" -> Multimodal.q42Sql,
     "q45_resize_features" -> Multimodal.q45Sql,

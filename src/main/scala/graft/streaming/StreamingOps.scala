@@ -133,6 +133,50 @@ object StreamingOps {
     finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** Streaming session windows: 30-minute-gap sessions per user via
+   *  `session_window`, drained in complete mode (no watermark needed,
+   *  so tail sessions emit — append mode would hold back every
+   *  session newer than the watermark delay at end-of-stream). The
+   *  batch oracle is gap-based sessionization with the SAME boundary
+   *  semantics: session_window merges an event iff it lands strictly
+   *  before prev_end = prev_ts + gap, i.e. a new session starts at
+   *  diff >= 1800s. Scoped to a user subset — sessions-in-state scale
+   *  with keys, and the narrow stateful query runs on few shuffle
+   *  partitions (state-store I/O scales with partition count). */
+  def q62StreamSession(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.eventsStream(s, d)
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(Tables.cents(col("value"))) / 100.0).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("sess_start"),
+        col("n_events"), col("sum_value"))
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try drainToLocal(s, agg, "complete")(
+      _.orderBy(col("user_id"), col("sess_start")))
+    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  val q62Sql: String =
+    """SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+      | count(*) AS n_events,
+      | CAST(sum(CAST(round("value"*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value
+      |FROM (
+      | SELECT user_id, ts, "value",
+      |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+      | FROM (
+      |  SELECT user_id, event_id, ts, "value",
+      |   CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) >= 1800.0
+      |        THEN 1 ELSE 0 END AS new_sess
+      |  FROM (
+      |   SELECT user_id, event_id, ts, "value",
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |   FROM events WHERE user_id < 50) a) b) c
+      |GROUP BY user_id, sess_idx ORDER BY user_id, sess_start""".stripMargin
+
   val q58Sql: String =
     """SELECT e.event_id AS err_id, count(*) AS n_purchases_1h
       |FROM events e JOIN events p
