@@ -100,11 +100,13 @@ object Main {
     validated match {
       case Left((src, dst)) =>
         // file/dir checks come FIRST, glob last — exactly the
-        // reference's dispatch (cli.py:128-144), so a literal filename
-        // that happens to contain glob chars still imports directly;
-        // the $SHEET selector is stripped for the existence checks
-        val f = new java.io.File(src.split('$')(0))
-        if (f.isDirectory) engine.importDir(src, dst, delim, opts.truncate)
+        // reference's dispatch (cli.py:124-144): the $SHEET selector
+        // is stripped for the existence checks AND the directory
+        // branch walks the STRIPPED path (the full src keeps the
+        // selector only on the single-file route)
+        val plain = src.split('$')(0)
+        val f = new java.io.File(plain)
+        if (f.isDirectory) engine.importDir(plain, dst, delim, opts.truncate)
         else if (f.isFile) engine.importFile(src, dst, delim, opts.truncate)
         else if (src.exists("*?[".contains(_)))
           engine.importGlob(src, dst, delim, opts.truncate)

@@ -146,6 +146,8 @@ final class Engine(spark: SparkSession, registry: ServerRegistry) {
         } catch { case e: java.util.regex.PatternSyntaxException =>
           throw new IllegalArgumentException(s"bad glob pattern '$pattern': ${e.getMessage}")
         }
+      // reference-exact filter (cli.py:141): only .csv matches import;
+      // .tsv/.csv.gz globs are skipped by the reference too
       matched.filter(_.getFileName.toString.endsWith(".csv"))
         .map(p => p.getFileName.toString -> importFile(p.toString, dst, delimiter, truncate))
     }

@@ -244,11 +244,14 @@ object Dedup {
    *
    *  Banding is FINER than q22's (10 bands × 2 rows vs 5 × 4): every
    *  4-row band collision implies both 2-row sub-band collisions, so
-   *  the candidate set is a strict superset of q22's, and the miss
-   *  probability for a true Jaccard-0.6 pair drops from ≈50% to
-   *  ≈1.2% (1-(1-0.6²)¹⁰). Exact verification prunes the extra
-   *  false-positive candidates, so the finer banding only spends
-   *  verification work, never correctness. */
+   *  below the hot-bucket cap the candidate set is a strict superset
+   *  of q22's, and the miss probability for a true Jaccard-0.6 pair
+   *  drops from ≈50% to ≈1.2% (1-(1-0.6²)¹⁰). Exact verification
+   *  prunes the extra false positives. Caveat: finer bands fill
+   *  buckets faster, so on boilerplate-heavy corpora the cap's star
+   *  pairing can engage earlier than q22's — the cap trades tail
+   *  recall for bounded work in BOTH paths, it is not superset-
+   *  preserving once it engages. */
   def minhashCandidates(docs: DataFrame): DataFrame =
     bandedPairs(mkBanded(minhashSignatures(shingleRows(docs)), bands = 10))
 

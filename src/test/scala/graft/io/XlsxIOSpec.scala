@@ -86,6 +86,28 @@ class XlsxIOSpec extends AnyFunSuite with SparkSuite {
     assert(rows == Seq(Seq(XlsxIO.XDateTime(java.time.LocalDateTime.of(2024, 1, 1, 0, 0)))))
   }
 
+  test("streamed writer handles a 50k-row sheet without materializing it") {
+    // the write path streams toLocalIterator → ZIP; this would OOM a
+    // collect()-shaped writer long before 50k at scale factors, and
+    // pins the row-count + value fidelity of the streaming rewrite
+    val out = Files.createTempDirectory("graftxlsxbig").toString + "/big.xlsx"
+    // NB: id stays out of the numeric columns — re-import runs the
+    // reference's SAMPLED inference (20k cap), which would tier
+    // 0..49999 as SMALLINT from the sampled prefix and null the tail;
+    // that's documented I1 semantics, not a writer property
+    // +0.5 keeps every ratio non-integral: an integral first value
+    // would render "0" and trip the reference's int-then-float→text
+    // demotion quirk on re-import
+    val df = spark.range(50000).selectExpr("concat('row_', id) AS name",
+      "(cast(id % 100 AS double) + 0.5) / 7 AS ratio")
+    XlsxIO.writeSheet(df, out, "big")
+    val (back, _) = XlsxIO.importSheet(spark, out, "big")
+    assert(back.count() == 50000)
+    val hit = back.filter(org.apache.spark.sql.functions.col("name") === "row_49999").collect()
+    assert(hit.length == 1)
+    assert(math.abs(hit(0).getAs[Double]("ratio") - (49999 % 100 + 0.5) / 7.0) < 1e-6)
+  }
+
   test("writer round-trip preserves values and replace-sheet keeps other sheets") {
     val (df, _) = XlsxIO.importSheet(spark, refXlsx, "basic2")
     val out = Files.createTempDirectory("graftxlsx").toString + "/rt.xlsx"

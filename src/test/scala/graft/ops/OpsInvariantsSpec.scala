@@ -92,9 +92,12 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
     // no vec_id < IvfCells → empty codebook → empty result, no crash
     write(Seq(100L, 101L, 102L))
     assert(Similarity.q37KnnIvf(spark, work).count() == 0)
-    // exactly one centroid → single-cell assignment still works
+    // exactly one centroid → single-cell assignment still ranks the
+    // corpus for the lone query (vec_id 5): both others are neighbors
     write(Seq(5L, 100L, 101L))
-    assert(Similarity.q37KnnIvf(spark, work).collect() != null)
+    val rows = Similarity.q37KnnIvf(spark, work).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      Set((5L, 100L), (5L, 101L)))
   }
 
   test("multimodal metadata matches its defining formula") {
