@@ -5,11 +5,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus)
-    // warmup: file index + codegen + shuffle machinery, so one-time
-    // JVM costs don't land on whichever query runs first (best-effort:
-    // a dataset without lineitem must not kill the whole bench)
+    // warmup: file index + parquet footers + codegen + shuffle
+    // machinery for EVERY table, so one-time JVM/IO costs don't land
+    // on whichever query touches a table first — per-query times then
+    // measure the operator, not initialization order (best-effort: a
+    // missing table must not kill the whole bench)
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    catch { case _: Throwable => () }
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
+    // events needs the nanos normalization — warm it through the loader
+    try graft.ops.Tables.events(spark, sfDir).count()
     catch { case _: Throwable => () }
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -45,8 +45,18 @@ object StreamingOps {
         (sum(Tables.cents(col("value"))) / 100.0).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("day_bucket"),
         col("event_type"), col("n"), col("sum_value"))
-    drainToLocal(s, agg, "complete")(
-      _.orderBy(col("day_bucket"), col("event_type")))
+    // map-side partials do the row-volume work; the stateful final agg
+    // is small, and state-store I/O scales with shuffle partitions
+    withShuffle(s, 8) {
+      drainToLocal(s, agg, "complete")(
+        _.orderBy(col("day_bucket"), col("event_type")))
+    }
+  }
+
+  private def withShuffle[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   val q34Sql: String =
@@ -82,14 +92,16 @@ object StreamingOps {
     val emitted = stream.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
       .toDF()
-    drainToLocal(s, emitted, "append") { t =>
-      // keep only the final per-user state (max n) — intermediate
-      // emissions appear whenever the source splits into batches
-      t.groupBy(col("user_id"))
-        .agg(max(struct(col("n"), col("sum_cents"))).as("fin"))
-        .select(col("user_id"), col("fin.n").as("n"),
-          (col("fin.sum_cents") / 100.0).as("sum_value"))
-        .orderBy(col("user_id"))
+    withShuffle(s, 8) {
+      drainToLocal(s, emitted, "append") { t =>
+        // keep only the final per-user state (max n) — intermediate
+        // emissions appear whenever the source splits into batches
+        t.groupBy(col("user_id"))
+          .agg(max(struct(col("n"), col("sum_cents"))).as("fin"))
+          .select(col("user_id"), col("fin.n").as("n"),
+            (col("fin.sum_cents") / 100.0).as("sum_value"))
+          .orderBy(col("user_id"))
+      }
     }
   }
 
@@ -122,15 +134,13 @@ object StreamingOps {
     // stream-state checkpoint I/O scales with shuffle partitions
     // (4 store instances per side per partition per batch): a narrow
     // stateful query wants FEW partitions
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try
+    withShuffle(s, 4) {
       drainToLocal(s, joined, "append") { t =>
         t.groupBy(col("err_id"))
           .agg(count(lit(1)).as("n_purchases_1h"))
           .orderBy(col("err_id"))
       }
-    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   /** Streaming session windows: 30-minute-gap sessions per user via
@@ -152,11 +162,10 @@ object StreamingOps {
       .select(col("user_id"),
         unix_timestamp(col("session_window.start")).as("sess_start"),
         col("n_events"), col("sum_value"))
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try drainToLocal(s, agg, "complete")(
-      _.orderBy(col("user_id"), col("sess_start")))
-    finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    withShuffle(s, 4) {
+      drainToLocal(s, agg, "complete")(
+        _.orderBy(col("user_id"), col("sess_start")))
+    }
   }
 
   val q62Sql: String =
