@@ -64,7 +64,13 @@ final case class CorpusPipeline(df: DataFrame, textCol: String = "text",
     *
     * `exact = true` keeps the all-shingle self-join (q23/q40
     * machinery) — the oracle-faithful variant whose recall is exact
-    * by construction; use it to audit the banded path's recall. */
+    * by construction; use it to audit the banded path's recall.
+    *
+    * The candidate and verification legs each scan the upstream
+    * pipeline (lazy DataFrames have no sharing across actions): on a
+    * large corpus, `persist()` the annotated/filtered frame before
+    * this stage so the upstream filters and exact-dedup window run
+    * once. */
   def dedupFuzzyJaccard(threshold: Double, exact: Boolean = false): CorpusPipeline = {
     val canonical = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
       text.as("text"))
