@@ -81,6 +81,9 @@ object SparkEntry {
     "q43_stream_stateful" -> (StreamingOps.q43StreamStateful _),
     "q58_stream_stream_join" -> (StreamingOps.q58StreamStreamJoin _),
     "q62_stream_session" -> (StreamingOps.q62StreamSession _),
+    "q63_stream_dedup" -> (StreamingOps.q63StreamDedup _),
+    "q64_stream_sliding" -> (StreamingOps.q64StreamSliding _),
+    "q65_sketch_error" -> (RecallGates.q65SketchError _),
     // rolling-hash fingerprint + multimodal frame sampling
     "q41_rolling_fingerprint" -> (TextAnalysis.q41RollingFingerprint _),
     "q42_frame_sample" -> (Multimodal.q42FrameSample _),
@@ -143,6 +146,9 @@ object SparkEntry {
     "q43_stream_stateful" -> StreamingOps.q43Sql,
     "q58_stream_stream_join" -> StreamingOps.q58Sql,
     "q62_stream_session" -> StreamingOps.q62Sql,
+    "q63_stream_dedup" -> StreamingOps.q63Sql,
+    "q64_stream_sliding" -> StreamingOps.q64Sql,
+    "q65_sketch_error" -> RecallGates.q65Sql,
     "q41_rolling_fingerprint" -> TextAnalysis.q41Sql,
     "q42_frame_sample" -> Multimodal.q42Sql,
     "q45_resize_features" -> Multimodal.q45Sql,

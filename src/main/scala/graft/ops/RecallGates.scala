@@ -79,4 +79,35 @@ object RecallGates {
       | ('ivf_knn', true), ('lsh_knn', true),
       | ('minhash_lsh', true), ('simhash', true)
       |) t(component, ok) ORDER BY component""".stripMargin
+
+  /** Error-bounded gates for the sketch aggregates — the 100 TB
+   *  percentile/distinct path is the sketch, so the sketch gets a
+   *  quantified correctness bound against the exact computation, not
+   *  just a smoke test: HLL distinct within 5% relative error,
+   *  approx_percentile (rank-error sketch) within 1% value error at
+   *  p50/p90/p99. Both sketches are deterministic for fixed input. */
+  def q65SketchError(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.lineitem(s, d).agg(
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ap"),
+      expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ep"),
+      // rsd 0.02 against a 5% gate: the bound sits at 2.5 standard
+      // deviations of the sketch instead of 1 (the default rsd 0.05
+      // legitimately exceeded 5% on the sf0.001 key population)
+      approx_count_distinct(col("l_orderkey"), 0.02).as("acd"),
+      countDistinct(col("l_orderkey")).as("cd"))
+    stats.select(explode(array(
+      struct(lit("hll_distinct").as("component"),
+        (abs(col("acd") - col("cd")) <= col("cd") * 0.05).as("ok")),
+      struct(lit("pctl_sketch").as("component"),
+        aggregate(
+          zip_with(col("ap"), col("ep"), (a, e) => abs(a - e) <= abs(e) * 0.01),
+          lit(true), (acc, x) => acc && x).as("ok")))).as("r"))
+      .select(col("r.component"), col("r.ok"))
+      .orderBy(col("component"))
+  }
+
+  val q65Sql: String =
+    """SELECT * FROM (VALUES
+      | ('hll_distinct', true), ('pctl_sketch', true)
+      |) t(component, ok) ORDER BY component""".stripMargin
 }

@@ -57,6 +57,13 @@ object Tables {
     }
   }
 
+  /** Streaming twin of [[documents]] — file source over the exact
+    * parquet file (same glob trick as eventsStream). */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    spark.readStream.schema(raw.schema).parquet(s"$dir/{documents.parquet}")
+  }
+
   /** Money-exact aggregation helper: doubles → integral cents, so sums
    *  are order-independent and engine-independent (used by every
    *  oracle-compared revenue aggregate). */

@@ -186,6 +186,59 @@ object StreamingOps {
       |   FROM events WHERE user_id < 50) a) b) c
       |GROUP BY user_id, sess_idx ORDER BY user_id, sess_start""".stripMargin
 
+  /** Streaming exact dedup — the continuous-ingest shape of q20/q21:
+   *  each arriving document keeps only the first occurrence of its
+   *  (lang, fingerprint) key via dropDuplicates state, and the
+   *  retained stream is aggregated per language AFTER the drain
+   *  (chaining a second stateful aggregate onto dropDuplicates in one
+   *  streaming query is restricted; the post-drain batch aggregate is
+   *  exact regardless of which duplicate won the race, because the
+   *  count of distinct keys per lang is order-independent). State is
+   *  keyed by a 128-bit fingerprint, not the text — bounded per-doc
+   *  state at any corpus size. */
+  def q63StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val deduped = Tables.documentsStream(s, d)
+      .withColumn("fp", graft.ops.TextAnalysis.fingerprint(col("text")))
+      .select(col("lang"), col("fp"))
+      .dropDuplicates("lang", "fp")
+    withShuffle(s, 8) {
+      drainToLocal(s, deduped, "append") { t =>
+        t.groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
+          .orderBy(col("lang"))
+      }
+    }
+  }
+
+  val q63Sql: String =
+    """SELECT lang,
+      | count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_unique
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Streaming SLIDING windows (2-hour window, 1-hour slide): every
+   *  event lands in two windows, completing the tumbling/sliding/
+   *  session window-type matrix under the streaming gate. Complete
+   *  mode for end-of-stream parity (as q34/q62). The oracle expands
+   *  each event into its two covering window starts. */
+  def q64StreamSliding(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.eventsStream(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+        col("event_type"), col("n"))
+    withShuffle(s, 8) {
+      drainToLocal(s, agg, "complete")(
+        _.orderBy(col("bucket"), col("event_type")))
+    }
+  }
+
+  val q64Sql: String =
+    """SELECT bucket, event_type, count(*) AS n
+      |FROM (
+      | SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) - 3600*k AS bucket,
+      |  event_type
+      | FROM events, LATERAL (SELECT unnest(ARRAY[0, 1]) AS k) g) t
+      |GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin
+
   val q58Sql: String =
     """SELECT e.event_id AS err_id, count(*) AS n_purchases_1h
       |FROM events e JOIN events p
