@@ -199,6 +199,9 @@ object StreamingOps {
   def q63StreamDedup(s: SparkSession, d: String): DataFrame = {
     val deduped = Tables.documentsStream(s, d)
       .withColumn("fp", graft.ops.TextAnalysis.fingerprint(col("text")))
+      // NULL text → NULL fp: drop it like the oracle's count(DISTINCT)
+      // does (dropDuplicates would otherwise emit one NULL-key row)
+      .filter(col("fp").isNotNull)
       .select(col("lang"), col("fp"))
       .dropDuplicates("lang", "fp")
     withShuffle(s, 8) {
