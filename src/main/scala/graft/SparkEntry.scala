@@ -46,6 +46,7 @@ object SparkEntry {
     "q56_correlated_subquery" -> (Relational.q56CorrelatedSubquery _),
     // event / semi-structured / temporal
     "q12_json_extract" -> (EventOps.q12JsonExtract _),
+    "q66_map_fns" -> (EventOps.q66MapFns _),
     "q13_hourly_tumbling" -> (EventOps.q13HourlyTumbling _),
     "q14_asof_last_signup" -> (EventOps.q14AsofLastSignup _),
     "q15_sessionize" -> (EventOps.q15Sessionize _),
@@ -123,6 +124,7 @@ object SparkEntry {
     "q59_grouped_topk" -> Relational.q59Sql,
     "q56_correlated_subquery" -> Relational.q56Sql,
     "q12_json_extract" -> EventOps.q12Sql,
+    "q66_map_fns" -> EventOps.q66Sql,
     "q13_hourly_tumbling" -> EventOps.q13Sql,
     "q14_asof_last_signup" -> EventOps.q14Sql,
     "q15_sessionize" -> EventOps.q15Sql,

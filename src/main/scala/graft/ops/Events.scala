@@ -38,6 +38,37 @@ object EventOps {
       | max(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Map-typed functions (§2.6 array/map/json row): per-user map of
+   *  event_type → count built with map_from_entries, then consumed
+   *  through element_at lookups, map_values aggregation, and a
+   *  map_filter lambda — outputs are scalars so the DuckDB oracle
+   *  (which has no Spark-map parquet bridge) compares the SEMANTICS
+   *  via plain conditional aggregation. */
+  def q66MapFns(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n")))))
+        .as("m"))
+      .select(col("user_id"),
+        size(col("m")).cast("long").as("n_types"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+        coalesce(element_at(col("m"), "error"), lit(0L)).as("n_error"),
+        aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("n_total"),
+        size(map_filter(col("m"), (_, v) => v > 5)).cast("long").as("n_frequent"))
+      .orderBy(col("user_id"))
+
+  val q66Sql: String =
+    """SELECT user_id, count(*) AS n_types,
+      | CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN n END), 0) AS BIGINT) AS n_purchase,
+      | CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN n END), 0) AS BIGINT) AS n_error,
+      | CAST(sum(n) AS BIGINT) AS n_total,
+      | CAST(count(CASE WHEN n > 5 THEN 1 END) AS BIGINT) AS n_frequent
+      |FROM (SELECT user_id, event_type, count(*) AS n
+      |      FROM events GROUP BY 1, 2) t
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Tumbling 1-hour windows via `window()` — counts, revenue cents,
    *  distinct users per (window × type). */
   def q13HourlyTumbling(s: SparkSession, d: String): DataFrame =
