@@ -94,7 +94,8 @@ object SparkEntry {
     "q36_jdbc_roundtrip" -> (InferOps.q36JdbcRoundtrip _),
     "q51_jsonl_roundtrip" -> (InferOps.q51JsonlRoundtrip _),
     "q57_partition_prune" -> (InferOps.q57PartitionedPrune _),
-    "q52_orc_roundtrip" -> (InferOps.q52OrcRoundtrip _)
+    "q52_orc_roundtrip" -> (InferOps.q52OrcRoundtrip _),
+    "q67_compaction" -> (InferOps.q67Compaction _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -158,6 +159,7 @@ object SparkEntry {
     "q36_jdbc_roundtrip" -> InferOps.q36Sql,
     "q51_jsonl_roundtrip" -> InferOps.q51Sql,
     "q57_partition_prune" -> InferOps.q57Sql,
-    "q52_orc_roundtrip" -> InferOps.q52Sql
+    "q52_orc_roundtrip" -> InferOps.q52Sql,
+    "q67_compaction" -> InferOps.q67Sql
   )
 }

@@ -180,6 +180,49 @@ object InferOps {
       |FROM documents WHERE lang IN ('en', 'de')
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Small-file compaction — the standard maintenance operator for a
+   *  100 TB parquet corpus: a fragmented layout (here: documents
+   *  deliberately shattered into 64 files) is rewritten into
+   *  size-targeted files, and the compacted copy must answer queries
+   *  identically. Target file count = ceil(bytes / targetBytes),
+   *  measured from the fragmented layout itself — no driver-side data
+   *  movement, one distributed read→repartition→write. */
+  def compact(s: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long): Int = {
+    val bytes = {
+      val dir = java.nio.file.Paths.get(inDir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") || p.toString.endsWith(".snappy.parquet"))
+        .map(java.nio.file.Files.size).sum
+    }
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    s.read.parquet(inDir).repartition(parts)
+      .write.mode("overwrite").parquet(outDir)
+    parts
+  }
+
+  /** Driver-gated compaction query: shatter documents into 64 tiny
+   *  files, compact to a byte-targeted layout, aggregate the
+   *  compacted copy; the oracle aggregates the source parquet — any
+   *  row lost/duplicated by the rewrite shows up as a mismatch. */
+  def q67Compaction(s: SparkSession, d: String): DataFrame = {
+    val frag = tmpPath("frag", d)
+    val compacted = tmpPath("compact", d)
+    documents(s, d).repartition(64).write.mode("overwrite").parquet(frag)
+    compact(s, frag, compacted, targetBytes = 4L << 20)
+    s.read.parquet(compacted)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_len"))
+      .orderBy(col("lang"))
+  }
+
+  val q67Sql: String =
+    """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      | CAST(sum(length(text)) AS BIGINT) AS sum_len
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** ORC round-trip — the columnar alternative on the same query. */
   def q52OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = tmpPath("orc_rt", d)

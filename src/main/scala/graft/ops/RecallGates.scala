@@ -99,7 +99,11 @@ object RecallGates {
       // deviations of the sketch instead of 1 (the default rsd 0.05
       // legitimately exceeded 5% on the sf0.001 key population)
       approx_count_distinct(col("l_orderkey"), 0.02).as("acd"),
-      countDistinct(col("l_orderkey")).as("cd"))
+      // exact side via collect_set, NOT countDistinct: a distinct
+      // aggregate mixed with the percentile buffers forces an Expand
+      // plan that replays every buffer per replicate (measured 6.5s
+      // vs 0.5s on the same slice); the set is bounded by the slice
+      size(collect_set(col("l_orderkey"))).cast("long").as("cd"))
     stats.select(explode(array(
       struct(lit("hll_distinct").as("component"),
         (abs(col("acd") - col("cd")) <= col("cd") * 0.05).as("ok")),

@@ -100,6 +100,22 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
       Set((5L, 100L), (5L, 101L)))
   }
 
+  test("compaction rewrites a shattered layout into the computed file count, row-for-row") {
+    import scala.jdk.CollectionConverters._
+    val work = java.nio.file.Files.createTempDirectory("graftcompact")
+    val frag = s"$work/frag"
+    val out = s"$work/out"
+    val src = Tables.documents(spark, "/root/testdata/sf0.001")
+    src.repartition(64).write.parquet(frag)
+    def parquetFiles(dir: String): Seq[java.nio.file.Path] =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(parquetFiles(frag).size == 64)
+    val parts = InferOps.compact(spark, frag, out, targetBytes = 1L << 20)
+    assert(parquetFiles(out).size == parts && parts < 64)
+    assert(spark.read.parquet(out).count() == src.count())
+  }
+
   test("multimodal metadata matches its defining formula") {
     val rows = Multimodal.q31MultimodalMeta(spark, d).limit(50).collect()
     rows.foreach { r =>
