@@ -38,6 +38,7 @@ object Bench {
     val failedJson = failed.sorted.map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"${esc(sfDir)}"}""")
+    graft.ops.InferOps.cleanupScratch()
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

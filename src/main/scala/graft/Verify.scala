@@ -49,6 +49,7 @@ object Verify {
     // shrinking coverage
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    graft.ops.InferOps.cleanupScratch()
     spark.stop()
   }
 }

@@ -108,7 +108,7 @@ object Main {
         val f = new java.io.File(plain)
         if (f.isDirectory) engine.importDir(plain, dst, delim, opts.truncate)
         else if (f.isFile) engine.importFile(src, dst, delim, opts.truncate)
-        else if (src.exists("*?[".contains(_)))
+        else if (src.exists("*?[{}".contains(_)))
           engine.importGlob(src, dst, delim, opts.truncate)
         else engine.importFile(src, dst, delim, opts.truncate)
       case Right(src) =>

@@ -130,7 +130,7 @@ final class Engine(spark: SparkSession, registry: ServerRegistry) {
     val (dirPart, filePat) =
       if (slash >= 0) (pattern.substring(0, slash), pattern.substring(slash + 1))
       else (".", pattern)
-    if (dirPart.exists("*?[".contains(_)))
+    if (dirPart.exists("*?[{}".contains(_)))
       throw new IllegalArgumentException(
         s"glob wildcards are only supported in the filename component: '$pattern'")
     val dir = java.nio.file.Paths.get(dirPart)

@@ -16,10 +16,42 @@ object InferOps {
   /** Temp artifact path keyed by BOTH pid and source dir: two graft
    *  JVMs on the same sfDir must not share round-trip scratch space
    *  (embedded Derby refuses a second boot; csv/orc dirs could be
-   *  overwritten mid-read). */
-  private[ops] def tmpPath(tag: String, d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
-      s"${ProcessHandle.current().pid()}_${Integer.toHexString(d.hashCode)}"
+   *  overwritten mid-read). Because the pid makes every JVM's scratch
+   *  unique, each registered path is deleted best-effort at JVM exit —
+   *  otherwise repeated runs would grow /tmp without bound. */
+  private[ops] def tmpPath(tag: String, d: String, suffix: String = ""): String = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
+      s"${ProcessHandle.current().pid()}_${Integer.toHexString(d.hashCode)}$suffix"
+    cleanupHook
+    cleanupPaths.add(p)
+    p
+  }
+
+  private val cleanupPaths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => cleanupScratch()))
+
+  /** Delete every registered scratch path, best-effort. Verify/Bench
+    * call this explicitly before stopping Spark — the shutdown-hook
+    * fallback races other hooks (Hadoop's shutdown manager can halt
+    * the JVM before a slow hook drains the whole queue). */
+  def cleanupScratch(): Unit = {
+    var p = cleanupPaths.poll()
+    while (p != null) {
+      try {
+        val root = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(root))
+          scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+            st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(f =>
+                // POSIX unlink succeeds on open files (e.g. live Derby)
+                try { java.nio.file.Files.deleteIfExists(f); () }
+                catch { case _: Exception => () })
+          }
+      } catch { case _: Exception => () }
+      p = cleanupPaths.poll()
+    }
+  }
 
   /**
    * Distributed schema inference (treeAggregate of the ColumnDef
@@ -95,7 +127,7 @@ object InferOps {
     val df = nation(s, d)
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey"), col("n_name"), col("r_name"))
-    val out = tmpPath("xlsx_rt", d) + ".xlsx"
+    val out = tmpPath("xlsx_rt", d, suffix = ".xlsx")
     XlsxIO.writeSheet(df, out, "nation")
     val (back, _) = XlsxIO.importSheet(s, out, "nation")
     back.groupBy(col("r_name"))
@@ -190,11 +222,12 @@ object InferOps {
   def compact(s: SparkSession, inDir: String, outDir: String,
       targetBytes: Long): Int = {
     val bytes = {
-      val dir = java.nio.file.Paths.get(inDir)
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet") || p.toString.endsWith(".snappy.parquet"))
-        .map(java.nio.file.Files.size).sum
+      scala.util.Using.resource(java.nio.file.Files.walk(java.nio.file.Paths.get(inDir))) {
+        _.iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map(java.nio.file.Files.size).sum
+      }
     }
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     s.read.parquet(inDir).repartition(parts)

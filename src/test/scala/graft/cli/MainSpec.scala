@@ -91,6 +91,13 @@ class MainSpec extends AnyFunSuite with SparkSuite {
       Main.run(spark, Main.parseArgs(Seq(
         "import", "--config", ini.toString, s"$work*/x.csv", "glb"))))
 
+    // brace alternation routes to the glob branch (table per file),
+    // never to a silent Hadoop-glob merge through importFile
+    Main.run(spark, Main.parseArgs(Seq(
+      "import", "--truncate", "--config", ini.toString, s"$work/{alpha,beta}.csv", "glb")))
+    assert(JdbcIO.readTable(spark, url, "alpha").count() == 3)
+    assert(JdbcIO.readTable(spark, url, "beta").count() == 3)
+
     // a LITERAL filename containing glob chars is a file first
     // (reference checks isfile before globbing, cli.py:131); such
     // files read in splittable mode, so newline-free content only

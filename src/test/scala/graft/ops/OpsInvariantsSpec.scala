@@ -108,8 +108,8 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
     val src = Tables.documents(spark, "/root/testdata/sf0.001")
     src.repartition(64).write.parquet(frag)
     def parquetFiles(dir: String): Seq[java.nio.file.Path] =
-      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
-        .filter(_.toString.endsWith(".parquet")).toSeq
+      scala.util.Using.resource(java.nio.file.Files.walk(java.nio.file.Paths.get(dir)))(
+        _.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq)
     assert(parquetFiles(frag).size == 64)
     val parts = InferOps.compact(spark, frag, out, targetBytes = 1L << 20)
     assert(parquetFiles(out).size == parts && parts < 64)
