@@ -23,13 +23,22 @@ object Bench {
     catch { case _: Throwable => () }
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes EVERY output column — a bare count()
-      // would let Catalyst prune the projections being benchmarked
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => failed ::= name }
-      name -> (System.nanoTime() - t0) / 1e9
+      // min of two timed runs: one noisy-neighbor stall (container
+      // contention skewed a recorded round ~1.6×) can't fake a
+      // regression; min — not mean — because contention only ever
+      // ADDS time to a deterministic workload
+      val times = (1 to 2).flatMap { _ =>
+        val t0 = System.nanoTime()
+        // noop sink materializes EVERY output column — a bare count()
+        // would let Catalyst prune the projections being benchmarked
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => failed ::= name; None }
+      }
+      name -> (if (times.isEmpty) 0.0 else times.min)
     }
+    failed = failed.distinct
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
     }
@@ -37,7 +46,16 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"${esc(sfDir)}"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"${esc(sfDir)}"}"""
+    println(json)
+    // also land the JSON in a file so the recorded artifact never
+    // depends on stdout-tail capture (a prior round's artifact lost
+    // the JSON head to log truncation)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Exception => () }
     graft.ops.InferOps.cleanupScratch()
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -66,17 +66,23 @@ final case class CorpusPipeline(df: DataFrame, textCol: String = "text",
     * machinery) — the oracle-faithful variant whose recall is exact
     * by construction; use it to audit the banded path's recall.
     *
-    * The candidate and verification legs each scan the upstream
-    * pipeline (lazy DataFrames have no sharing across actions): on a
-    * large corpus, `persist()` the annotated/filtered frame before
-    * this stage so the upstream filters and exact-dedup window run
-    * once. */
+    * The shingle frame (which embeds the annotated/filtered/
+    * exact-deduped upstream plus the shingling flatMap) is built ONCE
+    * and `persist`ed here, so the candidate leg, both verify-join
+    * legs, and the size aggregate all read the cache instead of
+    * re-running the upstream per leg. The cache entry is
+    * MEMORY_AND_DISK (spills, LRU-evictable) and deduplicated by
+    * Spark's CacheManager across repeated pipeline builds; one-shot
+    * batch jobs can `spark.catalog.clearCache()` afterwards. */
   def dedupFuzzyJaccard(threshold: Double, exact: Boolean = false): CorpusPipeline = {
     val canonical = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
       text.as("text"))
+    val sh = Dedup.shingleRows(canonical)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs =
-      if (exact) Dedup.jaccardPairs(canonical, threshold)
-      else Dedup.jaccardVerify(canonical, Dedup.minhashCandidates(canonical), threshold)
+      if (exact) Dedup.jaccardPairsFromShingles(sh, threshold)
+      else Dedup.jaccardVerifyFromShingles(sh,
+        Dedup.minhashCandidatesFromShingles(sh), threshold)
     val dupIds = pairs.select(col("doc_b")).distinct()
     copy(df = df.join(dupIds, col(idCol) === col("doc_b"), "left_anti"))
   }
@@ -87,14 +93,18 @@ final case class CorpusPipeline(df: DataFrame, textCol: String = "text",
 object CorpusPipeline {
 
   /** Driver-gated end-to-end pipeline run: annotate → lang filter →
-    * quality filter → exact dedup → fuzzy dedup → per-lang stats. */
+    * quality filter → exact dedup → fuzzy dedup → per-lang stats.
+    * `exact = true` so the oracle-compared query equals the SQL
+    * oracle BY CONSTRUCTION on any corpus (the banded default is
+    * probabilistically equivalent — ≈1.2% per-pair miss at J=0.6 —
+    * and stays pinned to the exact path by OpsInvariantsSpec). */
   def q54Pipeline(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     CorpusPipeline(Tables.documents(s, d))
       .annotateQuality()
       .filterLangs(Set("en", "de", "fr"))
       .filterQuality(min = 15)
       .dedupExact()
-      .dedupFuzzyJaccard(threshold = 0.6)
+      .dedupFuzzyJaccard(threshold = 0.6, exact = true)
       .result
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),

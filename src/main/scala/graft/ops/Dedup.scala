@@ -54,8 +54,13 @@ object Dedup {
    *  a primary path at scale (a viral shingle makes one join key
    *  huge), which is why the banded-MinHash candidate generator below
    *  is the pipeline default. */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleRows(docs)
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardPairsFromShingles(shingleRows(docs), threshold)
+
+  /** jaccardPairs over a pre-built (possibly persisted) shingle
+   *  frame — lets a caller share ONE shingle computation across the
+   *  self-join legs and the size aggregate (CorpusPipeline does). */
+  def jaccardPairsFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val co = sh.as("a")
       .join(sh.as("b"),
@@ -80,8 +85,14 @@ object Dedup {
    *  per doc, never all-pairs; lang blocking matches jaccardPairs so
    *  the two paths agree wherever both emit a pair. */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame =
+    jaccardVerifyFromShingles(shingleRows(docs), candidates, threshold)
+
+  /** jaccardVerify over a pre-built (possibly persisted) shingle
+   *  frame — candidate generation and verification can then share a
+   *  single shingling pass. */
+  def jaccardVerifyFromShingles(sh: DataFrame, candidates: DataFrame,
       threshold: Double): DataFrame = {
-    val sh = shingleRows(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val co = candidates
       .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
@@ -204,8 +215,13 @@ object Dedup {
    *  ≥ 0.5. One shuffle for signatures + one small candidate join:
    *  the linear-ish 100 TB path for fuzzy dedup. Engine-specific
    *  hashing → rows-only check. */
-  def q22MinHashLsh(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignatures(shingleRows(s, d))
+  def q22MinHashLsh(s: SparkSession, d: String): DataFrame =
+    minhashEstPairs(shingleRows(s, d))
+
+  /** q22's body over a pre-built (possibly persisted) shingle frame —
+   *  RecallGates shares one shingling pass across q22/q23/q24. */
+  def minhashEstPairs(sh: DataFrame): DataFrame = {
+    val sig = minhashSignatures(sh)
     val cand = bandedPairs(mkBanded(sig))
     val agree = (0 until MinHashK)
       .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
@@ -253,18 +269,27 @@ object Dedup {
    *  recall for bounded work in BOTH paths, it is not superset-
    *  preserving once it engages. */
   def minhashCandidates(docs: DataFrame): DataFrame =
-    bandedPairs(mkBanded(minhashSignatures(shingleRows(docs)), bands = 10))
+    minhashCandidatesFromShingles(shingleRows(docs))
+
+  /** minhashCandidates over a pre-built (possibly persisted) shingle
+   *  frame. */
+  def minhashCandidatesFromShingles(sh: DataFrame): DataFrame =
+    bandedPairs(mkBanded(minhashSignatures(sh), bands = 10))
 
   /** SimHash: 64-bit signature over shingle xxhash64s; near-pairs =
    *  same 8-bit band ∧ Hamming distance ≤ 12. Banding turns the
    *  all-pairs comparison into 8 equi-joins. Spark-hash-specific →
    *  rows-only check. */
-  def q24SimHash(s: SparkSession, d: String): DataFrame = {
+  def q24SimHash(s: SparkSession, d: String): DataFrame =
+    simhashPairs(shingleRows(s, d))
+
+  /** q24's body over a pre-built (possibly persisted) shingle frame. */
+  def simhashPairs(sh0: DataFrame): DataFrame = {
     // features = the same 3-gram shingles the Jaccard verifier uses
     // (unigram token sets are near-identical across a small-vocab
     // corpus, which washes out the signature); one explode + ONE
     // hash aggregate computes all 64 sign-sums in a single pass
-    val tok = shingleRows(s, d)
+    val tok = sh0
       .select(col("doc_id"), col("s").as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map(i =>

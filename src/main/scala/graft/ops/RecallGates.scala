@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
  * computed in the same engine run. The oracle is the all-true VALUES
  * list — if recall ever regresses below a floor, the Spark side emits
  * `false` and the driver's hash compare goes red. Floors match the
- * OpsInvariantsSpec assertions (ANN: ≥0.4 LSH / ≥0.2 IVF top-5
- * overlap; dedup: zero missed exact pairs ≥ threshold).
+ * OpsInvariantsSpec assertions (ANN: ≥0.7 LSH / ≥0.6 IVF top-5
+ * overlap — measured 0.88–0.96 LSH and 0.70–0.74 IVF at sf0.01/0.1
+ * with the seeded k-means codebook; dedup: zero missed exact pairs
+ * ≥ threshold).
  *
  * All comparisons are lazy joins over tiny result sets (tens of
  * rows) — the dominant cost is the underlying operators themselves.
@@ -39,21 +41,29 @@ object RecallGates {
         count(col("l")).as("lhits"), count(col("i")).as("ihits"))
       .select(explode(array(
         struct(lit("ivf_knn").as("component"),
-          (col("tot") > 0 && col("ihits") >= col("tot") * 0.2).as("ok")),
+          (col("tot") > 0 && col("ihits") >= col("tot") * 0.6).as("ok")),
         struct(lit("lsh_knn").as("component"),
-          (col("tot") > 0 && col("lhits") >= col("tot") * 0.4).as("ok")))).as("r"))
+          (col("tot") > 0 && col("lhits") >= col("tot") * 0.7).as("ok")))).as("r"))
       .select(col("r.component"), col("r.ok"))
 
     // every exact near-dup pair (above the stated floor) must appear
     // among the approximate pairs on THIS corpus — deterministic with
     // the fixed data + hash seeds; a >HotBucketCap degenerate cluster
     // would legitimately trade tail pairs for boundedness (Dedup
-    // .bandedPairs), which this corpus doesn't contain
-    val exact = Dedup.q23NgramJaccard(s, d)
+    // .bandedPairs), which this corpus doesn't contain.
+    // ONE persisted shingle frame feeds all three legs: without it
+    // the unioned plan re-runs the tokenize/shingle flatMap once per
+    // sketch. At bench SF the legs are stage-overhead-bound so the
+    // win is modest, but at corpus scale shingling dominates each
+    // leg and this persist is what keeps the gate at ~1 pass over
+    // the text (run the gate on a sample there regardless).
+    val shingles = Dedup.shingleRows(Tables.documents(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = Dedup.jaccardPairsFromShingles(shingles, 0.6)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    val mh = Dedup.q22MinHashLsh(s, d)
+    val mh = Dedup.minhashEstPairs(shingles)
       .select(col("doc_a"), col("doc_b"), lit(1).as("m"))
-    val sh = Dedup.q24SimHash(s, d)
+    val sh = Dedup.simhashPairs(shingles)
       .select(col("doc_a"), col("doc_b"), lit(1).as("h"))
     val dedupRows = exact
       .join(mh, Seq("doc_a", "doc_b"), "left")

@@ -52,26 +52,24 @@ object Similarity {
       |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id) p) t
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
-  /** IVF-style ANN: a deterministic coarse quantizer (first
-   *  `IvfCells` vectors serve as centroids — a seeded k-means fit
-   *  would slot in identically), every vector assigned to its
-   *  nearest cell, queries probed against their top-`IvfProbes`
-   *  cells, exact cosine re-rank within the probed cells. At 100 TB
-   *  the corpus is partitioned BY cell, so a query touches
-   *  probes/cells of the data. Engine-specific → rows-only check. */
+  /** IVF-style ANN: a seeded spherical k-means coarse quantizer
+   *  (fit below), every vector assigned to its nearest cell, queries
+   *  probed against their top-`IvfProbes` cells, exact cosine
+   *  re-rank within the probed cells. At 100 TB the corpus is
+   *  partitioned BY cell, so a query touches probes/cells of the
+   *  data. Engine-specific → rows-only check; quality oracle-gated
+   *  by q61 (top-5 overlap vs the exact q26 baseline). */
   def q37KnnIvf(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
-    // The coarse codebook is IvfCells (16) vectors by construction —
+    // The coarse codebook is a k-means fit over a bounded sample —
     // collect it once and inline the centroids as literals, so cell
     // assignment is a pure per-row projection: no row amplification,
     // no groupBy shuffle, whole corpus stays in one codegen stage.
     // (At 100 TB the codebook is still driver-sized: k centroids of
-    // dim floats, independent of corpus size.)
-    val cents: Array[(Int, Seq[Float])] = e.filter(col("vec_id") < IvfCells)
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
-      .sortBy(_._1)
+    // dim doubles, independent of corpus size.)
+    val cents: Array[(Int, Seq[Double])] = fitCodebook(e, IvfCells)
+      .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
     // degenerate corpora (the former join formulation returned empty
     // gracefully; greatest() needs ≥2 args and must not see 0 or 1)
     if (cents.isEmpty)
@@ -108,7 +106,76 @@ object Similarity {
   }
 
   private val IvfCells = 16
-  private val IvfProbes = 4
+  private val IvfProbes = 6
+
+  private val KMeansSample = 2048
+  private val KMeansIters = 12
+
+  private def dotd(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def unit(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(dotd(v, v))
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** Deterministic spherical k-means codebook over a bounded sample
+   *  (the `KMeansSample` smallest-vec_id vectors — TakeOrdered, no
+   *  global sort). Driver-side cost is O(sample·k·dim·iters) and the
+   *  codebook is k·dim doubles — both independent of corpus size, so
+   *  the fit stays cheap at 100 TB while the assignment/probe work
+   *  remains a distributed literal-centroid projection. Seeded
+   *  k-means++ init (java.util.Random LCG) → identical centroids
+   *  across JVMs/runs; distance on the unit sphere = 1 − cosine, so
+   *  Lloyd assignment is a max-dot scan. Expects (vec_id, v) rows. */
+  private[ops] def fitCodebook(e: DataFrame, k: Int): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = e.sort(col("vec_id")).limit(KMeansSample)
+      .collect()
+      .map(r => unit(r.getSeq[Float](1).map(_.toDouble).toArray))
+    if (sample.isEmpty) return Array.empty
+    val kk = math.min(k, sample.length)
+    val dim = sample.head.length
+    val rnd = new java.util.Random(7L)
+    // k-means++ seeding: next centroid drawn ∝ distance to nearest
+    // chosen centroid — spreads the codebook across the data's modes
+    val seeds = scala.collection.mutable.ArrayBuffer(sample(rnd.nextInt(sample.length)))
+    while (seeds.length < kk) {
+      val d2 = sample.map(v => math.max(0.0, seeds.map(c => 1.0 - dotd(v, c)).min))
+      val tot = d2.sum
+      if (tot <= 0) seeds += sample(rnd.nextInt(sample.length))
+      else {
+        var r = rnd.nextDouble() * tot
+        var i = 0
+        while (i < d2.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+        seeds += sample(i)
+      }
+    }
+    var centroids = seeds.toArray.map(_.clone)
+    for (_ <- 0 until KMeansIters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      sample.foreach { v =>
+        var best = 0; var bestDot = dotd(v, centroids(0))
+        var c = 1
+        while (c < kk) {
+          val dd = dotd(v, centroids(c))
+          if (dd > bestDot) { best = c; bestDot = dd }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0; while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(kk) { c =>
+        // an emptied cluster keeps its centroid (deterministic; it can
+        // re-acquire members next iteration)
+        if (counts(c) == 0) centroids(c) else unit(sums(c))
+      }
+    }
+    centroids
+  }
 
   private val Dim = 64
   // r=4 bits per table, L=16 tables: collision prob for a cosine-0.4

@@ -46,8 +46,11 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
     // would deduplicate equal counts before summing
     val lshRecall = brute.keys.toSeq.map(q => (lsh(q) & brute(q)).size).sum / (brute.size * 5.0)
     val ivfRecall = brute.keys.toSeq.map(q => (ivf(q) & brute(q)).size).sum / (brute.size * 5.0)
-    assert(lshRecall > 0.4, s"LSH recall@5 $lshRecall")
-    assert(ivfRecall > 0.2, s"IVF recall@5 $ivfRecall")
+    // floors match the q61 gate; measured 0.96 LSH / 0.70 IVF here
+    // (sf0.01) with the seeded k-means codebook — deterministic for
+    // fixed data + seeds
+    assert(lshRecall >= 0.7, s"LSH recall@5 $lshRecall")
+    assert(ivfRecall >= 0.6, s"IVF recall@5 $ivfRecall")
   }
 
   test("hot-bucket guard: all-identical corpus yields linear candidates, not a clique") {
@@ -64,6 +67,24 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
     // and keep-smallest dedup still removes every duplicate
     val verified = Dedup.jaccardVerify(docs, Dedup.minhashCandidates(docs), 0.6)
     assert(verified.count() == n - 1)
+  }
+
+  test("fuzzy dedup shares ONE cached shingle frame across its legs") {
+    // the candidate leg, both verify-join legs, and the size
+    // aggregate must all read the persisted shingle frame — the
+    // annotated/filtered upstream evaluates once, not per leg: the
+    // optimized plan shows ≥3 InMemoryRelation readers (banded path)
+    // and ≥2 (exact path), each replacing a full upstream re-scan
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    for ((exact, minUses) <- Seq((false, 3), (true, 2))) {
+      val res = CorpusPipeline(docs)
+        .dedupFuzzyJaccard(threshold = 0.6, exact = exact).result
+      val plan = res.queryExecution.optimizedPlan.toString
+      val uses = "InMemoryRelation".r.findAllIn(plan).size
+      assert(uses >= minUses,
+        s"exact=$exact: expected >= $minUses cache readers, got $uses")
+      spark.catalog.clearCache()
+    }
   }
 
   test("pipeline banded fuzzy dedup matches the exact variant on this corpus") {
@@ -89,7 +110,8 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
       ids.map(i => (i, Array.fill(4)(0.5f + i * 0.01f), 0))
         .toDF("vec_id", "embedding", "label")
         .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
-    // no vec_id < IvfCells → empty codebook → empty result, no crash
+    // no vec_id < 10 → no query vectors → empty result, no crash
+    // (the k-means codebook fits fine on 3 vectors)
     write(Seq(100L, 101L, 102L))
     assert(Similarity.q37KnnIvf(spark, work).count() == 0)
     // exactly one centroid → single-cell assignment still ranks the
