@@ -84,6 +84,7 @@ object SparkEntry {
     "q62_stream_session" -> (StreamingOps.q62StreamSession _),
     "q63_stream_dedup" -> (StreamingOps.q63StreamDedup _),
     "q64_stream_sliding" -> (StreamingOps.q64StreamSliding _),
+    "q68_stream_late_data" -> (StreamingOps.q68StreamLateData _),
     "q65_sketch_error" -> (RecallGates.q65SketchError _),
     // rolling-hash fingerprint + multimodal frame sampling
     "q41_rolling_fingerprint" -> (TextAnalysis.q41RollingFingerprint _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "q62_stream_session" -> StreamingOps.q62Sql,
     "q63_stream_dedup" -> StreamingOps.q63Sql,
     "q64_stream_sliding" -> StreamingOps.q64Sql,
+    "q68_stream_late_data" -> StreamingOps.q68Sql,
     "q65_sketch_error" -> RecallGates.q65Sql,
     "q41_rolling_fingerprint" -> TextAnalysis.q41Sql,
     "q42_frame_sample" -> Multimodal.q42Sql,

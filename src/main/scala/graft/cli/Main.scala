@@ -104,7 +104,11 @@ object Main {
         // is stripped for the existence checks AND the directory
         // branch walks the STRIPPED path (the full src keeps the
         // selector only on the single-file route)
-        val plain = src.split('$')(0)
+        // takeWhile, not split: split('$') on a bare "$" drops the
+        // trailing empty and returns an EMPTY array → AIOOBE
+        val plain = src.takeWhile(_ != '$')
+        if (plain.isEmpty)
+          throw new IllegalArgumentException(s"empty source path in '$src'")
         val f = new java.io.File(plain)
         if (f.isDirectory) engine.importDir(plain, dst, delim, opts.truncate)
         else if (f.isFile) engine.importFile(src, dst, delim, opts.truncate)

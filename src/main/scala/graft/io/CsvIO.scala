@@ -12,9 +12,9 @@ import org.apache.spark.sql.types._
  * Import is the reference's two-pass structure (core.py:137→147):
  * pass 1 reads everything as strings and infers the schema
  * (SchemaInfer); pass 2 re-reads with the typed schema. Spark reads
- * `.gz` natively, which fixes the reference's broken compressed
- * import (core.py:19 accepts `.gz` but opens with plain `open()` —
- * SURVEY.md §2.7.1).
+ * `.gz` natively, and `.zip` is unpacked to scratch first — both fix
+ * the reference's broken compressed import (core.py:19 accepts the
+ * suffixes but opens with plain `open()` — SURVEY.md §2.7.1).
  */
 object CsvIO {
 
@@ -57,16 +57,54 @@ object CsvIO {
       delimiter: Option[String] = None,
       sampleSize: Int = SchemaInfer.DefaultSampleSize,
       multiLine: Boolean = true): (DataFrame, Seq[ColumnDef]) = {
-    // the reference's regex ACCEPTED .zip but its reader couldn't open
-    // it (SURVEY §2.7.1); Spark has no zip codec either — reading
-    // would silently import the raw archive bytes as garbage rows
-    if (path.endsWith(".zip")) throw new IllegalArgumentException(
-      s"$path: zip archives are not supported — use gzip (.gz)")
+    // the reference's regex ACCEPTED .zip but its plain open() could
+    // never read one (core.py:18-25 — SURVEY §2.7.1): this is a
+    // fix-the-reference-bug port, not a port of the bug. Spark has no
+    // zip codec (a zip's central directory makes it non-streamable),
+    // so the single entry is extracted driver-side to pid-keyed
+    // scratch and the normal CSV path reads that. Delimiter dispatch
+    // stays on the OUTER name (data.tsv.zip → TAB), like .gz.
+    val realPath = if (path.endsWith(".zip")) unzipToScratch(path) else path
     val d = delimiterFor(path, delimiter)
-    val raw = readRaw(spark, path, d, multiLine)
+    val raw = readRaw(spark, realPath, d, multiLine)
     val cols = SchemaInfer.inferSample(raw, sampleSize)
     val typed = castTo(raw, cols)
     (typed, cols)
+  }
+
+  /** Extract a single-entry zip to pid-keyed scratch and return the
+   *  extracted file's path. Multi-entry archives are rejected loudly —
+   *  the reference's one-file-one-table model has no answer for them.
+   *  Driver-side by necessity (the container file must be read
+   *  locally to be split); the extracted CSV then reads distributed.
+   *  Scratch is pid-keyed (concurrent JVMs can't collide) and
+   *  deleted at JVM exit. */
+  private def unzipToScratch(path: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val entries = zf.entries().asScala.filterNot(_.isDirectory).toList
+      if (entries.isEmpty)
+        throw new IllegalArgumentException(s"$path: empty zip archive")
+      if (entries.sizeIs > 1)
+        throw new IllegalArgumentException(
+          s"$path: multi-entry zip archives are not supported " +
+            s"(entries: ${entries.map(_.getName).mkString(", ")})")
+      val dir = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_unzip_${ProcessHandle.current().pid()}_" +
+          Integer.toHexString(path.hashCode))
+      Files.createDirectories(dir)
+      // name the extraction after the OUTER path minus .zip so the
+      // scratch file keeps a recognizable csv/tsv extension
+      val out = dir.resolve(Paths.get(path.stripSuffix(".zip")).getFileName)
+      scala.util.Using.resource(zf.getInputStream(entries.head)) { in =>
+        Files.copy(in, out, StandardCopyOption.REPLACE_EXISTING)
+      }
+      out.toFile.deleteOnExit()
+      dir.toFile.deleteOnExit()
+      out.toString
+    } finally zf.close()
   }
 
   // the SAME format lists TypeInfer classifies with — a value that

@@ -46,6 +46,10 @@ object EventOps {
    *  via plain conditional aggregation. */
   def q66MapFns(s: SparkSession, d: String): DataFrame =
     events(s, d)
+      // a NULL event_type would crash map_from_entries (MAP_KEY_NULL)
+      // while the oracle's conditional aggregation tolerates it —
+      // fail closed by excluding NULL keys on BOTH sides
+      .filter(col("event_type").isNotNull)
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("user_id"))
@@ -66,7 +70,7 @@ object EventOps {
       | CAST(sum(n) AS BIGINT) AS n_total,
       | CAST(count(CASE WHEN n > 5 THEN 1 END) AS BIGINT) AS n_frequent
       |FROM (SELECT user_id, event_type, count(*) AS n
-      |      FROM events GROUP BY 1, 2) t
+      |      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2) t
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Tumbling 1-hour windows via `window()` — counts, revenue cents,

@@ -19,7 +19,7 @@ object InferOps {
    *  overwritten mid-read). Because the pid makes every JVM's scratch
    *  unique, each registered path is deleted best-effort at JVM exit —
    *  otherwise repeated runs would grow /tmp without bound. */
-  private[ops] def tmpPath(tag: String, d: String, suffix: String = ""): String = {
+  private[graft] def tmpPath(tag: String, d: String, suffix: String = ""): String = {
     val p = s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
       s"${ProcessHandle.current().pid()}_${Integer.toHexString(d.hashCode)}$suffix"
     cleanupHook

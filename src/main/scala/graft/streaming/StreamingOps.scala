@@ -59,6 +59,85 @@ object StreamingOps {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Stage `df` as ONE parquet file at `dir/name` with an explicit
+    * modification time — the knob FileStreamSource orders micro-
+    * batches by (oldest first), which lets a test/query replay files
+    * as deliberately-ordered batches. */
+  private def writeOneFile(df: DataFrame, dir: String, name: String,
+      mtimeMillis: Long): Unit = {
+    import java.nio.file._
+    val tmp = Paths.get(dir, s"__stage_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = scala.util.Using.resource(Files.list(tmp)) {
+      _.filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().orElseThrow(() => new IllegalStateException(s"no part in $tmp"))
+    }
+    val target = Paths.get(dir, name)
+    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    scala.util.Using.resource(Files.list(tmp))(_.forEach(p => Files.deleteIfExists(p)))
+    Files.delete(tmp)
+    Files.setLastModifiedTime(target,
+      attribute.FileTime.fromMillis(mtimeMillis))
+  }
+
+  /** Everything before this instant replays as the LATE micro-batch. */
+  private val LateCutoff = "2024-01-15 00:00:00"
+  /** Splits the on-time rows into two batches — Spark's two-watermark
+    * policy (late-event filtering in batch N uses batch N−1's
+    * watermark) needs an intervening batch before drops engage. */
+  private val MidCutoff = "2024-01-25 00:00:00"
+
+  /** Streaming LATE-DATA semantics under a watermark — the append-
+    * mode drop path, oracle-gated: the stream replays events as three
+    * micro-batches (on-time rows in two files, then every
+    * pre-`LateCutoff` straggler). By the time the stragglers arrive
+    * the late-event watermark stands at max(on-time ts) − 1 h — days
+    * past every one of them — so the whole final batch must be
+    * dropped (verified: numRowsDroppedByWatermark = all of them), and
+    * append mode only ever emits windows closed below the watermark.
+    * The oracle states exactly that: the hourly aggregate over ONLY
+    * on-time rows, restricted to windows whose end ≤ max(ts) − 1 h.
+    * Any late row leaking into state, or any unclosed window leaking
+    * into output, breaks the hash. Watermarks are what bound state at
+    * 100 TB/day ingest — this gate pins the drop semantics they rely
+    * on. (Three batches, not two: Spark filters batch N's late rows
+    * with batch N−1's watermark, so a straggler batch immediately
+    * after the first would merge-then-emit instead of drop.) */
+  def q68StreamLateData(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("ts"), col("event_type"))
+    val cut = lit(LateCutoff).cast("timestamp")
+    val mid = lit(MidCutoff).cast("timestamp")
+    val dir = graft.ops.InferOps.tmpPath("late_stream", d)
+    val now = System.currentTimeMillis()
+    writeOneFile(ev.filter(col("ts") >= cut && col("ts") < mid),
+      dir, "0_ontime_a.parquet", now - 120000)
+    writeOneFile(ev.filter(col("ts") >= mid), dir, "1_ontime_b.parquet", now - 60000)
+    writeOneFile(ev.filter(col("ts") < cut), dir, "2_late.parquet", now)
+    val agg = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+        col("event_type"), col("n"))
+    withShuffle(s, 8) {
+      drainToLocal(s, agg, "append")(
+        _.orderBy(col("bucket"), col("event_type")))
+    }
+  }
+
+  val q68Sql: String =
+    """WITH ontime AS (
+      |  SELECT ts, event_type FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+      |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM ontime)
+      |SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket,
+      | event_type, count(*) AS n
+      |FROM ontime, wm
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val q34Sql: String =
     """SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_bucket,
       | event_type, count(*) AS n,
@@ -199,14 +278,15 @@ object StreamingOps {
   def q63StreamDedup(s: SparkSession, d: String): DataFrame = {
     val deduped = Tables.documentsStream(s, d)
       .withColumn("fp", graft.ops.TextAnalysis.fingerprint(col("text")))
-      // NULL text → NULL fp: drop it like the oracle's count(DISTINCT)
-      // does (dropDuplicates would otherwise emit one NULL-key row)
-      .filter(col("fp").isNotNull)
       .select(col("lang"), col("fp"))
+      // NULL fps ride through the drain as ONE state row per lang
+      // (dropDuplicates groups NULLs), so a lang whose documents are
+      // all NULL-text still surfaces; the post-drain count(fp) skips
+      // NULLs exactly like the oracle's count(DISTINCT) → (lang, 0)
       .dropDuplicates("lang", "fp")
     withShuffle(s, 8) {
       drainToLocal(s, deduped, "append") { t =>
-        t.groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
+        t.groupBy(col("lang")).agg(count(col("fp")).as("n_unique"))
           .orderBy(col("lang"))
       }
     }

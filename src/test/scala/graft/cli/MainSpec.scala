@@ -56,6 +56,12 @@ class MainSpec extends AnyFunSuite with SparkSuite {
 
     intercept[IllegalArgumentException](
       Main.run(spark, Main.parseArgs(Seq("frobnicate", "--config", ini.toString))))
+
+    // a source that is ONLY a $SHEET selector must error with a sane
+    // message, not AIOOBE (split('$') drops trailing empties)
+    intercept[IllegalArgumentException](
+      Main.run(spark, Main.parseArgs(Seq(
+        "import", "--config", ini.toString, "$", "cli...t2"))))
   }
 
   test("glob import creates one table per matching file (cli.py:140-144)") {

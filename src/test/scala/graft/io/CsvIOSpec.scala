@@ -125,7 +125,7 @@ class CsvIOSpec extends AnyFunSuite with SparkSuite {
     assert(typed.filter(col("n").isNull).count() == 1) // try_cast, no crash
   }
 
-  test("duplicate headers import with suffixed names; .zip is rejected with a clear error") {
+  test("duplicate headers import with suffixed names") {
     val dir = Files.createTempDirectory("graftdup")
     val f = dir.resolve("dup.csv")
     Files.writeString(f, "id,id,val\n1,2,x\n3,4,y\n")
@@ -135,7 +135,33 @@ class CsvIOSpec extends AnyFunSuite with SparkSuite {
     assert(cols.map(_.name).distinct.size == 3)
     val r = typed.orderBy(typed.columns.head).collect()(0)
     assert(r.getAs[Number](0).intValue() == 1 && r.getAs[Number](1).intValue() == 2)
-    intercept[IllegalArgumentException](CsvIO.importCsv(spark, "data.csv.zip"))
+  }
+
+  test("single-entry .zip imports through scratch extraction; multi-entry rejects") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = Files.createTempDirectory("graftzip")
+    def writeZip(name: String, entries: (String, String)*): String = {
+      val p = dir.resolve(name)
+      val zos = new ZipOutputStream(Files.newOutputStream(p))
+      try entries.foreach { case (en, content) =>
+        zos.putNextEntry(new ZipEntry(en))
+        zos.write(content.getBytes("UTF-8"))
+        zos.closeEntry()
+      } finally zos.close()
+      p.toString
+    }
+    // tsv-in-zip: delimiter dispatch must follow the OUTER name
+    val single = writeZip("pts.tsv.zip", "inner.tsv" -> "id\tname\n1\talpha\n2\tbeta\n")
+    val (typed, cols) = CsvIO.importCsv(spark, single)
+    assert(cols.map(_.name) == Seq("id", "name"))
+    assert(typed.orderBy(col("id")).collect().map(_.getString(1)).toSeq ==
+      Seq("alpha", "beta"))
+    // the reference's one-file-one-table model: multi-entry is an error
+    val multi = writeZip("two.csv.zip", "a.csv" -> "x\n1\n", "b.csv" -> "y\n2\n")
+    val err = intercept[IllegalArgumentException](CsvIO.importCsv(spark, multi))
+    assert(err.getMessage.contains("multi-entry"))
+    val empty = writeZip("none.csv.zip")
+    intercept[IllegalArgumentException](CsvIO.importCsv(spark, empty))
   }
 
   test("inferFull (treeAggregate) agrees with inferSample on the fixture") {

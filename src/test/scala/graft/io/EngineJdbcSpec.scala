@@ -33,6 +33,20 @@ class EngineJdbcSpec extends AnyFunSuite with SparkSuite {
     } finally cn.close()
   }
 
+  test("zip import routes through scratch extraction into Derby (S3)") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val p = Files.createTempDirectory("graftzipeng").resolve("zt.csv.zip")
+    val zos = new ZipOutputStream(Files.newOutputStream(p))
+    try {
+      zos.putNextEntry(new ZipEntry("zt.csv"))
+      zos.write("a,b\n1,x\n2,y\n".getBytes("UTF-8"))
+      zos.closeEntry()
+    } finally zos.close()
+    val n = engine.importFile(p.toString, "test...ziptable")
+    assert(n.contains(2L))
+    assert(JdbcIO.readTable(spark, url, "ziptable").count() == 2)
+  }
+
   test("append vs truncate load semantics (K3)") {
     engine.importFile(fixture, "test...basic")          // append → 6
     val afterAppend = JdbcIO.readTable(spark, url, "basic").count()

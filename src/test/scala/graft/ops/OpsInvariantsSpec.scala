@@ -69,6 +69,29 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
     assert(verified.count() == n - 1)
   }
 
+  test("hot-bucket star pairing drops EVERY member of a planted >cap boilerplate cluster") {
+    import spark.implicits._
+    // 100 near-duplicates (> HotBucketCap = 64) of one boilerplate
+    // doc, plus unrelated background docs: the star trade documented
+    // at Dedup.bandedPairs must still let keep-smallest dedup drop
+    // every non-minimal cluster member — the documented guarantee,
+    // previously only the no-blow-up side was tested
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val cluster = (0 until 100).map(i => (i.toLong, "en", s"$base extra$i"))
+    val others = (0 until 20).map(i =>
+      (1000L + i, "en", (1 to 30).map(j => s"uniq${i}w$j").mkString(" ")))
+    val docs = (cluster ++ others).toDF("doc_id", "lang", "text")
+    // the guard must actually engage: at least one (band, key) bucket
+    // exceeds the cap, so candidates stay linear-ish, not ~100²/2
+    val nCand = Dedup.minhashCandidates(docs).count()
+    assert(nCand < 1000, s"expected capped candidates, got $nCand")
+    val surviving = CorpusPipeline(docs).dedupFuzzyJaccard(threshold = 0.6)
+      .result.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surviving == (others.map(_._1).toSet + 0L),
+      s"cluster members leaked through dedup: ${surviving - 0L -- others.map(_._1).toSet}")
+    spark.catalog.clearCache()
+  }
+
   test("fuzzy dedup shares ONE cached shingle frame across its legs") {
     // the candidate leg, both verify-join legs, and the size
     // aggregate must all read the persisted shingle frame — the
