@@ -26,17 +26,23 @@ object Bench {
       // min of two timed runs: one noisy-neighbor stall (container
       // contention skewed a recorded round ~1.6×) can't fake a
       // regression; min — not mean — because contention only ever
-      // ADDS time to a deterministic workload
-      val times = (1 to 2).flatMap { _ =>
+      // ADDS time to a deterministic workload. Any failure voids the
+      // query entirely (0.0 + `failed`, second run short-circuited) —
+      // a failed query must never carry a plausible-looking time.
+      var ok = true
+      var best = Double.MaxValue
+      var run = 0
+      while (ok && run < 2) {
+        run += 1
         val t0 = System.nanoTime()
         // noop sink materializes EVERY output column — a bare count()
         // would let Catalyst prune the projections being benchmarked
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => failed ::= name; None }
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => ok = false; failed ::= name }
       }
-      name -> (if (times.isEmpty) 0.0 else times.min)
+      name -> (if (ok) best else 0.0)
     }
     failed = failed.distinct
     def esc(s: String): String = s.flatMap {

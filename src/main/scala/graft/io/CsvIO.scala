@@ -72,6 +72,12 @@ object CsvIO {
     (typed, cols)
   }
 
+  /** Decompressed-size ceiling for zip extraction (zip-bomb guard):
+   *  a corrupt or hostile archive must not fill the tmpdir before any
+   *  CSV validation runs. Overridable for genuinely huge imports. */
+  private[io] def maxUnzippedBytes: Long =
+    sys.props.get("graft.zip.maxBytes").map(_.toLong).getOrElse(8L << 30)
+
   /** Extract a single-entry zip to pid-keyed scratch and return the
    *  extracted file's path. Multi-entry archives are rejected loudly —
    *  the reference's one-file-one-table model has no answer for them.
@@ -80,7 +86,7 @@ object CsvIO {
    *  Scratch is pid-keyed (concurrent JVMs can't collide) and
    *  deleted at JVM exit. */
   private def unzipToScratch(path: String): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val zf = new java.util.zip.ZipFile(path)
     try {
@@ -91,18 +97,48 @@ object CsvIO {
         throw new IllegalArgumentException(
           s"$path: multi-entry zip archives are not supported " +
             s"(entries: ${entries.map(_.getName).mkString(", ")})")
+      val entry = entries.head
+      // zip-slip guard: the output name below derives from the OUTER
+      // path (never the entry name), but a traversal-shaped entry name
+      // still marks a hostile archive — fail loudly instead of quietly
+      // extracting it under a sanitized name
+      val entryName = entry.getName
+      if (Paths.get(entryName).isAbsolute ||
+          entryName.split("[/\\\\]").contains(".."))
+        throw new IllegalArgumentException(
+          s"$path: zip entry name escapes the archive: $entryName")
       val dir = Paths.get(sys.props("java.io.tmpdir"),
         s"graft_unzip_${ProcessHandle.current().pid()}_" +
           Integer.toHexString(path.hashCode))
       Files.createDirectories(dir)
+      // JVM-exit deletion runs registrations LIFO: the dir must be
+      // registered BEFORE its contents so the (then-empty) dir deletes
+      // last — the reverse order leaked one empty scratch dir per zip
+      dir.toFile.deleteOnExit()
       // name the extraction after the OUTER path minus .zip so the
       // scratch file keeps a recognizable csv/tsv extension
       val out = dir.resolve(Paths.get(path.stripSuffix(".zip")).getFileName)
-      scala.util.Using.resource(zf.getInputStream(entries.head)) { in =>
-        Files.copy(in, out, StandardCopyOption.REPLACE_EXISTING)
-      }
       out.toFile.deleteOnExit()
-      dir.toFile.deleteOnExit()
+      val cap = maxUnzippedBytes
+      try {
+        scala.util.Using.resources(
+            zf.getInputStream(entry), Files.newOutputStream(out)) { (in, os) =>
+          val buf = new Array[Byte](1 << 16)
+          var total = 0L
+          var n = in.read(buf)
+          while (n >= 0) {
+            total += n
+            if (total > cap)
+              throw new IllegalArgumentException(
+                s"$path: decompressed size exceeds ${cap}B cap " +
+                  "(zip bomb? raise -Dgraft.zip.maxBytes for legitimate imports)")
+            os.write(buf, 0, n)
+            n = in.read(buf)
+          }
+        }
+      } catch {
+        case e: Throwable => Files.deleteIfExists(out); throw e
+      }
       out.toString
     } finally zf.close()
   }

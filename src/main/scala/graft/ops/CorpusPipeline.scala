@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
  * }}}
  */
 final case class CorpusPipeline(df: DataFrame, textCol: String = "text",
-    idCol: String = "doc_id", langCol: String = "lang") {
+    idCol: String = "doc_id", langCol: String = "lang",
+    private val scopedCaches: Seq[DataFrame] = Nil) {
 
   private def text: Column = col(textCol)
 
@@ -71,9 +72,10 @@ final case class CorpusPipeline(df: DataFrame, textCol: String = "text",
     * and `persist`ed here, so the candidate leg, both verify-join
     * legs, and the size aggregate all read the cache instead of
     * re-running the upstream per leg. The cache entry is
-    * MEMORY_AND_DISK (spills, LRU-evictable) and deduplicated by
-    * Spark's CacheManager across repeated pipeline builds; one-shot
-    * batch jobs can `spark.catalog.clearCache()` afterwards. */
+    * MEMORY_AND_DISK (spills, LRU-evictable), deduplicated by Spark's
+    * CacheManager across repeated pipeline builds, and SCOPED to this
+    * pipeline: [[run]] (or an explicit [[close]] after materializing
+    * [[result]]) releases it deterministically. */
   def dedupFuzzyJaccard(threshold: Double, exact: Boolean = false): CorpusPipeline = {
     val canonical = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
       text.as("text"))
@@ -84,10 +86,30 @@ final case class CorpusPipeline(df: DataFrame, textCol: String = "text",
       else Dedup.jaccardVerifyFromShingles(sh,
         Dedup.minhashCandidatesFromShingles(sh), threshold)
     val dupIds = pairs.select(col("doc_b")).distinct()
-    copy(df = df.join(dupIds, col(idCol) === col("doc_b"), "left_anti"))
+    copy(df = df.join(dupIds, col(idCol) === col("doc_b"), "left_anti"),
+      scopedCaches = scopedCaches :+ sh)
   }
 
+  /** The lazy end-to-end frame — plan-inspectable and composable.
+    * After materializing it, call [[close]] to release the pipeline's
+    * scoped cache entries (or use [[run]], which does both). */
   def result: DataFrame = df
+
+  /** Releases the scoped cache entries persisted by
+    * [[dedupFuzzyJaccard]]. Idempotent; non-blocking unpersist, so
+    * in-flight jobs reading the cache are unaffected. */
+  def close(): Unit = scopedCaches.foreach(_.unpersist(false))
+
+  /** Materializes the pipeline eagerly (localCheckpoint — one pass
+    * over the corpus) and releases the scoped caches: nothing from
+    * the pipeline outlives the returned frame's lineage. For corpora
+    * that exceed executor storage, write [[result]] to a durable sink
+    * instead and then [[close]] — same lifecycle, durable carrier. */
+  def run(): DataFrame = {
+    val out = df.localCheckpoint(true)
+    close()
+    out
+  }
 }
 
 object CorpusPipeline {
@@ -99,13 +121,17 @@ object CorpusPipeline {
     * probabilistically equivalent — ≈1.2% per-pair miss at J=0.6 —
     * and stays pinned to the exact path by OpsInvariantsSpec). */
   def q54Pipeline(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    // run() (not .result): the deduped corpus materializes once and
+    // the scoped shingle cache is released before the stats aggregate
+    // even plans — the driver loop holds no cache entries between
+    // queries
     CorpusPipeline(Tables.documents(s, d))
       .annotateQuality()
       .filterLangs(Set("en", "de", "fr"))
       .filterQuality(min = 15)
       .dedupExact()
       .dedupFuzzyJaccard(threshold = 0.6, exact = true)
-      .result
+      .run()
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("quality_score")).as("sum_quality"),

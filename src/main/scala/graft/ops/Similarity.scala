@@ -68,7 +68,7 @@ object Similarity {
     // no groupBy shuffle, whole corpus stays in one codegen stage.
     // (At 100 TB the codebook is still driver-sized: k centroids of
     // dim doubles, independent of corpus size.)
-    val cents: Array[(Int, Seq[Double])] = fitCodebook(e, IvfCells)
+    val cents: Array[(Int, Seq[Double])] = codebook(e, d)
       .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
     // degenerate corpora (the former join formulation returned empty
     // gracefully; greatest() needs ≥2 args and must not see 0 or 1)
@@ -110,6 +110,23 @@ object Similarity {
 
   private val KMeansSample = 2048
   private val KMeansIters = 12
+
+  /** The fitted codebook is a MODEL ARTIFACT, not query state: for a
+   *  fixed (corpus dir, k) the seeded fit is deterministic, so it is
+   *  memoized per corpus and reused by every probe (q37, the q61
+   *  recall gate, the partitioned layout) instead of re-running the
+   *  TakeOrdered+collect sample job per query. At 100 TB the same
+   *  artifact would be persisted alongside the layout. Re-fitting
+   *  after a corpus rewrite requires [[invalidateCodebook]] (tests
+   *  that overwrite a dir in place do this). */
+  private val codebookCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Array[Array[Double]]]
+
+  private[graft] def invalidateCodebook(dir: String): Unit =
+    codebookCache.filterInPlace { case ((d, _), _) => d != dir }
+
+  private def codebook(e: DataFrame, dir: String): Array[Array[Double]] =
+    codebookCache.getOrElseUpdate((dir, IvfCells), fitCodebook(e, IvfCells))
 
   private def dotd(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0

@@ -219,14 +219,23 @@ object TextAnalysis {
    *  exact and oracle-checkable against a plain count. */
   def q53HeavyHitters(s: SparkSession, d: String): DataFrame = {
     graft.functions.HeavyHitters.register(s)
-    import org.apache.spark.sql.expressions.Window
+    // ranking is derived by sorting the sketch's own 10-element array
+    // (cnt desc, item asc) and posexploding — a pure per-row
+    // expression over the single aggregate output, so no global
+    // Window.orderBy (which plans a single-partition exchange even
+    // when, as here, it only ever sees 10 rows)
+    val byCntDescItemAsc = (l: Column, r: Column) =>
+      when(l.getField("cnt") > r.getField("cnt"), -1)
+        .when(l.getField("cnt") < r.getField("cnt"), 1)
+        .when(l.getField("item") < r.getField("item"), -1)
+        .when(l.getField("item") > r.getField("item"), 1)
+        .otherwise(0)
     documents(s, d)
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
       .agg(graft.functions.HeavyHitters.heavy_hitters(col("tok"), 10, 4096).as("top"))
-      .select(explode(col("top")).as("e"))
-      .select(col("e.item").as("token"), col("e.cnt").as("cnt"))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+      .select(posexplode(array_sort(col("top"), byCntDescItemAsc)).as(Seq("pos", "e")))
+      .select(col("e.item").as("token"), col("e.cnt").as("cnt"),
+        (col("pos") + 1).cast("long").as("rnk"))
       .orderBy(col("rnk"))
   }
 

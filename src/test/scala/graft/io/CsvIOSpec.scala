@@ -164,6 +164,44 @@ class CsvIOSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException](CsvIO.importCsv(spark, empty))
   }
 
+  test("zip extraction rejects traversal entry names and over-cap payloads") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = Files.createTempDirectory("graftzipevil")
+    def writeZip(name: String, entries: (String, String)*): String = {
+      val p = dir.resolve(name)
+      val zos = new ZipOutputStream(Files.newOutputStream(p))
+      try entries.foreach { case (en, content) =>
+        zos.putNextEntry(new ZipEntry(en))
+        zos.write(content.getBytes("UTF-8"))
+        zos.closeEntry()
+      } finally zos.close()
+      p.toString
+    }
+    // zip-slip: the extraction never uses the entry name for the output
+    // path, but a traversal-shaped name must still fail loudly
+    val slip = writeZip("slip.csv.zip", "../../etc/evil.csv" -> "x\n1\n")
+    val e1 = intercept[IllegalArgumentException](CsvIO.importCsv(spark, slip))
+    assert(e1.getMessage.contains("escapes the archive"))
+    val abs = writeZip("abs.csv.zip", "/tmp/evil.csv" -> "x\n1\n")
+    // note: ZipEntry stores the name verbatim; absolute forms are rejected
+    val e2 = intercept[IllegalArgumentException](CsvIO.importCsv(spark, abs))
+    assert(e2.getMessage.contains("escapes the archive"))
+    // zip bomb: a payload past the decompressed-size cap aborts mid-copy
+    val bomb = writeZip("bomb.csv.zip", "inner.csv" -> ("x\n" + "1234567890\n" * 40000))
+    val prev = sys.props.get("graft.zip.maxBytes")
+    sys.props("graft.zip.maxBytes") = "1024"
+    try {
+      val e3 = intercept[IllegalArgumentException](CsvIO.importCsv(spark, bomb))
+      assert(e3.getMessage.contains("decompressed size exceeds"))
+    } finally prev match {
+      case Some(v) => sys.props("graft.zip.maxBytes") = v
+      case None    => sys.props.remove("graft.zip.maxBytes")
+    }
+    // and the cap restored, the same archive imports fine
+    val (typed, _) = CsvIO.importCsv(spark, bomb)
+    assert(typed.count() == 40000L)
+  }
+
   test("inferFull (treeAggregate) agrees with inferSample on the fixture") {
     val raw = CsvIO.readRaw(spark, fixture, ",")
     val a = SchemaInfer.inferSample(raw)

@@ -110,6 +110,18 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("pipeline run() materializes the result and releases the scoped shingle cache") {
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val p = CorpusPipeline(docs).dedupFuzzyJaccard(threshold = 0.6)
+    val out = p.run()
+    assert(out.count() > 0)
+    // the scoped persist must not outlive the pipeline: nothing left
+    // in the cache manager once run() returns
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "scoped shingle cache survived run()")
+  }
+
   test("pipeline banded fuzzy dedup matches the exact variant on this corpus") {
     val docs = Tables.documents(spark, d)
     def surviving(exact: Boolean): Set[Long] =
@@ -140,6 +152,8 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
     // exactly one centroid → single-cell assignment still ranks the
     // corpus for the lone query (vec_id 5): both others are neighbors
     write(Seq(5L, 100L, 101L))
+    // the dir was rewritten in place: drop the memoized model artifact
+    Similarity.invalidateCodebook(work)
     val rows = Similarity.q37KnnIvf(spark, work).collect()
     assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSet ==
       Set((5L, 100L), (5L, 101L)))
