@@ -194,6 +194,74 @@ object Similarity {
     centroids
   }
 
+  /** Writes the corpus PARTITIONED BY IVF cell — the physical layout
+   *  the q37 scaladoc promises at 100 TB: one directory per coarse
+   *  cell, so a probe reads probes/cells of the data through ordinary
+   *  partition pruning instead of scanning everything and filtering.
+   *  Cell assignment is the same literal-centroid projection q37
+   *  uses (memoized codebook), so the layout and the in-memory path
+   *  can never disagree about where a vector lives. */
+  def ivfWritePartitioned(s: SparkSession, d: String, out: String): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val cents: Array[(Int, Seq[Double])] = codebook(e, d)
+      .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    require(cents.nonEmpty, s"$d: empty corpus, nothing to lay out")
+    val simCells = cents.map { case (cid, cv) =>
+      struct(cosine_sim(col("v"), typedLit(cv)).as("csim"), lit(cid).as("cid"))
+    }
+    val cellOf =
+      if (simCells.length == 1) simCells.head.getField("cid")
+      else greatest(simCells.toIndexedSeq: _*).getField("cid")
+    e.withColumn("cell", cellOf)
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
+  }
+
+  /** Top-5 kNN over an [[ivfWritePartitioned]] layout. Probe cells
+   *  are computed DRIVER-side from the memoized codebook (k·dim dot
+   *  products per query — the codebook is driver-sized by design), so
+   *  the scan predicate is a literal `cell IN (...)`: Spark prunes at
+   *  the DIRECTORY level (PartitionFilters — asserted in
+   *  PlanQualitySpec) and only the probed cells are ever read. The
+   *  probe ordering and exact re-rank replicate q37KnnIvf exactly, so
+   *  results are identical by construction. */
+  def ivfKnnPartitioned(s: SparkSession, d: String, layout: String,
+      queryMax: Long = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val cents = codebook(e, d)
+    // bounded collect: the fixed query set (vec_id < queryMax), same
+    // as the broadcast side of every kNN variant here
+    val queries: Array[(Long, Seq[Float])] = e.filter(col("vec_id") < queryMax)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val probeRows: Seq[(Long, Seq[Float], Int)] = queries.toSeq.flatMap {
+      case (qid, qv) =>
+        val vD = qv.map(_.toDouble).toArray
+        // dot/(sqrt·sqrt), the CosineSimilarity expression's exact
+        // arithmetic — same rounding, so probe ranks can't drift from
+        // q37's in-plan computation; (-sim, cid) ascending == sim desc
+        // with cid-asc tie-break, the order q37's array_sort uses
+        def sim(c: Array[Double]): Double =
+          dotd(vD, c) / (math.sqrt(dotd(vD, vD)) * math.sqrt(dotd(c, c)))
+        cents.zipWithIndex.map { case (c, cid) => (-sim(c), cid) }
+          .sorted.take(IvfProbes)
+          .map { case (_, cid) => (qid, qv, cid) }
+    }
+    val probes = s.createDataFrame(probeRows).toDF("qid", "qv", "cell")
+    val probedCells = probeRows.map(_._3).distinct.sorted
+    s.read.parquet(layout)
+      .filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .dropDuplicates("qid", "vec_id")
+      .withColumn("sim", round(cosine_sim(col("qv"), col("v")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("vec_id").as("nid"), col("sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   private val Dim = 64
   // r=4 bits per table, L=16 tables: collision prob for a cosine-0.4
   // neighbor ≈ 1-(1-p^4)^16 ≈ 0.94 (p = 1-θ/π ≈ 0.63) — wider buckets

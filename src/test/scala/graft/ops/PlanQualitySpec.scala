@@ -55,6 +55,39 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
       "unexpected extra shuffle in IVF plan")
   }
 
+  test("IVF partitioned-by-cell layout prunes probe reads and matches q37 exactly") {
+    import org.apache.spark.sql.functions.col
+    val work = java.nio.file.Files.createTempDirectory("graftivflayout").toString
+    val layout = s"$work/embeddings_by_cell"
+    Similarity.ivfWritePartitioned(spark, d, layout)
+    // a 2-query probe touches a strict SUBSET of the 16 cells: the
+    // probe predicate must reach the scan as a PARTITION filter
+    // (IN/INSET over cell) — directory-level pruning, the 100 TB
+    // probes/cells read pattern
+    val two = Similarity.ivfKnnPartitioned(spark, d, layout, queryMax = 2)
+    val p = plan(two)
+    val pf = """PartitionFilters: \[[^\]]*cell#\d+ IN(SET)? \(?([^)\],]+(, )?)+""".r
+    assert(pf.findFirstIn(p).isDefined,
+      "probe cells not pruned at partition level:\n" +
+        p.substring(p.indexOf("PartitionFilters")).take(300))
+    val inset = """cell#\d+ INSET ([\d, ]+)""".r.findFirstMatchIn(p)
+      .map(_.group(1).split(",").length)
+      .orElse("""cell#\d+ IN \(([^)]+)\)""".r.findFirstMatchIn(p)
+        .map(_.group(1).split(",").length))
+    assert(inset.exists(n => n > 0 && n < 16),
+      s"expected a strict subset of the 16 cells, got $inset")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // the 2-query pruned probe matches q37 restricted to those queries
+    // (per-query ranking is independent of the query set)
+    assert(rows(two) ==
+      rows(Similarity.q37KnnIvf(spark, d).filter(col("qid") < 2)))
+    // and the full pruned probe returns the IDENTICAL top-5 (same
+    // codebook, same probe set, same re-rank ordering)
+    assert(rows(Similarity.ivfKnnPartitioned(spark, d, layout)) ==
+      rows(Similarity.q37KnnIvf(spark, d)))
+  }
+
   test("q57 partitioned layout prunes at the directory level") {
     val p = plan(InferOps.q57PartitionedPrune(spark, d))
     assert("""PartitionFilters: \[lang#\d+ IN \(en,de\)\]""".r.findFirstIn(p).isDefined,

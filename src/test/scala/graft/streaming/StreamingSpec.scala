@@ -72,6 +72,63 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(runOnce() == e.count())
   }
 
+  test("query killed mid-stream resumes from its checkpoint: uncommitted batch replays, committed one doesn't") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graftmidkill")
+    val src = work.resolve("src").toString
+    val ckpt = work.resolve("ckpt").toString
+    val e = Tables.events(spark, dir).limit(300).cache()
+    // three single-file batches (maxFilesPerTrigger=1 → one file per
+    // micro-batch)
+    e.filter(col("event_id") < 100).coalesce(1)
+      .write.parquet(s"$src/b0")
+    e.filter(col("event_id") >= 100 && col("event_id") < 200).coalesce(1)
+      .write.parquet(s"$src/b1")
+    e.filter(col("event_id") >= 200).coalesce(1)
+      .write.parquet(s"$src/b2")
+
+    // idempotent driver-side sink keyed by batchId (the foreachBatch
+    // contract: replays reuse the SAME id, so last-write-wins dedups)
+    val store = scala.collection.concurrent.TrieMap.empty[Long, Array[Long]]
+    val attempts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(failAtBatch: Option[Long]): Unit = {
+      val q = spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          attempts.synchronized(attempts += bid)
+          // the injected crash happens BEFORE the sink write — batch
+          // `bid` dies uncommitted, exactly like an executor/driver
+          // loss mid-batch
+          if (failAtBatch.contains(bid))
+            throw new RuntimeException("injected mid-stream failure")
+          store(bid) = df.select(col("event_id")).collect().map(_.getLong(0))
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      finally q.stop()
+    }
+
+    run(failAtBatch = Some(1L)) // commits batch 0, dies inside batch 1
+    assert(store.keySet == Set(0L), s"committed batches after crash: ${store.keySet}")
+    val attemptsBeforeRestart = attempts.toList
+    run(failAtBatch = None) // same checkpoint: resume, don't reprocess
+    // the restart replayed ONLY the failed batch and the remainder —
+    // batch 0 was never re-delivered
+    assert(attempts.toList.drop(attemptsBeforeRestart.size) == List(1L, 2L),
+      s"unexpected replay sequence: $attempts")
+    assert(store.keySet == Set(0L, 1L, 2L))
+    // exactly-once across the kill/resume: every source row delivered
+    // once — union of the per-batch sinks is the full input, no dups
+    val delivered = store.values.flatten.toSeq
+    assert(delivered.length == e.count(), "duplicate or lost rows across restart")
+    assert(delivered.sorted == e.select(col("event_id")).collect()
+      .map(_.getLong(0)).toSeq.sorted)
+  }
+
   test("q34 streaming result equals its batch equivalent") {
     val streamed = StreamingOps.q34StreamTumbling(spark, dir)
     val batch = Tables.events(spark, dir)
