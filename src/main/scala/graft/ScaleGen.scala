@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derives a larger benchmark dataset from a provisioned scale factor
+ *  by replicating each table `copies`× inside one Spark plan (a
+ *  crossJoin against `range(copies)` — one scan, no driver loop) with
+ *  every entity key shifted by a per-copy offset, so referential
+ *  joins (orders↔lineitem, customer↔orders, events↔customer) stay
+ *  exactly as selective as the source.
+ *
+ *  Deliberate choices for honest scaling behavior:
+ *  - dimension tables (region, nation) are NOT replicated — at any
+ *    scale they stay broadcast-sized, like real dimensions;
+ *  - document text gets a per-copy token suffix (copy 0 untouched),
+ *    so the planted near-dup structure replicates LINEARLY and no
+ *    cross-copy shingle collisions manufacture quadratic pair work
+ *    the source corpus doesn't have;
+ *  - embeddings replicate with shifted ids only: the fixed query set
+ *    (vec_id < 10) lives in copy 0, so kNN probes a 10× corpus with
+ *    the same number of queries — the actual scale-up shape.
+ *
+ *  Usage: runMain graft.ScaleGen [srcDir] [outDir] [copies]
+ */
+object ScaleGen {
+
+  /** Per-copy key offset — far above any key in the provisioned data. */
+  private val Off = 10_000_000_000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    def replicate(name: String, keys: Seq[String],
+        extra: DataFrame => DataFrame = identity): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val amplified = base
+        .crossJoin(spark.range(copies).select(col("id").as("__copy")))
+      val shifted = keys.foldLeft(amplified) { (df, k) =>
+        df.withColumn(k, col(k) + col("__copy") * Off)
+      }
+      extra(shifted).select(base.columns.map(col).toIndexedSeq: _*)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scalegen] $name x$copies -> $out/$name.parquet")
+    }
+
+    def copyAsIs(name: String): Unit = {
+      spark.read.parquet(s"$src/$name.parquet")
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scalegen] $name (dimension, 1x) -> $out/$name.parquet")
+    }
+
+    copyAsIs("region")
+    copyAsIs("nation")
+    replicate("customer", Seq("c_custkey"))
+    replicate("supplier", Seq("s_suppkey"))
+    replicate("part", Seq("p_partkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    // events.parquet is TIMESTAMP(NANOS): read as long (nanosAsLong)
+    // and write MICROS timestamps — Tables.events passes TimestampType
+    // through, and the DuckDB oracle binds ts as TIMESTAMP (raw int64
+    // nanos would break every ts-typed oracle on the derived dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    replicate("events", Seq("event_id", "user_id"), df =>
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    replicate("documents", Seq("doc_id"), df => df
+      .withColumn("text", when(col("__copy") === 0, col("text"))
+        .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1_c"), col("__copy")))))
+      .withColumn("n_chars", length(col("text")).cast("long")))
+    replicate("embeddings", Seq("vec_id"))
+
+    spark.stop()
+  }
+}

@@ -283,30 +283,59 @@ object Dedup {
   def q24SimHash(s: SparkSession, d: String): DataFrame =
     simhashPairs(shingleRows(s, d))
 
-  /** q24's body over a pre-built (possibly persisted) shingle frame. */
-  def simhashPairs(sh0: DataFrame): DataFrame = {
-    // features = the same 3-gram shingles the Jaccard verifier uses
-    // (unigram token sets are near-identical across a small-vocab
-    // corpus, which washes out the signature); one explode + ONE
-    // hash aggregate computes all 64 sign-sums in a single pass
+  /** 64-bit SimHash signatures over a shingle frame — one explode +
+   *  ONE hash aggregate computes all 64 sign-sums in a single pass.
+   *  Features are the same 3-gram shingles the Jaccard verifier uses
+   *  (unigram token sets are near-identical across a small-vocab
+   *  corpus, which washes out the signature). Exposed so recall
+   *  diagnostics can measure Hamming distances of reference pairs. */
+  def simhashSignatures(sh0: DataFrame): DataFrame = {
     val tok = sh0
       .select(col("doc_id"), col("s").as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map(i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i"))
-    val sigs = tok.groupBy(col("doc_id"))
+    tok.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ bitwiseOR _).as("simhash"))
-    // 8 bands × 8 bits: pigeonhole guarantees a band collision for
-    // Hamming < 8 and near-certain collision at the ≤12 threshold
-    // (4×16-bit bands only guarantee Hamming < 4 — verified to miss
-    // planted near-dups)
+  }
+
+  /** q24's body over a pre-built (possibly persisted) shingle frame.
+   *
+   *  Candidate generation is multi-block banding (the permute-and-
+   *  split scheme of Manku et al., WWW'07 "Detecting Near-Duplicates
+   *  for Web Crawling"): the 64-bit fingerprint splits into 8 8-bit
+   *  blocks and every PAIR of blocks forms a table key — C(8,2)=28
+   *  tables with 16-bit keys. Pigeonhole: Hamming ≤ 6 leaves ≥2
+   *  blocks clean, so some pair-table key matches — a STRUCTURAL
+   *  recall guarantee; Hamming 7..12 pairs collide with high
+   *  probability (≥2 clean blocks unless the errors spread across
+   *  ≥7 of the 8 blocks).
+   *
+   *  Why not single blocks (the earlier 8×8 design): 8-bit keys give
+   *  only 256 buckets per band, so past ~16k docs (256 × the hot-
+   *  bucket cap) EVERY bucket saturates and the cap's star-pairing
+   *  destroys within-bucket recall — a 10× scale-up run tripped the
+   *  q61 gate with Hamming-1 pairs missed. 16-bit keys defer
+   *  saturation by 256× (~4M docs/table at cap 64); at corpora past
+   *  that, move to block triples (C(8,3)=56 tables, 24-bit keys,
+   *  guarantee Hamming ≤ 4) — same shape, one constant. */
+  def simhashPairs(sh0: DataFrame): DataFrame =
+    simhashPairsFromSigs(simhashSignatures(sh0))
+
+  /** [[simhashPairs]] over a pre-built (possibly checkpointed)
+   *  signature frame — callers that also need the signatures (e.g.
+   *  the q61 Hamming-aware recall gate) share ONE signature pass. */
+  def simhashPairsFromSigs(sigs: DataFrame): DataFrame = {
+    val block = (b: Int) => shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL))
+    val tables = (for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)).zipWithIndex
     val banded = sigs.select(col("doc_id"),
-      explode(array((0 until 8).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL)).as("key"))): _*)).as("bk"))
+      explode(array(tables.map { case ((i, j), t) =>
+        struct(lit(t).as("band"),
+          (shiftleft(block(i), 8).bitwiseOR(block(j))).as("key"))
+      }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
     bandedPairs(banded)
       .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))

@@ -34,7 +34,9 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table: directory of parts
+            p = f"{p}/*.parquet"
+        if os.path.exists(p) or "*" in p:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # iterate the MANIFEST, not the directory listing: a query that
