@@ -7,7 +7,8 @@ package graft
  *  run1 vs run2 deltas). Usage: runMain graft.BenchOne <name> [sfDir] [runs]. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val name = args.headOption.getOrElse(
+      sys.error("usage: runMain graft.BenchOne <queryName> [sfDir] [runs]"))
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 3
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

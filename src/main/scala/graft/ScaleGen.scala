@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
  *    so the planted near-dup structure replicates LINEARLY and no
  *    cross-copy shingle collisions manufacture quadratic pair work
  *    the source corpus doesn't have;
- *  - embeddings replicate with shifted ids only: the fixed query set
- *    (vec_id < 10) lives in copy 0, so kNN probes a 10× corpus with
- *    the same number of queries — the actual scale-up shape.
+ *  - embeddings get a deterministic per-copy, per-dimension
+ *    perturbation (±3%): byte-identical clones would share every LSH
+ *    bucket and IVF cell BY CONSTRUCTION, making the q61 ANN recall
+ *    gates vacuous at derived scale — perturbed near-clones force the
+ *    approximate indexes to actually find near-neighbors. The fixed
+ *    query set (vec_id < 10) lives in copy 0 and is NOT perturbed, so
+ *    kNN probes a 10× corpus with the same number of queries — the
+ *    actual scale-up shape.
  *
  *  Usage: runMain graft.ScaleGen [srcDir] [outDir] [copies]
  */
@@ -73,7 +78,13 @@ object ScaleGen {
         .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
           concat(lit("$1_c"), col("__copy")))))
       .withColumn("n_chars", length(col("text")).cast("long")))
-    replicate("embeddings", Seq("vec_id"))
+    // copy 0 exact; copies 1+ scaled per (copy, dim) by 1 ± 3% — a
+    // cheap deterministic hash of (copy, dim) keeps it reproducible
+    replicate("embeddings", Seq("vec_id"), df => df
+      .withColumn("embedding", when(col("__copy") === 0, col("embedding"))
+        .otherwise(transform(col("embedding"), (x, i) =>
+          (x * (lit(1.0) + ((col("__copy") * 31 + i * 7) % 13 - 6) * lit(0.005)))
+            .cast("float")))))
 
     spark.stop()
   }

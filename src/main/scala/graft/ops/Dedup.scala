@@ -277,9 +277,10 @@ object Dedup {
     bandedPairs(mkBanded(minhashSignatures(sh), bands = 10))
 
   /** SimHash: 64-bit signature over shingle xxhash64s; near-pairs =
-   *  same 8-bit band ∧ Hamming distance ≤ 12. Banding turns the
-   *  all-pairs comparison into 8 equi-joins. Spark-hash-specific →
-   *  rows-only check. */
+   *  some shared pair-block table key ∧ Hamming distance ≤ 12 (see
+   *  [[simhashPairsFromSigs]] for the 28-table banding). Banding
+   *  turns the all-pairs comparison into selective equi-joins.
+   *  Spark-hash-specific → rows-only check. */
   def q24SimHash(s: SparkSession, d: String): DataFrame =
     simhashPairs(shingleRows(s, d))
 

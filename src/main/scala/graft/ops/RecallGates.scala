@@ -31,8 +31,11 @@ object RecallGates {
    *  codebook — memoized per corpus dir so the gate audits the
    *  approximate operators against a once-materialized baseline
    *  instead of re-running the brute-force scan it exists to make
-   *  unnecessary. Driver footprint: queries×k id pairs. Tests that
-   *  rewrite a dir in place call [[invalidateBaseline]]. */
+   *  unnecessary. Driver footprint: queries×k id pairs. Any caller
+   *  that rewrites a corpus dir in place within one JVM MUST call
+   *  [[invalidateBaseline]] before re-running the gate (mirror of
+   *  Similarity.invalidateCodebook — no current test rewrites a
+   *  q61 corpus, so nothing calls it yet). */
   private val bruteCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Long)]]
 

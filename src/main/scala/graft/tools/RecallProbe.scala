@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
  *  arbitrary scale factor — prints, for every exact-Jaccard pair at
  *  or above the q61 floors, whether each sketch surfaced it and (for
  *  SimHash) the pair's actual Hamming distance, separating "banding
- *  guarantee violated" (Hamming < 8 missed — a BUG) from "outside the
- *  guarantee" (Hamming ≥ 8 — the documented probabilistic window).
- *  Usage: runMain graft.tools.RecallProbe [sfDir] */
+ *  guarantee violated" (Hamming ≤ 6 missed — a BUG: the pair-block
+ *  banding structurally guarantees those) from the documented
+ *  probabilistic window (7..12) and pairs outside the operator's own
+ *  ≤12 Hamming acceptance. Usage: runMain graft.tools.RecallProbe [sfDir] */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -19,9 +20,9 @@ object RecallProbe {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val mh = Dedup.minhashEstPairs(sh)
       .select(col("doc_a"), col("doc_b"), lit(1).as("mh"))
-    val sp = Dedup.simhashPairs(sh)
-      .select(col("doc_a"), col("doc_b"), lit(1).as("sh"))
     val sigs = Dedup.simhashSignatures(sh)
+    val sp = Dedup.simhashPairsFromSigs(sigs)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("sh"))
     val joined = exact
       .join(mh, Seq("doc_a", "doc_b"), "left")
       .join(sp, Seq("doc_a", "doc_b"), "left")

@@ -35,6 +35,8 @@ def main():
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table: directory of parts
+            if not glob.glob(f"{p}/*.parquet"):
+                continue  # empty/partial write: degrade to per-query fails
             p = f"{p}/*.parquet"
         if os.path.exists(p) or "*" in p:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
