@@ -38,6 +38,11 @@ object ScaleGen {
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    try run(spark, src, out, copies) finally spark.stop()
+  }
+
+  /** Body with a caller-owned session (testable). */
+  def run(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
 
     def replicate(name: String, keys: Seq[String],
         extra: DataFrame => DataFrame = identity): Unit = {
@@ -85,7 +90,5 @@ object ScaleGen {
         .otherwise(transform(col("embedding"), (x, i) =>
           (x * (lit(1.0) + ((col("__copy") * 31 + i * 7) % 13 - 6) * lit(0.005)))
             .cast("float")))))
-
-    spark.stop()
   }
 }
