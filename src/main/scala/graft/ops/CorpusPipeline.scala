@@ -110,6 +110,18 @@ final case class CorpusPipeline(df: DataFrame, textCol: String = "text",
     close()
     out
   }
+
+  /** The durable-sink twin of [[run]] for corpora that exceed
+    * executor storage: writes the result to parquet (the one
+    * materializing pass), releases the scoped caches, and returns a
+    * reader over the written data — downstream stages scan the
+    * compacted layout instead of re-deriving the pipeline. */
+  def writeResult(path: String): DataFrame = {
+    val s = df.sparkSession
+    df.write.mode("overwrite").parquet(path)
+    close()
+    s.read.parquet(path)
+  }
 }
 
 object CorpusPipeline {

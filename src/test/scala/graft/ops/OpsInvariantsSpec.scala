@@ -122,6 +122,19 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
       "scoped shingle cache survived run()")
   }
 
+  test("pipeline writeResult lands the corpus durably and releases the scoped cache") {
+    spark.catalog.clearCache()
+    val work = java.nio.file.Files.createTempDirectory("graftpipeout").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val p = CorpusPipeline(docs).dedupFuzzyJaccard(threshold = 0.6)
+    val out = p.writeResult(s"$work/corpus")
+    assert(out.count() == p.result.count())
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "scoped shingle cache survived writeResult()")
+    // the returned frame reads the LAYOUT, not the pipeline lineage
+    assert(out.queryExecution.optimizedPlan.toString.contains("Relation"))
+  }
+
   test("pipeline banded fuzzy dedup matches the exact variant on this corpus") {
     val docs = Tables.documents(spark, d)
     def surviving(exact: Boolean): Set[Long] =

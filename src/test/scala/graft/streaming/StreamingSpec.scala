@@ -129,6 +129,44 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .map(_.getLong(0)).toSeq.sorted)
   }
 
+  test("stateful aggregation recovers its state store across a mid-stream kill") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graftstatekill")
+    val src = work.resolve("src").toString
+    val ckpt = work.resolve("ckpt").toString
+    val e = Tables.events(spark, dir).limit(300).cache()
+    e.filter(col("event_id") < 100).coalesce(1).write.parquet(s"$src/b0")
+    e.filter(col("event_id") >= 100 && col("event_id") < 200).coalesce(1)
+      .write.parquet(s"$src/b1")
+    e.filter(col("event_id") >= 200).coalesce(1).write.parquet(s"$src/b2")
+    // update-mode sink: keep the LATEST cumulative count per key; if
+    // the state store did not recover batch 0's contribution after the
+    // kill, the final counts would cover only batches 1-2
+    val lastSeen = scala.collection.concurrent.TrieMap.empty[String, Long]
+    def run(failAtBatch: Option[Long]): Unit = {
+      val q = spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          if (failAtBatch.contains(bid))
+            throw new RuntimeException("injected mid-stream failure")
+          df.collect().foreach(r => lastSeen(r.getString(0)) = r.getLong(1))
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      finally q.stop()
+    }
+    run(failAtBatch = Some(1L)) // state holds batch 0; dies inside batch 1
+    run(failAtBatch = None)     // recovery: replay batch 1, process batch 2
+    val oracle = e.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lastSeen.toMap == oracle,
+      s"state not recovered exactly once: got $lastSeen want $oracle")
+  }
+
   test("q34 streaming result equals its batch equivalent") {
     val streamed = StreamingOps.q34StreamTumbling(spark, dir)
     val batch = Tables.events(spark, dir)
