@@ -74,21 +74,35 @@ object ScaleGen {
     // events.parquet is TIMESTAMP(NANOS): read as long (nanosAsLong)
     // and write MICROS timestamps — Tables.events passes TimestampType
     // through, and the DuckDB oracle binds ts as TIMESTAMP (raw int64
-    // nanos would break every ts-typed oracle on the derived dir)
+    // nanos would break every ts-typed oracle on the derived dir).
+    // Re-scaling an already-derived dir reads micros directly — only
+    // convert when ts actually loaded as raw nanos. The flag is
+    // restored afterwards: run() may execute on a caller-owned
+    // session whose other reads must not inherit it.
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    replicate("events", Seq("event_id", "user_id"), df =>
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    try replicate("events", Seq("event_id", "user_id"), df =>
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df)
+    finally prevNanos match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
     replicate("documents", Seq("doc_id"), df => df
       .withColumn("text", when(col("__copy") === 0, col("text"))
         .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
           concat(lit("$1_c"), col("__copy")))))
       .withColumn("n_chars", length(col("text")).cast("long")))
-    // copy 0 exact; copies 1+ scaled per (copy, dim) by 1 ± 3% — a
-    // cheap deterministic hash of (copy, dim) keeps it reproducible
+    // copy 0 exact; copies 1+ scaled per (copy, dim) by 1 ± 3%,
+    // derived from xxhash64(copy, dim) — non-periodic in the copy
+    // index (a simple linear-mod mix repeated factors every 13
+    // copies, silently recreating byte-identical clones at ≥15×)
     replicate("embeddings", Seq("vec_id"), df => df
       .withColumn("embedding", when(col("__copy") === 0, col("embedding"))
         .otherwise(transform(col("embedding"), (x, i) =>
-          (x * (lit(1.0) + ((col("__copy") * 31 + i * 7) % 13 - 6) * lit(0.005)))
+          (x * (lit(1.0) +
+            (pmod(xxhash64(col("__copy"), i), lit(13)) - 6) * lit(0.005)))
             .cast("float")))))
   }
 }

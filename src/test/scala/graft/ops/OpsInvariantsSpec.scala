@@ -131,8 +131,11 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
     assert(out.count() == p.result.count())
     assert(spark.sharedState.cacheManager.isEmpty,
       "scoped shingle cache survived writeResult()")
-    // the returned frame reads the LAYOUT, not the pipeline lineage
-    assert(out.queryExecution.optimizedPlan.toString.contains("Relation"))
+    // the returned frame reads the LAYOUT, not the pipeline lineage:
+    // its input files are the written path and its plan carries none
+    // of the pipeline's join/window machinery
+    assert(out.inputFiles.nonEmpty && out.inputFiles.forall(_.contains(work)))
+    assert(!out.queryExecution.optimizedPlan.toString.contains("Join"))
   }
 
   test("pipeline banded fuzzy dedup matches the exact variant on this corpus") {
