@@ -329,13 +329,28 @@ object Dedup {
   /** [[simhashPairs]] over a pre-built (possibly checkpointed)
    *  signature frame — callers that also need the signatures (e.g.
    *  the q61 Hamming-aware recall gate) share ONE signature pass. */
-  def simhashPairsFromSigs(sigs: DataFrame): DataFrame = {
+  def simhashPairsFromSigs(sigs: DataFrame): DataFrame =
+    simhashPairsFromSigs(sigs, blocksPerKey = 2)
+
+  /** `blocksPerKey` picks the saturation/guarantee trade on the
+   *  Manku combination lattice: keys are every `blocksPerKey`-subset
+   *  of the 8 fingerprint blocks, giving C(8,k) tables of 8k-bit
+   *  keys and a structural collision guarantee for Hamming ≤ 8−k
+   *  (≤ 8−k errors leave ≥ k blocks clean → that subset's table
+   *  collides). k=2 (default): 28 tables, 16-bit keys, guarantee ≤6 —
+   *  right up to ~4M docs/table at the hot-bucket cap. k=3: 56
+   *  tables, 24-bit keys, guarantee ≤5, saturation deferred another
+   *  256× — the >4M-docs-per-table setting. */
+  def simhashPairsFromSigs(sigs: DataFrame, blocksPerKey: Int): DataFrame = {
+    require(blocksPerKey >= 1 && blocksPerKey <= 4,
+      s"blocksPerKey must be in [1,4], got $blocksPerKey")
     val block = (b: Int) => shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL))
-    val tables = (for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)).zipWithIndex
+    val tables = (0 until 8).combinations(blocksPerKey).toSeq.zipWithIndex
     val banded = sigs.select(col("doc_id"),
-      explode(array(tables.map { case ((i, j), t) =>
+      explode(array(tables.map { case (blks, t) =>
         struct(lit(t).as("band"),
-          (shiftleft(block(i), 8).bitwiseOR(block(j))).as("key"))
+          blks.map(block).reduce((acc, b) =>
+            shiftleft(acc, 8).bitwiseOR(b)).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
     bandedPairs(banded)
