@@ -81,10 +81,7 @@ object ScaleGen {
     // session whose other reads must not inherit it.
     val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try replicate("events", Seq("event_id", "user_id"), df =>
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else df)
+    try replicate("events", Seq("event_id", "user_id"), graft.ops.Tables.normalizeTs)
     finally prevNanos match {
       case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
       case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")

@@ -321,17 +321,14 @@ object Dedup {
    *  destroys within-bucket recall — a 10× scale-up run tripped the
    *  q61 gate with Hamming-1 pairs missed. 16-bit keys defer
    *  saturation by 256× (~4M docs/table at cap 64); at corpora past
-   *  that, move to block triples (C(8,3)=56 tables, 24-bit keys,
-   *  guarantee Hamming ≤ 4) — same shape, one constant. */
+   *  that, pass `blocksPerKey = 3` to [[simhashPairsFromSigs]]
+   *  (C(8,3)=56 tables, 24-bit keys, guarantee Hamming ≤ 5). */
   def simhashPairs(sh0: DataFrame): DataFrame =
     simhashPairsFromSigs(simhashSignatures(sh0))
 
   /** [[simhashPairs]] over a pre-built (possibly checkpointed)
    *  signature frame — callers that also need the signatures (e.g.
    *  the q61 Hamming-aware recall gate) share ONE signature pass. */
-  def simhashPairsFromSigs(sigs: DataFrame): DataFrame =
-    simhashPairsFromSigs(sigs, blocksPerKey = 2)
-
   /** `blocksPerKey` picks the saturation/guarantee trade on the
    *  Manku combination lattice: keys are every `blocksPerKey`-subset
    *  of the 8 fingerprint blocks, giving C(8,k) tables of 8k-bit
@@ -340,10 +337,11 @@ object Dedup {
    *  collides). k=2 (default): 28 tables, 16-bit keys, guarantee ≤6 —
    *  right up to ~4M docs/table at the hot-bucket cap. k=3: 56
    *  tables, 24-bit keys, guarantee ≤5, saturation deferred another
-   *  256× — the >4M-docs-per-table setting. */
-  def simhashPairsFromSigs(sigs: DataFrame, blocksPerKey: Int): DataFrame = {
-    require(blocksPerKey >= 1 && blocksPerKey <= 4,
-      s"blocksPerKey must be in [1,4], got $blocksPerKey")
+   *  256× — the >4M-docs-per-table setting. k=1 is rejected: 8-bit
+   *  keys are the documented production recall cliff above. */
+  def simhashPairsFromSigs(sigs: DataFrame, blocksPerKey: Int = 2): DataFrame = {
+    require(blocksPerKey >= 2 && blocksPerKey <= 4,
+      s"blocksPerKey must be in [2,4], got $blocksPerKey")
     val block = (b: Int) => shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL))
     val tables = (0 until 8).combinations(blocksPerKey).toSeq.zipWithIndex
     val banded = sigs.select(col("doc_id"),

@@ -28,18 +28,23 @@ object Tables {
    * to microsecond TimestampType; if this Spark version reads nanos
    * natively, pass the column through unchanged.
    */
+  /** Normalizes a `ts` column that read as raw int64 nanos (under
+    * nanosAsLong) to micros TimestampType; native timestamps pass
+    * through; anything else fails fast at the source instead of
+    * surfacing later as an unexplained oracle/type error. Integer
+    * division: ns epochs (~1.7e18) overflow double precision. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case TimestampType => df
+    case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case other => throw new IllegalStateException(s"unexpected ts type $other")
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     // set preemptively: only affects TIMESTAMP(NANOS) parquet columns,
     // and avoids a noisy failed-job fallback cycle
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(path)
-    df.schema("ts").dataType match {
-      case TimestampType => df
-      // integer division: ns epochs (~1.7e18) overflow double precision
-      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case other => throw new IllegalStateException(s"unexpected ts type $other")
-    }
+    normalizeTs(spark.read.parquet(path))
   }
 
   /** Streaming twin of [[events]]: same nanos normalization over a
@@ -49,12 +54,7 @@ object Tables {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val st = spark.readStream.schema(raw.schema).parquet(s"$dir/{events.parquet}")
-    raw.schema("ts").dataType match {
-      case TimestampType => st
-      case LongType => st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case other => throw new IllegalStateException(s"unexpected ts type $other")
-    }
+    normalizeTs(spark.readStream.schema(raw.schema).parquet(s"$dir/{events.parquet}"))
   }
 
   /** Streaming twin of [[documents]] — file source over the exact
