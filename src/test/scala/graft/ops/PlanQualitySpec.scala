@@ -44,6 +44,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("q27 LSH kNN is a bucketed equi-join: broadcast query side, no cartesian/NLJ") {
+    val p = plan(Similarity.q27KnnLsh(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "LSH candidate generation must stay an equi-join on (table, key)")
+  }
+
   test("q37 IVF assigns cells as a projection: no row-amplifying join, one corpus shuffle") {
     val p = plan(Similarity.q37KnnIvf(spark, d))
     // the codebook is inlined as literals → assignment must NOT appear
