@@ -153,23 +153,23 @@ object CorpusPipeline {
   val q54Sql: String =
     """WITH q AS (
       |  SELECT doc_id, lang, text, n_chars,
-      |   least(len(regexp_extract_all(text, '\S+')), 100)
+      |   least(len(regexp_extract_all(text, '[^ \t\n\v\f\r]+')), 100)
       |   + 2*(len(regexp_extract_all(lower(text), '\bthe\b'))
       |       + len(regexp_extract_all(lower(text), '\ba\b'))
       |       + len(regexp_extract_all(lower(text), '\bof\b'))
       |       + len(regexp_extract_all(lower(text), '\band\b'))
       |       + len(regexp_extract_all(lower(text), '\bto\b'))
       |       + len(regexp_extract_all(lower(text), '\bin\b')))
-      |   - len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS quality_score
+      |   - len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\v\f\r]')) AS quality_score
       |  FROM documents WHERE lang IN ('en', 'de', 'fr')),
       |qf AS (SELECT * FROM q WHERE quality_score >= 15),
       |ex AS (
       |  SELECT * FROM (
       |   SELECT *, row_number() OVER (
-      |     PARTITION BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+      |     PARTITION BY regexp_replace(trim(lower(text)), '[ \t\n\v\f\r]+', ' ', 'g')
       |     ORDER BY doc_id) AS rn
       |   FROM qf) t WHERE rn = 1),
-      |toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM ex),
+      |toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS t FROM ex),
       |sh AS (
       |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g),

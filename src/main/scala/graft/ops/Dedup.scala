@@ -156,7 +156,7 @@ object Dedup {
 
   val q23Sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |  SELECT doc_id, lang, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g),
@@ -187,7 +187,7 @@ object Dedup {
 
   val q40Sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |  SELECT doc_id, lang, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g),

@@ -34,8 +34,8 @@ object EventOps {
 
   val q12Sql: String =
     """SELECT event_type, count(*) AS n,
-      | CAST(sum(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
-      | max(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS max_k
+      | CAST(sum(TRY_CAST(nullif(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
+      | max(TRY_CAST(nullif(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Map-typed functions (§2.6 array/map/json row): per-user map of
@@ -124,7 +124,9 @@ object EventOps {
 
   /** Gap-based sessionization (30-minute inactivity gap): classic
    *  lag → gap flag → running-sum session index, then per-session
-   *  rollup. Single shuffle on user_id. */
+   *  rollup. Single shuffle on user_id. Boundary is `gap >= 1800`,
+   *  the strict-merge rule session_window uses — so q15 and the
+   *  streaming q62 sessionize identically at the exact boundary. */
   def q15Sessionize(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -132,7 +134,7 @@ object EventOps {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) >= 1800, 1)
           .otherwise(0))
       .withColumn("sess_idx", sum(col("new_sess")).over(run))
       .groupBy(col("user_id"), col("sess_idx"))
@@ -154,7 +156,7 @@ object EventOps {
       | FROM (
       |  SELECT user_id, event_id, ts, "value",
       |   CASE WHEN prev_ts IS NULL
-      |        OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+      |        OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) >= 1800
       |        THEN 1 ELSE 0 END AS new_sess
       |  FROM (
       |   SELECT user_id, event_id, ts, "value",

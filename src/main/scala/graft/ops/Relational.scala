@@ -503,7 +503,9 @@ object Relational {
       .rangeBetween(-6, 0)
     lineitem(s, d)
       .filter(col("l_suppkey") <= 3)
-      .withColumn("epoch_day", (unix_timestamp(col("l_shipdate")) / 86400L).cast("long"))
+      // floor, not cast-truncation: they differ on negative (pre-1970)
+      // epochs, and the oracle floors
+      .withColumn("epoch_day", floor(unix_timestamp(col("l_shipdate")) / 86400L).cast("long"))
       .groupBy(col("l_suppkey"), col("epoch_day"))
       .agg(sum(col("l_quantity")).as("day_qty"))
       .withColumn("qty_7d", sum(col("day_qty")).over(w))
@@ -526,7 +528,10 @@ object Relational {
    *  → engine-independent). */
   def q56CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
     orders(s, d).createOrReplaceTempView("orders_v")
-    s.sql(
+    // analysis binds the view at sql() time, so dropping it right
+    // after keeps the catalog of the shared long-lived session clean
+    // (the returned plan stays valid)
+    try s.sql(
       """SELECT o.o_orderkey, o.o_custkey,
         | CAST(round(o.o_totalprice*100) AS BIGINT) AS price_cents
         |FROM orders_v o
@@ -534,6 +539,7 @@ object Relational {
         |  (SELECT 1.5 * avg(CAST(round(i.o_totalprice*100) AS BIGINT))
         |   FROM orders_v i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin)
+    finally s.catalog.dropTempView("orders_v")
   }
 
   val q56Sql: String =

@@ -150,8 +150,8 @@ object TextAnalysis {
        |      WHEN least(n_words, 100) + 2*n_stop - n_punct >= 15 THEN 'medium'
        |      ELSE 'low' END AS quality_bucket
        |FROM (SELECT doc_id, length(text) AS n_chars,
-       |       len(regexp_extract_all(text, '\\S+')) AS n_words,
-       |       len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+       |       len(regexp_extract_all(text, '[^ \\t\\n\\v\\f\\r]+')) AS n_words,
+       |       len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\v\\f\\r]')) AS n_punct,
        |       $stop AS n_stop
        |      FROM documents) t
        |ORDER BY doc_id""".stripMargin
@@ -172,9 +172,9 @@ object TextAnalysis {
 
   val q30Sql: String =
     """SELECT doc_id,
-      | len(regexp_extract_all(text, '\S+')) AS ws_tokens,
-      | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens,
-      | round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) * 100.0
+      | len(regexp_extract_all(text, '[^ \t\n\v\f\r]+')) AS ws_tokens,
+      | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\v\f\r]')) AS bpe_tokens,
+      | round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\v\f\r]')) * 100.0
       |       / greatest(length(text), 1), 4) AS tokens_per_100chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -196,7 +196,7 @@ object TextAnalysis {
       .orderBy(col("keeper"))
 
   val q21Sql: String =
-    """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+    """SELECT md5(regexp_replace(trim(lower(text)), '[ \t\n\v\f\r]+', ' ', 'g')) AS fp,
       | min(doc_id) AS keeper, count(*) AS n_dups
       |FROM documents
       |GROUP BY 1 ORDER BY keeper""".stripMargin
@@ -244,7 +244,7 @@ object TextAnalysis {
       | SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk
       | FROM (
       |  SELECT tok AS token, count(*) AS cnt FROM (
-      |   SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents) u
+      |   SELECT unnest(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) AS tok FROM documents) u
       |  GROUP BY 1) c ) r
       |WHERE rnk <= 10 ORDER BY rnk""".stripMargin
 
@@ -253,7 +253,7 @@ object TextAnalysis {
       | list_reduce(
       |   list_prepend(7::BIGINT,
       |     list_transform(
-      |       string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ''),
+      |       string_split_regex(regexp_replace(trim(lower(text)), '[ \t\n\v\f\r]+', ' ', 'g'), ''),
       |       x -> unicode(x)::BIGINT)),
       |   (acc, c) -> (acc * 31 + c) % 2147483647) AS rh
       |FROM documents ORDER BY doc_id""".stripMargin

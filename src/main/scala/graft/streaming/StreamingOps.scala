@@ -10,9 +10,11 @@ import org.apache.spark.sql.streaming.Trigger
 /**
  * Structured Streaming surface: the same event analytics as the batch
  * operators, driven through `readStream` → transforms → `writeStream`,
- * proving the engine's stream/batch parity. All three queries drain
- * the file source with AvailableNow into a uniquely-named memory
- * sink, materialize the result locally, and DROP the sink table —
+ * proving the engine's stream/batch parity. Every streaming query
+ * here (tumbling/sliding/session windows, stateful, stream-stream
+ * join, dedup, late-data) drains its file source with AvailableNow
+ * into a uniquely-named memory sink, materializes the result
+ * locally, and DROPs the sink table —
  * repeated invocations (Verify + Bench share a session) must not pin
  * result sets in driver memory.
  *
@@ -32,10 +34,12 @@ object StreamingOps {
     val q = df.writeStream.outputMode(outputMode).format("memory")
       .queryName(name).trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
-    val result = post(s.table(name))
-    val rows = result.collect()
-    s.catalog.dropTempView(name)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    try {
+      val result = post(s.table(name))
+      val rows = result.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally s.catalog.dropTempView(name) // also on post/collect failure:
+    // a pinned sink table must never outlive its query (module contract)
   }
 
   def q34StreamTumbling(s: SparkSession, d: String): DataFrame = {
@@ -104,15 +108,20 @@ object StreamingOps {
     * with batch N−1's watermark, so a straggler batch immediately
     * after the first would merge-then-emit instead of drop.) */
   def q68StreamLateData(s: SparkSession, d: String): DataFrame = {
+    // ONE scan stages all three files (the three filtered writes
+    // would otherwise each re-read the biggest streaming input)
     val ev = Tables.events(s, d).select(col("ts"), col("event_type"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cut = lit(LateCutoff).cast("timestamp")
     val mid = lit(MidCutoff).cast("timestamp")
     val dir = graft.ops.InferOps.tmpPath("late_stream", d)
     val now = System.currentTimeMillis()
-    writeOneFile(ev.filter(col("ts") >= cut && col("ts") < mid),
-      dir, "0_ontime_a.parquet", now - 120000)
-    writeOneFile(ev.filter(col("ts") >= mid), dir, "1_ontime_b.parquet", now - 60000)
-    writeOneFile(ev.filter(col("ts") < cut), dir, "2_late.parquet", now)
+    try {
+      writeOneFile(ev.filter(col("ts") >= cut && col("ts") < mid),
+        dir, "0_ontime_a.parquet", now - 120000)
+      writeOneFile(ev.filter(col("ts") >= mid), dir, "1_ontime_b.parquet", now - 60000)
+      writeOneFile(ev.filter(col("ts") < cut), dir, "2_late.parquet", now)
+    } finally ev.unpersist(false)
     val agg = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
@@ -157,7 +166,10 @@ object StreamingOps {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val stream = Tables.eventsStream(s, d)
-      .select(col("user_id"), Tables.cents(col("value")).as("cents"))
+      // coalesce(0): a NULL value would crash the non-nullable tuple
+      // encoder; adding 0 to the sum is exactly the oracle's
+      // NULL-skipping sum semantics while count(*) keeps the row
+      .select(col("user_id"), coalesce(Tables.cents(col("value")), lit(0L)).as("cents"))
       .as[(Long, Long)]
     def update(user: Long, rows: Iterator[(Long, Long)],
         state: GroupState[UserAgg]): Iterator[UserAgg] = {
@@ -294,7 +306,7 @@ object StreamingOps {
 
   val q63Sql: String =
     """SELECT lang,
-      | count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_unique
+      | count(DISTINCT md5(regexp_replace(trim(lower(text)), '[ \t\n\v\f\r]+', ' ', 'g'))) AS n_unique
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Streaming SLIDING windows (2-hour window, 1-hour slide): every
