@@ -91,7 +91,7 @@ object Main {
       }
       case "export" => Right(opts.positional.headOption.getOrElse(
         throw new IllegalArgumentException(
-          "usage: graft export [options] SERVER[.DB[.SCHEMA]].TABLE [DEST]")))
+          "usage: graft export [options] SERVER.DB.SCHEMA.TABLE [DEST] (4-part dbpath; empty segments keep defaults, e.g. server...table)")))
       case other =>
         throw new IllegalArgumentException(s"unknown command '$other' (import|export)")
     }

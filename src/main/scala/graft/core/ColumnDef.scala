@@ -157,12 +157,20 @@ object ColumnDef {
     // column; suffixing preserves every column (documented divergence)
     var unnamed = 0
     val seen = scala.collection.mutable.Map[String, Int]()
+    val used = scala.collection.mutable.Set[String]()
     headers.map { h0 =>
       val h1 = Option(h0).getOrElse("").stripPrefix("﻿").trim
       val h = if (h1.isEmpty) { unnamed += 1; s"unnamed$unnamed" } else h1
-      val n = seen.getOrElse(h, 0) + 1
+      var n = seen.getOrElse(h, 0) + 1
+      var out = if (n == 1) h else s"${h}_$n"
+      // a generated suffix (or unnamed<N>) can itself collide with a
+      // REAL later/earlier header (a,a,a_2): keep bumping until the
+      // emitted name is globally unique, else the frame ends up with
+      // duplicate columns and every by-name select turns ambiguous
+      while (used.contains(out)) { n += 1; out = s"${h}_$n" }
       seen(h) = n
-      if (n == 1) h else s"${h}_$n"
+      used += out
+      out
     }
   }
 }

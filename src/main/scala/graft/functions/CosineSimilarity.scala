@@ -171,12 +171,21 @@ object GraftFunctions {
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
 
+  private def binary(name: String, mk: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    // clean analysis-time arity error instead of an
+    // IndexOutOfBoundsException from inside the builder
+    if (exprs.length != 2) throw new IllegalArgumentException(
+      s"$name expects 2 arguments, got ${exprs.length}")
+    mk(exprs(0), exprs(1))
+  }
+
   /** Registers the native functions for both the Column API and SQL
     * (`SELECT graft_cosine_sim(a, b) …`). Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      "graft_cosine_sim", binary("graft_cosine_sim", CosineSimilarity.apply), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "graft_dot", binary("graft_dot", DotProduct.apply), "built-in")
   }
 }

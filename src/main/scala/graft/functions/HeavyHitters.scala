@@ -123,8 +123,12 @@ object HeavyHitters {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_heavy_hitters",
-      exprs => HeavyHitters(exprs(0),
-        TopK.foldableInt(exprs, 1, "graft_heavy_hitters", "k"),
-        TopK.foldableInt(exprs, 2, "graft_heavy_hitters", "capacity")),
+      { exprs =>
+        if (exprs.isEmpty) throw new IllegalArgumentException(
+          "graft_heavy_hitters expects (item, k, capacity), got 0 arguments")
+        HeavyHitters(exprs(0),
+          TopK.foldableInt(exprs, 1, "graft_heavy_hitters", "k"),
+          TopK.foldableInt(exprs, 2, "graft_heavy_hitters", "capacity"))
+      },
       "built-in")
 }

@@ -57,5 +57,9 @@ object RollingHash {
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+      "graft_rolling_hash", { exprs =>
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"graft_rolling_hash expects 1 argument, got ${exprs.length}")
+        RollingHash(exprs.head)
+      }, "built-in")
 }

@@ -64,9 +64,20 @@ object CsvIO {
     // so the single entry is extracted driver-side to pid-keyed
     // scratch and the normal CSV path reads that. Delimiter dispatch
     // stays on the OUTER name (data.tsv.zip → TAB), like .gz.
-    val realPath = if (path.endsWith(".zip")) unzipToScratch(path) else path
+    val extracted = if (path.endsWith(".zip")) Some(unzipToScratch(path)) else None
+    // the scratch file inherits the outer basename, which may carry
+    // glob metacharacters — escape them for the Spark read (the
+    // extracted path is always a real local file); escaped paths
+    // cannot use the multiLine whole-file reader on 4.1.2
+    val realPath = extracted match {
+      case Some(sp) if sp.exists("*?[]{}".contains(_)) =>
+        sp.replaceAll("([\\[\\]{}*?])", "\\\\$1")
+      case Some(sp) => sp
+      case None => path
+    }
     val d = delimiterFor(path, delimiter)
-    val raw = readRaw(spark, realPath, d, multiLine)
+    val raw = readRaw(spark, realPath,
+      d, multiLine && realPath == extracted.getOrElse(path))
     val cols = SchemaInfer.inferSample(raw, sampleSize)
     val typed = castTo(raw, cols)
     (typed, cols)
@@ -160,11 +171,13 @@ object CsvIO {
    *  whole import on one malformed cell the 20k-row sample missed
    *  (and temporal parsing must accept every format the inference
    *  lattice accepts, not just ISO). */
-  def castTo(raw: DataFrame, cols: Seq[ColumnDef]): DataFrame = {
+  def castTo(raw0: DataFrame, cols: Seq[ColumnDef]): DataFrame = {
+    // rename to unique temps FIRST so the projection is genuinely
+    // positional: raw(raw.columns(i)) resolves BY NAME and would be
+    // ambiguous for pre-sanitation callers with duplicate headers
+    val raw = raw0.toDF(raw0.columns.indices.map(i => s"__pos$i"): _*)
     val projections = cols.zipWithIndex.map { case (c, i) =>
-      // select by POSITION: duplicate header names (pre-sanitation
-      // callers) would make col(name) ambiguous
-      val src = raw(raw.columns(i))
+      val src = raw(s"__pos$i")
       val nonEmpty = when(src.isNull || src === "", lit(null)).otherwise(src)
       val casted: Column = c.toStructField.dataType match {
         case ShortType     => nonEmpty.try_cast(ShortType)

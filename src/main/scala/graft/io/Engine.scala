@@ -55,9 +55,12 @@ final class Engine(spark: SparkSession, registry: ServerRegistry) {
         // columnar/JSONL inputs route to their native readers — the
         // reference fed EVERYTHING non-Excel to the CSV parser, which
         // would shred a parquet file into garbage rows
-        val table = addr.table.getOrElse(
-          new java.io.File(path).getName.replaceAll("\\.[^.]*$", ""))
         val base = path.stripSuffix(".gz")
+        // derive the table from the name MINUS the compression suffix:
+        // data.csv.gz must become "data", not the schema-qualified-
+        // looking "data.csv" (which JdbcIO would split on the dot)
+        val table = addr.table.getOrElse(
+          new java.io.File(base).getName.replaceAll("\\.[^.]*$", ""))
         // Spark's readers treat paths as Hadoop globs: a LITERAL
         // filename like lit[1].csv would silently match nothing —
         // escape the metacharacters when the exact file exists.
@@ -67,8 +70,13 @@ final class Engine(spark: SparkSession, registry: ServerRegistry) {
         // file are the one unsupported corner.)
         val mustEscape =
           new java.io.File(path).isFile && path.exists("*?[]{}".contains(_))
+        // .zip opens through java.util.zip (a LOCAL file API) — the
+        // Hadoop-glob escaping below would make ZipFile miss the file;
+        // CsvIO escapes the extracted scratch path itself
         val readPath =
-          if (mustEscape) path.replaceAll("([\\[\\]{}*?])", "\\\\$1") else path
+          if (mustEscape && !path.endsWith(".zip"))
+            path.replaceAll("([\\[\\]{}*?])", "\\\\$1")
+          else path
         if (base.endsWith(".parquet") || base.endsWith(".orc")) {
           val df = if (base.endsWith(".orc")) spark.read.orc(readPath)
                    else spark.read.parquet(readPath)

@@ -75,8 +75,15 @@ object JdbcIO {
         else if (md.storesUpperCaseIdentifiers && t == tablePat.toUpperCase) schemaPat.toUpperCase
         else if (md.storesLowerCaseIdentifiers && t == tablePat.toLowerCase) schemaPat.toLowerCase
         else schemaPat
+      // getTables treats its arguments as SQL LIKE patterns: escape
+      // '_'/'%' (ubiquitous in real table names) or MY_TABLE would
+      // match MYXTABLE and misreport existence
+      val esc = try md.getSearchStringEscape catch { case _: Exception => "\\" }
+      def escapePat(x: String): String =
+        if (x == null) null
+        else x.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
       candidates.distinct.exists { t =>
-        val rs = md.getTables(null, schemaCand(t), t, null)
+        val rs = md.getTables(null, escapePat(schemaCand(t)), escapePat(t), null)
         try rs.next() finally rs.close()
       }
     } finally cn.close()

@@ -191,7 +191,12 @@ object XlsxIO {
       val builtinDate = (fmtId >= 14 && fmtId <= 17) || fmtId == 22
       val builtinTime = (fmtId >= 18 && fmtId <= 21) || (fmtId >= 45 && fmtId <= 47)
       val code = customFmt.get(fmtId)
-        .map(_.replaceAll("\"[^\"]*\"", "").replaceAll("\\\\.", "").toLowerCase)
+        // strip quoted literals, escapes AND bracketed sections before
+        // scanning for date letters: color/locale/currency codes like
+        // [Red] or [$USD-409] contain 'd' and would otherwise classify
+        // an accounting format as a date (silent numeric corruption)
+        .map(_.replaceAll("\"[^\"]*\"", "").replaceAll("\\\\.", "")
+          .replaceAll("\\[[^\\]]*\\]", "").toLowerCase)
         .getOrElse("")
       val customDate = code.exists(c => c == 'y' || c == 'd')
       val customTime = code.contains('h') || code.contains("ss")

@@ -82,6 +82,18 @@ class ColumnDefSpec extends AnyFunSuite {
       Seq("id", "id_2", "val", "id_3"))
   }
 
+  test("sanitized headers are globally unique even when suffixes collide with real headers") {
+    // a,a,a_2: the generated a_2 must not collide with the literal one
+    val out = ColumnDef.sanitizeHeaders(Seq("a", "a", "a_2"))
+    assert(out.distinct == out, s"duplicate names survived: $out")
+    assert(out.head == "a" && out.contains("a_2"))
+    // idempotent on already-clean names (inference re-sanitizes)
+    assert(ColumnDef.sanitizeHeaders(out) == out)
+    // unnamed<N> colliding with a literal unnamed1 header
+    val out2 = ColumnDef.sanitizeHeaders(Seq("", "unnamed1"))
+    assert(out2.distinct == out2, s"duplicate names survived: $out2")
+  }
+
   test("digit strings beyond Long range saturate instead of throwing (python int parity)") {
     val c = fold(Seq("5", "12345678901234567890123"))
     assert(c.settledType == "int" && c.ddlType == "BIGINT")

@@ -202,6 +202,23 @@ class CsvIOSpec extends AnyFunSuite with SparkSuite {
     assert(typed.count() == 40000L)
   }
 
+  test("bracket-named zip imports: scratch path escapes its glob metacharacters") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = Files.createTempDirectory("graftzipbracket")
+    val p = dir.resolve("pts[1].tsv.zip")
+    val zos = new ZipOutputStream(Files.newOutputStream(p))
+    try {
+      zos.putNextEntry(new ZipEntry("inner.tsv"))
+      zos.write("id\tname\n1\talpha\n2\tbeta\n".getBytes("UTF-8"))
+      zos.closeEntry()
+    } finally zos.close()
+    // the extracted scratch file is named pts[1].tsv — a Spark read of
+    // the unescaped path would glob-match nothing and return 0 rows
+    val (typed, cols) = CsvIO.importCsv(spark, p.toString)
+    assert(cols.map(_.name) == Seq("id", "name"))
+    assert(typed.count() == 2L)
+  }
+
   test("inferFull (treeAggregate) agrees with inferSample on the fixture") {
     val raw = CsvIO.readRaw(spark, fixture, ",")
     val a = SchemaInfer.inferSample(raw)
