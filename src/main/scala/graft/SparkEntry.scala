@@ -96,7 +96,8 @@ object SparkEntry {
     "q51_jsonl_roundtrip" -> (InferOps.q51JsonlRoundtrip _),
     "q57_partition_prune" -> (InferOps.q57PartitionedPrune _),
     "q52_orc_roundtrip" -> (InferOps.q52OrcRoundtrip _),
-    "q67_compaction" -> (InferOps.q67Compaction _)
+    "q67_compaction" -> (InferOps.q67Compaction _),
+    "q69_skew_join" -> (SkewJoin.q69SkewJoin _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -162,6 +163,7 @@ object SparkEntry {
     "q51_jsonl_roundtrip" -> InferOps.q51Sql,
     "q57_partition_prune" -> InferOps.q57Sql,
     "q52_orc_roundtrip" -> InferOps.q52Sql,
-    "q67_compaction" -> InferOps.q67Sql
+    "q67_compaction" -> InferOps.q67Sql,
+    "q69_skew_join" -> SkewJoin.q69Sql
   )
 }

@@ -31,11 +31,17 @@ object Multimodal {
    *  real deployment swaps only this function for a codec call; the
    *  digest/codec handle is instantiated once per PARTITION and
    *  passed in. */
+  /** Stub header dimensions — pure functions of payload length,
+   *  shared by the full decode (q31) and the resize path (q45) so the
+   *  two can't drift. */
+  private[ops] def stubWidth(n: Long): Long = 64 + n % 512
+  private[ops] def stubHeight(n: Long): Long = 64 + (n * 7) % 512
+
   def decodeStub(md: java.security.MessageDigest, r: MediaRow): MediaMeta = {
     val n = r.payload.length.toLong
     md.reset()
     val hex = md.digest(r.payload).map("%02x".format(_)).mkString
-    MediaMeta(r.doc_id, n, 64 + n % 512, 64 + (n * 7) % 512, 3L, hex)
+    MediaMeta(r.doc_id, n, stubWidth(n), stubHeight(n), 3L, hex)
   }
 
   /** Treat each document's text bytes as a fake media payload and run
@@ -78,9 +84,13 @@ object Multimodal {
       .select(col("doc_id"), col("text"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        val digest = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text, payload) =>
-          val m = decodeStub(digest, MediaRow(id, payload))
+          // width/height are pure functions of the payload LENGTH
+          // (decodeStub's header-parse stub) — resizing needs no
+          // content hash, so skip the per-row MD5 the full decode
+          // pipeline (q31) pays for its content_hash column
+          val n = payload.length.toLong
+          val m = MediaMeta(id, n, stubWidth(n), stubHeight(n), 3L, "")
           // fit into 224×224, round-half-up, floor at 1
           val scaleNum = 224L
           val (nw, nh) =

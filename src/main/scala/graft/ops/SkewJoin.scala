@@ -32,4 +32,28 @@ object SkewJoin {
       explode(array((0 until buckets).map(lit(_)): _*)))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Driver-gated exercise of the salted join: lineitem ⋈ supplier on
+    * suppkey through the salted path, aggregated per nation — the
+    * oracle is the PLAIN join, so any row lost or duplicated by the
+    * salting/replication machinery flips the hash. */
+  def q69SkewJoin(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("k"), col("l_quantity"),
+        col("l_orderkey"), col("l_linenumber"))
+    val small = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("k"), col("s_nationkey"))
+    saltedJoin(big, small, "k",
+        saltSource = col("l_orderkey") * 10 + col("l_linenumber"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.cents(col("l_quantity"))).as("qty_cents"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val q69Sql: String =
+    """SELECT s_nationkey, count(*) AS n,
+      | CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 }

@@ -20,14 +20,6 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /**
-   * `events.parquet` carries a nanosecond-precision timestamp
-   * (TIMESTAMP(NANOS)), which Spark's vectorized parquet reader does
-   * not map to TimestampType. Read with the documented escape hatch
-   * (`spark.sql.legacy.parquet.nanosAsLong`, SPARK-34377) and convert
-   * to microsecond TimestampType; if this Spark version reads nanos
-   * natively, pass the column through unchanged.
-   */
   /** Normalizes a `ts` column that read as raw int64 nanos (under
     * nanosAsLong) to micros TimestampType; native timestamps pass
     * through; anything else fails fast at the source instead of
@@ -39,6 +31,11 @@ object Tables {
     case other => throw new IllegalStateException(s"unexpected ts type $other")
   }
 
+  /** `events.parquet` carries a nanosecond-precision timestamp
+    * (TIMESTAMP(NANOS)), which Spark's vectorized parquet reader does
+    * not map to TimestampType. Read with the documented escape hatch
+    * (`spark.sql.legacy.parquet.nanosAsLong`, SPARK-34377) and
+    * normalize via [[normalizeTs]]. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     // set preemptively: only affects TIMESTAMP(NANOS) parquet columns,

@@ -36,8 +36,13 @@ object TextAnalysis {
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
   def punctCount(c: Column): Column =
     regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("long")
+  /** The ONE quality formula, over precomputed signal columns —
+    * qualityScore (q54) and q29 both route through it so the two
+    * surfaces cannot drift. */
+  def qualityFormula(words: Column, stop: Column, punct: Column): Column =
+    least(words, lit(100)) + lit(2) * stop - punct
   def qualityScore(c: Column): Column =
-    least(tokenCount(c), lit(100)) + lit(2) * markerScore(lower(c), StopWords) - punctCount(c)
+    qualityFormula(tokenCount(c), markerScore(lower(c), StopWords), punctCount(c))
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and"),
@@ -134,7 +139,7 @@ object TextAnalysis {
       punctCount(text).as("n_punct"),
       markerScore(lower(text), StopWords).as("n_stop"))
       .withColumn("quality_score",
-        least(col("n_words"), lit(100)) + lit(2) * col("n_stop") - col("n_punct"))
+        qualityFormula(col("n_words"), col("n_stop"), col("n_punct")))
       .withColumn("quality_bucket",
         when(col("quality_score") >= 30, "high")
           .when(col("quality_score") >= 15, "medium").otherwise("low"))
@@ -142,7 +147,7 @@ object TextAnalysis {
   }
 
   val q29Sql: String = {
-    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val stop = StopWords
       .map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")
     s"""SELECT doc_id, n_chars, n_words, n_punct, n_stop,
        | least(n_words, 100) + 2*n_stop - n_punct AS quality_score,
@@ -208,8 +213,7 @@ object TextAnalysis {
     graft.functions.RollingHash.register(s)
     documents(s, d).select(
       col("doc_id"),
-      graft.functions.RollingHash.rolling_hash(
-        regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("rh"))
+      graft.functions.RollingHash.rolling_hash(normalizeText(col("text"))).as("rh"))
       .orderBy(col("doc_id"))
   }
 
@@ -219,21 +223,15 @@ object TextAnalysis {
    *  exact and oracle-checkable against a plain count. */
   def q53HeavyHitters(s: SparkSession, d: String): DataFrame = {
     graft.functions.HeavyHitters.register(s)
-    // ranking is derived by sorting the sketch's own 10-element array
-    // (cnt desc, item asc) and posexploding — a pure per-row
-    // expression over the single aggregate output, so no global
-    // Window.orderBy (which plans a single-partition exchange even
-    // when, as here, it only ever sees 10 rows)
-    val byCntDescItemAsc = (l: Column, r: Column) =>
-      when(l.getField("cnt") > r.getField("cnt"), -1)
-        .when(l.getField("cnt") < r.getField("cnt"), 1)
-        .when(l.getField("item") < r.getField("item"), -1)
-        .when(l.getField("item") > r.getField("item"), 1)
-        .otherwise(0)
+    // HeavyHitters.eval returns its array already sorted by
+    // (cnt desc, item asc) — posexplode derives the rank directly, a
+    // pure per-row expression over the single aggregate output: no
+    // global Window.orderBy (single-partition exchange) and no
+    // re-sort duplicating the sketch's own tie-break
     documents(s, d)
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
       .agg(graft.functions.HeavyHitters.heavy_hitters(col("tok"), 10, 4096).as("top"))
-      .select(posexplode(array_sort(col("top"), byCntDescItemAsc)).as(Seq("pos", "e")))
+      .select(posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("e.item").as("token"), col("e.cnt").as("cnt"),
         (col("pos") + 1).cast("long").as("rnk"))
       .orderBy(col("rnk"))
@@ -253,7 +251,9 @@ object TextAnalysis {
       | list_reduce(
       |   list_prepend(7::BIGINT,
       |     list_transform(
-      |       string_split_regex(regexp_replace(trim(lower(text)), '[ \t\n\v\f\r]+', ' ', 'g'), ''),
+      |       list_filter(
+      |         string_split_regex(regexp_replace(trim(lower(text)), '[ \t\n\v\f\r]+', ' ', 'g'), ''),
+      |         x -> x <> ''),
       |       x -> unicode(x)::BIGINT)),
       |   (acc, c) -> (acc * 31 + c) % 2147483647) AS rh
       |FROM documents ORDER BY doc_id""".stripMargin
