@@ -416,11 +416,29 @@ object XlsxIO {
     * single-writer bottleneck is inherent to the format (one workbook
     * file); the bounded-memory stream is as scale-safe as xlsx gets. */
   def writeSheet(df: DataFrame, path: String, sheetName: String): Unit = {
-    val existing: Seq[(String, () => Iterator[Seq[Cell]])] =
-      if (Files.exists(Paths.get(path)))
-        listSheets(path).filterNot(_ == sheetName)
-          .map(s => s -> (() => readSheet(path, s).iterator))
-      else Seq.empty
+    // one workbook open serves every preserved sheet: sharedStrings/
+    // styles parse once instead of once per sheet (readSheet re-opens
+    // the zip per call). The handle stays open through the streaming
+    // write — safe, because the writer lands in a sibling temp file
+    // and only moves over `path` at the end.
+    val zfOpt =
+      if (Files.exists(Paths.get(path))) { requireOoxml(path); Some(new ZipFile(path)) }
+      else None
+    try {
+      val existing: Seq[(String, () => Iterator[Seq[Cell]])] = zfOpt.map { zf =>
+        val shared = sharedStrings(zf)
+        val styles = styleKinds(zf)
+        sheetTargets(zf).filterNot(_._1 == sheetName).map { case (n, t) =>
+          n -> (() => parseSheet(entryBytes(zf, t).getOrElse(
+            throw new IllegalStateException(s"missing part $t")), shared, styles).iterator)
+        }
+      }.getOrElse(Seq.empty)
+      writeSheetBody(df, path, sheetName, existing)
+    } finally zfOpt.foreach(_.close())
+  }
+
+  private def writeSheetBody(df: DataFrame, path: String, sheetName: String,
+      existing: Seq[(String, () => Iterator[Seq[Cell]])]): Unit = {
     val header: Seq[Cell] = df.schema.fieldNames.toSeq.map(XStr(_))
     def body: Iterator[Seq[Cell]] = {
       import scala.jdk.CollectionConverters._
