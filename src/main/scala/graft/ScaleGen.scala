@@ -30,8 +30,9 @@ import org.apache.spark.sql.functions._
  */
 object ScaleGen {
 
-  /** Per-copy key offset — far above any key in the provisioned data. */
-  private val Off = 10_000_000_000L
+  /** Per-copy key offset — far above any key in the provisioned data.
+   *  Exposed so specs reference the same constant they partition by. */
+  private[graft] val Off = 10_000_000_000L
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -27,16 +27,19 @@ class ScaleGenSpec extends AnyFunSuite with SparkSuite {
     // (no shingle collisions across copies) with recomputed n_chars
     val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val d = tbl("documents")
-    assert(d.filter(col("doc_id") < 10000000000L).count() == src.count())
-    val c1 = d.filter(col("doc_id") >= 10000000000L)
-    assert(c1.filter(!col("text").rlike("_c1( |$)")).count() == 0)
+    assert(d.filter(col("doc_id") < ScaleGen.Off).count() == src.count())
+    val c1 = d.filter(col("doc_id") >= ScaleGen.Off)
+    // EVERY token must carry the copy suffix — a single-token check
+    // would pass even if cross-copy shingle collisions returned
+    assert(c1.filter(exists(split(col("text"), "\\s+"),
+      t => !t.rlike("_c1$"))).count() == 0)
     assert(c1.filter(col("n_chars") =!= length(col("text"))).count() == 0)
 
     // copy-0 embeddings exact, copy-1 perturbed but near (cosine > 0.99)
     graft.functions.GraftFunctions.register(spark)
     val e = tbl("embeddings")
     val pair = e.filter(col("vec_id") === 0).select(col("embedding").as("a"))
-      .crossJoin(e.filter(col("vec_id") === 10000000000L).select(col("embedding").as("b")))
+      .crossJoin(e.filter(col("vec_id") === ScaleGen.Off).select(col("embedding").as("b")))
       .select(graft.functions.GraftFunctions.cosine_sim(col("a"), col("b")).as("sim"))
       .head.getDouble(0)
     assert(pair > 0.99 && pair < 1.0, s"copy-1 vector should be a near-clone, sim=$pair")

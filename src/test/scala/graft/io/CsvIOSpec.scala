@@ -137,19 +137,24 @@ class CsvIOSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[Number](0).intValue() == 1 && r.getAs[Number](1).intValue() == 2)
   }
 
-  test("single-entry .zip imports through scratch extraction; multi-entry rejects") {
+  /** One test zip under `dir`, one entry per (name, content) pair. */
+  private def writeZip(dir: java.nio.file.Path, name: String,
+      entries: (String, String)*): String = {
     import java.util.zip.{ZipEntry, ZipOutputStream}
+    val p = dir.resolve(name)
+    val zos = new ZipOutputStream(Files.newOutputStream(p))
+    try entries.foreach { case (en, content) =>
+      zos.putNextEntry(new ZipEntry(en))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    } finally zos.close()
+    p.toString
+  }
+
+  test("single-entry .zip imports through scratch extraction; multi-entry rejects") {
     val dir = Files.createTempDirectory("graftzip")
-    def writeZip(name: String, entries: (String, String)*): String = {
-      val p = dir.resolve(name)
-      val zos = new ZipOutputStream(Files.newOutputStream(p))
-      try entries.foreach { case (en, content) =>
-        zos.putNextEntry(new ZipEntry(en))
-        zos.write(content.getBytes("UTF-8"))
-        zos.closeEntry()
-      } finally zos.close()
-      p.toString
-    }
+    def writeZip(name: String, entries: (String, String)*): String =
+      this.writeZip(dir, name, entries: _*)
     // tsv-in-zip: delimiter dispatch must follow the OUTER name
     val single = writeZip("pts.tsv.zip", "inner.tsv" -> "id\tname\n1\talpha\n2\tbeta\n")
     val (typed, cols) = CsvIO.importCsv(spark, single)
@@ -165,18 +170,9 @@ class CsvIOSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("zip extraction rejects traversal entry names and over-cap payloads") {
-    import java.util.zip.{ZipEntry, ZipOutputStream}
     val dir = Files.createTempDirectory("graftzipevil")
-    def writeZip(name: String, entries: (String, String)*): String = {
-      val p = dir.resolve(name)
-      val zos = new ZipOutputStream(Files.newOutputStream(p))
-      try entries.foreach { case (en, content) =>
-        zos.putNextEntry(new ZipEntry(en))
-        zos.write(content.getBytes("UTF-8"))
-        zos.closeEntry()
-      } finally zos.close()
-      p.toString
-    }
+    def writeZip(name: String, entries: (String, String)*): String =
+      this.writeZip(dir, name, entries: _*)
     // zip-slip: the extraction never uses the entry name for the output
     // path, but a traversal-shaped name must still fail loudly
     val slip = writeZip("slip.csv.zip", "../../etc/evil.csv" -> "x\n1\n")
@@ -203,18 +199,12 @@ class CsvIOSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("bracket-named zip imports: scratch path escapes its glob metacharacters") {
-    import java.util.zip.{ZipEntry, ZipOutputStream}
     val dir = Files.createTempDirectory("graftzipbracket")
-    val p = dir.resolve("pts[1].tsv.zip")
-    val zos = new ZipOutputStream(Files.newOutputStream(p))
-    try {
-      zos.putNextEntry(new ZipEntry("inner.tsv"))
-      zos.write("id\tname\n1\talpha\n2\tbeta\n".getBytes("UTF-8"))
-      zos.closeEntry()
-    } finally zos.close()
+    val p = writeZip(dir, "pts[1].tsv.zip",
+      "inner.tsv" -> "id\tname\n1\talpha\n2\tbeta\n")
     // the extracted scratch file is named pts[1].tsv — a Spark read of
     // the unescaped path would glob-match nothing and return 0 rows
-    val (typed, cols) = CsvIO.importCsv(spark, p.toString)
+    val (typed, cols) = CsvIO.importCsv(spark, p)
     assert(cols.map(_.name) == Seq("id", "name"))
     assert(typed.count() == 2L)
   }

@@ -127,8 +127,11 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
     val work = java.nio.file.Files.createTempDirectory("graftpipeout").toString
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val p = CorpusPipeline(docs).dedupFuzzyJaccard(threshold = 0.6)
+    // count the lazy result BEFORE writeResult: afterwards the scoped
+    // cache is gone and the count would re-run the whole pipeline
+    val expected = p.result.count()
     val out = p.writeResult(s"$work/corpus")
-    assert(out.count() == p.result.count())
+    assert(out.count() == expected)
     assert(spark.sharedState.cacheManager.isEmpty,
       "scoped shingle cache survived writeResult()")
     // the returned frame reads the LAYOUT, not the pipeline lineage:

@@ -72,20 +72,24 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(runOnce() == e.count())
   }
 
+  /** Stages `e` as three single-file batches under `src` (event_id
+    * ranges <100 / 100..199 / >=200) — with maxFilesPerTrigger=1 each
+    * file becomes one micro-batch. Shared by the kill/resume tests. */
+  private def writeThreeBatches(src: String,
+      e: org.apache.spark.sql.DataFrame): Unit = {
+    e.filter(col("event_id") < 100).coalesce(1).write.parquet(s"$src/b0")
+    e.filter(col("event_id") >= 100 && col("event_id") < 200).coalesce(1)
+      .write.parquet(s"$src/b1")
+    e.filter(col("event_id") >= 200).coalesce(1).write.parquet(s"$src/b2")
+  }
+
   test("query killed mid-stream resumes from its checkpoint: uncommitted batch replays, committed one doesn't") {
     import java.nio.file.Files
     val work = Files.createTempDirectory("graftmidkill")
     val src = work.resolve("src").toString
     val ckpt = work.resolve("ckpt").toString
     val e = Tables.events(spark, dir).limit(300).cache()
-    // three single-file batches (maxFilesPerTrigger=1 → one file per
-    // micro-batch)
-    e.filter(col("event_id") < 100).coalesce(1)
-      .write.parquet(s"$src/b0")
-    e.filter(col("event_id") >= 100 && col("event_id") < 200).coalesce(1)
-      .write.parquet(s"$src/b1")
-    e.filter(col("event_id") >= 200).coalesce(1)
-      .write.parquet(s"$src/b2")
+    writeThreeBatches(src, e)
 
     // idempotent driver-side sink keyed by batchId (the foreachBatch
     // contract: replays reuse the SAME id, so last-write-wins dedups)
@@ -135,10 +139,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     val src = work.resolve("src").toString
     val ckpt = work.resolve("ckpt").toString
     val e = Tables.events(spark, dir).limit(300).cache()
-    e.filter(col("event_id") < 100).coalesce(1).write.parquet(s"$src/b0")
-    e.filter(col("event_id") >= 100 && col("event_id") < 200).coalesce(1)
-      .write.parquet(s"$src/b1")
-    e.filter(col("event_id") >= 200).coalesce(1).write.parquet(s"$src/b2")
+    writeThreeBatches(src, e)
     // update-mode sink: keep the LATEST cumulative count per key; if
     // the state store did not recover batch 0's contribution after the
     // kill, the final counts would cover only batches 1-2
