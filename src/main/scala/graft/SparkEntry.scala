@@ -97,7 +97,10 @@ object SparkEntry {
     "q57_partition_prune" -> (InferOps.q57PartitionedPrune _),
     "q52_orc_roundtrip" -> (InferOps.q52OrcRoundtrip _),
     "q67_compaction" -> (InferOps.q67Compaction _),
-    "q69_skew_join" -> (SkewJoin.q69SkewJoin _)
+    "q69_skew_join" -> (SkewJoin.q69SkewJoin _),
+    // curation quality signals + PII governance
+    "q70_dup_ngrams" -> (TextAnalysis.q70DupNgrams _),
+    "q73_pii_redact" -> (TextAnalysis.q73PiiRedact _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -164,6 +167,8 @@ object SparkEntry {
     "q57_partition_prune" -> InferOps.q57Sql,
     "q52_orc_roundtrip" -> InferOps.q52Sql,
     "q67_compaction" -> InferOps.q67Sql,
-    "q69_skew_join" -> SkewJoin.q69Sql
+    "q69_skew_join" -> SkewJoin.q69Sql,
+    "q70_dup_ngrams" -> TextAnalysis.q70Sql,
+    "q73_pii_redact" -> TextAnalysis.q73Sql
   )
 }

@@ -257,4 +257,149 @@ object TextAnalysis {
       |       x -> unicode(x)::BIGINT)),
       |   (acc, c) -> (acc * 31 + c) % 2147483647) AS rh
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  final case class DupNgramStats(doc_id: Long, n2: Long, dup2: Long,
+      dup2_frac: Double, top2: Long, top2_frac: Double,
+      n3: Long, dup3: Long, dup3_frac: Double)
+
+  /** Repetition signals per document (the Gopher-report quality
+   *  heuristics: Rae et al. 2021, arXiv:2112.11446 §A1.1 — "duplicate
+   *  n-gram fraction" and "top n-gram fraction"): for word 2-grams and
+   *  3-grams, how many occurrences are repeats of an earlier n-gram in
+   *  the same document, and what share of the document the single most
+   *  frequent 2-gram accounts for. High values flag degenerate /
+   *  boilerplate text for the curation filter.
+   *
+   *  One typed map per row — a per-document hash count in JVM code.
+   *  The array-expression formulation (zip_with over slices of
+   *  split()) re-evaluates the split per element once Catalyst inlines
+   *  the projection (see shingleRows), so the loop is deliberately
+   *  imperative and scan-local: no shuffle except the presentation
+   *  sort; at 100 TB this runs at scan speed. Fractions are plain
+   *  IEEE double divisions (no rounding) so the oracle's `::DOUBLE /`
+   *  reproduces them bit-exactly. */
+  def q70DupNgrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text0) =>
+        val toks = Option(text0).getOrElse("").trim
+          .split("\\s+").filterNot(_.isEmpty)
+        // (total, distinct, max multiplicity) over word n-grams
+        def stats(n: Int): (Long, Long, Long) =
+          if (toks.length < n) (0L, 0L, 0L)
+          else {
+            val counts = scala.collection.mutable.HashMap.empty[String, Long]
+            var i = 0
+            while (i + n <= toks.length) {
+              val g = toks.slice(i, i + n).mkString(" ")
+              counts.update(g, counts.getOrElse(g, 0L) + 1L)
+              i += 1
+            }
+            ((toks.length - n + 1).toLong, counts.size.toLong,
+              counts.valuesIterator.max)
+          }
+        val (n2, d2, m2) = stats(2)
+        val (n3, d3, _) = stats(3)
+        def frac(a: Long, b: Long): Double = if (b == 0L) 0.0 else a.toDouble / b
+        DupNgramStats(id, n2, n2 - d2, frac(n2 - d2, n2), m2, frac(m2, n2),
+          n3, n3 - d3, frac(n3 - d3, n3))
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val q70Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |   list_filter(string_split_regex(trim(text), '[ \t\n\v\f\r]+'), x -> x <> '') AS t
+      |  FROM documents),
+      |b2 AS (SELECT doc_id,
+      |        unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS g
+      |       FROM w),
+      |c2 AS (SELECT doc_id, g, count(*) AS c FROM b2 GROUP BY 1, 2),
+      |s2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2, count(*) AS d2, max(c) AS m2
+      |       FROM c2 GROUP BY 1),
+      |b3 AS (SELECT doc_id,
+      |        unnest(list_transform(generate_series(1, len(t)-2),
+      |                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      |       FROM w),
+      |c3 AS (SELECT doc_id, g, count(*) AS c FROM b3 GROUP BY 1, 2),
+      |s3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3, count(*) AS d3
+      |       FROM c3 GROUP BY 1)
+      |SELECT d.doc_id,
+      | COALESCE(n2, 0) AS n2, COALESCE(n2 - d2, 0) AS dup2,
+      | CASE WHEN COALESCE(n2, 0) = 0 THEN CAST(0 AS DOUBLE)
+      |      ELSE (n2 - d2)::DOUBLE / n2 END AS dup2_frac,
+      | COALESCE(m2, 0) AS top2,
+      | CASE WHEN COALESCE(n2, 0) = 0 THEN CAST(0 AS DOUBLE)
+      |      ELSE m2::DOUBLE / n2 END AS top2_frac,
+      | COALESCE(n3, 0) AS n3, COALESCE(n3 - d3, 0) AS dup3,
+      | CASE WHEN COALESCE(n3, 0) = 0 THEN CAST(0 AS DOUBLE)
+      |      ELSE (n3 - d3)::DOUBLE / n3 END AS dup3_frac
+      |FROM documents d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // PII patterns — explicit character classes, not \d/\s/\w: Java and
+  // DuckDB's RE2 disagree on the Unicode breadth of the shorthands
+  private[ops] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ops] val PhoneRe = "\\+1-555-[0-9]{4}"
+  private[ops] val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Redact `pii` in email → phone → IP order (fixed order: the
+   *  placeholders must not feed later patterns). Shared by q73 and
+   *  any pipeline caller. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+
+  /** PII detection + redaction. The provisioned corpus contains no
+   *  PII, so each row is first augmented with a deterministic
+   *  doc_id-derived email / phone / IPv4 (the oracle builds the SAME
+   *  augmented text), then counted and redacted — the operator is
+   *  exercised end-to-end with a hash-compared md5 of the redacted
+   *  output. Pure per-row regex projection: scan-speed at 100 TB,
+   *  fully codegen'd, no UDFs. */
+  def q73PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com tel +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1"))
+    documents(s, d)
+      .withColumn("aug", aug)
+      .withColumn("red", redactPii(col("aug")))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(col("aug"), lit(PhoneRe)).cast("long").as("n_phone"),
+        regexp_count(col("aug"), lit(IpRe)).cast("long").as("n_ip"),
+        md5(col("red").cast("binary")).as("redacted_md5"),
+        length(col("red")).cast("long").as("redacted_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q73Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |   text || ' contact user' || doc_id::VARCHAR || '@example.com tel +1-555-' ||
+      |   lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+      |   ' ip 10.' || (doc_id % 256)::VARCHAR || '.0.1' AS aug
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, aug,
+      |   regexp_replace(
+      |     regexp_replace(
+      |       regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |       '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+      |     '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS red
+      |  FROM a)
+      |SELECT doc_id,
+      | CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      | CAST(len(regexp_extract_all(aug, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phone,
+      | CAST(len(regexp_extract_all(aug, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip,
+      | md5(red) AS redacted_md5,
+      | CAST(length(red) AS BIGINT) AS redacted_len
+      |FROM r ORDER BY doc_id""".stripMargin
 }
