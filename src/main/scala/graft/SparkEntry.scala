@@ -100,7 +100,14 @@ object SparkEntry {
     "q69_skew_join" -> (SkewJoin.q69SkewJoin _),
     // curation quality signals + PII governance
     "q70_dup_ngrams" -> (TextAnalysis.q70DupNgrams _),
-    "q73_pii_redact" -> (TextAnalysis.q73PiiRedact _)
+    "q73_pii_redact" -> (TextAnalysis.q73PiiRedact _),
+    // curation: decontamination / sampling / mix / cluster formation
+    "q71_contamination" -> (Curation.q71Contamination _),
+    "q72_stratified_sample" -> (Curation.q72StratifiedSample _),
+    "q74_domain_mix" -> (Curation.q74DomainMix _),
+    "q76_dedup_clusters" -> (Curation.q76DedupClusters _),
+    // multimodal: distributed binary-file ingestion + magic dispatch
+    "q75_binary_ingest" -> (Multimodal.q75BinaryIngest _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -169,6 +176,11 @@ object SparkEntry {
     "q67_compaction" -> InferOps.q67Sql,
     "q69_skew_join" -> SkewJoin.q69Sql,
     "q70_dup_ngrams" -> TextAnalysis.q70Sql,
-    "q73_pii_redact" -> TextAnalysis.q73Sql
+    "q73_pii_redact" -> TextAnalysis.q73Sql,
+    "q71_contamination" -> Curation.q71Sql,
+    "q72_stratified_sample" -> Curation.q72Sql,
+    "q74_domain_mix" -> Curation.q74Sql,
+    "q76_dedup_clusters" -> Curation.q76Sql,
+    "q75_binary_ingest" -> Multimodal.q75Sql
   )
 }

@@ -1,0 +1,264 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators a training-data pipeline runs between
+ * dedup and training: benchmark decontamination, deterministic
+ * stratified sampling, domain-mix allocation, and dedup-cluster
+ * formation. All are built from shuffles that stay proportional to
+ * the data actually at issue (benchmark n-grams, near-dup edges) —
+ * never all-pairs over the corpus.
+ */
+object Curation {
+  import Tables._
+
+  /** Exploded distinct (doc_id, g) word n-grams via one typed
+   *  flatMap — same rationale as Dedup.shingleRows (a column-expr
+   *  formulation re-splits per element once Catalyst inlines the
+   *  projection). Guard `>= n`: Scala's sliding emits one SHORT
+   *  window for under-length input where the oracle's
+   *  generate_series is empty. */
+  private[ops] def ngramRows(docs: DataFrame, n: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text0) =>
+        val toks = Option(text0).getOrElse("").trim
+          .split("\\s+").filterNot(_.isEmpty)
+        if (toks.length < n) Iterator.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSet[String]
+          .iterator.map(g => (id, g))
+      }
+      .toDF("doc_id", "g")
+  }
+
+  /** Benchmark decontamination (the GPT-3/Gopher n-gram overlap
+   *  check): for every corpus document sharing at least one word
+   *  `n`-gram with a benchmark document, report the shared-gram
+   *  count and the fraction of that benchmark doc it covers.
+   *
+   *  Scale shape: the benchmark side is small by nature (eval sets,
+   *  not corpora) — its distinct n-grams are broadcast, so the
+   *  corpus side stays a single scan-local flatMap + one hash
+   *  aggregation on (doc_id, bench_id); no corpus self-join
+   *  anywhere. Returns (doc_id, bench_id, shared, bn, frac). */
+  def contamination(corpus: DataFrame, bench: DataFrame, n: Int): DataFrame = {
+    val bg = ngramRows(bench, n).withColumnRenamed("doc_id", "bench_id")
+    val bsz = bg.groupBy(col("bench_id")).agg(count(lit(1)).as("bn"))
+    ngramRows(corpus, n)
+      .join(broadcast(bg), "g")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(bsz), "bench_id")
+      .select(col("doc_id"), col("bench_id"), col("shared"), col("bn"),
+        round(col("shared") * lit(1.0) / col("bn"), 6).as("frac"))
+  }
+
+  /** q71: decontaminate `documents` against a deterministic held-out
+   *  "benchmark" slice (doc_id ≡ 0 mod 49 — chosen so the slice
+   *  contains docs with planted near-duplicates) using the standard
+   *  8-gram test. On the provisioned corpus this flags exactly the
+   *  planted near-dups of benchmark members and nothing else (the
+   *  background noise floor is zero at n=8). The 1/49 slice is a
+   *  fixture artifact; real benchmarks are fixed-size, making the
+   *  broadcast side O(benchmark), not O(corpus). */
+  def q71Contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isBench = pmod(col("doc_id"), lit(49)) === 0
+    contamination(docs.filter(!isBench), docs.filter(isBench), n = 8)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  val q71Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |   list_filter(string_split_regex(trim(text), '[ \t\n\v\f\r]+'), x -> x <> '') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-7),
+      |      i -> array_to_string(t[i:i+7], ' '))) AS g
+      |    FROM toks)),
+      |bench AS (SELECT doc_id AS bench_id, g FROM g WHERE doc_id % 49 = 0),
+      |corpus AS (SELECT doc_id, g FROM g WHERE doc_id % 49 <> 0),
+      |bsz AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS bn FROM bench GROUP BY 1),
+      |hits AS (
+      |  SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS shared
+      |  FROM corpus c JOIN bench b USING (g)
+      |  GROUP BY 1, 2)
+      |SELECT h.doc_id, h.bench_id, h.shared, s.bn,
+      |       round(h.shared * 1.0 / s.bn, 6) AS frac
+      |FROM hits h JOIN bsz s USING (bench_id)
+      |ORDER BY h.doc_id, h.bench_id""".stripMargin
+
+  /** Per-language sampling budgets in buckets-of-10000: a training
+   *  mix that up-samples English and down-samples zh, applied
+   *  DETERMINISTICALLY so any engine (and any re-run over 100 TB)
+   *  selects the identical document set — no RNG, no seed-drift
+   *  between Spark and the oracle. */
+  private val SampleBuckets: Seq[(String, Int)] =
+    Seq("en" -> 5000, "de" -> 3000, "es" -> 2000, "fr" -> 2000, "zh" -> 1000)
+  private val DefaultBuckets = 500
+
+  /** Knuth-style multiplicative bucket in [0, 10000): pure BIGINT
+   *  arithmetic (LCG constants) that both engines evaluate exactly.
+   *  Values stay far from int64 overflow for any realistic doc_id
+   *  (ANSI mode would abort on overflow rather than wrap). */
+  private[ops] def sampleBucket(id: org.apache.spark.sql.Column) =
+    pmod(id * lit(1103515245L) + lit(12345L), lit(10000L))
+
+  /** q72: deterministic stratified sampling — keep a document iff
+   *  its bucket falls under its language's budget. A pure per-row
+   *  projection + filter: runs at scan speed, fully pushed down,
+   *  and idempotent across re-runs and engines (the property that
+   *  matters when a 100 TB sample must be reproducible for a
+   *  training-run audit). */
+  def q72StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val budget = SampleBuckets.foldRight(lit(DefaultBuckets)) {
+      case ((l, n), acc) => when(col("lang") === l, lit(n)).otherwise(acc)
+    }
+    documents(s, d)
+      .withColumn("bucket", sampleBucket(col("doc_id")))
+      .filter(col("bucket") < budget)
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q72Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang, source,
+      |   (doc_id * 1103515245 + 12345) % 10000 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, lang, source, bucket FROM b
+      |WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000
+      |                WHEN 'es' THEN 2000 WHEN 'fr' THEN 2000
+      |                WHEN 'zh' THEN 1000 ELSE 500 END
+      |ORDER BY doc_id""".stripMargin
+
+  /** Target mix weights per source domain (a DoReMi-style training
+   *  mix): three named heavyweight domains, a uniform tail. Weights
+   *  need not sum to 1 — allocation normalizes through the binding
+   *  constraint. */
+  private[ops] def domainWeight(src: org.apache.spark.sql.Column) =
+    when(src === "src0", 0.30)
+      .when(src === "src1", 0.20)
+      .when(src === "src2", 0.15)
+      .otherwise(0.0125)
+
+  /** q74: domain-mix allocation — the largest single-epoch token
+   *  budget that honors the target mix without oversampling any
+   *  domain: scale = min over domains of available/weight; each
+   *  domain contributes floor(weight·scale) tokens. One hash
+   *  aggregation over the corpus (map-side partials) + a 20-row
+   *  broadcast of the binding-constraint scalar; at 100 TB the only
+   *  full-data pass is the token count. */
+  def q74DomainMix(s: SparkSession, d: String): DataFrame = {
+    val avail = documents(s, d)
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("toks"))
+      .groupBy(col("source")).agg(sum(col("toks")).as("avail_tokens"))
+      .withColumn("weight", domainWeight(col("source")))
+    val scale = avail.agg(min(col("avail_tokens") / col("weight")).as("scale"))
+    avail.crossJoin(broadcast(scale))
+      .withColumn("alloc_tokens",
+        floor(col("weight") * col("scale")).cast("long"))
+      .select(col("source"), col("avail_tokens"), col("weight"),
+        col("alloc_tokens"),
+        round(col("alloc_tokens") * lit(1.0) / col("avail_tokens"), 6).as("sample_frac"))
+      .orderBy(col("source"))
+  }
+
+  val q74Sql: String =
+    """WITH avail AS (
+      |  SELECT source,
+      |   CAST(sum(len(regexp_extract_all(text, '[^ \t\n\v\f\r]+'))) AS BIGINT) AS avail_tokens,
+      |   CAST(CASE source WHEN 'src0' THEN 0.30 WHEN 'src1' THEN 0.20
+      |        WHEN 'src2' THEN 0.15 ELSE 0.0125 END AS DOUBLE) AS weight
+      |  FROM documents GROUP BY source),
+      |s AS (SELECT min(avail_tokens / weight) AS scale FROM avail)
+      |SELECT source, avail_tokens, weight,
+      |  CAST(floor(weight * scale) AS BIGINT) AS alloc_tokens,
+      |  round(CAST(floor(weight * scale) AS BIGINT) * 1.0 / avail_tokens, 6) AS sample_frac
+      |FROM avail, s ORDER BY source""".stripMargin
+
+  /** Connected components by iterative min-label propagation over an
+   *  undirected edge list: each round every node adopts the minimum
+   *  label in its closed neighborhood; converges in O(component
+   *  diameter) rounds. Near-dup clusters have tiny diameters (they
+   *  are dense blobs around a template), so 3-4 rounds close even
+   *  web-scale corpora; `maxIter` bounds the worst case and lineage
+   *  is cut per round with an eager localCheckpoint (ContextCleanup
+   *  frees the blocks; no cache-manager entry). Input (doc_a, doc_b)
+   *  pairs; output (id, label). */
+  private[ops] def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val next = sym
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** q76: dedup-cluster formation — group the exact-Jaccard near-dup
+   *  pairs (q23's edges, threshold 0.6) into clusters; cluster id =
+   *  min doc_id of the component (so the "keeper" under
+   *  keep-smallest dedup is the cluster id itself), plus the
+   *  component size. This is the step between pairwise similarity
+   *  and an actual dedup decision when duplicates chain (A~B, B~C
+   *  but A!~C): pairwise keep-smallest would keep A and C; the
+   *  component view keeps only A. */
+  def q76DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.jaccardPairs(documents(s, d), 0.6)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(edges)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+    labels.join(broadcast(sizes), "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster"), col("csize"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q76Sql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |co AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
+      |          JOIN sizes sb ON co.doc_b = sb.doc_id
+      |  WHERE round(co * 1.0 / (sa.n + sb.n - co), 6) >= 0.6),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+      |labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+      |SELECT l.id AS doc_id, l.cluster,
+      |       CAST(count(*) OVER (PARTITION BY l.cluster) AS BIGINT) AS csize
+      |FROM labels l ORDER BY doc_id""".stripMargin
+}

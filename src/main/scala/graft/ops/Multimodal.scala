@@ -173,4 +173,78 @@ object Multimodal {
       |FROM documents,
       | LATERAL (SELECT unnest(generate_series(0, octet_length(encode(text)) % 7)) AS i) g
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Magic headers for the q75 fixture. Real container formats with
+   *  ASCII magics (GIF, RIFF/WAVE, RIFF/AVI) so the DuckDB oracle —
+   *  whose md5() only accepts VARCHAR — can rebuild the identical
+   *  payload; the sniffing logic is the genuine article: a GIF is
+   *  identified by its 6-byte signature, the two RIFF formats are
+   *  disambiguated by the subtype tag at offset 8. */
+  private val MagicGif = "GIF89a"
+  private val MagicWav = "RIFF0000WAVE"
+  private val MagicAvi = "RIFF0000AVI "
+
+  /** q75: binary-file ingestion — the front door of a multimodal
+   *  pipeline. A bounded fixture (docs with doc_id < 60; payload =
+   *  format magic + text bytes, format cycling gif/wav/avi by
+   *  doc_id) is written to scratch as one file per document, then
+   *  ingested with Spark's distributed `binaryFile` source and
+   *  dispatched on CONTENT (magic bytes), not file extension:
+   *  doc_id from the path, modality from the sniffed magic,
+   *  size + md5 from the payload.
+   *
+   *  Scale shape: binaryFile reads are partitioned per file (and
+   *  `pathGlobFilter`/`maxBytesPerPartition` control admission), the
+   *  sniff touches a 12-byte prefix, and everything downstream of
+   *  the scan is a codegen'd projection. The driver-side fixture
+   *  WRITE is bounded by construction (60 files) — a real corpus
+   *  arrives as files, it is not exported through the driver. */
+  def q75BinaryIngest(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(InferOps.tmpPath("binmedia", d))
+    java.nio.file.Files.createDirectories(dir)
+    documents(s, d).filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("text"))
+      .collect().foreach { r =>
+        val id = r.getLong(0)
+        val magic = (id % 3) match {
+          case 0 => MagicGif
+          case 1 => MagicWav
+          case _ => MagicAvi
+        }
+        java.nio.file.Files.write(dir.resolve(s"doc_$id.bin"),
+          (magic + r.getString(1)).getBytes("UTF-8"))
+      }
+    val prefix = substring(col("content"), 1, 6).cast("string")
+    val riffTag = substring(col("content"), 9, 4).cast("string")
+    val kind = when(prefix === MagicGif, "gif")
+      .when(prefix.startsWith("RIFF") && riffTag === "WAVE", "wav")
+      .when(prefix.startsWith("RIFF") && riffTag === "AVI ", "avi")
+      .otherwise("unknown")
+    val modality = when(col("kind") === "gif", "image")
+      .when(col("kind") === "wav", "audio")
+      .when(col("kind") === "avi", "video")
+      .otherwise("unknown")
+    s.read.format("binaryFile").load(dir.toString + "/*.bin")
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        kind.as("kind"),
+        col("length").cast("long").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .withColumn("modality", modality)
+      .orderBy(col("doc_id"))
+  }
+
+  val q75Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |   CASE doc_id % 3 WHEN 0 THEN 'GIF89a' WHEN 1 THEN 'RIFF0000WAVE'
+      |        ELSE 'RIFF0000AVI ' END ||  text AS content,
+      |   CASE doc_id % 3 WHEN 0 THEN 'gif' WHEN 1 THEN 'wav' ELSE 'avi' END AS kind
+      |  FROM documents WHERE doc_id < 60)
+      |SELECT doc_id, kind,
+      | CAST(octet_length(encode(content)) AS BIGINT) AS n_bytes,
+      | md5(content) AS content_md5,
+      | CASE kind WHEN 'gif' THEN 'image' WHEN 'wav' THEN 'audio'
+      |      ELSE 'video' END AS modality
+      |FROM f ORDER BY doc_id""".stripMargin
 }
