@@ -107,7 +107,14 @@ object SparkEntry {
     "q74_domain_mix" -> (Curation.q74DomainMix _),
     "q76_dedup_clusters" -> (Curation.q76DedupClusters _),
     // multimodal: distributed binary-file ingestion + magic dispatch
-    "q75_binary_ingest" -> (Multimodal.q75BinaryIngest _)
+    "q75_binary_ingest" -> (Multimodal.q75BinaryIngest _),
+    // runtime-filter join pruning (native Bloom primitives)
+    "q77_bloom_join" -> (BloomJoin.q77BloomJoin _),
+    // corpus statistics: TF-IDF keywords + bigram-LM quality scoring
+    "q78_tfidf_terms" -> (TextAnalysis.q78TfidfTerms _),
+    "q79_bigram_nll" -> (TextAnalysis.q79BigramNll _),
+    // incremental batch-vs-index dedup (continuous-ingestion shape)
+    "q80_incremental_dedup" -> (Dedup.q80IncrementalDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -181,6 +188,10 @@ object SparkEntry {
     "q72_stratified_sample" -> Curation.q72Sql,
     "q74_domain_mix" -> Curation.q74Sql,
     "q76_dedup_clusters" -> Curation.q76Sql,
-    "q75_binary_ingest" -> Multimodal.q75Sql
+    "q75_binary_ingest" -> Multimodal.q75Sql,
+    "q77_bloom_join" -> BloomJoin.q77Sql,
+    "q78_tfidf_terms" -> TextAnalysis.q78Sql,
+    "q79_bigram_nll" -> TextAnalysis.q79Sql,
+    "q80_incremental_dedup" -> Dedup.q80Sql
   )
 }

@@ -5,15 +5,21 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    if (args.length != 2) {
-      System.err.println("usage: graft.Verify <sfDir> <outDir>")
+    if (args.length < 2 || args.length > 3) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [nameFilterCsv]")
       sys.exit(2)
     }
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional comma-separated query-name filter for fast local
+    // iteration (the driver always runs the full suite: 2 args)
+    val only: Option[Set[String]] =
+      if (args.length == 3) Some(args(2).split(',').map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // remove any stale output FIRST: a query that fails must leave
       // no previous round's parquet behind to be graded as current
       val target = Paths.get(s"$outDir/$name")
@@ -48,7 +54,9 @@ object Verify {
     // flag queries that crashed (missing output) instead of silently
     // shrinking coverage
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      SparkEntry.queries.keys.toSeq
+        .filter(n => only.forall(_.contains(n)))
+        .sorted.map(q).mkString("[", ",", "]"))
     graft.ops.InferOps.cleanupScratch()
     spark.stop()
   }

@@ -387,4 +387,48 @@ object Dedup {
       |   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
       |      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Incremental (batch-vs-index) exact dedup — the 100 TB ingestion
+   *  shape: a continuously-growing corpus must dedup each NEW batch
+   *  without rescanning the corpus text. The corpus is represented by
+   *  its fingerprint INDEX (a narrow fp column, persisted/bucketed by
+   *  fp in a real deployment — here recomputed from the table for the
+   *  oracle's sake); a new batch is (1) deduped within itself keeping
+   *  the min doc_id per fp, then (2) anti-joined against the index.
+   *  Both steps shuffle only batch-sized data on fp; the corpus side
+   *  of the anti-join reads one narrow column.
+   *
+   *  Returns admitted rows: (doc_id, fp, n_batch_dups). */
+  def incrementalDedup(batch: DataFrame, corpusIndex: DataFrame): DataFrame = {
+    val withinBatch = batch
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_batch_dups"))
+    withinBatch.join(corpusIndex.select(col("fp")), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"), col("n_batch_dups"))
+  }
+
+  /** q80: documents with doc_id < 400 play the already-ingested
+   *  corpus, the rest arrive as the new batch. Oracle: the same
+   *  split, keep-min, and NOT EXISTS in SQL. */
+  def q80IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val corpusIndex = docs.filter(col("doc_id") < 400)
+      .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+    val batch = docs.filter(col("doc_id") >= 400).select(col("doc_id"), col("text"))
+    incrementalDedup(batch, corpusIndex).orderBy(col("doc_id"))
+  }
+
+  val q80Sql: String =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |   md5(regexp_replace(trim(lower(text)), '[ \t\n\v\f\r]+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |batch AS (
+      |  SELECT fp, min(doc_id) AS doc_id, count(*) AS n_batch_dups
+      |  FROM fp WHERE doc_id >= 400 GROUP BY fp)
+      |SELECT b.doc_id, b.fp, b.n_batch_dups
+      |FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM fp c WHERE c.doc_id < 400 AND c.fp = b.fp)
+      |ORDER BY b.doc_id""".stripMargin
 }

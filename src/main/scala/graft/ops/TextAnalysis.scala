@@ -402,4 +402,105 @@ object TextAnalysis {
       | md5(red) AS redacted_md5,
       | CAST(length(red) AS BIGINT) AS redacted_len
       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q78: TF-IDF keyword extraction — top-3 scoring terms per doc,
+   *  score = tf · ln(N/df). Three scale-honest stages: (1) one
+   *  shuffle to (doc_id, term) counts — the only corpus-sized
+   *  exchange; (2) the document-frequency table is vocab-sized
+   *  (≪ corpus, Heaps' law) so it broadcasts, as does the 1-row
+   *  N; (3) the top-3 window partitions BY DOC, so no global sort.
+   *  Scores are rounded to 6 dp BEFORE ranking so Spark and the
+   *  oracle rank identical doubles (ties break on the term). */
+  def q78TfidfTerms(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val q78Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      |       WHERE length(term) > 0 GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |   round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS score
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      |SELECT doc_id, rnk, term, score FROM (
+      |  SELECT doc_id, term, score,
+      |   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      |  FROM scored) ranked
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  /** q79: bigram language-model scoring — per-doc mean negative
+   *  log-likelihood under an MLE bigram model TRAINED ON THE CORPUS
+   *  ITSELF (the CCNet/Gopher quality-signal shape: score each doc
+   *  against corpus statistics; a doc of formulaic bigrams scores
+   *  low surprise, an incoherent one high). Because every scored
+   *  bigram is by construction in the training counts, the MLE
+   *  probability is never zero and no smoothing is needed — which
+   *  also makes the score exactly reproducible in SQL.
+   *
+   *  Shapes: bigrams come from a per-doc window (lead over pos —
+   *  partitioned by doc, no global sort); the bigram-count model
+   *  joins back on (w, w2) — at 100 TB that model is vocab²-bounded
+   *  but still ≪ corpus, and the join key is the shuffle key the
+   *  counts were just built on; the unigram table broadcasts.
+   *  Per-bigram NLL is quantized to integral micro-nats so the
+   *  per-doc SUM is exact long arithmetic — no FP addition-order
+   *  dependence between Spark's partial aggregates and DuckDB. */
+  def q79BigramNll(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val big = toks
+      .withColumn("w2",
+        lead(col("w"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w"), col("w2"))
+    val c2 = big.groupBy(col("w"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    big.join(c2, Seq("w", "w2"))
+      .join(broadcast(c1), Seq("w"))
+      .withColumn("nll_micro",
+        round(log(col("c1").cast("double") / col("c2")) * 10000).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_micro") / 10000.0 / col("n_bigrams"), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q79Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+      |big AS (
+      |  SELECT doc_id, arr[i] AS w, arr[i+1] AS w2
+      |  FROM d, LATERAL (SELECT unnest(range(1, len(arr))) AS i) ix),
+      |c2 AS (SELECT w, w2, count(*) AS c2 FROM big GROUP BY w, w2),
+      |c1 AS (SELECT w, count(*) AS c1 FROM big GROUP BY w),
+      |scored AS (
+      |  SELECT b.doc_id,
+      |   CAST(round(ln(CAST(c1.c1 AS DOUBLE) / c2.c2) * 10000) AS BIGINT) AS nll_micro
+      |  FROM big b JOIN c2 ON b.w = c2.w AND b.w2 = c2.w2
+      |             JOIN c1 ON b.w = c1.w)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      | round(sum(nll_micro) / 10000.0 / count(*), 6) AS avg_nll
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

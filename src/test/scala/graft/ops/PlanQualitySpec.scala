@@ -95,6 +95,32 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
       rows(Similarity.q37KnnIvf(spark, d)))
   }
 
+  test("q77 bloom probe filters the fact side BELOW its shuffle, under a sort-merge join") {
+    val df = BloomJoin.q77BloomJoin(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    // the regime under test: dim NOT broadcast (pinned SMJ)
+    assert(p.contains("SortMergeJoin"), p.take(600))
+    // the probe must sit on the scan side of the fact Exchange — i.e.
+    // appear in a Filter BEFORE any shuffle writes fact rows. In the
+    // tree string the probe's might_contain filter and the fact scan
+    // share a codegen stage that feeds the Exchange.
+    val pf = p.indexOf("Filter (bloommightcontain")
+    assert(pf >= 0, "bloom probe missing from physical plan:\n" + p.take(800))
+    // plans print top-down (parent before child), so the fact-side
+    // Exchange must print BEFORE the probe Filter (probe below the
+    // shuffle), and the next scan after the probe must be the fact
+    // scan (o_custkey columns) with no Exchange in between
+    val factExchange = p.indexOf("Exchange hashpartitioning(o_custkey")
+    assert(factExchange >= 0 && factExchange < pf,
+      "bloom probe runs AFTER the fact shuffle:\n" + p.take(1200))
+    val nextScan = p.indexOf("Scan parquet", pf)
+    val nextExchange = p.indexOf("Exchange", pf)
+    assert(nextScan >= 0 && (nextExchange < 0 || nextScan < nextExchange),
+      "probe filter not adjacent to the fact scan:\n" + p.take(1200))
+    assert(p.substring(nextScan).take(400).contains("o_custkey"),
+      "scan after the probe is not the fact scan:\n" + p.substring(nextScan).take(400))
+  }
+
   test("q57 partitioned layout prunes at the directory level") {
     val p = plan(InferOps.q57PartitionedPrune(spark, d))
     assert("""PartitionFilters: \[lang#\d+ IN \(en,de\)\]""".r.findFirstIn(p).isDefined,
