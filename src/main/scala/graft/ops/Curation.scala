@@ -195,21 +195,30 @@ object Curation {
     val sym = edges
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint() // materialized once, re-read every round
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    var changed = 1L
+    // Convergence check: labels are monotonically non-increasing
+    // (each round takes a min over the closed neighborhood), so the
+    // component labeling is stable iff sum(label) is unchanged — a
+    // 1-row aggregate over the just-checkpointed frame instead of the
+    // former join+filter+count (which added a full extra shuffle per
+    // round; at web scale the rounds are the cost, so halving the
+    // per-round job count halves the operator).
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (changed && iter < maxIter) {
       val next = sym
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .select(col("src").as("id"), col("label"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") =!= col("prev")).count()
+      val s = next.agg(sum(col("label"))).head.getLong(0)
+      changed = s != prevSum
+      prevSum = s
       labels = next
       iter += 1
     }

@@ -204,6 +204,36 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("connected components: chains collapse to min label, components stay disjoint") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3 → needs multiple propagation rounds),
+    // triangle 10-11-12, isolated edge 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val labels = Curation.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // maxIter bound cuts propagation early but must still return a
+    // labeling over every node (partial convergence, not a crash)
+    val partial = Curation.connectedComponents(edges, maxIter = 1)
+    assert(partial.count() == 9)
+  }
+
+  test("incremental dedup admits only fingerprints unseen in the corpus index") {
+    import spark.implicits._
+    val corpusIdx = Seq("already ingested").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    val batch = Seq(
+      (100L, "already ingested"),   // dup vs corpus → rejected
+      (101L, "fresh   doc"),        // normalizes same as 102 → one keeper
+      (102L, "fresh doc"),
+      (103L, "another doc")).toDF("doc_id", "text")
+    val admitted = Dedup.incrementalDedup(batch, corpusIdx)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(admitted == Map(101L -> 2L, 103L -> 1L))
+  }
+
   test("inference query returns one row per lineitem column with settled types") {
     val rows = InferOps.q32SchemaInfer(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length == 11)
