@@ -114,7 +114,11 @@ object SparkEntry {
     "q78_tfidf_terms" -> (TextAnalysis.q78TfidfTerms _),
     "q79_bigram_nll" -> (TextAnalysis.q79BigramNll _),
     // incremental batch-vs-index dedup (continuous-ingestion shape)
-    "q80_incremental_dedup" -> (Dedup.q80IncrementalDedup _)
+    "q80_incremental_dedup" -> (Dedup.q80IncrementalDedup _),
+    // weighted reservoir sampling (deterministic A-ES via TopK agg)
+    "q81_weighted_sample" -> (Curation.q81WeightedSample _),
+    // z-order clustered layout (lossless 2-D box query)
+    "q82_zorder_layout" -> (ZOrder.q82ZorderLayout _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -192,6 +196,8 @@ object SparkEntry {
     "q77_bloom_join" -> BloomJoin.q77Sql,
     "q78_tfidf_terms" -> TextAnalysis.q78Sql,
     "q79_bigram_nll" -> TextAnalysis.q79Sql,
-    "q80_incremental_dedup" -> Dedup.q80Sql
+    "q80_incremental_dedup" -> Dedup.q80Sql,
+    "q81_weighted_sample" -> Curation.q81Sql,
+    "q82_zorder_layout" -> ZOrder.q82Sql
   )
 }

@@ -270,4 +270,44 @@ object Curation {
       |SELECT l.id AS doc_id, l.cluster,
       |       CAST(count(*) OVER (PARTITION BY l.cluster) AS BIGINT) AS csize
       |FROM labels l ORDER BY doc_id""".stripMargin
+
+  /** q81: weighted reservoir sampling per group (Efraimidis–Spirakis
+   *  A-ES): keep the k docs per language with the largest priority
+   *  u^(1/w) ⇔ largest ln(u)/w, where w is the document's weight
+   *  (n_chars here — longer docs proportionally likelier) and u is a
+   *  DETERMINISTIC uniform derived from doc_id by the same LCG bucket
+   *  as q72 — so the 100 TB sample is reproducible across engines and
+   *  re-runs, auditable by the oracle. Priorities are quantized to
+   *  integral micro-units so ordering is exact long comparison.
+   *
+   *  Scale shape: the selection rides [[graft.functions.TopK]] — a
+   *  bounded per-group heap with map-side partial merges (O(n log k),
+   *  ships k rows per partition), NOT a window sort of every group. */
+  def q81WeightedSample(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TopK.register(s)
+    val k = 20
+    val u = (sampleBucket(col("doc_id")).cast("double") + 0.5) / 10000.0
+    val prio = round(log(u) / greatest(col("n_chars"), lit(1L)) * 1e6).cast("long")
+    documents(s, d)
+      .withColumn("prio", prio)
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopK.topk(col("prio"), col("doc_id"), k).as("sel"))
+      .select(col("lang"), posexplode(col("sel")).as(Seq("pos", "s")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+        col("s.payload").as("doc_id"), col("s.v").as("prio_micro"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val q81Sql: String =
+    """WITH p AS (
+      |  SELECT lang, doc_id,
+      |   CAST(round(ln(((doc_id * 1103515245 + 12345) % 10000 + 0.5) / 10000.0)
+      |     / greatest(n_chars, 1) * 1000000) AS BIGINT) AS prio
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id, prio,
+      |   row_number() OVER (PARTITION BY lang ORDER BY prio DESC, doc_id) AS rn
+      |  FROM p)
+      |SELECT lang, CAST(rn AS BIGINT) AS rnk, doc_id, prio AS prio_micro
+      |FROM r WHERE rn <= 20 ORDER BY lang, rnk""".stripMargin
 }

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ZOrderSpec extends AnyFunSuite with SparkSuite {
+
+  private val d = "/root/testdata/sf0.01"
+
+  /** Per-file (minA, minB) envelope corners for a parquet layout. */
+  private def fileEnvelopes(df: DataFrame): Seq[(Long, Long)] =
+    df.groupBy(input_file_name().as("f"))
+      .agg(min(col("l_partkey")).as("pmin"), min(col("l_suppkey")).as("smin"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+
+  test("z-order layout prunes the 2-D box to few file envelopes; random layout cannot") {
+    val li = Tables.lineitem(spark, d)
+    val (pMax, sMax) = {
+      val r = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    // box = lowest 1/8 of partkeys × lowest 1/4 of suppkeys; a file
+    // can contain matches only if BOTH its minima fall inside
+    val (pB, sB) = (pMax / 8, sMax / 4)
+
+    val zDir = InferOps.tmpPath("zspec_z", d)
+    ZOrder.writeZOrdered(li, "l_partkey", "l_suppkey", zDir, 16)
+    val zEnv = fileEnvelopes(spark.read.parquet(zDir))
+    val zHits = zEnv.count { case (p, s) => p <= pB && s <= sB }
+
+    val rDir = InferOps.tmpPath("zspec_r", d)
+    li.repartition(16).write.mode("overwrite").parquet(rDir)
+    val rEnv = fileEnvelopes(spark.read.parquet(rDir))
+    val rHits = rEnv.count { case (p, s) => p <= pB && s <= sB }
+
+    // the z-curve concentrates the box into a corner of the file
+    // order; a random layout spreads it over every file
+    assert(zEnv.size == 16 && rEnv.size == 16, s"${zEnv.size}/${rEnv.size} files")
+    assert(zHits <= 5, s"z-order: $zHits of 16 file envelopes intersect the box")
+    assert(rHits >= 12, s"random: only $rHits of 16 files intersect — baseline invalid")
+    // and the layout is lossless
+    assert(spark.read.parquet(zDir).count() == li.count())
+  }
+
+  test("q82 from the z-ordered copy equals the same box query on the source") {
+    val fromLayout = ZOrder.q82ZorderLayout(spark, d).collect().toSeq
+    val fromSource = Tables.lineitem(spark, d)
+      .filter(col("l_partkey") <= 400 && col("l_suppkey") <= 25)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.cents(col("l_quantity"))).as("qty_cents"))
+      .orderBy(col("l_returnflag")).collect().toSeq
+    assert(fromLayout == fromSource && fromLayout.nonEmpty)
+  }
+
+  test("morton spread interleaves bits correctly") {
+    import spark.implicits._
+    val rows = Seq(0L, 1L, 2L, 3L, 0xFFFFL).toDF("x")
+      .select(ZOrder.spread16(col("x")).as("s")).as[Long].collect()
+    assert(rows(0) == 0L && rows(1) == 1L && rows(2) == 4L && rows(3) == 5L)
+    assert(rows(4) == 0x55555555L) // all 16 bits spread to even positions
+  }
+}
