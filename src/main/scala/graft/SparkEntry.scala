@@ -118,7 +118,9 @@ object SparkEntry {
     // weighted reservoir sampling (deterministic A-ES via TopK agg)
     "q81_weighted_sample" -> (Curation.q81WeightedSample _),
     // z-order clustered layout (lossless 2-D box query)
-    "q82_zorder_layout" -> (ZOrder.q82ZorderLayout _)
+    "q82_zorder_layout" -> (ZOrder.q82ZorderLayout _),
+    // asymmetric shingle containment (embedded-duplicate signal)
+    "q83_containment" -> (Dedup.q83Containment _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -198,6 +200,7 @@ object SparkEntry {
     "q79_bigram_nll" -> TextAnalysis.q79Sql,
     "q80_incremental_dedup" -> Dedup.q80Sql,
     "q81_weighted_sample" -> Curation.q81Sql,
-    "q82_zorder_layout" -> ZOrder.q82Sql
+    "q82_zorder_layout" -> ZOrder.q82Sql,
+    "q83_containment" -> Dedup.q83Sql
   )
 }

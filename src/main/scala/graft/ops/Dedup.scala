@@ -388,6 +388,54 @@ object Dedup {
       |      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** q83: asymmetric n-gram CONTAINMENT — cont(A→B) = |A∩B| / |A|
+   *  over 3-gram shingle sets. Jaccard misses the quote/boilerplate
+   *  relationship (a short doc wholly quoted inside a long one has
+   *  tiny Jaccard but containment ≈ 1), and training-data curation
+   *  needs exactly that signal to drop embedded duplicates. Same
+   *  lang-blocked co-occurrence join as q23 (shareable shingle pass,
+   *  banded candidates apply unchanged at scale); emits ordered pairs
+   *  where EITHER direction clears the threshold, with both
+   *  directional scores. */
+  def q83Containment(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(s, d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val co = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("co"))
+    co.join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("cont_a", round(col("co") * lit(1.0) / col("sa.n"), 6))
+      .withColumn("cont_b", round(col("co") * lit(1.0) / col("sb.n"), 6))
+      .filter(col("cont_a") >= 0.8 || col("cont_b") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("co"), col("cont_a"), col("cont_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q83Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+      |  WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |co AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, co,
+      | round(co * 1.0 / sa.n, 6) AS cont_a,
+      | round(co * 1.0 / sb.n, 6) AS cont_b
+      |FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
+      |        JOIN sizes sb ON co.doc_b = sb.doc_id
+      |WHERE round(co * 1.0 / sa.n, 6) >= 0.8 OR round(co * 1.0 / sb.n, 6) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Incremental (batch-vs-index) exact dedup — the 100 TB ingestion
    *  shape: a continuously-growing corpus must dedup each NEW batch
    *  without rescanning the corpus text. The corpus is represented by
