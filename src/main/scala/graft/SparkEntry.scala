@@ -120,7 +120,11 @@ object SparkEntry {
     // z-order clustered layout (lossless 2-D box query)
     "q82_zorder_layout" -> (ZOrder.q82ZorderLayout _),
     // asymmetric shingle containment (embedded-duplicate signal)
-    "q83_containment" -> (Dedup.q83Containment _)
+    "q83_containment" -> (Dedup.q83Containment _),
+    // CDC batch merge (SCD1 upsert) into a durable snapshot
+    "q84_merge_upsert" -> (MergeOps.q84MergeUpsert _),
+    // SCD2 effective-dated history merge (all four dispositions)
+    "q85_scd2_history" -> (MergeOps.q85Scd2 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -201,6 +205,8 @@ object SparkEntry {
     "q80_incremental_dedup" -> Dedup.q80Sql,
     "q81_weighted_sample" -> Curation.q81Sql,
     "q82_zorder_layout" -> ZOrder.q82Sql,
-    "q83_containment" -> Dedup.q83Sql
+    "q83_containment" -> Dedup.q83Sql,
+    "q84_merge_upsert" -> MergeOps.q84Sql,
+    "q85_scd2_history" -> MergeOps.q85Sql
   )
 }

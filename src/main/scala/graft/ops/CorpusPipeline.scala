@@ -181,7 +181,7 @@ object CorpusPipeline {
       |dups AS (
       |  SELECT DISTINCT db FROM co
       |  JOIN sizes x ON x.doc_id = da JOIN sizes y ON y.doc_id = db
-      |  WHERE round(co*1.0/(x.n + y.n - co), 6) >= 0.6)
+      |  WHERE co*1.0/(x.n + y.n - co) >= 0.6)
       |SELECT lang, count(*) AS n_docs,
       | CAST(sum(quality_score) AS BIGINT) AS sum_quality,
       | CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -53,7 +53,10 @@ object Curation {
       .agg(count(lit(1)).as("shared"))
       .join(broadcast(bsz), "bench_id")
       .select(col("doc_id"), col("bench_id"), col("shared"), col("bn"),
-        round(col("shared") * lit(1.0) / col("bn"), 6).as("frac"))
+        // raw division — identical integers → identical doubles in
+        // both engines; round(…,6) on a rational risks the 7th-decimal
+        // half-boundary split (see Dedup.jaccardFromCo)
+        (col("shared") * lit(1.0) / col("bn")).as("frac"))
   }
 
   /** q71: decontaminate `documents` against a deterministic held-out
@@ -89,7 +92,7 @@ object Curation {
       |  FROM corpus c JOIN bench b USING (g)
       |  GROUP BY 1, 2)
       |SELECT h.doc_id, h.bench_id, h.shared, s.bn,
-      |       round(h.shared * 1.0 / s.bn, 6) AS frac
+      |       h.shared * 1.0 / s.bn AS frac
       |FROM hits h JOIN bsz s USING (bench_id)
       |ORDER BY h.doc_id, h.bench_id""".stripMargin
 
@@ -104,10 +107,13 @@ object Curation {
 
   /** Knuth-style multiplicative bucket in [0, 10000): pure BIGINT
    *  arithmetic (LCG constants) that both engines evaluate exactly.
-   *  Values stay far from int64 overflow for any realistic doc_id
-   *  (ANSI mode would abort on overflow rather than wrap). */
+   *  The id is reduced mod 10⁴ BEFORE the multiply — identical result
+   *  ((a·b+c) mod m = ((a mod m)(b mod m)+c) mod m; 1103515245 mod
+   *  10⁴ = 5245) but overflow-free for ANY doc_id: the naive product
+   *  exceeds int64 for ids ≥ ~8.4e9 (ScaleGen's shifted keys hit
+   *  this; ANSI mode aborts on overflow rather than wrap). */
   private[ops] def sampleBucket(id: org.apache.spark.sql.Column) =
-    pmod(id * lit(1103515245L) + lit(12345L), lit(10000L))
+    pmod(pmod(id, lit(10000L)) * lit(5245L) + lit(12345L), lit(10000L))
 
   /** q72: deterministic stratified sampling — keep a document iff
    *  its bucket falls under its language's budget. A pure per-row
@@ -129,7 +135,7 @@ object Curation {
   val q72Sql: String =
     """WITH b AS (
       |  SELECT doc_id, lang, source,
-      |   (doc_id * 1103515245 + 12345) % 10000 AS bucket
+      |   ((doc_id % 10000) * 5245 + 12345) % 10000 AS bucket
       |  FROM documents)
       |SELECT doc_id, lang, source, bucket FROM b
       |WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000
@@ -165,7 +171,7 @@ object Curation {
         floor(col("weight") * col("scale")).cast("long"))
       .select(col("source"), col("avail_tokens"), col("weight"),
         col("alloc_tokens"),
-        round(col("alloc_tokens") * lit(1.0) / col("avail_tokens"), 6).as("sample_frac"))
+        (col("alloc_tokens") * lit(1.0) / col("avail_tokens")).as("sample_frac"))
       .orderBy(col("source"))
   }
 
@@ -179,7 +185,7 @@ object Curation {
       |s AS (SELECT min(avail_tokens / weight) AS scale FROM avail)
       |SELECT source, avail_tokens, weight,
       |  CAST(floor(weight * scale) AS BIGINT) AS alloc_tokens,
-      |  round(CAST(floor(weight * scale) AS BIGINT) * 1.0 / avail_tokens, 6) AS sample_frac
+      |  CAST(floor(weight * scale) AS BIGINT) * 1.0 / avail_tokens AS sample_frac
       |FROM avail, s ORDER BY source""".stripMargin
 
   /** Connected components by iterative min-label propagation over an
@@ -258,7 +264,7 @@ object Curation {
       |  SELECT doc_a, doc_b
       |  FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
       |          JOIN sizes sb ON co.doc_b = sb.doc_id
-      |  WHERE round(co * 1.0 / (sa.n + sb.n - co), 6) >= 0.6),
+      |  WHERE co * 1.0 / (sa.n + sb.n - co) >= 0.6),
       |edges AS (
       |  SELECT doc_a AS a, doc_b AS b FROM pairs
       |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -301,7 +307,7 @@ object Curation {
   val q81Sql: String =
     """WITH p AS (
       |  SELECT lang, doc_id,
-      |   CAST(round(ln(((doc_id * 1103515245 + 12345) % 10000 + 0.5) / 10000.0)
+      |   CAST(round(ln((((doc_id % 10000) * 5245 + 12345) % 10000 + 0.5) / 10000.0)
       |     / greatest(n_chars, 1) * 1000000) AS BIGINT) AS prio
       |  FROM documents),
       |r AS (

@@ -75,7 +75,12 @@ object Dedup {
       threshold: Double): DataFrame =
     co.join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("jaccard", round(col("co") * lit(1.0) / (col("sa.n") + col("sb.n") - col("co")), 6))
+      // RAW division, no round(…, 6): both engines divide the same
+      // exact integers, so the doubles are bit-identical — while a
+      // rational that is a true half at the 7th decimal (e.g. k/640)
+      // makes Spark's BigDecimal-HALF_UP and DuckDB's multiply-round
+      // disagree on the SAME input double (seen on q79 at 10×)
+      .withColumn("jaccard", col("co") * lit(1.0) / (col("sa.n") + col("sb.n") - col("co")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("co"), col("jaccard"))
 
@@ -165,9 +170,9 @@ object Dedup {
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, co, round(co*1.0/(x.n + y.n - co), 6) AS jaccard
+      |SELECT doc_a, doc_b, co, co*1.0/(x.n + y.n - co) AS jaccard
       |FROM co JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b
-      |WHERE round(co*1.0/(x.n + y.n - co), 6) >= 0.6
+      |WHERE co*1.0/(x.n + y.n - co) >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Apply dedup end-to-end: drop every doc that appears as the
@@ -199,7 +204,7 @@ object Dedup {
       |dups AS (
       |  SELECT DISTINCT doc_b FROM co
       |  JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b
-      |  WHERE round(co*1.0/(x.n + y.n - co), 6) >= 0.6)
+      |  WHERE co*1.0/(x.n + y.n - co) >= 0.6)
       |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM dups)
       |GROUP BY lang ORDER BY lang""".stripMargin
@@ -408,8 +413,8 @@ object Dedup {
       .agg(count(lit(1)).as("co"))
     co.join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("cont_a", round(col("co") * lit(1.0) / col("sa.n"), 6))
-      .withColumn("cont_b", round(col("co") * lit(1.0) / col("sb.n"), 6))
+      .withColumn("cont_a", col("co") * lit(1.0) / col("sa.n"))
+      .withColumn("cont_b", col("co") * lit(1.0) / col("sb.n"))
       .filter(col("cont_a") >= 0.8 || col("cont_b") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("co"), col("cont_a"), col("cont_b"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -429,11 +434,11 @@ object Dedup {
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, co,
-      | round(co * 1.0 / sa.n, 6) AS cont_a,
-      | round(co * 1.0 / sb.n, 6) AS cont_b
+      | co * 1.0 / sa.n AS cont_a,
+      | co * 1.0 / sb.n AS cont_b
       |FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
       |        JOIN sizes sb ON co.doc_b = sb.doc_id
-      |WHERE round(co * 1.0 / sa.n, 6) >= 0.8 OR round(co * 1.0 / sb.n, 6) >= 0.8
+      |WHERE co * 1.0 / sa.n >= 0.8 OR co * 1.0 / sb.n >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Incremental (batch-vs-index) exact dedup — the 100 TB ingestion

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Batch merge (upsert) — the table-maintenance operator behind every
+ * "apply CDC feed to snapshot" pipeline: rows in the batch REPLACE
+ * same-key rows of the current snapshot (SCD1), unseen keys insert.
+ * Expressed as one left-anti join + union: at 100 TB, with snapshot
+ * and feed bucketed by the merge key, the anti-join is co-located
+ * (shuffle-free) and the rewrite is bounded by the snapshot scan —
+ * the same shape Delta/Iceberg MERGE compiles to when every matched
+ * row updates.
+ */
+object MergeOps {
+
+  /** `batch` wins on key collisions; `current` survivors pass through. */
+  def mergeUpsert(current: DataFrame, batch: DataFrame, key: String): DataFrame =
+    current.join(batch.select(col(key)), Seq(key), "left_anti")
+      .unionByName(batch)
+
+  /** q84: apply a deterministic CDC batch to customer — every 7th
+    * account re-priced into segment MERGED, 50 synthetic new accounts
+    * with negative keys — write the merged snapshot durably, read it
+    * back, and hash-compare every column against the oracle's
+    * NOT EXISTS + UNION ALL formulation. */
+  def q84MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val cur = Tables.customer(s, d)
+    val updates = cur.filter(pmod(col("c_custkey"), lit(7)) === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .withColumn("c_mktsegment", lit("MERGED"))
+    val inserts = s.range(1, 51).select(
+      (-col("id")).as("c_custkey"),
+      concat(lit("New Account "), col("id")).as("c_name"),
+      pmod(col("id"), lit(25)).cast("int").as("c_nationkey"),
+      lit(0.0).as("c_acctbal"),
+      lit("NEW").as("c_mktsegment"))
+    val merged = mergeUpsert(cur, updates.unionByName(inserts), "c_custkey")
+    val dir = InferOps.tmpPath("merge_cust", d)
+    merged.write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir).orderBy(col("c_custkey"))
+  }
+
+  val q84Sql: String =
+    """WITH upd AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |   c_acctbal + 100.0 AS c_acctbal, 'MERGED' AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |ins AS (
+      |  SELECT -i AS c_custkey, 'New Account ' || i::VARCHAR AS c_name,
+      |   CAST(i % 25 AS INTEGER) AS c_nationkey, 0.0 AS c_acctbal,
+      |   'NEW' AS c_mktsegment
+      |  FROM (SELECT unnest(range(1, 51)) AS i) r),
+      |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+      |SELECT * FROM (
+      |  SELECT c.* FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.c_custkey = c.c_custkey)
+      |  UNION ALL SELECT * FROM batch) m
+      |ORDER BY c_custkey""".stripMargin
+
+  /** SCD2 (effective-dated history) merge: open versions whose
+    * tracked attribute CHANGES in the batch are closed at the
+    * effective date and re-inserted as new open versions; matches
+    * with an identical attribute pass through untouched; unseen keys
+    * insert as new open versions; already-closed history is
+    * immutable. One outer join drives all four dispositions — at
+    * 100 TB the history is bucketed by key and the four legs are
+    * projections of the SAME join (persist the join output to scan
+    * it once; here the legs stay lazy for the oracle's sake). */
+  def scd2Merge(hist: DataFrame, batch: DataFrame, key: String,
+      attr: String, effective: org.apache.spark.sql.Column): DataFrame = {
+    val open = hist.filter(col("valid_to").isNull)
+    val closedHist = hist.filter(col("valid_to").isNotNull)
+    val b = batch.select(col(key), col(attr).as("__new"))
+    val j = open.join(b, Seq(key), "left")
+    val unchanged = j
+      .filter(col("__new").isNull || col("__new") === col(attr))
+      .drop("__new")
+    val closed = j
+      .filter(col("__new").isNotNull && col("__new") =!= col(attr))
+      .withColumn("valid_to", effective.cast("date"))
+      .drop("__new")
+    val reopened = j
+      .filter(col("__new").isNotNull && col("__new") =!= col(attr))
+      .withColumn(attr, col("__new")).drop("__new")
+      .withColumn("valid_from", effective.cast("date"))
+      .withColumn("valid_to", lit(null).cast("date"))
+    val inserts = b.join(open.select(col(key)), Seq(key), "left_anti")
+      .select(col(key), col("__new").as(attr))
+      .withColumn("valid_from", effective.cast("date"))
+      .withColumn("valid_to", lit(null).cast("date"))
+    closedHist.unionByName(unchanged).unionByName(closed)
+      .unionByName(reopened).unionByName(inserts, allowMissingColumns = false)
+  }
+
+  /** q85: customer segments as an SCD2 dimension — every 5th account
+    * arrives in the batch (those ≡0 mod 10 with their CURRENT segment
+    * → untouched; the rest re-segmented to LOYALTY → close + reopen),
+    * plus 30 brand-new negative keys. Exercises all four dispositions
+    * in one oracle-hashed result. */
+  def q85Scd2(s: SparkSession, d: String): DataFrame = {
+    val eff = to_date(lit("2025-06-01"))
+    val hist = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("valid_from", to_date(lit("2024-01-01")))
+      .withColumn("valid_to", lit(null).cast("date"))
+    val updates = Tables.customer(s, d)
+      .filter(pmod(col("c_custkey"), lit(5)) === 0)
+      .select(col("c_custkey"),
+        when(pmod(col("c_custkey"), lit(10)) === 0, col("c_mktsegment"))
+          .otherwise(lit("LOYALTY")).as("c_mktsegment"))
+    val inserts = s.range(1, 31).select(
+      (-col("id")).as("c_custkey"), lit("LOYALTY").as("c_mktsegment"))
+    scd2Merge(hist, updates.unionByName(inserts), "c_custkey", "c_mktsegment", eff)
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  val q85Sql: String =
+    """WITH open_v AS (
+      |  SELECT c_custkey, c_mktsegment, DATE '2024-01-01' AS valid_from,
+      |   CAST(NULL AS DATE) AS valid_to
+      |  FROM customer),
+      |b AS (
+      |  SELECT c_custkey,
+      |   CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment ELSE 'LOYALTY' END AS new_seg
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT -i, 'LOYALTY' FROM (SELECT unnest(range(1, 31)) AS i) r),
+      |j AS (
+      |  SELECT o.c_custkey, o.c_mktsegment, o.valid_from, o.valid_to, b.new_seg
+      |  FROM open_v o LEFT JOIN b USING (c_custkey))
+      |SELECT * FROM (
+      |  SELECT c_custkey, c_mktsegment, valid_from, valid_to FROM j
+      |  WHERE new_seg IS NULL OR new_seg = c_mktsegment
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, valid_from, DATE '2025-06-01' FROM j
+      |  WHERE new_seg IS NOT NULL AND new_seg <> c_mktsegment
+      |  UNION ALL
+      |  SELECT c_custkey, new_seg, DATE '2025-06-01', CAST(NULL AS DATE) FROM j
+      |  WHERE new_seg IS NOT NULL AND new_seg <> c_mktsegment
+      |  UNION ALL
+      |  SELECT b.c_custkey, b.new_seg, DATE '2025-06-01', CAST(NULL AS DATE)
+      |  FROM b WHERE NOT EXISTS
+      |    (SELECT 1 FROM open_v o WHERE o.c_custkey = b.c_custkey)) t
+      |ORDER BY c_custkey, valid_from""".stripMargin
+}

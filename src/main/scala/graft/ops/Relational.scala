@@ -29,7 +29,10 @@ object Relational {
         sum(col("l_quantity")).as("sum_qty"),
         (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
         (sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / 100.0).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        // raw: the sum is exact in double (integer-valued quantities),
+        // so S/n is the identical double in both engines; round(…,6)
+        // on the rational risks a 7th-decimal half-boundary split
+        avg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -38,7 +41,7 @@ object Relational {
       | sum(l_quantity) AS sum_qty,
       | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_base_price,
       | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_disc_price,
-      | round(avg(l_quantity), 6) AS avg_qty,
+      | avg(l_quantity) AS avg_qty,
       | count(*) AS count_order
       |FROM lineitem
       |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -374,7 +377,7 @@ object Relational {
         lag(col("o_orderkey"), 1).over(w).as("prev_key"),
         lead(col("o_orderkey"), 1).over(w).as("next_key"),
         ntile(4).over(w).cast("long").as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
+        percent_rank().over(w).as("pct_rank"), // raw (rank-1)/(n-1): identical doubles both engines
         first(col("o_orderkey")).over(w).as("cheapest_key"))
       .orderBy(col("o_orderpriority"), col("price"), col("o_orderkey"))
   }
@@ -385,7 +388,7 @@ object Relational {
       | lag(o_orderkey, 1) OVER w AS prev_key,
       | lead(o_orderkey, 1) OVER w AS next_key,
       | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-      | round(percent_rank() OVER w, 6) AS pct_rank,
+      | percent_rank() OVER w AS pct_rank,
       | first_value(o_orderkey) OVER w AS cheapest_key
       |FROM orders WHERE o_custkey <= 100
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)

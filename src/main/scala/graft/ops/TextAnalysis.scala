@@ -171,7 +171,7 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long").as("bpe_tokens"),
       length(col("text")).cast("long").as("len"))
       .withColumn("tokens_per_100chars",
-        round(col("bpe_tokens") * lit(100.0) / greatest(col("len"), lit(1)), 4))
+        col("bpe_tokens") * lit(100.0) / greatest(col("len"), lit(1)))
       .drop("len")
       .orderBy(col("doc_id"))
 
@@ -179,8 +179,8 @@ object TextAnalysis {
     """SELECT doc_id,
       | len(regexp_extract_all(text, '[^ \t\n\v\f\r]+')) AS ws_tokens,
       | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\v\f\r]')) AS bpe_tokens,
-      | round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\v\f\r]')) * 100.0
-      |       / greatest(length(text), 1), 4) AS tokens_per_100chars
+      | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\v\f\r]')) * 100.0
+      |       / greatest(length(text), 1) AS tokens_per_100chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Whitespace-collapsed lowercase text — the shared dedup key
@@ -483,8 +483,13 @@ object TextAnalysis {
         round(log(col("c1").cast("double") / col("c2")) * 10000).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("sum_micro"))
+      // NO final rounding: the division of identical exact longs is
+      // bit-identical across engines, while round(x, 6) is NOT — a
+      // sum_micro/(10⁴n) landing exactly on a half-boundary (seen at
+      // 10×: 1361137/400000 = 3.4028425) splits Spark's
+      // BigDecimal-HALF_UP from DuckDB's multiply-round
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("sum_micro") / 10000.0 / col("n_bigrams"), 6).as("avg_nll"))
+        (col("sum_micro") / 10000.0 / col("n_bigrams")).as("avg_nll"))
       .orderBy(col("doc_id"))
   }
 
@@ -501,6 +506,6 @@ object TextAnalysis {
       |  FROM big b JOIN c2 ON b.w = c2.w AND b.w2 = c2.w2
       |             JOIN c1 ON b.w = c1.w)
       |SELECT doc_id, count(*) AS n_bigrams,
-      | round(sum(nll_micro) / 10000.0 / count(*), 6) AS avg_nll
+      | sum(nll_micro) / 10000.0 / count(*) AS avg_nll
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
