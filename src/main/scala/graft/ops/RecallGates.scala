@@ -47,9 +47,18 @@ object RecallGates {
   private val exactPairCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Long, Double)]]
 
+  /** The checkpointed shingle frame is INPUT PREP shared by every
+   *  dedup leg (the sketch operators under audit re-run live on top
+   *  of it) — memoized per corpus dir like the other deterministic
+   *  artifacts, so a warm gate run doesn't re-materialize millions of
+   *  shingle rows it already holds. */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   private[graft] def invalidateBaseline(dir: String): Unit = {
     bruteCache.remove(dir)
     exactPairCache.remove(dir)
+    shingleCache.remove(dir)
   }
 
   def q61ApproxRecall(s: SparkSession, d: String): DataFrame = {
@@ -88,7 +97,8 @@ object RecallGates {
     // when the frame is dropped), and the legs stay LAZY — the dedup
     // and ANN stages of the final union overlap inside one job
     // instead of serializing into a collect-then-evaluate sequence.
-    val shingles = Dedup.shingleRows(Tables.documents(s, d)).localCheckpoint(true)
+    val shingles = shingleCache.getOrElseUpdate(d,
+      Dedup.shingleRows(Tables.documents(s, d)).localCheckpoint(true))
     val exact = exactPairCache.getOrElseUpdate(d,
       Dedup.jaccardPairsFromShingles(shingles, 0.6)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
