@@ -14,6 +14,15 @@ object Verify {
     // iteration (the driver always runs the full suite: 2 args)
     val only: Option[Set[String]] =
       if (args.length == 3) Some(args(2).split(',').map(_.trim).toSet) else None
+    // fail fast on a typo'd filter name: silently running zero
+    // queries would read as "no failures" in a local iteration loop
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()

@@ -32,14 +32,18 @@ object BloomJoin {
     * side is pre-filtered through a Bloom filter built from `dim`.
     * The dim aggregate is collected once (one job over the dim side —
     * the distributed build uses word-wise-OR partial merges, so the
-    * driver sees only the final `numBits/8` bytes). Join strategy is
-    * left to Catalyst/AQE; pass `smjHint = true` to pin a sort-merge
-    * join when demonstrating the shuffle-reduction regime. */
+    * driver sees only the final `numBits/8` bytes). `numBits <= 0`
+    * (the default) sizes the filter from the dim cardinality via
+    * [[sizeBits]] — one extra count job over the dim side, which is
+    * what keeps the filter from saturating when the dim grows 100×.
+    * Join strategy is left to Catalyst/AQE; pass `smjHint = true` to
+    * pin a sort-merge join in the shuffle-reduction regime. */
   def bloomFilteredJoin(spark: SparkSession, fact: DataFrame, dim: DataFrame,
-      factKey: String, dimKey: String, numBits: Int, numHashes: Int = 5,
+      factKey: String, dimKey: String, numBits: Int = 0, numHashes: Int = 5,
       smjHint: Boolean = false): DataFrame = {
     BloomFilter.register(spark)
-    val bytes = dim.agg(BloomFilter.bloom_agg(col(dimKey), numBits, numHashes))
+    val bits = if (numBits > 0) numBits else sizeBits(dim.count())
+    val bytes = dim.agg(BloomFilter.bloom_agg(col(dimKey), bits, numHashes))
       .head.getAs[Array[Byte]](0)
     val pruned = fact.filter(BloomFilter.bloom_contains(lit(bytes), col(factKey)))
     val dimSide = if (smjHint) dim.hint("merge") else dim
@@ -57,8 +61,7 @@ object BloomJoin {
       .select(col("c_custkey"))
     val fact = Tables.orders(s, d)
       .select(col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
-    bloomFilteredJoin(s, fact, dim, "o_custkey", "c_custkey",
-        numBits = 1 << 18, smjHint = true)
+    bloomFilteredJoin(s, fact, dim, "o_custkey", "c_custkey", smjHint = true)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
         (sum(Tables.cents(col("o_totalprice"))).cast("long") / 100.0).as("revenue"))

@@ -211,8 +211,17 @@ object Curation {
     // 1-row aggregate over the just-checkpointed frame instead of the
     // former join+filter+count (which added a full extra shuffle per
     // round; at web scale the rounds are the cost, so halving the
-    // per-round job count halves the operator).
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    // per-round job count halves the operator). The sum runs in
+    // decimal(38,0): a billion 1e10-scale node ids overflow an int64
+    // sum (ANSI abort — the q72 hazard class), while 38 digits hold
+    // any realistic id·count product exactly. sum over zero rows is
+    // NULL → an empty edge set returns the empty labeling directly.
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head
+      if (r.isNullAt(0)) None else Some(r.getDecimal(0))
+    }
+    var prevSum = labelSum(labels)
+    if (prevSum.isEmpty) return labels
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
@@ -222,7 +231,7 @@ object Curation {
         .union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      val s = next.agg(sum(col("label"))).head.getLong(0)
+      val s = labelSum(next)
       changed = s != prevSum
       prevSum = s
       labels = next

@@ -15,10 +15,26 @@ import org.apache.spark.sql.functions._
  */
 object MergeOps {
 
-  /** `batch` wins on key collisions; `current` survivors pass through. */
+  /** `batch` wins on key collisions; `current` survivors pass through.
+    * PRECONDITION: `batch` is key-unique — a CDC feed carrying several
+    * versions of one key must be collapsed first (see [[latestPerKey]]),
+    * exactly as Delta/Iceberg MERGE demands; a duplicate-key batch
+    * would otherwise land duplicate keys in the snapshot. */
   def mergeUpsert(current: DataFrame, batch: DataFrame, key: String): DataFrame =
     current.join(batch.select(col(key)), Seq(key), "left_anti")
       .unionByName(batch)
+
+  /** Collapse a multi-version CDC feed to its latest row per key
+    * (greatest `ord`, ties broken arbitrarily-but-deterministically by
+    * the row's remaining columns via the struct ordering). One hash
+    * aggregate — no per-key window sort. */
+  def latestPerKey(batch: DataFrame, key: String, ord: String): DataFrame = {
+    val payload = struct(col(ord) +: batch.columns.filter(c => c != key && c != ord)
+      .map(col).toSeq: _*)
+    batch.groupBy(col(key)).agg(max(payload).as("__p"))
+      .select(col(key) +: (ord +: batch.columns.filter(c => c != key && c != ord).toSeq)
+        .map(c => col(s"__p.$c").as(c)): _*)
+  }
 
   /** q84: apply a deterministic CDC batch to customer — every 7th
     * account re-priced into segment MERGED, 50 synthetic new accounts
@@ -72,18 +88,23 @@ object MergeOps {
       attr: String, effective: org.apache.spark.sql.Column): DataFrame = {
     val open = hist.filter(col("valid_to").isNull)
     val closedHist = hist.filter(col("valid_to").isNotNull)
-    val b = batch.select(col(key), col(attr).as("__new"))
+    // __hit marks a batch match independently of the attr VALUE —
+    // comparisons below are null-safe (<=>), so a NULL tracked
+    // attribute (either side) still takes the right disposition
+    // instead of failing every filter and silently dropping the row
+    val b = batch.select(col(key), col(attr).as("__new"), lit(1).as("__hit"))
     val j = open.join(b, Seq(key), "left")
+    val changedPred = col("__hit").isNotNull && !(col("__new") <=> col(attr))
     val unchanged = j
-      .filter(col("__new").isNull || col("__new") === col(attr))
-      .drop("__new")
+      .filter(col("__hit").isNull || (col("__new") <=> col(attr)))
+      .drop("__new", "__hit")
     val closed = j
-      .filter(col("__new").isNotNull && col("__new") =!= col(attr))
+      .filter(changedPred)
       .withColumn("valid_to", effective.cast("date"))
-      .drop("__new")
+      .drop("__new", "__hit")
     val reopened = j
-      .filter(col("__new").isNotNull && col("__new") =!= col(attr))
-      .withColumn(attr, col("__new")).drop("__new")
+      .filter(changedPred)
+      .withColumn(attr, col("__new")).drop("__new", "__hit")
       .withColumn("valid_from", effective.cast("date"))
       .withColumn("valid_to", lit(null).cast("date"))
     val inserts = b.join(open.select(col(key)), Seq(key), "left_anti")
@@ -123,22 +144,23 @@ object MergeOps {
       |  FROM customer),
       |b AS (
       |  SELECT c_custkey,
-      |   CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment ELSE 'LOYALTY' END AS new_seg
+      |   CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment ELSE 'LOYALTY' END AS new_seg,
+      |   1 AS hit
       |  FROM customer WHERE c_custkey % 5 = 0
       |  UNION ALL
-      |  SELECT -i, 'LOYALTY' FROM (SELECT unnest(range(1, 31)) AS i) r),
+      |  SELECT -i, 'LOYALTY', 1 FROM (SELECT unnest(range(1, 31)) AS i) r),
       |j AS (
-      |  SELECT o.c_custkey, o.c_mktsegment, o.valid_from, o.valid_to, b.new_seg
+      |  SELECT o.c_custkey, o.c_mktsegment, o.valid_from, o.valid_to, b.new_seg, b.hit
       |  FROM open_v o LEFT JOIN b USING (c_custkey))
       |SELECT * FROM (
       |  SELECT c_custkey, c_mktsegment, valid_from, valid_to FROM j
-      |  WHERE new_seg IS NULL OR new_seg = c_mktsegment
+      |  WHERE hit IS NULL OR new_seg IS NOT DISTINCT FROM c_mktsegment
       |  UNION ALL
       |  SELECT c_custkey, c_mktsegment, valid_from, DATE '2025-06-01' FROM j
-      |  WHERE new_seg IS NOT NULL AND new_seg <> c_mktsegment
+      |  WHERE hit IS NOT NULL AND new_seg IS DISTINCT FROM c_mktsegment
       |  UNION ALL
       |  SELECT c_custkey, new_seg, DATE '2025-06-01', CAST(NULL AS DATE) FROM j
-      |  WHERE new_seg IS NOT NULL AND new_seg <> c_mktsegment
+      |  WHERE hit IS NOT NULL AND new_seg IS DISTINCT FROM c_mktsegment
       |  UNION ALL
       |  SELECT b.c_custkey, b.new_seg, DATE '2025-06-01', CAST(NULL AS DATE)
       |  FROM b WHERE NOT EXISTS

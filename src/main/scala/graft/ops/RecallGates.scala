@@ -92,11 +92,14 @@ object RecallGates {
     // .bandedPairs), which this corpus doesn't contain.
     // ONE materialized shingle pass feeds the exact baseline (first
     // evaluation only — memoized above) and both live sketch legs.
-    // localCheckpoint, not persist: RDD-backed, so no cache-manager
-    // entry outlives the gate (the ContextCleaner reclaims the blocks
-    // when the frame is dropped), and the legs stay LAZY — the dedup
-    // and ANN stages of the final union overlap inside one job
-    // instead of serializing into a collect-then-evaluate sequence.
+    // localCheckpoint (not persist) keeps the frame out of the
+    // cache manager and the legs LAZY — the dedup and ANN stages of
+    // the final union overlap inside one job instead of serializing
+    // into a collect-then-evaluate sequence. The checkpointed blocks
+    // are PINNED for the corpus's lifetime by shingleCache above
+    // (released via invalidateBaseline, or when the JVM exits) —
+    // deliberate: the gate re-runs per suite, and re-materializing
+    // millions of shingle rows per run dwarfed the block footprint.
     val shingles = shingleCache.getOrElseUpdate(d,
       Dedup.shingleRows(Tables.documents(s, d)).localCheckpoint(true))
     val exact = exactPairCache.getOrElseUpdate(d,

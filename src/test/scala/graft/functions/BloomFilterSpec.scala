@@ -62,9 +62,6 @@ class BloomFilterSpec extends AnyFunSuite with SparkSuite {
         if (r.getLong(0) < 100L) assert(r.getBoolean(1)) // no false negatives
       }
     }
-    // SQL surface
-    Seq(5L, 150L).toDF("k").createOrReplaceTempView("bf_keys")
-    spark.catalog.dropTempView("bf_keys")
   }
 
   test("non-foldable bloom argument is rejected at analysis") {

@@ -15,6 +15,29 @@ class MergeOpsSpec extends AnyFunSuite with SparkSuite {
     assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c", 9L -> "Z"))
   }
 
+  test("latestPerKey collapses a multi-version CDC feed to the greatest ord per key") {
+    val feed = Seq((1L, 1L, "old"), (1L, 3L, "new"), (1L, 2L, "mid"), (2L, 1L, "only"))
+      .toDF("k", "seq", "v")
+    val out = MergeOps.latestPerKey(feed, "k", "seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set((1L, 3L, "new"), (2L, 1L, "only")))
+  }
+
+  test("scd2Merge: NULL tracked attribute takes the change path, not silent row loss") {
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    val hist = Seq((5L, null.asInstanceOf[String], d0, null.asInstanceOf[java.sql.Date]),
+      (6L, "x", d0, null.asInstanceOf[java.sql.Date]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    // batch sets 5 (NULL -> 'x': change) and 6 ('x' -> NULL: change)
+    val batch = Seq((5L, "x"), (6L, null.asInstanceOf[String])).toDF("k", "v")
+    val out = MergeOps.scd2Merge(hist, batch, "k", "v", to_date(lit("2025-06-01")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), String.valueOf(r.getDate(3)))).toSet
+    assert(out == Set(
+      (5L, null, "2025-06-01"), (5L, "x", "null"),
+      (6L, "x", "2025-06-01"), (6L, null, "null")))
+  }
+
   test("scd2Merge: change closes+reopens, same-value passes, new key inserts, closed history immutable") {
     val d0 = java.sql.Date.valueOf("2024-01-01")
     val dPre = java.sql.Date.valueOf("2023-01-01")

@@ -218,6 +218,11 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
     // labeling over every node (partial convergence, not a crash)
     val partial = Curation.connectedComponents(edges, maxIter = 1)
     assert(partial.count() == 9)
+    // an empty edge set yields an empty labeling, not an NPE from the
+    // NULL sum in the convergence check
+    val none = Curation.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(none.count() == 0)
   }
 
   test("incremental dedup admits only fingerprints unseen in the corpus index") {
