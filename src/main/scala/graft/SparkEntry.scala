@@ -124,7 +124,9 @@ object SparkEntry {
     // CDC batch merge (SCD1 upsert) into a durable snapshot
     "q84_merge_upsert" -> (MergeOps.q84MergeUpsert _),
     // SCD2 effective-dated history merge (all four dispositions)
-    "q85_scd2_history" -> (MergeOps.q85Scd2 _)
+    "q85_scd2_history" -> (MergeOps.q85Scd2 _),
+    // Spark 4 transformWithState (ValueState + MapState on RocksDB)
+    "q86_transform_with_state" -> (StreamingOps.q86TransformWithState _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -207,6 +209,7 @@ object SparkEntry {
     "q82_zorder_layout" -> ZOrder.q82Sql,
     "q83_containment" -> Dedup.q83Sql,
     "q84_merge_upsert" -> MergeOps.q84Sql,
-    "q85_scd2_history" -> MergeOps.q85Sql
+    "q85_scd2_history" -> MergeOps.q85Sql,
+    "q86_transform_with_state" -> StreamingOps.q86Sql
   )
 }

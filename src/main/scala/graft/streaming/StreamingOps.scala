@@ -341,4 +341,81 @@ object StreamingOps {
       | AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 1 HOUR
       |WHERE e.event_type = 'error' AND e.user_id < 30 AND p.user_id < 30
       |GROUP BY e.event_id ORDER BY err_id""".stripMargin
+
+  final case class UserTypeStats(user_id: Long, n: Long, sum_cents: Long,
+    n_types: Long)
+
+  /** Spark 4 `transformWithState` processor: composite typed state —
+   *  a ValueState running (n, sum) plus a MapState of per-event-type
+   *  counts (the API tier above flatMapGroupsWithState's single
+   *  GroupState blob: each state var is updated/read independently in
+   *  the store, so a 100-type map doesn't rewrite the whole value on
+   *  every row). Emits the running stats once per key per batch. */
+  private class UserStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String, Long), UserTypeStats] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState, MapState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    @transient private var agg: ValueState[(Long, Long)] = _
+    @transient private var types: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState("agg",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong): Encoder[(Long, Long)],
+        TTLConfig.NONE)
+      types = getHandle.getMapState("types",
+        Encoders.STRING, Encoders.scalaLong: Encoder[Long], TTLConfig.NONE)
+    }
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String, Long)],
+        tv: TimerValues): Iterator[UserTypeStats] = {
+      var (n, c) = if (agg.exists()) agg.get() else (0L, 0L)
+      rows.foreach { case (_, tpe, cents) =>
+        n += 1; c += cents
+        types.updateValue(tpe,
+          (if (types.containsKey(tpe)) types.getValue(tpe) else 0L) + 1L)
+      }
+      agg.update((n, c))
+      Iterator.single(UserTypeStats(user, n, c, types.keys().size.toLong))
+    }
+  }
+
+  /** q86: per-user event stats through `transformWithState` (Spark
+   *  4's stateful API) on the RocksDB state store provider (required
+   *  by the operator; scoped to this query and restored after).
+   *  Append mode emits one running row per key per batch, so the
+   *  final answer is the max-n row per user — batch-split-proof like
+   *  q43, which gates the same totals through the older API. */
+  def q86TransformWithState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val stream = Tables.eventsStream(s, d)
+      .select(col("user_id"), col("event_type"),
+        coalesce(Tables.cents(col("value")), lit(0L)).as("cents"))
+      .as[(Long, String, Long)]
+    val emitted = stream.groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withShuffle(s, 8) {
+      drainToLocal(s, emitted, "append") { t =>
+        t.groupBy(col("user_id"))
+          .agg(max(struct(col("n"), col("sum_cents"), col("n_types"))).as("fin"))
+          .select(col("user_id"), col("fin.n").as("n"),
+            (col("fin.sum_cents") / 100.0).as("sum_value"),
+            col("fin.n_types").as("n_types"))
+          .orderBy(col("user_id"))
+      }
+    } finally prevProvider match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  val q86Sql: String =
+    """SELECT user_id, count(*) AS n,
+      | CAST(sum(CAST(round("value"*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value,
+      | count(DISTINCT event_type) AS n_types
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 }
