@@ -126,7 +126,9 @@ object SparkEntry {
     // SCD2 effective-dated history merge (all four dispositions)
     "q85_scd2_history" -> (MergeOps.q85Scd2 _),
     // Spark 4 transformWithState (ValueState + MapState on RocksDB)
-    "q86_transform_with_state" -> (StreamingOps.q86TransformWithState _)
+    "q86_transform_with_state" -> (StreamingOps.q86TransformWithState _),
+    // streaming CDC-upsert sink (foreachBatch merge into versioned snapshot)
+    "q87_streaming_upsert" -> (StreamingOps.q87StreamingUpsert _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -210,6 +212,7 @@ object SparkEntry {
     "q83_containment" -> Dedup.q83Sql,
     "q84_merge_upsert" -> MergeOps.q84Sql,
     "q85_scd2_history" -> MergeOps.q85Sql,
-    "q86_transform_with_state" -> StreamingOps.q86Sql
+    "q86_transform_with_state" -> StreamingOps.q86Sql,
+    "q87_streaming_upsert" -> StreamingOps.q87Sql
   )
 }

@@ -418,4 +418,50 @@ object StreamingOps {
       | CAST(sum(CAST(round("value"*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value,
       | count(DISTINCT event_type) AS n_types
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q87: streaming CDC-upsert sink — the foreachBatch + MERGE shape
+   *  every Delta/Iceberg streaming pipeline runs: each micro-batch is
+   *  merged into a VERSIONED parquet snapshot (write-new-version,
+   *  never read-and-overwrite in place), keeping the latest event per
+   *  user. Latest-wins rides `MergeOps.latestPerKey` over
+   *  snapshot ∪ batch, so the result is independent of how the source
+   *  splits into batches AND of file arrival order — exactly the
+   *  invariant a replayed/out-of-order CDC feed needs. Three staged
+   *  source files + maxFilesPerTrigger=1 force a genuine multi-batch
+   *  merge chain. Oracle: argmax per user over the batch table. */
+  def q87StreamingUpsert(s: SparkSession, d: String): DataFrame = {
+    val stage = graft.ops.InferOps.tmpPath("upsert_src", d)
+    val snapBase = graft.ops.InferOps.tmpPath("upsert_snap", d)
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("last_micros"),
+      col("event_id").as("last_event_id"), col("event_type").as("last_type"))
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
+      ev.repartition(3).write.mode("overwrite").parquet(stage)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    @volatile var current: Option[String] = None
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val cur = current.map(p => s.read.parquet(p))
+      val all = cur.map(_.unionByName(batch)).getOrElse(batch)
+      val next = s"$snapBase/v$id"
+      // payload struct order (last_micros, last_event_id, last_type):
+      // max ts wins, unique event_id breaks ties deterministically
+      graft.ops.MergeOps.latestPerKey(all, "user_id", "last_micros")
+        .write.mode("overwrite").parquet(next)
+      current = Some(next)
+      ()
+    }.trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    s.read.parquet(current.getOrElse(sys.error("no batch produced a snapshot")))
+      .orderBy(col("user_id"))
+  }
+
+  val q87Sql: String =
+    """SELECT user_id, epoch_us(ts) AS last_micros,
+      | event_id AS last_event_id, event_type AS last_type
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
 }
