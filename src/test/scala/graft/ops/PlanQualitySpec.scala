@@ -121,6 +121,43 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
       "scan after the probe is not the fact scan:\n" + p.substring(nextScan).take(400))
   }
 
+  test("q78 TF-IDF broadcasts the vocab-sized DF table; no single-partition exchange") {
+    val p = plan(TextAnalysis.q78TfidfTerms(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    // the per-doc top-3 window must partition by doc, never collapse
+    // the corpus to one partition (rangepartitioning for the final
+    // presentation sort is fine)
+    assert(!p.contains("Exchange SinglePartition"),
+      "global single-partition exchange in TF-IDF plan")
+  }
+
+  test("q79 bigram model joins stay partitioned; no single-partition exchange") {
+    val p = plan(TextAnalysis.q79BigramNll(spark, d))
+    assert(!p.contains("Exchange SinglePartition"),
+      "global single-partition exchange in bigram-LM plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q80 incremental dedup anti-joins the index (no cartesian, no corpus re-agg)") {
+    val df = Dedup.q80IncrementalDedup(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("leftanti"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("mergeUpsert plans as one anti-join + union; no cartesian") {
+    // q84 itself returns the read-back snapshot (the merge runs inside
+    // the write), so gate the merge expression directly
+    import org.apache.spark.sql.functions.{col, lit}
+    val cur = Tables.customer(spark, d)
+    val batch = cur.filter(col("c_custkey") <= 10)
+      .withColumn("c_mktsegment", lit("X"))
+    val p = plan(MergeOps.mergeUpsert(cur, batch, "c_custkey"))
+    assert(p.contains("LeftAnti"), p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Union"))
+  }
+
   test("q57 partitioned layout prunes at the directory level") {
     val p = plan(InferOps.q57PartitionedPrune(spark, d))
     assert("""PartitionFilters: \[lang#\d+ IN \(en,de\)\]""".r.findFirstIn(p).isDefined,
