@@ -61,6 +61,14 @@ object Dedup {
    *  frame — lets a caller share ONE shingle computation across the
    *  self-join legs and the size aggregate (CorpusPipeline does). */
   def jaccardPairsFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
+    val (co, sizes) = coOccurrence(sh)
+    jaccardFromCo(co, sizes, threshold)
+  }
+
+  /** Shared lang-blocked co-occurrence core: per-doc shingle sizes and
+   *  ordered-pair shared-shingle counts — the join both Jaccard (q23)
+   *  and containment (q83) score from. */
+  private def coOccurrence(sh: DataFrame): (DataFrame, DataFrame) = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val co = sh.as("a")
       .join(sh.as("b"),
@@ -68,7 +76,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("co"))
-    jaccardFromCo(co, sizes, threshold)
+    (co, sizes)
   }
 
   private def jaccardFromCo(co: DataFrame, sizes: DataFrame,
@@ -403,14 +411,7 @@ object Dedup {
    *  where EITHER direction clears the threshold, with both
    *  directional scores. */
   def q83Containment(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(s, d)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val co = sh.as("a")
-      .join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("co"))
+    val (co, sizes) = coOccurrence(shingleRows(s, d))
     co.join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("cont_a", col("co") * lit(1.0) / col("sa.n"))

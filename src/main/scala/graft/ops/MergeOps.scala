@@ -29,11 +29,10 @@ object MergeOps {
     * the row's remaining columns via the struct ordering). One hash
     * aggregate — no per-key window sort. */
   def latestPerKey(batch: DataFrame, key: String, ord: String): DataFrame = {
-    val payload = struct(col(ord) +: batch.columns.filter(c => c != key && c != ord)
-      .map(col).toSeq: _*)
+    val rest = batch.columns.filter(c => c != key && c != ord).toSeq
+    val payload = struct((ord +: rest).map(col): _*)
     batch.groupBy(col(key)).agg(max(payload).as("__p"))
-      .select(col(key) +: (ord +: batch.columns.filter(c => c != key && c != ord).toSeq)
-        .map(c => col(s"__p.$c").as(c)): _*)
+      .select(col(key) +: (ord +: rest).map(c => col(s"__p.$c").as(c)): _*)
   }
 
   /** q84: apply a deterministic CDC batch to customer — every 7th

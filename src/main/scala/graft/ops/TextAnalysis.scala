@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -412,7 +413,6 @@ object TextAnalysis {
    *  Scores are rounded to 6 dp BEFORE ranking so Spark and the
    *  oracle rank identical doubles (ties break on the term). */
   def q78TfidfTerms(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -467,7 +467,6 @@ object TextAnalysis {
    *  per-doc SUM is exact long arithmetic — no FP addition-order
    *  dependence between Spark's partial aggregates and DuckDB. */
   def q79BigramNll(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = documents(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
     val big = toks

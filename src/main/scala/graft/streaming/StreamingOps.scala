@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import graft.ops.Tables
+import graft.ops.{InferOps, MergeOps, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -430,8 +430,8 @@ object StreamingOps {
    *  source files + maxFilesPerTrigger=1 force a genuine multi-batch
    *  merge chain. Oracle: argmax per user over the batch table. */
   def q87StreamingUpsert(s: SparkSession, d: String): DataFrame = {
-    val stage = graft.ops.InferOps.tmpPath("upsert_src", d)
-    val snapBase = graft.ops.InferOps.tmpPath("upsert_snap", d)
+    val stage = InferOps.tmpPath("upsert_src", d)
+    val snapBase = InferOps.tmpPath("upsert_snap", d)
     val ev = Tables.events(s, d).select(col("user_id"),
       unix_micros(col("ts")).as("last_micros"),
       col("event_id").as("last_event_id"), col("event_type").as("last_type"))
@@ -446,7 +446,7 @@ object StreamingOps {
       val next = s"$snapBase/v$id"
       // payload struct order (last_micros, last_event_id, last_type):
       // max ts wins, unique event_id breaks ties deterministically
-      graft.ops.MergeOps.latestPerKey(all, "user_id", "last_micros")
+      MergeOps.latestPerKey(all, "user_id", "last_micros")
         .write.mode("overwrite").parquet(next)
       current = Some(next)
       ()
