@@ -128,7 +128,9 @@ object SparkEntry {
     // Spark 4 transformWithState (ValueState + MapState on RocksDB)
     "q86_transform_with_state" -> (StreamingOps.q86TransformWithState _),
     // streaming CDC-upsert sink (foreachBatch merge into versioned snapshot)
-    "q87_streaming_upsert" -> (StreamingOps.q87StreamingUpsert _)
+    "q87_streaming_upsert" -> (StreamingOps.q87StreamingUpsert _),
+    // vocabulary build + per-doc OOV coverage (tokenizer-training signal)
+    "q88_vocab_coverage" -> (TextAnalysis.q88VocabCoverage _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -213,6 +215,7 @@ object SparkEntry {
     "q84_merge_upsert" -> MergeOps.q84Sql,
     "q85_scd2_history" -> MergeOps.q85Sql,
     "q86_transform_with_state" -> StreamingOps.q86Sql,
-    "q87_streaming_upsert" -> StreamingOps.q87Sql
+    "q87_streaming_upsert" -> StreamingOps.q87Sql,
+    "q88_vocab_coverage" -> TextAnalysis.q88Sql
   )
 }

@@ -507,4 +507,40 @@ object TextAnalysis {
       |SELECT doc_id, count(*) AS n_bigrams,
       | sum(nll_micro) / 10000.0 / count(*) AS avg_nll
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q88: vocabulary coverage — build the corpus vocab (tokens with
+   *  count ≥ 10, the min-frequency cutoff every tokenizer-training
+   *  pipeline applies) and score each document's out-of-vocabulary
+   *  token fraction against it. High OOV flags encoding noise /
+   *  wrong-language / garbage docs that a fixed vocab would shred
+   *  into bytes. Shapes: one corpus shuffle for token counts; the
+   *  vocab is vocab-sized (Heaps' law) so the membership join
+   *  broadcasts; per-doc agg rides the same (doc_id, term) keys.
+   *  oov_frac ships as a RAW division (rational-rounding rule). */
+  def q88VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 10)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov") * lit(1.0) / col("n_tokens")).as("oov_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q88Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |t AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+      |vocab AS (SELECT term FROM t GROUP BY term HAVING count(*) >= 10)
+      |SELECT doc_id, count(*) AS n_tokens,
+      | count(CASE WHEN v.term IS NULL THEN 1 END) AS n_oov,
+      | count(CASE WHEN v.term IS NULL THEN 1 END) * 1.0 / count(*) AS oov_frac
+      |FROM t LEFT JOIN vocab v USING (term)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
