@@ -130,7 +130,9 @@ object SparkEntry {
     // streaming CDC-upsert sink (foreachBatch merge into versioned snapshot)
     "q87_streaming_upsert" -> (StreamingOps.q87StreamingUpsert _),
     // vocabulary build + per-doc OOV coverage (tokenizer-training signal)
-    "q88_vocab_coverage" -> (TextAnalysis.q88VocabCoverage _)
+    "q88_vocab_coverage" -> (TextAnalysis.q88VocabCoverage _),
+    // product-quantization ANN (rows-only; quality gated through q61)
+    "q89_knn_pq" -> (Similarity.q89KnnPq _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -73,16 +73,22 @@ object RecallGates {
       .select(col("qid"), col("nid"), lit(1).as("l"))
     val ivf = Similarity.q37KnnIvf(s, d)
       .select(col("qid"), col("nid"), lit(1).as("i"))
+    val pq = Similarity.q89KnnPq(s, d)
+      .select(col("qid"), col("nid"), lit(1).as("p"))
     val annRows = brute
       .join(lsh, Seq("qid", "nid"), "left")
       .join(ivf, Seq("qid", "nid"), "left")
+      .join(pq, Seq("qid", "nid"), "left")
       .agg(count(lit(1)).as("tot"),
-        count(col("l")).as("lhits"), count(col("i")).as("ihits"))
+        count(col("l")).as("lhits"), count(col("i")).as("ihits"),
+        count(col("p")).as("phits"))
       .select(explode(array(
         struct(lit("ivf_knn").as("component"),
           (col("tot") > 0 && col("ihits") >= col("tot") * 0.6).as("ok")),
         struct(lit("lsh_knn").as("component"),
-          (col("tot") > 0 && col("lhits") >= col("tot") * 0.7).as("ok")))).as("r"))
+          (col("tot") > 0 && col("lhits") >= col("tot") * 0.7).as("ok")),
+        struct(lit("pq_knn").as("component"),
+          (col("tot") > 0 && col("phits") >= col("tot") * 0.6).as("ok")))).as("r"))
       .select(col("r.component"), col("r.ok"))
 
     // every exact near-dup pair (above the stated floor) must appear
@@ -153,7 +159,7 @@ object RecallGates {
   val q61Sql: String =
     """SELECT * FROM (VALUES
       | ('ivf_knn', true), ('lsh_knn', true),
-      | ('minhash_lsh', true), ('simhash', true)
+      | ('minhash_lsh', true), ('pq_knn', true), ('simhash', true)
       |) t(component, ok) ORDER BY component""".stripMargin
 
   /** Error-bounded gates for the sketch aggregates — the 100 TB

@@ -331,4 +331,152 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), col("sim"))
       .orderBy(col("qid"), col("rnk"))
   }
+
+  // ---- Product quantization (q89) ----------------------------------
+
+  private val PqM = 8           // subspaces (64-d → 8-d sub-vectors)
+  private val PqK = 16          // centroids per subspace → 4-bit codes
+  private val PqCandidates = 50 // ADC shortlist size before exact re-rank
+
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+
+  private[graft] def invalidatePqCodebooks(dir: String): Unit = pqCache.remove(dir)
+
+  private def l2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Euclidean k-means (k-means++ seed, Lloyd mean updates) — the PQ
+    * sub-quantizer fit. Deterministic via the seeded LCG, same
+    * bounded-sample contract as [[fitCodebook]]. */
+  private def kmeansL2(xs: Array[Array[Double]], k: Int, seed: Long): Array[Array[Double]] = {
+    val kk = math.min(k, xs.length)
+    val dim = xs.head.length
+    val rnd = new java.util.Random(seed)
+    val seeds = scala.collection.mutable.ArrayBuffer(xs(rnd.nextInt(xs.length)))
+    while (seeds.length < kk) {
+      val d2 = xs.map(v => seeds.map(c => l2(v, c)).min)
+      val tot = d2.sum
+      if (tot <= 0) seeds += xs(rnd.nextInt(xs.length))
+      else {
+        var r = rnd.nextDouble() * tot
+        var i = 0
+        while (i < d2.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+        seeds += xs(i)
+      }
+    }
+    var centroids = seeds.toArray.map(_.clone)
+    for (_ <- 0 until KMeansIters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      xs.foreach { v =>
+        var best = 0; var bd = l2(v, centroids(0)); var c = 1
+        while (c < kk) {
+          val dd = l2(v, centroids(c)); if (dd < bd) { best = c; bd = dd }; c += 1
+        }
+        counts(best) += 1
+        var j = 0; while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) centroids(c)
+        else { val m = sums(c); var j = 0; while (j < dim) { m(j) /= counts(c); j += 1 }; m }
+      }
+    }
+    centroids
+  }
+
+  /** Per-subspace PQ codebooks over the same bounded unit-normalized
+    * sample as the IVF fit: m × k × (dim/m) doubles, corpus-size-
+    * independent driver cost, memoized per corpus dir. Unit-normalized
+    * full vectors make squared L2 ≡ 2 − 2·cosine, so ADC distance
+    * ordering matches cosine ordering. */
+  private[ops] def fitPqCodebooks(e: DataFrame): Array[Array[Array[Double]]] = {
+    val sample: Array[Array[Double]] = e.sort(col("vec_id")).limit(KMeansSample)
+      .collect()
+      .map(r => unit(r.getSeq[Float](1).map(_.toDouble).toArray))
+    if (sample.isEmpty || sample.head.length % PqM != 0) return Array.empty
+    val sub = sample.head.length / PqM
+    Array.tabulate(PqM) { i =>
+      kmeansL2(sample.map(v => java.util.Arrays.copyOfRange(v, i * sub, (i + 1) * sub)),
+        PqK, seed = 7L + i)
+    }
+  }
+
+  /** q89: product-quantization ANN — THE memory-bound 100 TB vector
+   *  technique: each 256-byte float vector is encoded once as m=8
+   *  4-bit codes (32× less scan traffic), queries score the codes via
+   *  per-subspace lookup tables (asymmetric distance computation),
+   *  and only the ADC top-`PqCandidates` shortlist is re-ranked with
+   *  exact cosine. One corpus pass encodes AND scores (no code table
+   *  materialized here; a real deployment persists the codes column
+   *  and pays only the LUT scan per query batch); the shortlist
+   *  selection rides the bounded TopK aggregate, not a window sort.
+   *  Engine-specific → rows-only check; quality gated through q61
+   *  (top-5 overlap vs exact ≥ 0.6, same floor as IVF). */
+  def q89KnnPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    graft.functions.TopK.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val books = pqCache.getOrElseUpdate(d, fitPqCodebooks(e))
+    val queries: Array[(Long, Array[Double])] = e.filter(col("vec_id") < 10)
+      .collect().map(r => (r.getLong(0), unit(r.getSeq[Float](1).map(_.toDouble).toArray)))
+    if (books.isEmpty || queries.isEmpty)
+      return s.emptyDataset[(Long, Long, Long, Double)]
+        .toDF("qid", "rnk", "nid", "sim")
+    val sub = books(0)(0).length
+    // per-query LUT: m × k sub-distances query-subvector → centroid
+    val luts: Array[(Long, Array[Array[Double]])] = queries.map { case (qid, qv) =>
+      (qid, Array.tabulate(PqM) { i =>
+        val qs = java.util.Arrays.copyOfRange(qv, i * sub, (i + 1) * sub)
+        books(i).map(l2(qs, _))
+      })
+    }
+    val bBooks = s.sparkContext.broadcast(books)
+    val bLuts = s.sparkContext.broadcast(luts)
+    val scored = e.as[(Long, Array[Float])].mapPartitions { it =>
+      val bks = bBooks.value
+      val ls = bLuts.value
+      it.flatMap { case (vid, emb) =>
+        val v = unit(emb.map(_.toDouble))
+        val codes = new Array[Int](PqM)
+        var i = 0
+        while (i < PqM) {
+          val vs = java.util.Arrays.copyOfRange(v, i * sub, (i + 1) * sub)
+          var best = 0; var bd = l2(vs, bks(i)(0)); var c = 1
+          while (c < bks(i).length) {
+            val dd = l2(vs, bks(i)(c)); if (dd < bd) { best = c; bd = dd }; c += 1
+          }
+          codes(i) = best; i += 1
+        }
+        ls.iterator.filter(_._1 != vid).map { case (qid, lut) =>
+          var dist = 0.0; var j = 0
+          while (j < PqM) { dist += lut(j)(codes(j)); j += 1 }
+          (qid, vid, dist)
+        }
+      }
+    }.toDF("qid", "nid", "adc")
+    // bounded shortlist per query: larger value wins in TopK, so
+    // negate the quantized distance (unit-sphere L2² ∈ [0,4] → the
+    // 1e9 quantization keeps 9 significant digits, far below any
+    // meaningful ADC gap; ties break on nid)
+    val cand = scored
+      .withColumn("negq", (-col("adc") * lit(1e9)).cast("long"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.topk(col("negq"), col("nid"), PqCandidates).as("sel"))
+      .select(col("qid"), explode(col("sel.payload")).as("nid"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    cand.join(e, col("nid") === col("vec_id"))
+      .join(broadcast(q), "qid")
+      .withColumn("sim", round(cosine_sim(col("embedding"), col("qe")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("nid"), col("sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
 }

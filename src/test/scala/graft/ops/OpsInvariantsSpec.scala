@@ -33,24 +33,27 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
     assert(exact.nonEmpty && (exact -- sim).isEmpty)
   }
 
-  test("LSH kNN (q27) and IVF kNN (q37) overlap the brute-force top-5 (q26)") {
+  test("LSH (q27), IVF (q37) and PQ (q89) kNN overlap the brute-force top-5 (q26)") {
     def top(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().groupBy(_.getAs[Long]("qid"))
         .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nid")).toSet }
     val brute = top(Similarity.q26KnnBrute(spark, d))
     val lsh = top(Similarity.q27KnnLsh(spark, d))
     val ivf = top(Similarity.q37KnnIvf(spark, d))
+    val pq = top(Similarity.q89KnnPq(spark, d))
     // approximate methods must return full result sets with sane recall
-    assert(lsh.keySet == brute.keySet && ivf.keySet == brute.keySet)
+    assert(lsh.keySet == brute.keySet && ivf.keySet == brute.keySet
+      && pq.keySet == brute.keySet)
     // NB: map over a Seq of keys — mapping the key *Set* to counts
     // would deduplicate equal counts before summing
-    val lshRecall = brute.keys.toSeq.map(q => (lsh(q) & brute(q)).size).sum / (brute.size * 5.0)
-    val ivfRecall = brute.keys.toSeq.map(q => (ivf(q) & brute(q)).size).sum / (brute.size * 5.0)
+    def recall(m: Map[Long, Set[Long]]) =
+      brute.keys.toSeq.map(q => (m(q) & brute(q)).size).sum / (brute.size * 5.0)
     // floors match the q61 gate; measured 0.96 LSH / 0.70 IVF here
     // (sf0.01) with the seeded k-means codebook — deterministic for
     // fixed data + seeds
-    assert(lshRecall >= 0.7, s"LSH recall@5 $lshRecall")
-    assert(ivfRecall >= 0.6, s"IVF recall@5 $ivfRecall")
+    assert(recall(lsh) >= 0.7, s"LSH recall@5 ${recall(lsh)}")
+    assert(recall(ivf) >= 0.6, s"IVF recall@5 ${recall(ivf)}")
+    assert(recall(pq) >= 0.6, s"PQ recall@5 ${recall(pq)}")
   }
 
   test("hot-bucket guard: all-identical corpus yields linear candidates, not a clique") {
