@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /**
  * Oracle-gated recall bounds for the approximate operators whose raw
  * outputs are engine-specific (rows-only checked): q22 banded
- * MinHash, q24 SimHash, q27 LSH kNN, q37 IVF kNN.
+ * MinHash, q24 SimHash, q27 LSH kNN, q37 IVF kNN, q89 PQ kNN
+ * (floor ≥0.6 top-5 overlap, same as IVF).
  *
  * Their hashing can't be reproduced in ANSI SQL, but their QUALITY
  * can be gated: each component row states whether the approximate
