@@ -64,6 +64,14 @@ class BloomFilterSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("sizeBits scales with expected keys, clamps, and stays word-aligned") {
+    import graft.ops.BloomJoin.sizeBits
+    assert(sizeBits(0) == 1 << 10)                 // floor clamp
+    assert(sizeBits(1000) == ((10000 + 63) & ~63)) // ~10 bits/key, 64-aligned
+    assert(sizeBits(1L << 40) == 1 << 28)          // ceiling clamp (32 MB)
+    Seq(1L, 77L, 12345L, 1000000L).foreach(n => assert(sizeBits(n) % 64 == 0))
+  }
+
   test("non-foldable bloom argument is rejected at analysis") {
     BloomFilter.register(spark)
     val df = Seq((Array[Byte](0, 0, 0, 3, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0), 1L))
