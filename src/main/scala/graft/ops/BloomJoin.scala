@@ -47,7 +47,10 @@ object BloomJoin {
       .head.getAs[Array[Byte]](0)
     val pruned = fact.filter(BloomFilter.bloom_contains(lit(bytes), col(factKey)))
     val dimSide = if (smjHint) dim.hint("merge") else dim
-    pruned.join(dimSide, col(factKey) === col(dimKey))
+    // qualify through the parent frames: with factKey == dimKey (the
+    // common case for a generic fact/dim API) an unqualified
+    // col(factKey) === col(dimKey) is AMBIGUOUS_REFERENCE
+    pruned.join(dimSide, pruned(factKey) === dimSide(dimKey))
   }
 
   /** q77: revenue per order priority for one customer segment, with

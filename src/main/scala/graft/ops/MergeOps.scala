@@ -87,11 +87,18 @@ object MergeOps {
       attr: String, effective: org.apache.spark.sql.Column): DataFrame = {
     val open = hist.filter(col("valid_to").isNull)
     val closedHist = hist.filter(col("valid_to").isNotNull)
+    // Collapse duplicate batch keys BEFORE the join: a multi-version
+    // CDC feed would otherwise fan each open version out once per
+    // batch row, duplicating history across the legs. max() is a
+    // deterministic last-wins reduction (identity on the key-unique
+    // batches MERGE demands); feeds with a real ordering column should
+    // pre-collapse via [[latestPerKey]] instead. One hash aggregate.
     // __hit marks a batch match independently of the attr VALUE —
     // comparisons below are null-safe (<=>), so a NULL tracked
     // attribute (either side) still takes the right disposition
     // instead of failing every filter and silently dropping the row
-    val b = batch.select(col(key), col(attr).as("__new"), lit(1).as("__hit"))
+    val b = batch.groupBy(col(key)).agg(max(col(attr)).as("__new"))
+      .withColumn("__hit", lit(1))
     val j = open.join(b, Seq(key), "left")
     val changedPred = col("__hit").isNotNull && !(col("__new") <=> col(attr))
     val unchanged = j

@@ -32,14 +32,18 @@ object ZOrder {
     x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
   }
 
-  /** Quantize `c` (known [lo, hi] domain) to a 16-bit rank. Spark's
-    * `/` is double division; exact while (hi-lo)·65535 < 2^53 (any
-    * realistic key domain), and an off-by-one rank beyond that merely
-    * shifts a row one z-cell — the layout stays transparent to
-    * readers, so quantization precision can never affect results. */
+  /** Quantize `c` (known [lo, hi] domain) to a 16-bit rank. All
+    * scaling in double, dividing BEFORE multiplying, so domains wider
+    * than ~2^47 (epoch-micros columns) can't overflow an int64
+    * multiply and abort under ANSI, and the domain endpoints map
+    * exactly to 0/65535 at any width. Interior ranks can round one
+    * cell off the exact rational beyond 2^53 — which merely shifts a
+    * row one z-cell: the layout stays transparent to readers, so
+    * quantization precision can never affect results. */
   private[ops] def rank16(c: Column, lo: Long, hi: Long): Column =
     if (hi <= lo) lit(0L)
-    else ((c - lit(lo)).cast("long") * lit(65535L) / lit(hi - lo)).cast("long")
+    else ((c - lit(lo)).cast("double") / lit((hi - lo).toDouble) * lit(65535.0))
+      .cast("long")
 
   /** z = interleave(rank16(a), rank16(b)) — 32-bit Morton code. */
   def zValue(a: Column, aLo: Long, aHi: Long, b: Column, bLo: Long, bHi: Long): Column =

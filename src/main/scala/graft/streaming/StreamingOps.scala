@@ -370,8 +370,13 @@ object StreamingOps {
       var (n, c) = if (agg.exists()) agg.get() else (0L, 0L)
       rows.foreach { case (_, tpe, cents) =>
         n += 1; c += cents
-        types.updateValue(tpe,
-          (if (types.containsKey(tpe)) types.getValue(tpe) else 0L) + 1L)
+        // NULL event_type still counts toward (n, sum) but is excluded
+        // from the type map — MapState keys must be non-null (the
+        // MAP_KEY_NULL hazard Events.scala guards) and the oracle's
+        // count(DISTINCT event_type) excludes nulls the same way
+        if (tpe != null)
+          types.updateValue(tpe,
+            (if (types.containsKey(tpe)) types.getValue(tpe) else 0L) + 1L)
       }
       agg.update((n, c))
       Iterator.single(UserTypeStats(user, n, c, types.keys().size.toLong))

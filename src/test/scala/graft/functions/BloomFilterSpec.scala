@@ -72,6 +72,16 @@ class BloomFilterSpec extends AnyFunSuite with SparkSuite {
     Seq(1L, 77L, 12345L, 1000000L).foreach(n => assert(sizeBits(n) % 64 == 0))
   }
 
+  test("bloomFilteredJoin resolves when both sides name the key identically") {
+    val fact = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "fv")
+    val dim = Seq((2L, "X"), (3L, "Y")).toDF("k", "dv")
+    val out = graft.ops.BloomJoin
+      .bloomFilteredJoin(spark, fact, dim, "k", "k")
+      .select(fact("k"), $"fv", $"dv")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set((2L, "b", "X"), (3L, "c", "Y")))
+  }
+
   test("non-foldable bloom argument is rejected at analysis") {
     BloomFilter.register(spark)
     val df = Seq((Array[Byte](0, 0, 0, 3, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0), 1L))

@@ -23,6 +23,24 @@ class MergeOpsSpec extends AnyFunSuite with SparkSuite {
     assert(out == Set((1L, 3L, "new"), (2L, 1L, "only")))
   }
 
+  test("scd2Merge: duplicate batch keys collapse instead of fanning out history") {
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    val hist = Seq((1L, "a", d0, null.asInstanceOf[java.sql.Date]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    // a multi-version CDC feed: three rows for key 1 — must produce
+    // exactly one close + one reopen (max value wins), not 3x each leg
+    val batch = Seq((1L, "b"), (1L, "d"), (1L, "c")).toDF("k", "v")
+    val out = MergeOps.scd2Merge(hist, batch, "k", "v", to_date(lit("2025-06-01")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), String.valueOf(r.getDate(3)))).toSet
+    assert(out == Set((1L, "a", "2025-06-01"), (1L, "d", "null")))
+    // and duplicate NEW keys also land once, not once per feed row
+    val ins = MergeOps.scd2Merge(hist, Seq((9L, "p"), (9L, "q")).toDF("k", "v"),
+      "k", "v", to_date(lit("2025-06-01")))
+      .filter(col("k") === 9L).collect()
+    assert(ins.length == 1 && ins.head.getString(1) == "q")
+  }
+
   test("scd2Merge: NULL tracked attribute takes the change path, not silent row loss") {
     val d0 = java.sql.Date.valueOf("2024-01-01")
     val hist = Seq((5L, null.asInstanceOf[String], d0, null.asInstanceOf[java.sql.Date]),

@@ -55,6 +55,18 @@ class ZOrderSpec extends AnyFunSuite with SparkSuite {
     assert(fromLayout == fromSource && fromLayout.nonEmpty)
   }
 
+  test("rank16 survives epoch-micros-wide domains under ANSI (no int64 overflow)") {
+    import spark.implicits._
+    // a domain wider than 2^47: (c-lo)*65535 would overflow int64 and
+    // abort under ANSI if the scaling were done in long arithmetic
+    val lo = 0L
+    val hi = 1_750_000_000_000_000L // ~2025 in epoch micros
+    val ranks = Seq(lo, hi / 2, hi).toDF("t")
+      .select(ZOrder.rank16(col("t"), lo, hi).as("r")).as[Long].collect()
+    assert(ranks(0) == 0L && ranks(2) == 65535L)
+    assert(math.abs(ranks(1) - 32767L) <= 1, s"midpoint rank ${ranks(1)}")
+  }
+
   test("morton spread interleaves bits correctly") {
     import spark.implicits._
     val rows = Seq(0L, 1L, 2L, 3L, 0xFFFFL).toDF("x")
