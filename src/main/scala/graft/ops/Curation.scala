@@ -252,8 +252,12 @@ object Curation {
     val edges = Dedup.jaccardPairs(documents(s, d), 0.6)
       .select(col("doc_a"), col("doc_b"))
     val labels = connectedComponents(edges)
+    // sizes is bounded by the cluster count — usually tiny, but a
+    // pathological boilerplate-heavy corpus could make it large, so
+    // no mandatory broadcast hint: AQE picks broadcast when the
+    // materialized size permits, else a plain shuffle of tiny data
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
-    labels.join(broadcast(sizes), "label")
+    labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster"), col("csize"))
       .orderBy(col("doc_id"))
   }

@@ -407,9 +407,14 @@ object TextAnalysis {
   /** q78: TF-IDF keyword extraction — top-3 scoring terms per doc,
    *  score = tf · ln(N/df). Three scale-honest stages: (1) one
    *  shuffle to (doc_id, term) counts — the only corpus-sized
-   *  exchange; (2) the document-frequency table is vocab-sized
-   *  (≪ corpus, Heaps' law) so it broadcasts, as does the 1-row
-   *  N; (3) the top-3 window partitions BY DOC, so no global sort.
+   *  exchange; (2) the document-frequency table is vocab-sized in
+   *  practice (Heaps' law) but UNBOUNDED in principle — a 100 TB web
+   *  corpus's distinct-term table (typos, URLs, code) can be multi-GB
+   *  — so it carries NO mandatory broadcast hint: AQE broadcasts when
+   *  the materialized size is actually small and falls back to a
+   *  shuffle join when it isn't (the tf frame re-shuffles on `term`
+   *  either way). Only the 1-row N keeps its hint. (3) the top-3
+   *  window partitions BY DOC, so no global sort.
    *  Scores are rounded to 6 dp BEFORE ranking so Spark and the
    *  oracle rank identical doubles (ties break on the term). */
   def q78TfidfTerms(s: SparkSession, d: String): DataFrame = {
@@ -422,7 +427,7 @@ object TextAnalysis {
     val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
@@ -514,8 +519,11 @@ object TextAnalysis {
    *  token fraction against it. High OOV flags encoding noise /
    *  wrong-language / garbage docs that a fixed vocab would shred
    *  into bytes. Shapes: one corpus shuffle for token counts; the
-   *  vocab is vocab-sized (Heaps' law) so the membership join
-   *  broadcasts; per-doc agg rides the same (doc_id, term) keys.
+   *  vocab is small in practice (Heaps' law) but unbounded in
+   *  principle at web scale, so the membership join carries no
+   *  mandatory broadcast hint — AQE broadcasts it only when its
+   *  materialized size actually permits; per-doc agg rides the same
+   *  (doc_id, term) keys.
    *  oov_frac ships as a RAW division (rational-rounding rule). */
   def q88VocabCoverage(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
@@ -524,7 +532,7 @@ object TextAnalysis {
     val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 10)
       .select(col("term"), lit(1).as("in_vocab"))
-    toks.join(broadcast(vocab), Seq("term"), "left")
+    toks.join(vocab, Seq("term"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         count(when(col("in_vocab").isNull, 1)).as("n_oov"))

@@ -121,14 +121,29 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
       "scan after the probe is not the fact scan:\n" + p.substring(nextScan).take(400))
   }
 
-  test("q78 TF-IDF broadcasts the vocab-sized DF table; no single-partition exchange") {
+  test("q78 TF-IDF: no single-partition exchange; AQE free to pick the vocab join") {
     val p = plan(TextAnalysis.q78TfidfTerms(spark, d))
-    assert(p.contains("BroadcastHashJoin"), p.take(400))
     // the per-doc top-3 window must partition by doc, never collapse
     // the corpus to one partition (rangepartitioning for the final
     // presentation sort is fine)
     assert(!p.contains("Exchange SinglePartition"),
       "global single-partition exchange in TF-IDF plan")
+  }
+
+  test("no mandatory broadcast hint over an unbounded aggregate (q76/q78/q88)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // a hint over a subtree whose maxRows is statically unknown is a
+    // mandatory multi-GB-at-100TB broadcast; 1-row scalar aggregates
+    // (maxRows = Some(1)) are the only hints these plans may carry —
+    // anything vocab/cluster-sized must be left to AQE's runtime stats
+    def unbounded(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.isDefined && h.child.maxRows.isEmpty =>
+          h.child.nodeName
+      }
+    assert(unbounded(TextAnalysis.q78TfidfTerms(spark, d)).isEmpty)
+    assert(unbounded(TextAnalysis.q88VocabCoverage(spark, d)).isEmpty)
+    assert(unbounded(Curation.q76DedupClusters(spark, d)).isEmpty)
   }
 
   test("q79 bigram model joins stay partitioned; no single-partition exchange") {
