@@ -195,8 +195,15 @@ object Curation {
    *  are dense blobs around a template), so 3-4 rounds close even
    *  web-scale corpora; `maxIter` bounds the worst case and lineage
    *  is cut per round with an eager localCheckpoint (ContextCleanup
-   *  frees the blocks; no cache-manager entry). Input (doc_a, doc_b)
-   *  pairs; output (id, label). */
+   *  frees the blocks; no cache-manager entry). An adversarial
+   *  path-shaped graph of diameter > maxIter terminates with a
+   *  partial labeling rather than spinning (OpsInvariantsSpec pins
+   *  both sides of the bound); if such diameters were ever a real
+   *  input, the known fix is the large-star/small-star rewrite
+   *  (Kiveris et al., "Connected Components in MapReduce and
+   *  Beyond"), which converges in O(log² n) rounds by pointer
+   *  doubling instead of 1-hop label flow — near-dup edge sets
+   *  never need it. Input (doc_a, doc_b) pairs; output (id, label). */
   private[ops] def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))

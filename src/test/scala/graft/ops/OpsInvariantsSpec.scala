@@ -228,6 +228,27 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
     assert(none.count() == 0)
   }
 
+  test("connected components: path diameter at maxIter converges; beyond it stays bounded") {
+    import spark.implicits._
+    // a path 0-1-…-19 has diameter 19 — the adversarial shape for
+    // 1-hop min-label flow (label 0 moves one hop per round); the
+    // default maxIter=20 is exactly enough: 19 propagation rounds +
+    // the unchanged-sum round that detects convergence
+    val path = (0L until 19L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Curation.connectedComponents(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 20 && labels.forall(_._2 == 0L))
+    // a diameter BEYOND the bound terminates with a complete-but-
+    // partially-converged labeling instead of spinning — the
+    // documented large-star/small-star regime, which near-dup edge
+    // sets never reach
+    val long = (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val partial = Curation.connectedComponents(long, maxIter = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(partial.length == 31)
+    assert(partial.exists(_._2 != 0L), "maxIter=5 cannot fully converge diameter 30")
+  }
+
   test("incremental dedup admits only fingerprints unseen in the corpus index") {
     import spark.implicits._
     val corpusIdx = Seq("already ingested").toDF("text")
