@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import graft.ops.{InferOps, MergeOps, Tables}
+import graft.ops.{InferOps, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -426,14 +426,17 @@ object StreamingOps {
 
   /** q87: streaming CDC-upsert sink — the foreachBatch + MERGE shape
    *  every Delta/Iceberg streaming pipeline runs: each micro-batch is
-   *  merged into a VERSIONED parquet snapshot (write-new-version,
-   *  never read-and-overwrite in place), keeping the latest event per
-   *  user. Latest-wins rides `MergeOps.latestPerKey` over
-   *  snapshot ∪ batch, so the result is independent of how the source
-   *  splits into batches AND of file arrival order — exactly the
-   *  invariant a replayed/out-of-order CDC feed needs. Three staged
-   *  source files + maxFilesPerTrigger=1 force a genuine multi-batch
-   *  merge chain. Oracle: argmax per user over the batch table. */
+   *  merged into a VERSIONED, BUCKET-PRUNED parquet snapshot
+   *  ([[BucketedUpsertSink]]: write-new-version, never
+   *  read-and-overwrite in place; only buckets the batch's keys touch
+   *  are rewritten, untouched bucket files carry forward by
+   *  reference), keeping the latest event per user. Latest-wins rides
+   *  `MergeOps.latestPerKey` over touched-buckets ∪ batch, so the
+   *  result is independent of how the source splits into batches AND
+   *  of file arrival order — exactly the invariant a
+   *  replayed/out-of-order CDC feed needs. Three staged source files
+   *  + maxFilesPerTrigger=1 force a genuine multi-batch merge chain.
+   *  Oracle: argmax per user over the batch table. */
   def q87StreamingUpsert(s: SparkSession, d: String): DataFrame = {
     val stage = InferOps.tmpPath("upsert_src", d)
     val snapBase = InferOps.tmpPath("upsert_snap", d)
@@ -444,21 +447,16 @@ object StreamingOps {
       ev.repartition(3).write.mode("overwrite").parquet(stage)
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
-    @volatile var current: Option[String] = None
+    // payload struct order (last_micros, last_event_id, last_type):
+    // max ts wins, unique event_id breaks ties deterministically
+    val sink = new BucketedUpsertSink(s, snapBase, "user_id", "last_micros",
+      numBuckets = 8)
     val q = stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      val cur = current.map(p => s.read.parquet(p))
-      val all = cur.map(_.unionByName(batch)).getOrElse(batch)
-      val next = s"$snapBase/v$id"
-      // payload struct order (last_micros, last_event_id, last_type):
-      // max ts wins, unique event_id breaks ties deterministically
-      MergeOps.latestPerKey(all, "user_id", "last_micros")
-        .write.mode("overwrite").parquet(next)
-      current = Some(next)
+      sink.merge(batch, id)
       ()
     }.trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
-    s.read.parquet(current.getOrElse(sys.error("no batch produced a snapshot")))
-      .orderBy(col("user_id"))
+    sink.snapshot().orderBy(col("user_id"))
   }
 
   val q87Sql: String =
