@@ -405,64 +405,50 @@ object Similarity {
     }
   }
 
-  /** q89: product-quantization ANN — THE memory-bound 100 TB vector
-   *  technique: each 256-byte float vector is encoded once as m=8
-   *  4-bit codes (32× less scan traffic), queries score the codes via
-   *  per-subspace lookup tables (asymmetric distance computation),
-   *  and only the ADC top-`PqCandidates` shortlist is re-ranked with
-   *  exact cosine. One corpus pass encodes AND scores (no code table
-   *  materialized here; a real deployment persists the codes column
-   *  and pays only the LUT scan per query batch); the shortlist
-   *  selection rides the bounded TopK aggregate, not a window sort.
-   *  Engine-specific → rows-only check; quality gated through q61
-   *  (top-5 overlap vs exact ≥ 0.6, same floor as IVF). */
-  def q89KnnPq(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    graft.functions.GraftFunctions.register(s)
-    graft.functions.TopK.register(s)
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val books = pqCache.getOrElseUpdate(d, fitPqCodebooks(e))
-    val queries: Array[(Long, Array[Double])] = e.filter(col("vec_id") < 10)
-      .collect().map(r => (r.getLong(0), unit(r.getSeq[Float](1).map(_.toDouble).toArray)))
-    if (books.isEmpty || queries.isEmpty)
-      return s.emptyDataset[(Long, Long, Long, Double)]
-        .toDF("qid", "rnk", "nid", "sim")
-    val sub = books(0)(0).length
-    // per-query LUT: m × k sub-distances query-subvector → centroid
-    val luts: Array[(Long, Array[Array[Double]])] = queries.map { case (qid, qv) =>
-      (qid, Array.tabulate(PqM) { i =>
-        val qs = java.util.Arrays.copyOfRange(qv, i * sub, (i + 1) * sub)
-        books(i).map(l2(qs, _))
-      })
-    }
-    val bBooks = s.sparkContext.broadcast(books)
-    val bLuts = s.sparkContext.broadcast(luts)
-    val scored = e.as[(Long, Array[Float])].mapPartitions { it =>
-      val bks = bBooks.value
-      val ls = bLuts.value
-      it.flatMap { case (vid, emb) =>
-        val v = unit(emb.map(_.toDouble))
-        val codes = new Array[Int](PqM)
-        var i = 0
-        while (i < PqM) {
-          val vs = java.util.Arrays.copyOfRange(v, i * sub, (i + 1) * sub)
-          var best = 0; var bd = l2(vs, bks(i)(0)); var c = 1
-          while (c < bks(i).length) {
-            val dd = l2(vs, bks(i)(c)); if (dd < bd) { best = c; bd = dd }; c += 1
-          }
-          codes(i) = best; i += 1
-        }
-        ls.iterator.filter(_._1 != vid).map { case (qid, lut) =>
-          var dist = 0.0; var j = 0
-          while (j < PqM) { dist += lut(j)(codes(j)); j += 1 }
-          (qid, vid, dist)
-        }
+  /** Encode one unit-normalized vector as m 4-bit subspace codes
+    * packed into a single Int (m=8 × log₂(k=16) = 32 bits): argmin
+    * centroid per subspace, ties toward the lower index. ONE encoding
+    * routine shared by the in-memory path (q89) and the persisted
+    * layout ([[pqWriteCodes]]), so the two can never drift. */
+  private def encodePacked(v: Array[Double],
+      books: Array[Array[Array[Double]]], sub: Int): Int = {
+    var packed = 0
+    var i = 0
+    while (i < PqM) {
+      val vs = java.util.Arrays.copyOfRange(v, i * sub, (i + 1) * sub)
+      var best = 0; var bd = l2(vs, books(i)(0)); var c = 1
+      while (c < books(i).length) {
+        val dd = l2(vs, books(i)(c)); if (dd < bd) { best = c; bd = dd }; c += 1
       }
-    }.toDF("qid", "nid", "adc")
-    // bounded shortlist per query: larger value wins in TopK, so
-    // negate the quantized distance (unit-sphere L2² ∈ [0,4] → the
-    // 1e9 quantization keeps 9 significant digits, far below any
-    // meaningful ADC gap; ties break on nid)
+      packed |= best << (4 * i); i += 1
+    }
+    packed
+  }
+
+  /** The fixed query set (vec_id < 10) with per-query ADC lookup
+    * tables: m × k sub-distances query-subvector → centroid. Driver
+    * cost is queries × m × k doubles — corpus-size-independent. */
+  private def pqQueryLuts(e: DataFrame,
+      books: Array[Array[Array[Double]]]): Array[(Long, Array[Array[Double]])] = {
+    val sub = books(0)(0).length
+    e.filter(col("vec_id") < 10)
+      .collect()
+      .map(r => (r.getLong(0), unit(r.getSeq[Float](1).map(_.toDouble).toArray)))
+      .map { case (qid, qv) =>
+        (qid, Array.tabulate(PqM) { i =>
+          val qs = java.util.Arrays.copyOfRange(qv, i * sub, (i + 1) * sub)
+          books(i).map(l2(qs, _))
+        })
+      }
+  }
+
+  /** Shared q89/[[pqKnnFromCodes]] tail: bounded ADC shortlist, then
+    * exact cosine re-rank. Larger value wins in TopK, so the
+    * quantized distance is negated (unit-sphere L2² ∈ [0,4] → the
+    * 1e9 quantization keeps 9 significant digits, far below any
+    * meaningful ADC gap; ties break on nid); the shortlist rides the
+    * bounded TopK aggregate, not a window sort. */
+  private def pqShortlistRerank(e: DataFrame, scored: DataFrame): DataFrame = {
     val cand = scored
       .withColumn("negq", (-col("adc") * lit(1e9)).cast("long"))
       .groupBy(col("qid"))
@@ -478,5 +464,98 @@ object Similarity {
       .filter(col("rnk") <= 5)
       .select(col("qid"), col("rnk"), col("nid"), col("sim"))
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** q89: product-quantization ANN — THE memory-bound 100 TB vector
+   *  technique: each 256-byte float vector is encoded once as m=8
+   *  4-bit codes (32× less scan traffic), queries score the codes via
+   *  per-subspace lookup tables (asymmetric distance computation),
+   *  and only the ADC top-`PqCandidates` shortlist is re-ranked with
+   *  exact cosine. One corpus pass encodes AND scores; the persisted
+   *  variant ([[pqWriteCodes]] + [[pqKnnFromCodes]]) stores the codes
+   *  once and pays only the 4-byte-per-vector LUT scan per query
+   *  batch — PqCodesLayoutSpec proves the two paths identical.
+   *  Engine-specific → rows-only check; quality gated through q61
+   *  (top-5 overlap vs exact ≥ 0.6, same floor as IVF). */
+  def q89KnnPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    graft.functions.TopK.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val books = pqCache.getOrElseUpdate(d, fitPqCodebooks(e))
+    if (books.isEmpty)
+      return s.emptyDataset[(Long, Long, Long, Double)]
+        .toDF("qid", "rnk", "nid", "sim")
+    val luts = pqQueryLuts(e, books)
+    if (luts.isEmpty)
+      return s.emptyDataset[(Long, Long, Long, Double)]
+        .toDF("qid", "rnk", "nid", "sim")
+    val sub = books(0)(0).length
+    val bBooks = s.sparkContext.broadcast(books)
+    val bLuts = s.sparkContext.broadcast(luts)
+    val scored = e.as[(Long, Array[Float])].mapPartitions { it =>
+      val bks = bBooks.value
+      val ls = bLuts.value
+      it.flatMap { case (vid, emb) =>
+        val packed = encodePacked(unit(emb.map(_.toDouble)), bks, sub)
+        ls.iterator.filter(_._1 != vid).map { case (qid, lut) =>
+          var dist = 0.0; var j = 0
+          while (j < PqM) { dist += lut(j)((packed >>> (4 * j)) & 0xF); j += 1 }
+          (qid, vid, dist)
+        }
+      }
+    }.toDF("qid", "nid", "adc")
+    pqShortlistRerank(e, scored)
+  }
+
+  /** Persist the PQ codes column as a LAYOUT (mirror of
+    * [[ivfWritePartitioned]] for the coarse layer): every vector
+    * encoded once — via the same [[encodePacked]] routine and the
+    * same memoized codebooks as q89, so layout and in-memory path can
+    * never disagree — into (vec_id, code:int) parquet. At 100 TB this
+    * is the 32× scan-traffic reduction made durable: query batches
+    * scan 4 bytes/vector instead of the 256-byte embedding, and only
+    * the shortlist re-rank ever touches the full vectors. */
+  def pqWriteCodes(s: SparkSession, d: String, out: String): Unit = {
+    import s.implicits._
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val books = pqCache.getOrElseUpdate(d, fitPqCodebooks(e))
+    require(books.nonEmpty, s"$d: corpus not PQ-encodable (empty or dim % $PqM != 0)")
+    val sub = books(0)(0).length
+    val bBooks = s.sparkContext.broadcast(books)
+    e.as[(Long, Array[Float])].mapPartitions { it =>
+      val bks = bBooks.value
+      it.map { case (vid, emb) =>
+        (vid, encodePacked(unit(emb.map(_.toDouble)), bks, sub))
+      }
+    }.toDF("vec_id", "code")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  /** Top-5 kNN over a [[pqWriteCodes]] layout: the ADC scan reads
+    * ONLY (vec_id, code) — the corpus embedding column is touched
+    * just for the bounded shortlist re-rank and the 10-query LUT
+    * build. Same LUTs, same shortlist, same re-rank as q89 →
+    * identical results (PqCodesLayoutSpec). */
+  def pqKnnFromCodes(s: SparkSession, d: String, layout: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    graft.functions.TopK.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val books = pqCache.getOrElseUpdate(d, fitPqCodebooks(e))
+    require(books.nonEmpty, s"$d: corpus not PQ-encodable")
+    val luts = pqQueryLuts(e, books)
+    val bLuts = s.sparkContext.broadcast(luts)
+    val scored = s.read.parquet(layout).as[(Long, Int)].mapPartitions { it =>
+      val ls = bLuts.value
+      it.flatMap { case (vid, packed) =>
+        ls.iterator.filter(_._1 != vid).map { case (qid, lut) =>
+          var dist = 0.0; var j = 0
+          while (j < PqM) { dist += lut(j)((packed >>> (4 * j)) & 0xF); j += 1 }
+          (qid, vid, dist)
+        }
+      }
+    }.toDF("qid", "nid", "adc")
+    pqShortlistRerank(e, scored)
   }
 }
