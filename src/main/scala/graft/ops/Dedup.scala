@@ -445,12 +445,13 @@ object Dedup {
   /** Incremental (batch-vs-index) exact dedup — the 100 TB ingestion
    *  shape: a continuously-growing corpus must dedup each NEW batch
    *  without rescanning the corpus text. The corpus is represented by
-   *  its fingerprint INDEX (a narrow fp column, persisted/bucketed by
-   *  fp in a real deployment — here recomputed from the table for the
-   *  oracle's sake); a new batch is (1) deduped within itself keeping
-   *  the min doc_id per fp, then (2) anti-joined against the index.
-   *  Both steps shuffle only batch-sized data on fp; the corpus side
-   *  of the anti-join reads one narrow column.
+   *  its fingerprint INDEX (a narrow fp column — persisted bucketed
+   *  by fp via [[writeFpIndex]], so the anti-join needs no shuffle on
+   *  the index side; q80 recomputes it inline for the oracle's sake);
+   *  a new batch is (1) deduped within itself keeping the min doc_id
+   *  per fp, then (2) anti-joined against the index. Both steps
+   *  shuffle only batch-sized data on fp; the corpus side of the
+   *  anti-join reads one narrow column.
    *
    *  Returns admitted rows: (doc_id, fp, n_batch_dups). */
   def incrementalDedup(batch: DataFrame, corpusIndex: DataFrame): DataFrame = {
@@ -461,6 +462,24 @@ object Dedup {
     withinBatch.join(corpusIndex.select(col("fp")), Seq("fp"), "left_anti")
       .select(col("doc_id"), col("fp"), col("n_batch_dups"))
   }
+
+  /** Build the corpus fingerprint index ONCE as a durable table
+    * BUCKETED by fp — the pre-paid shuffle that makes continuous
+    * ingestion affordable: every subsequent batch anti-joins against
+    * the bucketed reader with ZERO exchange on the index side (its
+    * bucketing IS its partitioning — BucketingSpec pins the plan), so
+    * per-batch cost is O(batch), never O(corpus). One narrow-column
+    * corpus scan + one shuffle, paid once. */
+  def writeFpIndex(corpus: DataFrame, table: String, buckets: Int = 8): Unit =
+    corpus
+      .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+      .write.mode("overwrite").bucketBy(buckets, "fp").sortBy("fp")
+      .format("parquet").saveAsTable(table)
+
+  /** [[incrementalDedup]] against a [[writeFpIndex]] table. */
+  def incrementalDedupIndexed(s: SparkSession, batch: DataFrame,
+      table: String): DataFrame =
+    incrementalDedup(batch, s.table(table))
 
   /** q80: documents with doc_id < 400 play the already-ingested
    *  corpus, the rest arrive as the new batch. Oracle: the same

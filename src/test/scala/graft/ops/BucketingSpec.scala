@@ -54,4 +54,47 @@ class BucketingSpec extends AnyFunSuite with SparkSuite {
       spark.sql("DROP DATABASE IF EXISTS graft_bkt CASCADE")
     }
   }
+
+  test("durable fp index: anti-join runs with no shuffle on the index side, q80-identical") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val d = "/root/testdata/sf0.01"
+    val loc = Files.createTempDirectory("graftfpidx")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_fpi LOCATION '$loc'")
+    try {
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      Dedup.writeFpIndex(docs.filter(col("doc_id") < 400), "graft_fpi.fp_index")
+      val batch = docs.filter(col("doc_id") >= 400)
+        .select(col("doc_id"), col("text"))
+
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val out = Dedup.incrementalDedupIndexed(spark, batch, "graft_fpi.fp_index")
+        val smj = out.queryExecution.executedPlan
+          .collect { case j: SortMergeJoinExec => j }
+        assert(smj.nonEmpty && smj.head.joinType.toString.startsWith("LeftAnti"),
+          out.queryExecution.executedPlan.toString.take(600))
+        // index (right) side: the bucketed scan feeds the join with no
+        // exchange — its bucketing is its partitioning
+        val right = smj.head.right
+        assert(right.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          "index side shuffles:\n" + right.toString.take(600))
+        val scan = right.collect { case sc: FileSourceScanExec => sc }
+        assert(scan.nonEmpty && scan.head.relation.bucketSpec.isDefined,
+          "index side is not a bucketed scan")
+
+        // and the indexed path is row-identical to q80's inline index
+        val got = out.orderBy(col("doc_id")).collect().toSeq
+        val expected = Dedup.q80IncrementalDedup(spark, d).collect().toSeq
+        assert(got == expected && got.nonEmpty)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS graft_fpi CASCADE")
+    }
+  }
 }
