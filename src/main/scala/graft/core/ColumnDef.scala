@@ -136,11 +136,14 @@ final case class ColumnDef(
       case "float"    => DoubleType
       case "datetime" => TimestampType
       case "date"     => DateType
-      // TimeType probed on Spark 4.1.2: even with
-      // spark.sql.timeType.enabled=true, the CSV datasource rejects
-      // TIME(6) on BOTH read and write (UNSUPPORTED_DATA_TYPE_FOR_
-      // DATASOURCE; casts and parquet do work) — the string carrier
-      // is the only CSV-ingest-compatible representation
+      // TimeType probed on Spark 4.1.2 and PINNED in
+      // TimeTypeProbeSpec: the type is feature-flagged off by default
+      // (UNSUPPORTED_TIME_TYPE), and even with
+      // spark.sql.timeType.enabled=true the CSV datasource rejects
+      // TIME on write (UNSUPPORTED_DATA_TYPE_FOR_DATASOURCE; casts
+      // and parquet do work) — the string carrier is the only
+      // CSV-ingest-compatible representation. If a future Spark lifts
+      // the restriction, the probe spec fails and this is revisited.
       case "time"     => StringType
       case "text"     => StringType
     }
