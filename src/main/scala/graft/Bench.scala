@@ -21,18 +21,24 @@ object Bench {
     // events needs the nanos normalization — warm it through the loader
     try graft.ops.Tables.events(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // SPARK_GRAFT_RUNS (default 2) — min-of-N timed runs per query.
+    // Recorded artifact runs use 3 (BASELINE.md: ±10-15% cross-run
+    // container variance; a third sample damps it enough that
+    // round-over-round comparison stops needing a noise disclaimer,
+    // for ~+80 s per suite); iteration runs keep 2.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt)
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // min of two timed runs: one noisy-neighbor stall (container
+      // min of N timed runs: one noisy-neighbor stall (container
       // contention skewed a recorded round ~1.6×) can't fake a
       // regression; min — not mean — because contention only ever
       // ADDS time to a deterministic workload. Any failure voids the
-      // query entirely (0.0 + `failed`, second run short-circuited) —
+      // query entirely (0.0 + `failed`, later runs short-circuited) —
       // a failed query must never carry a plausible-looking time.
       var ok = true
       var best = Double.MaxValue
       var run = 0
-      while (ok && run < 2) {
+      while (ok && run < runs) {
         run += 1
         val t0 = System.nanoTime()
         // noop sink materializes EVERY output column — a bare count()
