@@ -44,6 +44,16 @@ class ScaleGenSpec extends AnyFunSuite with SparkSuite {
       .head.getDouble(0)
     assert(pair > 0.99 && pair < 1.0, s"copy-1 vector should be a near-clone, sim=$pair")
 
+    // blocking-key cardinality scales with the corpus: per-copy label
+    // shift keeps q25's block size invariant (the 50× gate measured
+    // the fixed-label alternative at 2500× the block-local work)
+    val srcLabels = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("label")).distinct().count()
+    assert(e.select(col("label")).distinct().count() == 2 * srcLabels)
+    assert(e.filter(col("vec_id") >= ScaleGen.Off)
+      .filter(col("label") < 1000).count() == 0, "copy-1 labels unshifted")
+
     // events carry micros timestamps (oracle- and Tables-compatible)
     assert(tbl("events").schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampType)
