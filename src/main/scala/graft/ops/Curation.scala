@@ -198,12 +198,10 @@ object Curation {
    *  frees the blocks; no cache-manager entry). An adversarial
    *  path-shaped graph of diameter > maxIter terminates with a
    *  partial labeling rather than spinning (OpsInvariantsSpec pins
-   *  both sides of the bound); if such diameters were ever a real
-   *  input, the known fix is the large-star/small-star rewrite
-   *  (Kiveris et al., "Connected Components in MapReduce and
-   *  Beyond"), which converges in O(log² n) rounds by pointer
-   *  doubling instead of 1-hop label flow — near-dup edge sets
-   *  never need it. Input (doc_a, doc_b) pairs; output (id, label). */
+   *  both sides of the bound); for adversarial diameters
+   *  [[connectedComponentsStar]] converges in O(log² n) rounds —
+   *  near-dup edge sets never need it, so the 1-hop operator stays
+   *  the default. Input (doc_a, doc_b) pairs; output (id, label). */
   private[ops] def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -245,6 +243,69 @@ object Curation {
       iter += 1
     }
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star
+   *  rewrites (Kiveris et al., "Connected Components in MapReduce and
+   *  Beyond"): each round every node re-points its strictly-larger
+   *  (large-star) or ≤-self (small-star) neighbors at the minimum of
+   *  its closed neighborhood — pointer doubling, so a path-shaped
+   *  component of diameter D converges in O(log D) alternations
+   *  instead of the D rounds 1-hop label flow needs. The edge set is
+   *  kept canonical (a < b, distinct) and each alternation is one
+   *  grouped min + join per star op; convergence = canonical edge-set
+   *  signature (count + decimal hash-sum, both overflow-safe) stable.
+   *  At the fixpoint the edges form per-component stars rooted at the
+   *  component min, so labels read off directly. Same (id, label)
+   *  contract as [[connectedComponents]]; OpsInvariantsSpec proves
+   *  the two agree and that a 300-node path (far beyond the 1-hop
+   *  bound) converges within the default iteration budget. */
+  private[ops] def connectedComponentsStar(edges: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    var e = edges
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id"))).distinct()
+      .localCheckpoint()
+    def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getDecimal(1))
+    }
+    def star(in: DataFrame, large: Boolean): DataFrame = {
+      val symE = in.select(col("a").as("u"), col("b").as("v"))
+        .union(in.select(col("b").as("u"), col("a").as("v")))
+      val withM = symE
+        .join(symE.groupBy(col("u")).agg(min(col("v")).as("mn")), "u")
+        .withColumn("m", least(col("mn"), col("u")))
+      val emitted =
+        if (large) withM.filter(col("v") > col("u"))
+          .select(col("v").as("x"), col("m"))
+        else withM.filter(col("v") <= col("u"))
+          .select(col("v").as("x"), col("m"))
+          .union(withM.select(col("u").as("x"), col("m")))
+      emitted.filter(col("x") =!= col("m"))
+        .select(least(col("x"), col("m")).as("a"),
+          greatest(col("x"), col("m")).as("b"))
+        .distinct()
+    }
+    var sig = signature(e)
+    var iter = 0
+    var done = sig._1 == 0L
+    while (!done && iter < maxIter) {
+      val next = star(star(e, large = true), large = false).localCheckpoint()
+      val s2 = signature(next)
+      done = s2 == sig
+      sig = s2
+      e = next
+      iter += 1
+    }
+    nodes
+      .join(e.select(col("b").as("id"), col("a").as("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   /** q76: dedup-cluster formation — group the exact-Jaccard near-dup

@@ -467,7 +467,9 @@ object TextAnalysis {
    *  partitioned by doc, no global sort); the bigram-count model
    *  joins back on (w, w2) — at 100 TB that model is vocab²-bounded
    *  but still ≪ corpus, and the join key is the shuffle key the
-   *  counts were just built on; the unigram table broadcasts.
+   *  counts were just built on; the unigram table is vocab-sized —
+   *  unbounded in principle, so like q78/q88 it carries no mandatory
+   *  broadcast hint (AQE decides from its materialized size).
    *  Per-bigram NLL is quantized to integral micro-nats so the
    *  per-doc SUM is exact long arithmetic — no FP addition-order
    *  dependence between Spark's partial aggregates and DuckDB. */
@@ -482,7 +484,7 @@ object TextAnalysis {
     val c2 = big.groupBy(col("w"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = big.groupBy(col("w")).agg(count(lit(1)).as("c1"))
     big.join(c2, Seq("w", "w2"))
-      .join(broadcast(c1), Seq("w"))
+      .join(c1, Seq("w"))
       .withColumn("nll_micro",
         round(log(col("c1").cast("double") / col("c2")) * 10000).cast("long"))
       .groupBy(col("doc_id"))

@@ -249,6 +249,41 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
     assert(partial.exists(_._2 != 0L), "maxIter=5 cannot fully converge diameter 30")
   }
 
+  test("large-star/small-star CC: agrees with label propagation, converges on deep paths") {
+    import spark.implicits._
+    // mixed shapes: chain, triangle, isolated edge — must match the
+    // 1-hop operator exactly
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val prop = Curation.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Curation.connectedComponentsStar(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+    // a 300-node path (diameter 299 — 15x past the 1-hop default
+    // bound) converges inside the star default budget: pointer
+    // doubling needs O(log 300) alternations, not 299 rounds
+    val deep = (0L until 299L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val deepLabels = Curation.connectedComponentsStar(deep)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(deepLabels.length == 300 && deepLabels.forall(_._2 == 0L))
+    // empty edge set: empty labeling, no NPE from the null hash-sum
+    val none = Curation.connectedComponentsStar(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(none.count() == 0)
+  }
+
+  test("star CC reproduces q76's clusters on the real near-dup edge set") {
+    val edges = Dedup.jaccardPairs(
+      Tables.documents(spark, "/root/testdata/sf0.001"), 0.6)
+      .select(col("doc_a"), col("doc_b"))
+    val prop = Curation.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val star = Curation.connectedComponentsStar(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(star == prop && prop.nonEmpty)
+  }
+
   test("incremental dedup admits only fingerprints unseen in the corpus index") {
     import spark.implicits._
     val corpusIdx = Seq("already ingested").toDF("text")

@@ -130,7 +130,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
       "global single-partition exchange in TF-IDF plan")
   }
 
-  test("no mandatory broadcast hint over an unbounded aggregate (q76/q78/q88)") {
+  test("no mandatory broadcast hint over an unbounded aggregate (q76/q78/q79/q88)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     // a hint over a subtree whose maxRows is statically unknown is a
     // mandatory multi-GB-at-100TB broadcast; 1-row scalar aggregates
@@ -142,6 +142,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
           h.child.nodeName
       }
     assert(unbounded(TextAnalysis.q78TfidfTerms(spark, d)).isEmpty)
+    assert(unbounded(TextAnalysis.q79BigramNll(spark, d)).isEmpty)
     assert(unbounded(TextAnalysis.q88VocabCoverage(spark, d)).isEmpty)
     assert(unbounded(Curation.q76DedupClusters(spark, d)).isEmpty)
   }
