@@ -132,7 +132,16 @@ object SparkEntry {
     // vocabulary build + per-doc OOV coverage (tokenizer-training signal)
     "q88_vocab_coverage" -> (TextAnalysis.q88VocabCoverage _),
     // product-quantization ANN (rows-only; quality gated through q61)
-    "q89_knn_pq" -> (Similarity.q89KnnPq _)
+    "q89_knn_pq" -> (Similarity.q89KnnPq _),
+    // exact cross-doc substring dedup: coverage stats + removal
+    "q90_substr_stats" -> (Dedup.q90SubstrStats _),
+    "q91_substr_remove" -> (Dedup.q91SubstrRemove _),
+    // SemDeDup-style embedding dedup with keep-first policy
+    "q92_semantic_dedup" -> (Dedup.q92SemanticDedup _),
+    // greedy sequence packing into token-budget bins per source
+    "q93_seq_packing" -> (Curation.q93SeqPacking _),
+    // dedup-cluster keep-best-quality representative selection
+    "q94_cluster_keep_best" -> (Curation.q94ClusterKeepBest _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -218,6 +227,11 @@ object SparkEntry {
     "q85_scd2_history" -> MergeOps.q85Sql,
     "q86_transform_with_state" -> StreamingOps.q86Sql,
     "q87_streaming_upsert" -> StreamingOps.q87Sql,
-    "q88_vocab_coverage" -> TextAnalysis.q88Sql
+    "q88_vocab_coverage" -> TextAnalysis.q88Sql,
+    "q90_substr_stats" -> Dedup.q90Sql,
+    "q91_substr_remove" -> Dedup.q91Sql,
+    "q92_semantic_dedup" -> Dedup.q92Sql,
+    "q93_seq_packing" -> Curation.q93Sql,
+    "q94_cluster_keep_best" -> Curation.q94Sql
   )
 }

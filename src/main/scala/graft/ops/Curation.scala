@@ -397,4 +397,160 @@ object Curation {
       |  FROM p)
       |SELECT lang, CAST(rn AS BIGINT) AS rnk, doc_id, prio AS prio_micro
       |FROM r WHERE rn <= 20 ORDER BY lang, rnk""".stripMargin
+
+  // ----- greedy sequence packing (context-window bin assignment) -----
+
+  /** Token budget per packed sequence for q93 (a context-window
+   *  stand-in; docs here average ~50 whitespace tokens, so ~5 docs
+   *  pack per bin). */
+  val PackCap = 256L
+
+  /** Greedy first-fit-sequential packing of documents into
+   *  fixed-token-budget bins, per source: walk each source's docs in
+   *  doc_id order, open a new bin whenever the next doc would
+   *  overflow the cap (an oversized doc still gets its own bin).
+   *  This is the sequence-packing step of LLM pre-training prep —
+   *  deciding which documents share a context window.
+   *
+   *  Packing is inherently sequential WITHIN a shard — the bin of
+   *  doc i depends on every doc before it — so the distribution
+   *  contract is per-group: `groupByKey(source)` +
+   *  `flatMapSortedGroups` gives each group a sorted, spill-backed
+   *  iterator on one executor while all groups run in parallel. At
+   *  100 TB the group key is whatever bounds a shard (source ×
+   *  day, path prefix); no driver collect, no global sort, one
+   *  shuffle on the group key. */
+  def q93SeqPacking(s: SparkSession, d: String): DataFrame =
+    packGreedy(documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      PackCap)
+      .orderBy(col("doc_id"))
+
+  /** The packing fold over a (doc_id, source, n_tokens) frame —
+   *  factored so the spec can replay it on synthetic shapes
+   *  (oversized docs, empty groups). */
+  private[ops] def packGreedy(docs: DataFrame, cap: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source"), col("n_tokens"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapSortedGroups(col("doc_id")) { (src: String, it: Iterator[(Long, String, Long)]) =>
+        var bin = 0L
+        var fill = 0L
+        it.map { case (id, _, nt) =>
+          if (fill > 0L && fill + nt > cap) { bin += 1; fill = nt }
+          else fill += nt
+          (id, src, nt, bin, fill)
+        }
+      }
+      .toDF("doc_id", "source", "n_tokens", "bin", "bin_fill")
+  }
+
+  /** The oracle replays the same greedy fold as a recursive CTE that
+   *  advances one row per source per step — O(max rows per source)
+   *  iterations, each joining the 20-row frontier. */
+  val q93Sql: String =
+    s"""WITH RECURSIVE d AS (
+      |  SELECT doc_id, source,
+      |   CAST(len(regexp_extract_all(text, '[^ \\t\\n\\v\\f\\r]+')) AS BIGINT) AS n_tokens,
+      |   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |pack(doc_id, source, n_tokens, rn, bin, bin_fill) AS (
+      |  SELECT doc_id, source, n_tokens, rn, CAST(0 AS BIGINT), n_tokens
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.doc_id, d.source, d.n_tokens, d.rn,
+      |   CASE WHEN p.bin_fill + d.n_tokens > $PackCap THEN p.bin + 1 ELSE p.bin END,
+      |   CASE WHEN p.bin_fill + d.n_tokens > $PackCap THEN d.n_tokens
+      |        ELSE p.bin_fill + d.n_tokens END
+      |  FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+      |SELECT doc_id, source, n_tokens, bin, bin_fill
+      |FROM pack ORDER BY doc_id""".stripMargin
+
+  // ----- dedup-cluster representative selection (keep-best) -----
+
+  /** q94: keep-BEST-quality dedup — q76's near-dup clusters, but the
+   *  survivor of each cluster is the highest-quality member (q29's
+   *  shared quality score; ties to the smaller doc_id) instead of
+   *  blindly keeping the smallest id. This is the policy real
+   *  curation pipelines want: near-dup groups usually contain one
+   *  clean original and N mangled copies, and min-id keeps whichever
+   *  happened to be crawled first. Docs with no near-dup edge are
+   *  their own singleton cluster and representative.
+   *
+   *  Cost on top of q76: one scan-local quality projection, a left
+   *  join of labels onto the corpus, and a per-cluster argmax
+   *  (row_number window on the cluster key — clusters are tiny by
+   *  construction, so the window partition never skews). */
+  def q94ClusterKeepBest(s: SparkSession, d: String): DataFrame =
+    clusterKeepBest(documents(s, d)).orderBy(col("doc_id"))
+
+  /** Core of q94 over any (doc_id, lang, text) frame. */
+  private[ops] def clusterKeepBest(docs: DataFrame): DataFrame = {
+    val edges = Dedup.jaccardPairs(docs, 0.6).select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(edges)
+    val quality = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).cast("long").as("quality_score"))
+    val clustered = quality
+      .join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"),
+        col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val reps = clustered.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("rep_id"))
+    clustered.join(reps, "cluster")
+      .select(col("doc_id"), col("cluster"), col("quality_score"), col("rep_id"),
+        when(col("doc_id") === col("rep_id"), 1).otherwise(0).as("is_rep"))
+  }
+
+  val q94Sql: String = {
+    val stop = TextAnalysis.StopWords
+      .map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")
+    s"""WITH RECURSIVE toks AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(text), '[ \\t\\n\\v\\f\\r]+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |co AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
+      |          JOIN sizes sb ON co.doc_b = sb.doc_id
+      |  WHERE co * 1.0 / (sa.n + sb.n - co) >= 0.6),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+      |labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      |q AS (
+      |  SELECT doc_id,
+      |   CAST(least(len(regexp_extract_all(text, '[^ \\t\\n\\v\\f\\r]+')), 100)
+      |        + 2*($stop)
+      |        - len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\v\\f\\r]')) AS BIGINT) AS quality_score
+      |  FROM documents),
+      |cl AS (
+      |  SELECT q.doc_id, coalesce(l.cluster, q.doc_id) AS cluster, q.quality_score
+      |  FROM q LEFT JOIN labels l ON q.doc_id = l.id),
+      |reps AS (
+      |  SELECT cluster, doc_id AS rep_id FROM (
+      |    SELECT cluster, doc_id,
+      |     row_number() OVER (PARTITION BY cluster
+      |       ORDER BY quality_score DESC, doc_id) AS rn
+      |    FROM cl) t WHERE rn = 1)
+      |SELECT cl.doc_id, cl.cluster, cl.quality_score, r.rep_id,
+      | CASE WHEN cl.doc_id = r.rep_id THEN 1 ELSE 0 END AS is_rep
+      |FROM cl JOIN reps r USING (cluster)
+      |ORDER BY cl.doc_id""".stripMargin
+  }
 }

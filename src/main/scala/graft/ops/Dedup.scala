@@ -504,4 +504,178 @@ object Dedup {
       |FROM batch b
       |WHERE NOT EXISTS (SELECT 1 FROM fp c WHERE c.doc_id < 400 AND c.fp = b.fp)
       |ORDER BY b.doc_id""".stripMargin
+
+  // ----- exact cross-document substring (k-gram) deduplication ------
+
+  /** Token-gram length for substring dedup (matches q71's 8-gram
+   *  decontamination convention; Lee et al., "Deduplicating Training
+   *  Data Makes Language Models Better" use 50 BPE tokens — the
+   *  window is a tuning knob, the machinery is identical). */
+  val SubstrK = 8
+
+  /** Per-token duplicated-span coverage: every position `p` of every
+   *  document, flagged iff some k-gram that CONTAINS `p` also occurs
+   *  in at least one OTHER document. This is the token-level view of
+   *  exact substring dedup — any duplicated span of length ≥ k marks
+   *  all of its tokens, so `covered` is exactly the set of tokens a
+   *  suffix-array-based remover would delete.
+   *
+   *  Shape (and why it scales): one k-gram hash aggregate over the
+   *  corpus (count DISTINCT docs per gram — map-side partials apply),
+   *  one join of gram starts against the duplicated-gram set on the
+   *  gram key, then a per-document window (`max` over the trailing
+   *  k-1 starts) to convert start flags into position coverage. No
+   *  self-join on documents, no quadratic term anywhere: cost is
+   *  O(tokens) rows through two shuffles (gram key, doc key). At
+   *  100 TB the gram key would be a 128-bit hash instead of the gram
+   *  text (same plan, narrower shuffle); the string key is kept here
+   *  for exact oracle parity. Returns (doc_id, pos, tok, covered). */
+  private[ops] def substrCoverage(docs: DataFrame, k: Int = SubstrK): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .withColumn("n", size(col("t")))
+    // gram starts: (doc_id, pos, gram), pos 1-based, pos ∈ [1, n-k+1]
+    val starts = toks
+      .withColumn("g", when(col("n") >= k,
+          expr(s"transform(sequence(1, n - ${k - 1}), i -> struct(i AS pos, concat_ws(' ', slice(t, i, $k)) AS gram))"))
+        .otherwise(expr("array()")))
+      .select(col("doc_id"), explode(col("g")).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.gram").as("gram"))
+    // grams seen in ≥ 2 distinct documents
+    val dup = starts.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("gram"))
+    val dupStarts = starts.join(dup, "gram")
+      .select(col("doc_id"), col("pos"), lit(1).as("dupstart"))
+    // every token position, with its token (needed by the remover)
+    val positions = toks
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    // position p is covered iff a dup gram STARTS in [p-k+1, p]
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(k - 1), org.apache.spark.sql.expressions.Window.currentRow)
+    positions
+      .join(dupStarts, Seq("doc_id", "pos"), "left")
+      .withColumn("dupstart", coalesce(col("dupstart"), lit(0)))
+      .withColumn("covered", max(col("dupstart")).over(w))
+      .select(col("doc_id"), col("pos"), col("tok"), col("dupstart"), col("covered"))
+  }
+
+  /** q90: per-document exact-substring duplication statistics —
+   *  token count, duplicated-gram starts, tokens covered by a
+   *  cross-document duplicated k-gram, and the coverage fraction
+   *  (raw division: identical integer inputs make the double
+   *  bit-identical across engines; BASELINE.md's rounding rule). */
+  def q90SubstrStats(s: SparkSession, d: String): DataFrame =
+    substrCoverage(documents(s, d))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("dupstart")).cast("long").as("n_dup_starts"),
+        sum(col("covered")).cast("long").as("covered_tokens"))
+      .withColumn("dup_frac", col("covered_tokens") * lit(1.0) / col("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val q90Base: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\v\\f\\r]+') AS t
+      |  FROM documents),
+      |starts AS (
+      |  SELECT doc_id, i AS pos, array_to_string(t[i:i+${SubstrK - 1}], ' ') AS gram
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-${SubstrK - 1})) AS i) g),
+      |dup AS (SELECT gram FROM starts GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      |flags AS (
+      |  SELECT s.doc_id, s.pos, 1 AS dupstart
+      |  FROM starts s JOIN dup USING (gram)),
+      |pos AS (
+      |  SELECT doc_id, i AS pos, t[i] AS tok
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+      |cov AS (
+      |  SELECT p.doc_id, p.pos, p.tok, coalesce(f.dupstart, 0) AS dupstart,
+      |   max(coalesce(f.dupstart, 0)) OVER (
+      |     PARTITION BY p.doc_id ORDER BY p.pos
+      |     ROWS BETWEEN ${SubstrK - 1} PRECEDING AND CURRENT ROW) AS covered
+      |  FROM pos p LEFT JOIN flags f ON p.doc_id = f.doc_id AND p.pos = f.pos)""".stripMargin
+
+  val q90Sql: String =
+    s"""$q90Base
+      |SELECT doc_id, count(*) AS n_tokens,
+      | CAST(sum(dupstart) AS BIGINT) AS n_dup_starts,
+      | CAST(sum(covered) AS BIGINT) AS covered_tokens,
+      | sum(covered) * 1.0 / count(*) AS dup_frac
+      |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q91: exact substring REMOVAL — the cleaned corpus itself: every
+   *  token covered by a cross-document duplicated k-gram is deleted
+   *  and the survivors re-joined in order. The reconstruction is a
+   *  per-document sort of surviving (pos, tok) pairs — collect_list
+   *  gives no ordering guarantee, so the array is sorted explicitly
+   *  before joining (struct sort is by leading field = pos). */
+  def q91SubstrRemove(s: SparkSession, d: String): DataFrame =
+    substrCoverage(documents(s, d))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("covered") === 0, 1).otherwise(0)).cast("long").as("kept_tokens"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN covered = 0 THEN struct(pos, tok) END)), x -> x.tok)"))
+          .as("cleaned_text"))
+      .orderBy(col("doc_id"))
+
+  val q91Sql: String =
+    s"""$q90Base
+      |SELECT doc_id, count(*) AS n_tokens,
+      | CAST(count(*) FILTER (WHERE covered = 0) AS BIGINT) AS kept_tokens,
+      | coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE covered = 0), '') AS cleaned_text
+      |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ----- embedding semantic dedup with an explicit keep policy -----
+
+  /** q92: SemDeDup-style semantic deduplication (Abbas et al. 2023):
+   *  within each blocking cell, a vector is DROPPED iff an earlier
+   *  (smaller vec_id) vector in the same cell has cosine ≥ τ; its
+   *  keeper is the smallest such earlier vector. Where q25 merely
+   *  LISTS near-dup pairs, this emits the curation decision — every
+   *  vector with kept/dropped status and keeper attribution.
+   *
+   *  Blocking follows q25's contract (the label column stands in for
+   *  any cheap partition key — IVF cell, LSH bucket): the quadratic
+   *  term stays within blocks, and both engines block identically so
+   *  the result is exact by construction given the blocking. Keep-
+   *  first (min-id) rather than SemDeDup's farthest-from-centroid
+   *  tie-break keeps the policy deterministic and oracle-checkable;
+   *  the output is integer-only so no floating-point value crosses
+   *  the engine boundary (the τ comparison uses q25's round-6 guard,
+   *  proven stable through the 50× gate). */
+  def q92SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+    val dropped = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim",
+        round(graft.functions.GraftFunctions.cosine_sim(col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("sim") >= 0.45)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("keeper_id"))
+    e.select(col("vec_id"), col("label"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        when(col("keeper_id").isNotNull, 1).otherwise(0).as("dropped"),
+        col("keeper_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q92Sql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |drops AS (
+      |  SELECT b.vec_id, min(a.vec_id) AS keeper_id
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE round(list_dot_product(a.v, b.v)
+      |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+      |  GROUP BY b.vec_id)
+      |SELECT e.vec_id, e.label,
+      | CASE WHEN d.keeper_id IS NOT NULL THEN 1 ELSE 0 END AS dropped,
+      | d.keeper_id
+      |FROM e LEFT JOIN drops d ON e.vec_id = d.vec_id
+      |ORDER BY e.vec_id""".stripMargin
 }

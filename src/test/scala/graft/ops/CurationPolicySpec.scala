@@ -1,0 +1,166 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Substring dedup (q90/q91), semantic dedup (q92), sequence packing
+  * (q93), and keep-best cluster representatives (q94): synthetic
+  * shapes with hand-computable answers, plus structural invariants
+  * on the provisioned testdata.
+  */
+class CurationPolicySpec extends AnyFunSuite with SparkSuite {
+
+  private val d = "/root/testdata/sf0.01"
+  import spark.implicits._
+
+  // ----- q90/q91: exact cross-doc substring coverage -----
+
+  test("substrCoverage marks exactly the tokens inside a shared k-gram") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c q"),
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    val cov = Dedup.substrCoverage(docs, k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos")) ->
+        (r.getAs[String]("tok"), r.getAs[Int]("covered")))
+      .toMap
+    // only "a b c" occurs in two docs; it covers A:{1,2,3} and B:{3,4,5}
+    // (filter + keySet, NOT collect-to-tuple: Map.collect over tuple
+    // results rebuilds a Map and silently dedups by first element)
+    val covered = cov.filter(_._2._2 == 1).keySet
+    assert(covered == Set((1L, 1), (1L, 2), (1L, 3), (2L, 3), (2L, 4), (2L, 5)))
+    // a doc shorter than k contributes no grams, so nothing is covered
+    assert(cov.keySet.count(_._1 == 3L) == 2)
+  }
+
+  test("substring removal keeps exactly the uncovered tokens, in order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c q")
+    ).toDF("doc_id", "text")
+    val cleaned = Dedup.substrCoverage(docs, k = 3)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(CASE WHEN covered = 0 THEN struct(pos, tok) END)), x -> x.tok)"))
+        .as("cleaned_text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned == Map(1L -> "d e f", 2L -> "x y q"))
+  }
+
+  test("q90 stats are internally consistent on testdata") {
+    val rows = Dedup.q90SubstrStats(spark, d).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (n, starts, covered) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_dup_starts"), r.getAs[Long]("covered_tokens"))
+      assert(covered <= n)
+      // every dup start covers its own position, and distinct starts
+      // cover at least one distinct position each only when disjoint —
+      // the safe invariant is: coverage is at least one position per
+      // start run, i.e. covered >= min(1, starts), and zero iff zero
+      assert((starts == 0) == (covered == 0))
+    }
+    // the planted near-duplicate docs guarantee a non-degenerate gate
+    assert(rows.count(_.getAs[Long]("covered_tokens") > 0) > 0)
+  }
+
+  // ----- q92: SemDeDup keep-first -----
+
+  test("q92 drops only vectors with an earlier same-label near-dup keeper") {
+    val rows = Dedup.q92SemanticDedup(spark, d).collect()
+    assert(rows.length == 500)
+    val dropped = rows.filter(_.getAs[Int]("dropped") == 1)
+    assert(dropped.nonEmpty, "expected planted near-dup embeddings")
+    dropped.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("keeper_id")))
+      assert(r.getAs[Long]("keeper_id") < r.getAs[Long]("vec_id"))
+    }
+    // keepers must themselves be rows of the output (every vector is
+    // reported exactly once)
+    val ids = rows.map(_.getAs[Long]("vec_id")).toSet
+    assert(dropped.forall(r => ids.contains(r.getAs[Long]("keeper_id"))))
+    rows.filter(_.getAs[Int]("dropped") == 0)
+      .foreach(r => assert(r.isNullAt(r.fieldIndex("keeper_id"))))
+  }
+
+  // ----- q93: greedy sequence packing -----
+
+  test("packGreedy opens a new bin on overflow and isolates oversized docs") {
+    val docs = Seq(
+      // source s1, cap 10: [4,5] -> bin0 (9), [3] overflows -> bin1,
+      // [25] oversized -> bin2 alone, [2] -> bin3
+      (1L, "s1", 4L), (2L, "s1", 5L), (3L, "s1", 3L), (4L, "s1", 25L), (5L, "s1", 2L),
+      // source s2 independent: restarts at bin 0
+      (6L, "s2", 10L), (7L, "s2", 1L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val out = Curation.packGreedy(docs, cap = 10L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bin"), r.getAs[Long]("bin_fill"))).toMap
+    assert(out == Map(
+      1L -> (0L, 4L), 2L -> (0L, 9L), 3L -> (1L, 3L), 4L -> (2L, 25L), 5L -> (3L, 2L),
+      6L -> (0L, 10L), 7L -> (1L, 1L)))
+  }
+
+  test("q93 packing matches an independent per-source replay of the fold") {
+    val rows = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), TextAnalysis.tokenCount(col("text")).as("nt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected: Map[Long, (Long, Long)] =
+      rows.groupBy(_._2).iterator.flatMap { case (_, ds) =>
+        var bin = 0L; var fill = 0L
+        ds.sortBy(_._1).map { case (id, _, nt) =>
+          if (fill > 0L && fill + nt > Curation.PackCap) { bin += 1; fill = nt }
+          else fill += nt
+          id -> ((bin, fill))
+        }
+      }.toMap
+    val got = Curation.q93SeqPacking(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bin"), r.getAs[Long]("bin_fill"))).toMap
+    assert(got == expected)
+  }
+
+  // ----- q94: keep-best-quality representatives -----
+
+  test("clusterKeepBest picks the highest-quality member, not the min id") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, "en", base),
+      // near-dup of doc 1 (trigram jaccard ~18/21) with three extra
+      // stopwords -> strictly higher quality score than doc 1
+      (2L, "en", base + " the of and"),
+      (9L, "en", "totally unrelated text with no shared trigrams at all here")
+    ).toDF("doc_id", "lang", "text")
+    val out = Curation.clusterKeepBest(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("rep_id"), r.getAs[Int]("is_rep"))).toMap
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L, "docs 1,2 must cluster together")
+    assert(out(1L)._2 == 2L && out(2L)._2 == 2L, "higher-quality doc 2 must be the rep")
+    assert(out(1L)._3 == 0 && out(2L)._3 == 1)
+    assert(out(9L) == ((9L, 9L, 1)), "singleton is its own rep")
+  }
+
+  test("q94 agrees with q76 clustering and elects one rep per cluster") {
+    val q94 = Curation.q94ClusterKeepBest(spark, d).collect()
+    assert(q94.length == 500)
+    val byCluster = q94.groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.count(_.getAs[Int]("is_rep") == 1) == 1)
+      val rep = rs.find(_.getAs[Int]("is_rep") == 1).get
+      assert(rs.forall(_.getAs[Long]("rep_id") == rep.getAs[Long]("doc_id")))
+      val best = rs.map(r => (r.getAs[Long]("quality_score"), -r.getAs[Long]("doc_id"))).max
+      assert((rep.getAs[Long]("quality_score"), -rep.getAs[Long]("doc_id")) == best,
+        s"cluster $c rep is not argmax(quality, -doc_id)")
+    }
+    // q76's multi-doc clusters appear identically here
+    val q76 = Curation.q76DedupClusters(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    q76.foreach { case (id, c) =>
+      assert(q94.find(_.getAs[Long]("doc_id") == id).get.getAs[Long]("cluster") == c)
+    }
+  }
+}

@@ -154,6 +154,31 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q90 substring dedup: partial gram aggregate, equi-joins only, no cartesian") {
+    val p = plan(Dedup.q90SubstrStats(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "substring dedup must never degenerate to an all-pairs join")
+    // the distinct-doc count per gram must combine map-side
+    assert(p.contains("partial_count(distinct"), p.take(800))
+  }
+
+  test("q92 semantic dedup joins on the blocking key, never all-pairs") {
+    val p = plan(Dedup.q92SemanticDedup(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("label"), "blocking key must drive the self-join")
+  }
+
+  test("q93 packing shuffles once on the group key; no global sort before the fold") {
+    val df = Curation.q93SeqPacking(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    // the fold's input sort is within partitions (flatMapSortedGroups),
+    // not a global Exchange rangepartitioning before MapGroups
+    val mapGroupsAt = p.indexOf("MapGroups")
+    assert(mapGroupsAt >= 0, p.take(600))
+    assert(!p.substring(mapGroupsAt).contains("rangepartitioning"),
+      "packing must not global-sort below the group fold")
+  }
+
   test("q80 incremental dedup anti-joins the index (no cartesian, no corpus re-agg)") {
     val df = Dedup.q80IncrementalDedup(spark, d)
     val p = df.queryExecution.executedPlan.toString
