@@ -141,7 +141,9 @@ object SparkEntry {
     // greedy sequence packing into token-budget bins per source
     "q93_seq_packing" -> (Curation.q93SeqPacking _),
     // dedup-cluster keep-best-quality representative selection
-    "q94_cluster_keep_best" -> (Curation.q94ClusterKeepBest _)
+    "q94_cluster_keep_best" -> (Curation.q94ClusterKeepBest _),
+    // leakage-safe train/holdout split (decided per near-dup cluster)
+    "q95_leakage_safe_split" -> (Curation.q95LeakageSafeSplit _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -232,6 +234,7 @@ object SparkEntry {
     "q91_substr_remove" -> Dedup.q91Sql,
     "q92_semantic_dedup" -> Dedup.q92Sql,
     "q93_seq_packing" -> Curation.q93Sql,
-    "q94_cluster_keep_best" -> Curation.q94Sql
+    "q94_cluster_keep_best" -> Curation.q94Sql,
+    "q95_leakage_safe_split" -> Curation.q95Sql
   )
 }

@@ -507,6 +507,73 @@ object Curation {
         when(col("doc_id") === col("rep_id"), 1).otherwise(0).as("is_rep"))
   }
 
+  /** q95: leakage-safe train/holdout split — the split decision is
+   *  made ONCE PER NEAR-DUP CLUSTER (hash of the cluster's
+   *  keep-best representative), so no near-duplicate pair can
+   *  straddle train and holdout and leak eval data into training.
+   *  A per-document hash split (the naive approach) puts ~2·p·(1-p)
+   *  of every duplicated pair across the boundary; splitting by
+   *  cluster representative makes that structurally zero. The
+   *  bucket uses q72's overflow-safe multiplicative LCG, so the
+   *  assignment is reproducible across engines and re-runs (the
+   *  audit property a 100 TB training run needs). Cost on top of
+   *  q94: one per-row projection. */
+  def q95LeakageSafeSplit(s: SparkSession, d: String): DataFrame =
+    clusterKeepBest(documents(s, d))
+      .withColumn("bucket", sampleBucket(col("rep_id")))
+      .select(col("doc_id"), col("cluster"), col("rep_id"), col("bucket"),
+        when(col("bucket") < 9000, "train").otherwise("holdout").as("split"))
+      .orderBy(col("doc_id"))
+
+  val q95Sql: String = {
+    val stop = TextAnalysis.StopWords
+      .map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")
+    s"""WITH RECURSIVE toks AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(text), '[ \\t\\n\\v\\f\\r]+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |co AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
+      |          JOIN sizes sb ON co.doc_b = sb.doc_id
+      |  WHERE co * 1.0 / (sa.n + sb.n - co) >= 0.6),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+      |labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      |q AS (
+      |  SELECT doc_id,
+      |   CAST(least(len(regexp_extract_all(text, '[^ \\t\\n\\v\\f\\r]+')), 100)
+      |        + 2*($stop)
+      |        - len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\v\\f\\r]')) AS BIGINT) AS quality_score
+      |  FROM documents),
+      |cl AS (
+      |  SELECT q.doc_id, coalesce(l.cluster, q.doc_id) AS cluster, q.quality_score
+      |  FROM q LEFT JOIN labels l ON q.doc_id = l.id),
+      |reps AS (
+      |  SELECT cluster, doc_id AS rep_id FROM (
+      |    SELECT cluster, doc_id,
+      |     row_number() OVER (PARTITION BY cluster
+      |       ORDER BY quality_score DESC, doc_id) AS rn
+      |    FROM cl) t WHERE rn = 1)
+      |SELECT cl.doc_id, cl.cluster, r.rep_id,
+      | ((r.rep_id % 10000) * 5245 + 12345) % 10000 AS bucket,
+      | CASE WHEN ((r.rep_id % 10000) * 5245 + 12345) % 10000 < 9000
+      |      THEN 'train' ELSE 'holdout' END AS split
+      |FROM cl JOIN reps r USING (cluster)
+      |ORDER BY cl.doc_id""".stripMargin
+  }
+
   val q94Sql: String = {
     val stop = TextAnalysis.StopWords
       .map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")

@@ -531,16 +531,18 @@ object Dedup {
    *  text (same plan, narrower shuffle); the string key is kept here
    *  for exact oracle parity. Returns (doc_id, pos, tok, covered). */
   private[ops] def substrCoverage(docs: DataFrame, k: Int = SubstrK): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-      .withColumn("n", size(col("t")))
-    // gram starts: (doc_id, pos, gram), pos 1-based, pos ∈ [1, n-k+1]
-    val starts = toks
-      .withColumn("g", when(col("n") >= k,
-          expr(s"transform(sequence(1, n - ${k - 1}), i -> struct(i AS pos, concat_ws(' ', slice(t, i, $k)) AS gram))"))
-        .otherwise(expr("array()")))
-      .select(col("doc_id"), explode(col("g")).as("s"))
-      .select(col("doc_id"), col("s.pos").as("pos"), col("s.gram").as("gram"))
+    import docs.sparkSession.implicits._
+    val toks = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // gram starts: (doc_id, pos, gram), pos 1-based, pos ∈ [1, n-k+1].
+    // Typed flatMap, NOT a transform(sequence, slice+concat_ws) column
+    // expression: the expression formulation re-copies k elements per
+    // gram outside codegen and measured ~15× slower than tokenizing
+    // once per document in JVM code (same finding as shingleRows).
+    val starts = toks.flatMap { case (id, text0) =>
+      val t = Option(text0).getOrElse("").trim.split("\\s+")
+      if (t.length < k) Iterator.empty
+      else Iterator.tabulate(t.length - k + 1)(i => (id, i + 1, t.slice(i, i + k).mkString(" ")))
+    }.toDF("doc_id", "pos", "gram")
     // grams seen in ≥ 2 distinct documents
     val dup = starts.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
@@ -549,9 +551,10 @@ object Dedup {
     val dupStarts = starts.join(dup, "gram")
       .select(col("doc_id"), col("pos"), lit(1).as("dupstart"))
     // every token position, with its token (needed by the remover)
-    val positions = toks
-      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val positions = toks.flatMap { case (id, text0) =>
+      val t = Option(text0).getOrElse("").trim.split("\\s+")
+      Iterator.tabulate(t.length)(i => (id, i + 1, t(i)))
+    }.toDF("doc_id", "pos", "tok")
     // position p is covered iff a dup gram STARTS in [p-k+1, p]
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -163,4 +163,23 @@ class CurationPolicySpec extends AnyFunSuite with SparkSuite {
       assert(q94.find(_.getAs[Long]("doc_id") == id).get.getAs[Long]("cluster") == c)
     }
   }
+
+  // ----- q95: leakage-safe split -----
+
+  test("q95 never splits a near-dup pair across train and holdout") {
+    val rows = Curation.q95LeakageSafeSplit(spark, d).collect()
+    assert(rows.length == 500)
+    // every cluster is entirely on one side of the split
+    rows.groupBy(_.getAs[Long]("cluster")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[String]("split")).toSet.size == 1)
+    }
+    // in particular every exact-Jaccard near-dup PAIR shares its split
+    val split = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val pairs = Dedup.q23NgramJaccard(spark, d)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(split(a) == split(b), s"pair ($a,$b) straddles") }
+    // and both sides are populated (the 90/10 LCG bucketing is live)
+    assert(split.values.toSet == Set("train", "holdout"))
+  }
 }
