@@ -143,7 +143,10 @@ object SparkEntry {
     // dedup-cluster keep-best-quality representative selection
     "q94_cluster_keep_best" -> (Curation.q94ClusterKeepBest _),
     // leakage-safe train/holdout split (decided per near-dup cluster)
-    "q95_leakage_safe_split" -> (Curation.q95LeakageSafeSplit _)
+    "q95_leakage_safe_split" -> (Curation.q95LeakageSafeSplit _),
+    // incremental FUZZY dedup: batch vs banded-MinHash index
+    // (rows-only; gated by the q22 cross-boundary equivalence spec)
+    "q96_incremental_minhash" -> (Dedup.q96IncrementalMinhash _)
   )
 
   def oracleSql: Map[String, String] = Map(

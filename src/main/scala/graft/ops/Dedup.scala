@@ -505,6 +505,80 @@ object Dedup {
       |WHERE NOT EXISTS (SELECT 1 FROM fp c WHERE c.doc_id < 400 AND c.fp = b.fp)
       |ORDER BY b.doc_id""".stripMargin
 
+  // ----- incremental FUZZY (banded-MinHash) dedup ------------------
+
+  /** Build the corpus LSH index ONCE as durable bucketed tables —
+   *  the fuzzy twin of [[writeFpIndex]], completing the continuous-
+   *  ingestion story: exact dedup anti-joins a fingerprint index
+   *  (q80); NEAR-dup detection probes a banded-MinHash index. Two
+   *  tables: `<table>_bands` (doc_id, bkey) bucketed by the single
+   *  fused band key (band id hashed INTO the key so the probe is a
+   *  one-column equi-join that rides the bucketing), and
+   *  `<table>_sigs` (doc_id, m0..m19) bucketed by doc_id for the
+   *  verification join. Both shuffles are paid once; per-batch cost
+   *  is O(batch), never O(corpus). */
+  def writeLshIndex(corpus: DataFrame, table: String, buckets: Int = 8): Unit = {
+    val sig = minhashSignatures(shingleRows(corpus))
+    mkBanded(sig)
+      .select(col("doc_id"), xxhash64(col("band"), col("key")).as("bkey"))
+      .write.mode("overwrite").bucketBy(buckets, "bkey").sortBy("bkey")
+      .format("parquet").saveAsTable(s"${table}_bands")
+    sig.write.mode("overwrite").bucketBy(buckets, "doc_id")
+      .format("parquet").saveAsTable(s"${table}_sigs")
+  }
+
+  /** Batch-vs-index fuzzy dedup: the batch's band keys probe the
+   *  index band table (equi-join on the fused key — shuffles only
+   *  batch-sized data when the index is bucketed), candidates are
+   *  verified by signature agreement (est. Jaccard ≥ 0.5, q22's
+   *  threshold). Hot-bucket caveat: the full-corpus path (q22) caps
+   *  saturated buckets via star pairing; the probe join has no cap,
+   *  so a batch key hitting a boilerplate-saturated index bucket
+   *  fans out to every index doc in it — bounded by per-key index
+   *  frequency, which the cap bounds at INDEX BUILD time if needed.
+   *  Returns (batch_id, corpus_id, est_jaccard). */
+  def minhashBatchVsIndex(batchSh: DataFrame, idxBands: DataFrame,
+      idxSigs: DataFrame): DataFrame = {
+    val bsig = minhashSignatures(batchSh)
+    val bband = mkBanded(bsig)
+      .select(col("doc_id").as("batch_id"), xxhash64(col("band"), col("key")).as("bkey"))
+    val cand = bband
+      .join(idxBands.select(col("bkey"), col("doc_id").as("corpus_id")), "bkey")
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val agree = (0 until MinHashK)
+      .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(bsig.as("sa"), col("batch_id") === col("sa.doc_id"))
+      .join(idxSigs.as("sb"), col("corpus_id") === col("sb.doc_id"))
+      .withColumn("est_jaccard", round(agree / lit(MinHashK.toDouble), 6))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("batch_id"), col("corpus_id"), col("est_jaccard"))
+  }
+
+  /** [[minhashBatchVsIndex]] against [[writeLshIndex]] tables. */
+  def incrementalMinhashIndexed(s: SparkSession, batch: DataFrame,
+      table: String): DataFrame =
+    minhashBatchVsIndex(shingleRows(batch),
+      s.table(s"${table}_bands"), s.table(s"${table}_sigs"))
+
+  /** q96: same corpus/batch split convention as q80 (doc_id < 400 is
+   *  the already-indexed corpus); the index is recomputed inline for
+   *  the driver check — the durable-table path is
+   *  [[incrementalMinhashIndexed]], plan-pinned in BucketingSpec.
+   *  Engine-specific hashing → rows-only check; quality gated by the
+   *  CurationPolicySpec equivalence to q22's cross-boundary pairs. */
+  def q96IncrementalMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val isig = minhashSignatures(shingleRows(corpus))
+    val ibands = mkBanded(isig)
+      .select(col("doc_id"), xxhash64(col("band"), col("key")).as("bkey"))
+    minhashBatchVsIndex(shingleRows(batch), ibands, isig)
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   // ----- exact cross-document substring (k-gram) deduplication ------
 
   /** Token-gram length for substring dedup (matches q71's 8-gram

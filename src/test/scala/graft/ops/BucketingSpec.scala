@@ -55,6 +55,48 @@ class BucketingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("durable LSH index: band probe has no exchange on the index side, q96-identical") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val d = "/root/testdata/sf0.01"
+    val loc = Files.createTempDirectory("graftlshidx")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_lsh LOCATION '$loc'")
+    try {
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      Dedup.writeLshIndex(docs.filter(col("doc_id") < 400), "graft_lsh.lsh_index")
+      val batch = docs.filter(col("doc_id") >= 400)
+
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val out = Dedup.incrementalMinhashIndexed(spark, batch, "graft_lsh.lsh_index")
+        // the bkey probe join: index side is the bucketed scan with
+        // no Exchange above it (its bucketing IS its partitioning)
+        val smjs = out.queryExecution.executedPlan
+          .collect { case j: SortMergeJoinExec => j }
+        val probe = smjs.filter(_.leftKeys.exists(_.toString.contains("bkey")))
+        assert(probe.nonEmpty, out.queryExecution.executedPlan.toString.take(800))
+        val idxSide = probe.head.right
+        assert(idxSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          "index side shuffles:\n" + idxSide.toString.take(600))
+        val scan = idxSide.collect { case sc: FileSourceScanExec => sc }
+        assert(scan.nonEmpty && scan.head.relation.bucketSpec.isDefined,
+          "index side is not a bucketed scan")
+
+        // and the indexed path is row-identical to q96's inline index
+        val got = out.orderBy(col("batch_id"), col("corpus_id")).collect().toSeq
+        val expected = Dedup.q96IncrementalMinhash(spark, d).collect().toSeq
+        assert(got == expected && got.nonEmpty)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS graft_lsh CASCADE")
+    }
+  }
+
   test("durable fp index: anti-join runs with no shuffle on the index side, q80-identical") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

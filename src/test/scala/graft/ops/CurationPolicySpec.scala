@@ -182,4 +182,21 @@ class CurationPolicySpec extends AnyFunSuite with SparkSuite {
     // and both sides are populated (the 90/10 LCG bucketing is live)
     assert(split.values.toSet == Set("train", "holdout"))
   }
+
+  // ----- q96: incremental fuzzy dedup -----
+
+  test("q96 batch-vs-index finds exactly q22's cross-boundary pairs") {
+    // same bands, same hashes, no saturated buckets at this SF ⇒ the
+    // incremental probe must equal the full-corpus result restricted
+    // to (corpus < 400 ≤ batch) pairs
+    val full = Dedup.q22MinHashLsh(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .filter { case (a, b) => a < 400 && b >= 400 }
+      .toSet
+    val inc = Dedup.q96IncrementalMinhash(spark, d).collect()
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("batch_id")))
+      .toSet
+    assert(full.nonEmpty, "expected planted near-dups across the boundary")
+    assert(inc == full, s"incremental=${inc.toSeq.sorted} full=${full.toSeq.sorted}")
+  }
 }
