@@ -90,6 +90,65 @@ final case class CorpusPipeline(df: DataFrame, textCol: String = "text",
       scopedCaches = scopedCaches :+ sh)
   }
 
+  /** Rewrites the text column with every cross-document duplicated
+    * k-gram span removed (q91 semantics — any span of ≥ k tokens
+    * shared with another document is deleted, survivors re-joined in
+    * order). Note the Lee-et-al caveat: removal can juxtapose
+    * previously-separated tokens into NEW grams, so fully-dup-free
+    * output needs iteration; one pass removes all pre-existing
+    * duplicated spans, which is the standard curation step. */
+  def removeDuplicatedSubstrings(k: Int = Dedup.SubstrK): CorpusPipeline = {
+    val cleaned = Dedup
+      .substrRemove(df.select(col(idCol).as("doc_id"), text.as("text")), k)
+      .select(col("doc_id").as("__clean_id"), col("cleaned_text"))
+    copy(df = df.join(cleaned, col(idCol) === col("__clean_id"))
+      .drop(textCol).drop("__clean_id")
+      .withColumnRenamed("cleaned_text", textCol))
+  }
+
+  /** Near-dup removal with the keep-BEST policy (q94 semantics):
+    * forms Jaccard-threshold clusters and keeps each cluster's
+    * highest-quality member (ties to the smaller id) instead of
+    * dedupFuzzyJaccard's keep-smaller-id. */
+  def keepBestPerCluster(threshold: Double = 0.6): CorpusPipeline = {
+    val reps = Curation.clusterKeepBest(
+        df.select(col(idCol).as("doc_id"), col(langCol).as("lang"), text.as("text")),
+        threshold)
+      .filter(col("is_rep") === 1)
+      .select(col("doc_id").as("__rep_id"))
+    copy(df = df.join(reps, col(idCol) === col("__rep_id"), "left_semi"))
+  }
+
+  /** Adds a leakage-safe `split` column (q95 semantics): the
+    * train/holdout decision is made once per near-dup cluster via
+    * the engine-stable LCG on the cluster's keep-best rep, so no
+    * near-dup pair straddles the boundary. `holdoutBuckets` of the
+    * 10000 LCG buckets go to holdout (default 1000 = 10%). */
+  def assignSplit(holdoutBuckets: Long = 1000,
+      threshold: Double = 0.6): CorpusPipeline = {
+    val splits = Curation.clusterKeepBest(
+        df.select(col(idCol).as("doc_id"), col(langCol).as("lang"), text.as("text")),
+        threshold)
+      .withColumn("bucket", Curation.sampleBucket(col("rep_id")))
+      .select(col("doc_id").as("__split_id"),
+        when(col("bucket") < lit(10000L) - holdoutBuckets, "train")
+          .otherwise("holdout").as("split"))
+    copy(df = df.join(splits, col(idCol) === col("__split_id")).drop("__split_id"))
+  }
+
+  /** Adds `bin` / `bin_fill` columns (q93 semantics): greedy
+    * first-fit-sequential packing into `cap`-token bins, sequenced
+    * by id within each `groupCol` shard. */
+  def packSequences(cap: Long = Curation.PackCap,
+      groupCol: String = "source"): CorpusPipeline = {
+    val packed = Curation.packGreedy(
+        df.select(col(idCol).as("doc_id"), col(groupCol).as("source"),
+          TextAnalysis.tokenCount(text).as("n_tokens")),
+        cap)
+      .select(col("doc_id").as("__pack_id"), col("bin"), col("bin_fill"))
+    copy(df = df.join(packed, col(idCol) === col("__pack_id")).drop("__pack_id"))
+  }
+
   /** The lazy end-to-end frame — plan-inspectable and composable.
     * After materializing it, call [[close]] to release the pipeline's
     * scoped cache entries (or use [[run]], which does both). */

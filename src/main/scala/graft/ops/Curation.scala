@@ -487,8 +487,9 @@ object Curation {
     clusterKeepBest(documents(s, d)).orderBy(col("doc_id"))
 
   /** Core of q94 over any (doc_id, lang, text) frame. */
-  private[ops] def clusterKeepBest(docs: DataFrame): DataFrame = {
-    val edges = Dedup.jaccardPairs(docs, 0.6).select(col("doc_a"), col("doc_b"))
+  private[ops] def clusterKeepBest(docs: DataFrame,
+      threshold: Double = 0.6): DataFrame = {
+    val edges = Dedup.jaccardPairs(docs, threshold).select(col("doc_a"), col("doc_b"))
     val labels = connectedComponents(edges)
     val quality = docs.select(col("doc_id"),
       TextAnalysis.qualityScore(col("text")).cast("long").as("quality_score"))

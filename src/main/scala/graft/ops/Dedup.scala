@@ -690,14 +690,18 @@ object Dedup {
    *  gives no ordering guarantee, so the array is sorted explicitly
    *  before joining (struct sort is by leading field = pos). */
   def q91SubstrRemove(s: SparkSession, d: String): DataFrame =
-    substrCoverage(documents(s, d))
+    substrRemove(documents(s, d)).orderBy(col("doc_id"))
+
+  /** q91's core over any (doc_id, text) frame — also the
+   *  CorpusPipeline.removeDuplicatedSubstrings stage. */
+  private[ops] def substrRemove(docs: DataFrame, k: Int = SubstrK): DataFrame =
+    substrCoverage(docs, k)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("covered") === 0, 1).otherwise(0)).cast("long").as("kept_tokens"),
         concat_ws(" ", expr(
           "transform(array_sort(collect_list(CASE WHEN covered = 0 THEN struct(pos, tok) END)), x -> x.tok)"))
           .as("cleaned_text"))
-      .orderBy(col("doc_id"))
 
   val q91Sql: String =
     s"""$q90Base

@@ -199,4 +199,45 @@ class CurationPolicySpec extends AnyFunSuite with SparkSuite {
     assert(full.nonEmpty, "expected planted near-dups across the boundary")
     assert(inc == full, s"incremental=${inc.toSeq.sorted} full=${full.toSeq.sorted}")
   }
+
+  // ----- CorpusPipeline integration of the policy stages -----
+
+  test("pipeline stages reproduce their query twins on the corpus") {
+    val docs = Tables.documents(spark, d)
+
+    // removeDuplicatedSubstrings ≡ q91 cleaned text
+    val viaPipeline = CorpusPipeline(docs).removeDuplicatedSubstrings().result
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaQuery = Dedup.q91SubstrRemove(spark, d)
+      .select(col("doc_id"), col("cleaned_text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaPipeline == viaQuery)
+
+    // keepBestPerCluster ≡ q94's representatives
+    val kept = CorpusPipeline(docs).keepBestPerCluster().result
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val reps = Curation.q94ClusterKeepBest(spark, d)
+      .filter(col("is_rep") === 1).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == reps && kept.size < 500)
+
+    // assignSplit ≡ q95's split per doc
+    val splitPipe = CorpusPipeline(docs).assignSplit().result
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val splitQuery = Curation.q95LeakageSafeSplit(spark, d)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splitPipe == splitQuery)
+
+    // packSequences ≡ q93's bins
+    val binsPipe = CorpusPipeline(docs).packSequences().result
+      .select(col("doc_id"), col("bin"), col("bin_fill")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val binsQuery = Curation.q93SeqPacking(spark, d)
+      .select(col("doc_id"), col("bin"), col("bin_fill")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(binsPipe == binsQuery)
+  }
 }
