@@ -146,7 +146,15 @@ object SparkEntry {
     "q95_leakage_safe_split" -> (Curation.q95LeakageSafeSplit _),
     // incremental FUZZY dedup: batch vs banded-MinHash index
     // (rows-only; gated by the q22 cross-boundary equivalence spec)
-    "q96_incremental_minhash" -> (Dedup.q96IncrementalMinhash _)
+    "q96_incremental_minhash" -> (Dedup.q96IncrementalMinhash _),
+    // BM25 full-text retrieval (RAG/decontamination lookup shape)
+    "q97_bm25_topk" -> (Retrieval.q97Bm25 _),
+    // incremental materialized-aggregate maintenance (delta-only merge)
+    "q98_incremental_agg" -> (MergeOps.q98IncrementalAgg _),
+    // BPE tokenizer training: first-iteration pair counts
+    "q99_bpe_pairs" -> (Bpe.q99BpePairs _),
+    // deterministic training-shard assignment (data-loader order)
+    "q100_shard_assign" -> (Curation.q100ShardAssign _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -238,6 +246,10 @@ object SparkEntry {
     "q92_semantic_dedup" -> Dedup.q92Sql,
     "q93_seq_packing" -> Curation.q93Sql,
     "q94_cluster_keep_best" -> Curation.q94Sql,
-    "q95_leakage_safe_split" -> Curation.q95Sql
+    "q95_leakage_safe_split" -> Curation.q95Sql,
+    "q97_bm25_topk" -> Retrieval.q97Sql,
+    "q98_incremental_agg" -> MergeOps.q98Sql,
+    "q99_bpe_pairs" -> Bpe.q99Sql,
+    "q100_shard_assign" -> Curation.q100Sql
   )
 }

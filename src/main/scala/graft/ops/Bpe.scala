@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * BPE tokenizer training over the corpus (Sennrich et al. 2016,
+ * "Neural Machine Translation of Rare Words with Subword Units"):
+ * count symbol-pair frequencies weighted by word frequency, merge
+ * the most frequent pair, repeat.
+ *
+ * Scale shape: everything after the first token count runs on the
+ * VOCABULARY (distinct words + frequencies), not the corpus — the
+ * classic BPE trick. At 100 TB the corpus scan is one shuffle to
+ * (word, freq); the merge loop then iterates over vocab-sized data
+ * (Heaps' law: ~10⁷–10⁸ rows at web scale — cluster-trivial). Each
+ * iteration is one flatMap + one hash aggregate + a 1-row argmax
+ * collect; lineage is cut per iteration (localCheckpoint) exactly as
+ * in the q76 connected-components loop.
+ */
+object Bpe {
+  import Tables._
+
+  /** Corpus vocabulary: lowercase-alphabetic whitespace tokens with
+   *  corpus frequencies — one scan, one shuffle. */
+  def vocabulary(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Adjacent symbol-pair counts over a symbolized vocabulary
+   *  ((w, freq, syms) rows), weighted by word frequency. Typed
+   *  flatMap, not a transform(sequence, …) column expression — the
+   *  shingleRows finding: per-element column slicing re-splits the
+   *  array once Catalyst inlines the projection (~15× slower). */
+  def pairCounts(sym: DataFrame): DataFrame = {
+    import sym.sparkSession.implicits._
+    sym.select(col("freq"), col("syms"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (freq, syms) =>
+        if (syms.length < 2) Iterator.empty
+        else syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => (a, b, freq) }
+      }
+      .toDF("a", "b", "freq")
+      .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Merge one (a, b) pair left-to-right within a symbol sequence —
+   *  the standard BPE application rule ("aaa" + (a,a) → ["aa","a"]). */
+  private[ops] def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Train `numMerges` BPE merge rules over a (w, freq) vocabulary.
+   *  Ties break on (a, b) lexicographically — deterministic across
+   *  runs and partitionings. Driver holds only the rule list; the
+   *  vocabulary stays distributed throughout. */
+  def bpeTrain(vocab: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    import vocab.sparkSession.implicits._
+    var sym = vocab.select(col("w"), col("freq"),
+        split(col("w"), "(?<=.)(?=.)").as("syms"))
+      .localCheckpoint()
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val top = pairCounts(sym)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect() // 1-row argmax — bounded driver traffic
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        rules += ((a, b))
+        val old = sym
+        sym = sym.select(col("w"), col("freq"), col("syms"))
+          .as[(String, Long, Seq[String])]
+          .map { case (w, f, ss) => (w, f, applyMerge(ss, a, b)) }
+          .toDF("w", "freq", "syms")
+          .localCheckpoint() // cut lineage: iterations must not stack plans
+        old.unpersist()
+        i += 1
+      }
+    }
+    sym.unpersist()
+    rules.toSeq
+  }
+
+  /** q99: the first BPE iteration as an oracle-gated query —
+   *  character-pair frequencies over the corpus vocabulary, every
+   *  pair, most frequent first. (The multi-merge loop is engine-side
+   *  iteration DuckDB can't express; BpeSpec pins it against the
+   *  hand-computed Sennrich example.) */
+  def q99BpePairs(s: SparkSession, d: String): DataFrame = {
+    val sym = vocabulary(documents(s, d))
+      .select(col("w"), col("freq"), split(col("w"), "(?<=.)(?=.)").as("syms"))
+    pairCounts(sym)
+      .select(col("a"), col("b"), col("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+  }
+
+  val q99Sql: String =
+    """WITH toks AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+      |words AS (SELECT w, count(*) AS freq FROM toks
+      |          WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
+      |pairs AS (
+      |  SELECT substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b, freq
+      |  FROM words, LATERAL (SELECT unnest(range(1, length(w))) AS i) ix)
+      |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+      |FROM pairs GROUP BY a, b ORDER BY cnt DESC, a, b""".stripMargin
+}

@@ -149,6 +149,17 @@ final case class CorpusPipeline(df: DataFrame, textCol: String = "text",
     copy(df = df.join(packed, col(idCol) === col("__pack_id")).drop("__pack_id"))
   }
 
+  /** Adds `shard` / `pos` columns (q100 semantics): deterministic
+    * training-shard assignment + dense pseudo-random position, the
+    * last stage before writing data-loader shards. Runs AFTER the
+    * filtering/dedup stages so positions are dense over the surviving
+    * corpus. */
+  def assignShards(numShards: Int): CorpusPipeline = {
+    val shards = Curation.shardAssign(df.select(col(idCol).as("doc_id")), numShards)
+      .select(col("doc_id").as("__shard_id"), col("shard"), col("pos"))
+    copy(df = df.join(shards, col(idCol) === col("__shard_id")).drop("__shard_id"))
+  }
+
   /** The lazy end-to-end frame — plan-inspectable and composable.
     * After materializing it, call [[close]] to release the pipeline's
     * scoped cache entries (or use [[run]], which does both). */

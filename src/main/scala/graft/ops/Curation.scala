@@ -621,4 +621,39 @@ object Curation {
       |FROM cl JOIN reps r USING (cluster)
       |ORDER BY cl.doc_id""".stripMargin
   }
+
+  /** Deterministic training-shard assignment — the last step before
+   *  a training run: give every document a shard and a dense
+   *  pseudo-random position within it, so N data-loader workers
+   *  stream disjoint, reproducibly-ordered slices. Shard choice is
+   *  a scan-speed projection (q72's overflow-safe LCG mod N);
+   *  within-shard order sorts by the LCG bucket (the pseudo-random
+   *  key), doc_id breaking ties.
+   *
+   *  Scale: the position window partitions BY SHARD, so its sort is
+   *  corpus/N-sized — and numShards is chosen so corpus/N fits an
+   *  executor (a real 100 TB run shards to ~10⁵ files of ~1 GB, not
+   *  8; 8 here keeps the oracle readable). Assignment itself never
+   *  shuffles; only the dense-position window does, and writing the
+   *  shards IS that shuffle (partitionBy(shard) rides it). */
+  def shardAssign(docs: DataFrame, numShards: Int): DataFrame =
+    docs
+      .withColumn("bucket", sampleBucket(col("doc_id")))
+      .withColumn("shard", pmod(col("bucket"), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(col("bucket"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  /** q100: 8-way deterministic shard assignment over documents. */
+  def q100ShardAssign(s: SparkSession, d: String): DataFrame =
+    shardAssign(documents(s, d), 8).orderBy(col("shard"), col("pos"))
+
+  val q100Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, ((doc_id % 10000) * 5245 + 12345) % 10000 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket % 8 AS shard,
+      | row_number() OVER (PARTITION BY bucket % 8 ORDER BY bucket, doc_id) AS pos
+      |FROM b ORDER BY shard, pos""".stripMargin
 }

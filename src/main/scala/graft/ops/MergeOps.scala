@@ -172,4 +172,66 @@ object MergeOps {
       |  FROM b WHERE NOT EXISTS
       |    (SELECT 1 FROM open_v o WHERE o.c_custkey = b.c_custkey)) t
       |ORDER BY c_custkey, valid_from""".stripMargin
+
+  // ----- incremental aggregate maintenance (materialized view) -----
+
+  /** Aggregate a raw order feed into the mergeable per-customer
+    * partial form: (o_custkey, n_orders, sum_cents). Cents-integral
+    * sums (Tables.cents) keep every partial AND every merge exact
+    * and order-free — the property that lets partials from different
+    * epochs combine in any order without drift. */
+  def orderAggPartial(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Tables.cents(col("o_totalprice"))).as("sum_cents"))
+
+  /** Merge a delta's aggregate partials into a materialized base
+    * aggregate WITHOUT rescanning the base's raw feed — the
+    * incremental-view-maintenance shape: a nightly 100 TB fact table
+    * keeps its per-key rollup current by aggregating ONLY the new
+    * partition and merging. Expressed as a full-outer join (not
+    * union+re-agg) so a base persisted BUCKETED by the key needs no
+    * exchange: the delta — the only data that shuffles — is batch-
+    * sized. Both inputs must be key-unique partials (the output of
+    * [[orderAggPartial]]); counts/sums coalesce through unmatched
+    * keys on either side. */
+  def aggMerge(base: DataFrame, deltaAgg: DataFrame): DataFrame = {
+    val b = base.select(col("o_custkey"), col("n_orders").as("__bn"),
+      col("sum_cents").as("__bc"))
+    val dl = deltaAgg.select(col("o_custkey"), col("n_orders").as("__dn"),
+      col("sum_cents").as("__dc"))
+    b.join(dl, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("__bn"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("__bc"), lit(0L)) + coalesce(col("__dc"), lit(0L))).as("sum_cents"))
+  }
+
+  /** Persist a base aggregate snapshot BUCKETED by the merge key —
+    * the pre-paid shuffle that makes every subsequent [[aggMerge]]
+    * exchange-free on the base side (same discipline as
+    * Dedup.writeFpIndex; BucketingSpec pins the plan). */
+  def writeAggSnapshot(baseAgg: DataFrame, table: String, buckets: Int = 8): Unit =
+    baseAgg.write.mode("overwrite").bucketBy(buckets, "o_custkey")
+      .sortBy("o_custkey").format("parquet").saveAsTable(table)
+
+  /** q98: orders before 2000-01-01 play the materialized base rollup,
+    * the rest arrive as the delta; the merged view must equal a full
+    * recompute (the oracle). Recomputes the base inline for the
+    * oracle's sake — the durable path is [[writeAggSnapshot]] +
+    * [[aggMerge]], plan-pinned in MergeOpsSpec. */
+  def q98IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val split = lit("2000-01-01").cast("timestamp")
+    val base = orderAggPartial(orders.filter(col("o_orderdate") < split))
+    val delta = orderAggPartial(orders.filter(col("o_orderdate") >= split))
+    aggMerge(base, delta)
+      .select(col("o_custkey"), col("n_orders"),
+        (col("sum_cents") / 100.0).as("total"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q98Sql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 }

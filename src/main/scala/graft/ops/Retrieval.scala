@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopK
+
+/**
+ * Full-text retrieval over the corpus: BM25 scoring against a small
+ * query set — the retrieval shape a training-data pipeline runs for
+ * RAG indexing, decontamination lookups, and eval-set mining.
+ * (Okapi BM25 with the Lucene idf variant, Robertson et al.;
+ * k1 = 1.2, b = 0.75.)
+ *
+ * Scale design (the inverted-index probe, not an index build):
+ *  - The query term set is tiny BY CONSTRUCTION (human-written
+ *    queries), so it broadcasts and — crucially — filters the token
+ *    stream BEFORE any shuffle: the only corpus-sized work is the
+ *    scan itself; the (doc, term) aggregate that follows holds only
+ *    docs containing at least one query term.
+ *  - Per-doc length dl is a scan-local projection computed on the
+ *    SAME pass that explodes tokens (carried through the explode),
+ *    so no corpus-wide doc_id join is needed; the corpus-wide stats
+ *    (N, avgdl) reduce to one broadcast row.
+ *  - Document frequencies come from the already-restricted tf frame
+ *    (query terms only), so the df table is |query terms| rows.
+ *  - Top-k per query uses the bounded TopK aggregate, not a window:
+ *    a window would sort every candidate per query; the heap ships
+ *    k rows per partition.
+ *
+ * Determinism (oracle-exact across engines): each (term, doc)
+ * contribution is quantized to integer micro-units FIRST and summed
+ * as longs (order-free), the q79 micro-nat discipline. The double
+ * chain before quantization uses only exact-integer-derived values,
+ * and its irrational ln() factor keeps round() away from exact-half
+ * boundaries.
+ */
+object Retrieval {
+  import Tables._
+
+  /** The fixed demo query set (terms drawn from the corpus vocab;
+   *  query 2's `dup` is the rare high-idf term). */
+  val Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "join",
+    2L -> "dup", 2L -> "merge",
+    3L -> "stream", 3L -> "window", 3L -> "batch",
+    4L -> "fast", 4L -> "sort",
+    5L -> "customer", 5L -> "order", 5L -> "query")
+
+  private val K1 = 2.2 // k1 + 1 pre-folded into the numerator
+  // k1 * (1 - b) and k1 * b with k1 = 1.2, b = 0.75
+  private val KOneMinusB = 1.2 * 0.25
+  private val KB = 1.2 * 0.75
+
+  /** BM25 top-k: queries is (query_id, term) rows. Returns
+   *  (query_id, rnk, doc_id, score) for the k best docs per query. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    TopK.register(s)
+    val terms = queries.select(col("term")).distinct()
+
+    // one corpus pass: per-doc length as a projection, tokens exploded
+    // on the same scan, restricted to query terms before the shuffle
+    val toks = docs
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) > 0)).as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .join(broadcast(terms), "term")
+    val tf = toks.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+    // corpus stats: one broadcast row; df over the restricted tf frame
+    val stats = docs
+      .select(size(filter(split(col("text"), " "), t => length(t) > 0)).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")) * lit(1.0) / count(lit(1))).as("avgdl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    // per-(term, doc) contribution, micro-quantized for order-free sums;
+    // expression shape mirrors the oracle SQL token for token
+    val idf = log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))
+    val contrib = tf
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(queries), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        round(idf * (col("tf") * lit(K1)) / denom * lit(1000000)).cast("long"))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score_micro"))
+
+    // bounded top-k per query; TopK ties break on the smaller payload,
+    // matching the oracle's ORDER BY score DESC, doc_id. The micro
+    // long IS the sort key — no double round-trip before ranking.
+    scored
+      .groupBy(col("query_id"))
+      .agg(TopK.topk(col("score_micro"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.payload").as("doc_id"), (col("col.v") / lit(1000000.0)).as("score"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** q97: BM25 retrieval, top-10 per demo query. */
+  def q97Bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val queries = Queries.toDF("query_id", "term")
+    bm25TopK(documents(s, d).select(col("doc_id"), col("text")), queries, 10)
+  }
+
+  val q97Sql: String =
+    """WITH q(query_id, term) AS (VALUES
+      |  (1,'spark'),(1,'join'),(2,'dup'),(2,'merge'),
+      |  (3,'stream'),(3,'window'),(3,'batch'),(4,'fast'),(4,'sort'),
+      |  (5,'customer'),(5,'order'),(5,'query')),
+      |d AS (SELECT doc_id, len(list_filter(string_split(text,' '), x -> len(x)>0)) AS dl
+      |      FROM documents),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM d),
+      |toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      |tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+      |       FROM toks t JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+      |       GROUP BY t.doc_id, t.term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |contrib AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |   CAST(round(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+      |     * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+      |     * 1000000) AS BIGINT) AS c
+      |  FROM tf JOIN dfreq f USING (term) JOIN q USING (term)
+      |          JOIN d ON tf.doc_id = d.doc_id CROSS JOIN stats s),
+      |scored AS (SELECT query_id, doc_id, sum(c) / 1000000.0 AS score
+      |           FROM contrib GROUP BY query_id, doc_id)
+      |SELECT query_id, rnk, doc_id, score FROM (
+      |  SELECT query_id, doc_id, score,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+      |  FROM scored) r
+      |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+}

@@ -239,5 +239,38 @@ class CurationPolicySpec extends AnyFunSuite with SparkSuite {
       .select(col("doc_id"), col("bin"), col("bin_fill")).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(binsPipe == binsQuery)
+
+    // assignShards ≡ q100's shard/pos per doc
+    val shardPipe = CorpusPipeline(docs).assignShards(8).result
+      .select(col("doc_id"), col("shard"), col("pos")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val shardQuery = Curation.q100ShardAssign(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(shardPipe == shardQuery)
+  }
+
+  // ----- q100: deterministic shard assignment -----
+
+  test("shardAssign partitions the corpus into dense, reproducible shards") {
+    val docs = Tables.documents(spark, d)
+    val n = docs.count()
+    val rows = Curation.shardAssign(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every document lands exactly once
+    assert(rows.length == n && rows.map(_._1).distinct.length == n)
+    // positions are dense 1..|shard| within every shard
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(0 <= shard && shard < 8)
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length))
+    }
+    // deterministic: a re-run (fresh plan, different partitioning)
+    // produces the identical assignment
+    val again = Curation.shardAssign(docs.repartition(7), 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+    // and the order within a shard is not just doc_id order (the LCG
+    // permutes) — a sorted-input artifact would defeat the shuffle
+    val firstShard = rows.filter(_._2 == rows.head._2).sortBy(_._3).map(_._1)
+    assert(firstShard != firstShard.sorted)
   }
 }

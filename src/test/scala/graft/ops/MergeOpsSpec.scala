@@ -80,4 +80,57 @@ class MergeOpsSpec extends AnyFunSuite with SparkSuite {
       (3L, "z", "2024-01-01", "null"),       // absent from batch: untouched
       (7L, "n", "2025-06-01", "null")))      // brand-new key
   }
+
+  test("aggMerge over a bucketed snapshot: no exchange on the base side, equals full recompute") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val d = "/root/testdata/sf0.001"
+    val loc = Files.createTempDirectory("graftaggsnap")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_agg LOCATION '$loc'")
+    try {
+      val orders = spark.read.parquet(s"$d/orders.parquet")
+      val split = lit("2000-01-01").cast("timestamp")
+      MergeOps.writeAggSnapshot(
+        MergeOps.orderAggPartial(orders.filter(col("o_orderdate") < split)),
+        "graft_agg.order_rollup")
+      val deltaAgg = MergeOps.orderAggPartial(orders.filter(col("o_orderdate") >= split))
+
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val merged = MergeOps.aggMerge(spark.table("graft_agg.order_rollup"), deltaAgg)
+        val smjs = merged.queryExecution.executedPlan
+          .collect { case j: SortMergeJoinExec => j }
+        assert(smjs.nonEmpty, merged.queryExecution.executedPlan.toString.take(800))
+        // base side = the side whose scan is the bucketed table; it
+        // must carry no Exchange (its bucketing IS its partitioning)
+        val baseSide = Seq(smjs.head.left, smjs.head.right).find(side =>
+          side.collect { case sc: FileSourceScanExec => sc }
+            .exists(_.relation.bucketSpec.isDefined))
+        assert(baseSide.isDefined, "no bucketed scan under the merge join")
+        assert(baseSide.get.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          "base side shuffles:\n" + baseSide.get.toString.take(600))
+
+        val got = merged.orderBy(col("o_custkey")).collect().toSeq
+        val expected = MergeOps.orderAggPartial(orders)
+          .orderBy(col("o_custkey")).collect().toSeq
+        assert(got == expected && got.nonEmpty)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS graft_agg CASCADE")
+    }
+  }
+
+  test("aggMerge handles base-only, delta-only, and overlapping keys") {
+    val base = Seq((1L, 2L, 100L), (2L, 1L, 50L)).toDF("o_custkey", "n_orders", "sum_cents")
+    val delta = Seq((2L, 3L, 25L), (9L, 1L, 10L)).toDF("o_custkey", "n_orders", "sum_cents")
+    val out = MergeOps.aggMerge(base, delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L, 100L), (2L, 4L, 75L), (9L, 1L, 10L)))
+  }
 }
