@@ -154,7 +154,12 @@ object SparkEntry {
     // BPE tokenizer training: first-iteration pair counts
     "q99_bpe_pairs" -> (Bpe.q99BpePairs _),
     // deterministic training-shard assignment (data-loader order)
-    "q100_shard_assign" -> (Curation.q100ShardAssign _)
+    "q100_shard_assign" -> (Curation.q100ShardAssign _),
+    // ANALYZE-style per-column statistics in one scan
+    "q101_table_stats" -> (Analyze.q101TableStats _),
+    // windowed conversion funnel + weekly retention cohorts
+    "q102_funnel" -> (EventOps.q102Funnel _),
+    "q103_retention" -> (EventOps.q103Retention _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -250,6 +255,9 @@ object SparkEntry {
     "q97_bm25_topk" -> Retrieval.q97Sql,
     "q98_incremental_agg" -> MergeOps.q98Sql,
     "q99_bpe_pairs" -> Bpe.q99Sql,
-    "q100_shard_assign" -> Curation.q100Sql
+    "q100_shard_assign" -> Curation.q100Sql,
+    "q101_table_stats" -> Analyze.q101Sql,
+    "q102_funnel" -> EventOps.q102Sql,
+    "q103_retention" -> EventOps.q103Sql
   )
 }

@@ -163,4 +163,84 @@ object EventOps {
       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       |   FROM events) a) b) c
       |GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin
+
+  /** q102: windowed conversion funnel (view → click → purchase, each
+   *  step within 24 h of the previous step's first qualifying event)
+   *  — the product-analytics shape, and the eval-pipeline shape for
+   *  "did stage N+1 happen after stage N" audits. Each step is one
+   *  hash aggregate on user_id joined to the previous step's
+   *  per-user anchor time: THREE aggs + two joins, all on the same
+   *  shuffle key, so the whole funnel rides one partitioning; after
+   *  step 1 every frame is cohort-sized (≪ events), and AQE
+   *  broadcasts the anchor side when the cohort is small. No window
+   *  functions, no per-user sort. */
+  def q102Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    def step(prev: DataFrame, prevT: String, etype: String, outT: String): DataFrame =
+      ev.filter(col("event_type") === etype)
+        .join(prev.select(col("user_id"), col(prevT)), "user_id")
+        .filter(col("ts") >= col(prevT) &&
+          col("ts") < col(prevT) + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(outT))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = step(v, "t1", "click", "t2")
+    val p = step(c, "t2", "purchase", "t3")
+    def cnt(df: DataFrame, stepNo: Long, etype: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(stepNo).as("step"), lit(etype).as("event_type"), col("n_users"))
+    cnt(v, 1L, "view").unionByName(cnt(c, 2L, "click"))
+      .unionByName(cnt(p, 3L, "purchase"))
+      .orderBy(col("step"))
+  }
+
+  val q102Sql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts >= v.t1
+      |        AND e.ts < v.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+      |        AND e.ts < c.t2 + INTERVAL 24 HOUR GROUP BY e.user_id)
+      |SELECT CAST(step AS BIGINT) AS step, event_type, n_users FROM (
+      |  SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM v
+      |  UNION ALL SELECT 2, 'click', count(*) FROM c
+      |  UNION ALL SELECT 3, 'purchase', count(*) FROM p) t
+      |ORDER BY step""".stripMargin
+
+  /** q103: weekly retention cohorts — users grouped by signup week,
+   *  counted as retained in every later week they produced any
+   *  event. The classic cohort matrix (cohort_week × week_offset →
+   *  n_users). One agg builds the per-user cohort anchor, one join
+   *  on user_id attaches it to the event stream, one distinct-count
+   *  per (cohort, offset) — the cohort side is user-count-sized, so
+   *  AQE broadcasts it against the 100 TB event scan and the only
+   *  corpus shuffle is the final (small-keyspace) aggregate. */
+  def q103Retention(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    ev.select(col("user_id"), col("ts"))
+      .join(su, "user_id")
+      .filter(col("ts") >= col("cohort"))
+      .withColumn("week_offset",
+        floor(datediff(date_trunc("week", col("ts")), col("cohort")) / 7).cast("long"))
+      .groupBy(col("cohort").cast("date").as("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q103Sql: String =
+    """WITH su AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      |            FROM events WHERE event_type = 'signup' GROUP BY user_id)
+      |SELECT CAST(su.cohort AS DATE) AS cohort_week,
+      | CAST(floor(date_diff('day', su.cohort, date_trunc('week', e.ts)) / 7) AS BIGINT)
+      |   AS week_offset,
+      | count(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN su ON e.user_id = su.user_id
+      |WHERE e.ts >= su.cohort
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 }
