@@ -52,27 +52,40 @@ object Retrieval {
   private val KOneMinusB = 1.2 * 0.25
   private val KB = 1.2 * 0.75
 
-  /** BM25 top-k: queries is (query_id, term) rows. Returns
-   *  (query_id, rnk, doc_id, score) for the k best docs per query. */
+  /** BM25 top-k: queries is (query_id, term) rows — a HUMAN-scale
+   *  query set by contract (it is collected to build the executor-side
+   *  term filter, the same bound every search head places on a query).
+   *  Returns (query_id, rnk, doc_id, score) for the k best docs per
+   *  query. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val s = docs.sparkSession
+    import s.implicits._
     TopK.register(s)
-    val terms = queries.select(col("term")).distinct()
+    val termSet = queries.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSet
 
-    // one corpus pass: per-doc length as a projection, tokens exploded
-    // on the same scan, restricted to query terms before the shuffle
-    val toks = docs
-      .select(col("doc_id"),
-        size(filter(split(col("text"), " "), t => length(t) > 0)).as("dl"),
-        explode(split(col("text"), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-      .join(broadcast(terms), "term")
-    val tf = toks.groupBy(col("doc_id"), col("dl"), col("term"))
+    // ONE corpus pass, ONE tokenize per document (typed flatMap — the
+    // shingleRows finding: column-expression formulations re-split the
+    // text once per use after Catalyst inlines the projection, and the
+    // higher-order filter lambda runs outside codegen). Emits per-doc
+    // stats carriers (dl) and only QUERY-term hits, so the shuffle
+    // that follows holds candidate docs only, never the corpus.
+    val typed = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text0) =>
+          val toks = Option(text0).getOrElse("").split(' ').filter(_.nonEmpty)
+          (id, toks.length.toLong, toks.filter(termSet))
+        }
+      }
+      .toDF("doc_id", "dl", "hits")
+
+    val tf = typed
+      .select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
-    // corpus stats: one broadcast row; df over the restricted tf frame
-    val stats = docs
-      .select(size(filter(split(col("text"), " "), t => length(t) > 0)).as("dl"))
+    // corpus stats reduce on the same pass's projection: 1 broadcast row
+    val stats = typed
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("dl")) * lit(1.0) / count(lit(1))).as("avgdl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
