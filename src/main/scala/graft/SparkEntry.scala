@@ -159,7 +159,23 @@ object SparkEntry {
     "q101_table_stats" -> (Analyze.q101TableStats _),
     // windowed conversion funnel + weekly retention cohorts
     "q102_funnel" -> (EventOps.q102Funnel _),
-    "q103_retention" -> (EventOps.q103Retention _)
+    "q103_retention" -> (EventOps.q103Retention _),
+    // first-order Markov transition matrix over per-user event paths
+    "q104_event_transitions" -> (EventOps.q104EventTransitions _),
+    // per-group OLS trend from exact integer moment sums
+    "q105_trend_regression" -> (Analyze.q105TrendRegression _),
+    // distribution-drift score (PSI) between two corpus slices
+    "q106_drift_psi" -> (Analyze.q106DriftPsi _),
+    // robust outlier detection (median/MAD, 3σ̂ threshold)
+    "q107_outlier_mad" -> (Analyze.q107OutlierMad _),
+    // BPE tokenizer APPLICATION: train rules, encode every document
+    // (rows-only; iterative greedy merges are not SQL-expressible —
+    // BpeSpec pins the encoder against the Sennrich example)
+    "q108_bpe_encode" -> (Bpe.q108BpeEncode _),
+    // stream-static dimension-enrichment join
+    "q109_stream_static_join" -> (StreamingOps.q109StreamStaticJoin _),
+    // temperature-scaled source mix (countᵅ upsampling weights)
+    "q110_temperature_mix" -> (Curation.q110TemperatureMix _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -258,6 +274,12 @@ object SparkEntry {
     "q100_shard_assign" -> Curation.q100Sql,
     "q101_table_stats" -> Analyze.q101Sql,
     "q102_funnel" -> EventOps.q102Sql,
-    "q103_retention" -> EventOps.q103Sql
+    "q103_retention" -> EventOps.q103Sql,
+    "q104_event_transitions" -> EventOps.q104Sql,
+    "q105_trend_regression" -> Analyze.q105Sql,
+    "q106_drift_psi" -> Analyze.q106Sql,
+    "q107_outlier_mad" -> Analyze.q107Sql,
+    "q109_stream_static_join" -> StreamingOps.q109Sql,
+    "q110_temperature_mix" -> Curation.q110Sql
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -57,4 +57,188 @@ object Analyze {
       |  SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
       |   count(DISTINCT c_mktsegment) FROM customer) t
       |ORDER BY col_name""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q105: per-group OLS trend (slope/intercept from exact integer sums)
+  // ------------------------------------------------------------------
+
+  /** Per-group simple linear regression y = slope·x + intercept via the
+    * closed form, computed from EXACT integer moment sums rather than
+    * `regr_slope` — floating-point moment accumulation is
+    * order-dependent, so the built-in would hash-differ across engines
+    * and partitionings; integer sums are associative and exact.
+    *
+    * Scale: ONE scan + one hash aggregate per group (map-side partial
+    * combine); the five moments are constant-size state. Per-row
+    * products are int64 (x ≤ ~10⁵ · y ≤ ~10⁹ headroom); the SUMS are
+    * decimal(38,0), overflow-free past 10²⁰ — safe for 100 TB row
+    * counts where an int64 Σxy would overflow. The closed form runs on
+    * the one aggregated row per group. The division ships RAW (exact
+    * decimal sums → bit-identical doubles → IEEE-identical quotient
+    * across engines; rounding a rational is the known hazard). */
+  def trendRegression(df: DataFrame, key: Column, x: Column, y: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.select(key.as("k"), x.cast("long").as("x"), y.cast("long").as("y"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"))
+      .withColumn("slope",
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+        / (col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double"))
+  }
+
+  /** q105: price-vs-quantity trend per return flag — slope/intercept of
+    * extendedprice (cents) against quantity over lineitem. */
+  def q105TrendRegression(s: SparkSession, d: String): DataFrame =
+    trendRegression(Tables.lineitem(s, d),
+        col("l_returnflag"), round(col("l_quantity")), Tables.cents(col("l_extendedprice")))
+      .select(col("k").as("l_returnflag"), col("n"), col("slope"), col("intercept"))
+      .orderBy(col("l_returnflag"))
+
+  val q105Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |   CAST(sum(x*x) AS DECIMAL(38,0)) AS sxx,
+      |   CAST(sum(x*y) AS DECIMAL(38,0)) AS sxy
+      |  FROM (SELECT l_returnflag,
+      |         CAST(round(l_quantity) AS BIGINT) AS x,
+      |         CAST(round(l_extendedprice*100) AS BIGINT) AS y
+      |        FROM lineitem) t
+      |  GROUP BY l_returnflag),
+      |sl AS (
+      |  SELECT *,
+      |   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+      |  FROM m)
+      |SELECT l_returnflag, n, slope,
+      | (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+      |FROM sl ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q106: distribution-drift score (PSI) between two corpus slices
+  // ------------------------------------------------------------------
+
+  /** q106: population stability index between two halves of the corpus
+    * (even- vs odd-numbered sources) over document-length buckets — the
+    * standard drift monitor between a reference and a candidate data
+    * slice before a training run.
+    *
+    * Determinism: bucket shares are Laplace-smoothed RAW divisions of
+    * exact counts (bit-identical doubles across engines); each bucket's
+    * PSI term is quantized to integer micro-nats BEFORE the total sum
+    * (the q79 rule: ln() output is irrational, so round() is
+    * boundary-safe, and the integer sum is order-free).
+    *
+    * Scale: one corpus scan into a bucket-count hash aggregate (bucket
+    * cardinality is fixed by the width, not the data); everything after
+    * runs on bucket-count rows. The two totals come from window sums
+    * over that tiny frame, not a second scan. */
+  def q106DriftPsi(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy(lit(1))
+    val buckets = Tables.documents(s, d)
+      .select(floor(col("n_chars") / 100).cast("long").as("bucket"),
+        (substring(col("source"), 4, 10).cast("int") % 2 === 0).as("is_a"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+      .withColumn("tot_a", sum(col("n_a")).over(all))
+      .withColumn("tot_b", sum(col("n_b")).over(all))
+      .withColumn("n_buckets", count(lit(1)).over(all))
+      .withColumn("p_a", (col("n_a") + lit(1)) / (col("tot_a") + col("n_buckets")))
+      .withColumn("p_b", (col("n_b") + lit(1)) / (col("tot_b") + col("n_buckets")))
+      .withColumn("psi_micro",
+        round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")) * 1e6).cast("long"))
+    buckets
+      .select(col("bucket"), col("n_a"), col("n_b"), col("p_a"), col("p_b"), col("psi_micro"))
+      .union(buckets.groupBy()
+        .agg(sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"),
+          sum(col("psi_micro")).as("psi_micro"))
+        .select(lit(-1L).as("bucket"), col("n_a"), col("n_b"),
+          lit(1.0).as("p_a"), lit(1.0).as("p_b"), col("psi_micro")))
+      .orderBy(col("bucket"))
+  }
+
+  val q106Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+      |   CAST(count(CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0 THEN 1 END) AS BIGINT) AS n_a,
+      |   CAST(count(CASE WHEN CAST(substring(source, 4) AS INT) % 2 <> 0 THEN 1 END) AS BIGINT) AS n_b
+      |  FROM documents GROUP BY 1),
+      |p AS (
+      |  SELECT bucket, n_a, n_b,
+      |   (n_a + 1) / (CAST(sum(n_a) OVER () AS DOUBLE) + count(*) OVER ()) AS p_a,
+      |   (n_b + 1) / (CAST(sum(n_b) OVER () AS DOUBLE) + count(*) OVER ()) AS p_b
+      |  FROM b),
+      |t AS (
+      |  SELECT bucket, n_a, n_b, p_a, p_b,
+      |   CAST(round((p_a - p_b) * ln(p_a / p_b) * 1e6) AS BIGINT) AS psi_micro
+      |  FROM p)
+      |SELECT * FROM t
+      |UNION ALL
+      |SELECT -1, CAST(sum(n_a) AS BIGINT), CAST(sum(n_b) AS BIGINT), 1.0, 1.0,
+      | CAST(sum(psi_micro) AS BIGINT) FROM t
+      |ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q107: robust outlier detection (median / MAD)
+  // ------------------------------------------------------------------
+
+  /** q107: per-event-type robust outlier counts — median and MAD
+    * (median absolute deviation) with the 1.4826 consistency constant,
+    * flagging |x − med| > 3σ̂. Robust stats are the right screen for
+    * heavy-tailed telemetry where mean/stddev are dragged by the very
+    * outliers being hunted.
+    *
+    * Determinism: values are quantized to integer cents first, so the
+    * exact interpolated medians land on dyadic rationals ((a+b)/2 of
+    * exact ints) that both engines represent bit-identically; the
+    * threshold compare then runs on identical doubles.
+    *
+    * Scale: exact `percentile` materializes each group's values on the
+    * reducer — acceptable while group cardinality is bounded (5 event
+    * types here); a 100 TB deployment swaps in approx_percentile (the
+    * q44 sketch path) with this same two-join shape. The per-group
+    * medians are joined BACK as a broadcast (tiny agg side), keeping
+    * both corpus passes scan-parallel — deliberately NOT a window over
+    * the low-cardinality key, which would funnel the table through ≤5
+    * reducer partitions. */
+  def q107OutlierMad(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), Tables.cents(col("value")).cast("double").as("v"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(v, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"), expr("percentile(dev, 0.5)").as("mad"))
+    dev.drop("med").join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L)).as("n_out"))
+      .orderBy(col("event_type"))
+  }
+
+  val q107Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(CAST(round("value"*100) AS BIGINT) AS DOUBLE) AS v
+      |  FROM events WHERE "value" IS NOT NULL AND event_type IS NOT NULL),
+      |med AS (SELECT event_type, quantile_cont(v, 0.5) AS med FROM ev GROUP BY 1),
+      |dev AS (SELECT ev.event_type, v, med, abs(v - med) AS dev
+      |        FROM ev JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, max(med) AS med, quantile_cont(dev, 0.5) AS mad
+      |        FROM dev GROUP BY 1)
+      |SELECT d.event_type, count(*) AS n, max(m.med) AS med, max(m.mad) AS mad,
+      | CAST(count(CASE WHEN d.dev > 3.0 * 1.4826 * m.mad THEN 1 END) AS BIGINT) AS n_out
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
 }

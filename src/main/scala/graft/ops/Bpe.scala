@@ -114,4 +114,69 @@ object Bpe {
       |  FROM words, LATERAL (SELECT unnest(range(1, length(w))) AS i) ix)
       |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
       |FROM pairs GROUP BY a, b ORDER BY cnt DESC, a, b""".stripMargin
+
+  /** Encode one word with a trained merge-rule list: repeatedly apply
+    * the LOWEST-RANK (earliest-trained) merge present in the current
+    * symbol sequence — the standard BPE inference rule, which
+    * reproduces exactly the segmentation training would have produced
+    * for that word. O(|word|) rank lookups per pass, ≤ |word| passes. */
+  def bpeEncode(word: String, rank: Map[(String, String), Int]): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString)
+    var more = syms.length >= 2
+    while (more) {
+      var best: ((String, String), Int) = (null, Int.MaxValue)
+      var i = 0
+      while (i + 1 < syms.length) {
+        val p = (syms(i), syms(i + 1))
+        rank.get(p) match {
+          case Some(r) if r < best._2 => best = (p, r)
+          case _ =>
+        }
+        i += 1
+      }
+      if (best._1 == null) more = false
+      else {
+        syms = applyMerge(syms, best._1._1, best._1._2)
+        more = syms.length >= 2
+      }
+    }
+    syms
+  }
+
+  /** q108: tokenize the corpus with a trained BPE model — train
+    * `numMerges` rules on the corpus vocabulary, then encode every
+    * document and report its token count and chars-per-token
+    * compression (the data-loader planning numbers: sequence lengths,
+    * packing budgets, token-hour estimates).
+    *
+    * Scale: training iterates over VOCAB-sized data (the q99/bpeTrain
+    * path); the learned rule table (numMerges entries) ships to
+    * executors in the task closure — constant-size, the same shape as
+    * a broadcast tokenizer model. Encoding is then one scan-local
+    * typed map per document (the tokenize-once rule: one split, one
+    * in-memory encode; no column-expression re-evaluation). NOT
+    * SQL-expressible (iterative greedy merges), so the driver records
+    * a rows-only check; BpeSpec pins the encoder against the
+    * hand-computed Sennrich example, the round-trip identity, and the
+    * zero-merge degenerate case. */
+  def q108BpeEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val rules = bpeTrain(vocabulary(docs), 50)
+    val rank = rules.zipWithIndex.toMap
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.split(" ").iterator.filter(_.nonEmpty)
+        var nWords = 0L; var nToks = 0L; var nChars = 0L
+        words.foreach { w =>
+          nWords += 1; nChars += w.length
+          nToks += (if (w.forall(c => c >= 'a' && c <= 'z')) bpeEncode(w, rank).length else 1)
+        }
+        (id, nWords, nToks, nChars)
+      }
+      .toDF("doc_id", "n_words", "n_tokens", "n_chars_tok")
+      .withColumn("chars_per_token", col("n_chars_tok") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -656,4 +656,41 @@ object Curation {
       |SELECT doc_id, bucket % 8 AS shard,
       | row_number() OVER (PARTITION BY bucket % 8 ORDER BY bucket, doc_id) AS pos
       |FROM b ORDER BY shard, pos""".stripMargin
+
+  /** q110: temperature-scaled source mix — upsample rare sources and
+   *  downsample dominant ones with weights ∝ countᵅ (α = 0.5, the
+   *  multilingual-corpus temperature rule; α=1 is proportional, α=0
+   *  uniform). Complements q74's target-driven DoReMi allocation with
+   *  the closed-form temperature policy.
+   *
+   *  Determinism: √count is irrational, so each source's weight is
+   *  quantized to integer micro-units BEFORE the normalizing sum
+   *  (order-free; the q79 ln() rule applied to sqrt) and the final
+   *  share/allocation ship as RAW divisions of exact longs.
+   *
+   *  Scale: one corpus hash aggregate to source counts (sources ≪
+   *  corpus), then all arithmetic runs on the source-count frame; the
+   *  normalizing total is a window over that tiny frame, not a second
+   *  scan. */
+  def q110TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy(lit(1))
+    documents(s, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_micro", round(sqrt(col("n_docs")) * 1e6).cast("long"))
+      .withColumn("share", col("w_micro") / sum(col("w_micro")).over(all))
+      .withColumn("alloc_10k", col("share") * 10000)
+      .select(col("source"), col("n_docs"), col("w_micro"), col("share"), col("alloc_10k"))
+      .orderBy(col("source"))
+  }
+
+  val q110Sql: String =
+    """WITH c AS (
+      |  SELECT source, count(*) AS n_docs,
+      |   CAST(round(sqrt(count(*)) * 1e6) AS BIGINT) AS w_micro
+      |  FROM documents GROUP BY source)
+      |SELECT source, n_docs, w_micro,
+      | w_micro / CAST(sum(w_micro) OVER () AS DOUBLE) AS share,
+      | w_micro / CAST(sum(w_micro) OVER () AS DOUBLE) * 10000 AS alloc_10k
+      |FROM c ORDER BY source""".stripMargin
 }

@@ -243,4 +243,42 @@ object EventOps {
       |FROM events e JOIN su ON e.user_id = su.user_id
       |WHERE e.ts >= su.cohort
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** q104: first-order Markov transition matrix over per-user event
+   *  sequences — (prev_type → next_type) counts and row-normalized
+   *  transition probabilities. The behavioral-model shape (next-action
+   *  prediction, anomaly scoring of improbable paths).
+   *
+   *  Scale: the lag() is one window over the user_id partitioning —
+   *  the SAME single shuffle sessionization (q15) and as-of (q14)
+   *  ride; the transition aggregate then collapses to |types|² rows,
+   *  and the row-normalizing window runs on that tiny frame. `frac`
+   *  ships as a RAW division of exact counts (bit-identical doubles
+   *  across engines). NULL event types are excluded on both sides
+   *  (the q66 MAP_KEY_NULL rule: a null state is a data bug, not a
+   *  transition). */
+  def q104EventTransitions(s: SparkSession, d: String): DataFrame = {
+    val perUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val matrix = Window.partitionBy(col("prev_type"))
+    events(s, d)
+      .filter(col("event_type").isNotNull)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(perUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("frac", col("n") / sum(col("n")).over(matrix))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val q104Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events WHERE event_type IS NOT NULL),
+      |tr AS (
+      |  SELECT prev_type, event_type AS next_type, count(*) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      | n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS frac
+      |FROM tr ORDER BY prev_type, next_type""".stripMargin
 }

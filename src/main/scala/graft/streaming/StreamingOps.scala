@@ -153,6 +153,35 @@ object StreamingOps {
       | CAST(sum(CAST(round("value"*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY day_bucket, event_type""".stripMargin
 
+  /** q109: stream-STATIC join — the enrichment shape every production
+    * ingest runs (event stream × slowly-changing dimension table).
+    * The static side is a plain batch DataFrame: Spark re-plans it
+    * per micro-batch (picking up dim updates between batches) and
+    * broadcasts it when small, so the streaming side never shuffles
+    * for the join; the only stateful stage is the tiny per-segment
+    * aggregate. Completes the streaming matrix alongside the
+    * stream-stream (q58), windowed (q34/q64/q62), stateful (q43/q86),
+    * dedup (q63), late-data (q68), and sink (q87) shapes. */
+  def q109StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = Tables.eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        (sum(Tables.cents(col("value"))) / 100.0).as("sum_value"))
+    withShuffle(s, 8) {
+      drainToLocal(s, enriched, "complete")(_.orderBy(col("c_mktsegment")))
+    }
+  }
+
+  val q109Sql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      | CAST(sum(CAST(round("value"*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |WHERE e.event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   final case class UserAgg(user_id: Long, n: Long, sum_cents: Long)
 
   /** Custom stateful streaming: per-user running aggregates via

@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q104–q107: Markov transitions, OLS trend, PSI drift, MAD outliers. */
+class AnalyzeStatsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ----- trendRegression (q105) ------------------------------------
+
+  test("trendRegression recovers an exact linear fit") {
+    val df = Seq(("g", 1L, 2L), ("g", 2L, 4L), ("g", 3L, 6L)).toDF("k", "x", "y")
+    val r = Analyze.trendRegression(df, col("k"), col("x"), col("y"))
+      .select("slope", "intercept").head()
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("trendRegression matches the closed form on a non-exact fit") {
+    // (0,1),(1,1),(2,3): slope = (3·7 − 3·5)/(3·5 − 9) = 1, intercept = (5 − 3)/3
+    val df = Seq(("g", 0L, 1L), ("g", 1L, 1L), ("g", 2L, 3L)).toDF("k", "x", "y")
+    val r = Analyze.trendRegression(df, col("k"), col("x"), col("y"))
+      .select("slope", "intercept").head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 2.0 / 3.0) // exact: both compute (5−1·3)/3 in doubles
+  }
+
+  test("q105 agrees with the built-in regr_slope/regr_intercept per return flag") {
+    val rows = Analyze.q105TrendRegression(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "N", "R"))
+    // the float-moment built-in is order-dependent (hence unusable for
+    // the oracle hash) but must agree with the exact-sums closed form
+    // to ~1e-9 relative on this data
+    val builtin = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("regr_slope(round(l_extendedprice*100), round(l_quantity))").as("s"),
+        expr("regr_intercept(round(l_extendedprice*100), round(l_quantity))").as("i"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      val (s, i) = builtin(r.getString(0))
+      assert(math.abs(r.getDouble(2) - s) <= 1e-9 * math.max(1.0, math.abs(s)))
+      assert(math.abs(r.getDouble(3) - i) <= 1e-9 * math.max(1.0, math.abs(i)))
+    }
+  }
+
+  // ----- drift PSI (q106) ------------------------------------------
+
+  test("q106 total row aggregates the per-bucket micro-nat terms") {
+    val rows = Analyze.q106DriftPsi(spark, sf).collect()
+    val (total, perBucket) = rows.partition(_.getLong(0) == -1L)
+    assert(total.length == 1 && perBucket.nonEmpty)
+    assert(total.head.getLong(5) == perBucket.map(_.getLong(5)).sum)
+    assert(total.head.getLong(1) == perBucket.map(_.getLong(1)).sum)
+    assert(total.head.getLong(2) == perBucket.map(_.getLong(2)).sum)
+    // Laplace-smoothed shares are proper probabilities summing to 1
+    val sa = perBucket.map(_.getDouble(3)).sum
+    val sb = perBucket.map(_.getDouble(4)).sum
+    assert(math.abs(sa - 1.0) < 1e-9 && math.abs(sb - 1.0) < 1e-9)
+  }
+
+  test("PSI is zero for identical slices and positive under drift") {
+    def psiOf(rows: Array[org.apache.spark.sql.Row]): Long =
+      rows.find(_.getLong(0) == -1L).get.getLong(5)
+    // identical halves: doc 2k goes to A, doc 2k+1 to B with the SAME
+    // length — every per-bucket term cancels exactly
+    val same = Seq.tabulate(40)(i => (i.toLong, s"src${i % 2}", 100L + 100 * ((i / 2) % 4)))
+      .toDF("doc_id", "source", "n_chars")
+    // drifted: group A short docs, group B long docs
+    val drifted = (Seq.tabulate(20)(i => (i.toLong, "src2", 100L)) ++
+        Seq.tabulate(20)(i => (i + 100L, "src3", 400L)))
+      .toDF("doc_id", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("psi").toString
+    same.write.mode("overwrite").parquet(s"$dir/same/documents.parquet")
+    drifted.write.mode("overwrite").parquet(s"$dir/drift/documents.parquet")
+    assert(psiOf(Analyze.q106DriftPsi(spark, s"$dir/same").collect()) == 0L)
+    assert(psiOf(Analyze.q106DriftPsi(spark, s"$dir/drift").collect()) > 1000000L)
+  }
+
+  // ----- robust outliers (q107) ------------------------------------
+
+  test("q107 reports per-type medians, MADs, and bounded outlier counts") {
+    val rows = Analyze.q107OutlierMad(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("click", "error", "purchase", "signup", "view"))
+    rows.foreach { r =>
+      val (n, med, mad, nOut) = (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      assert(n > 0 && med > 0.0 && mad > 0.0)
+      assert(nOut >= 0 && nOut < n / 2) // a majority can never be outliers of its own median
+      // cents quantization: medians are dyadic (integer or half-integer)
+      assert(med * 2 == math.rint(med * 2))
+      assert(mad * 2 == math.rint(mad * 2))
+    }
+  }
+
+  // ----- temperature mix (q110) ------------------------------------
+
+  test("q110 temperature weights flatten the source distribution") {
+    val rows = Curation.q110TemperatureMix(spark, sf).collect()
+    assert(rows.length > 1)
+    val tot = rows.map(_.getLong(1)).sum.toDouble
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 10000.0) < 1e-5)
+    // α = 0.5 moves every share TOWARD uniform: sources below the
+    // proportional share gain, sources above it lose
+    val smallest = rows.minBy(_.getLong(1))
+    val largest = rows.maxBy(_.getLong(1))
+    if (smallest.getLong(1) != largest.getLong(1)) {
+      assert(smallest.getDouble(3) > smallest.getLong(1) / tot)
+      assert(largest.getDouble(3) < largest.getLong(1) / tot)
+    }
+  }
+
+  // ----- event transitions (q104) ----------------------------------
+
+  test("q104 transition rows normalize to 1 per source state") {
+    val rows = EventOps.q104EventTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      assert(math.abs(g.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+      g.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+    }
+    // counts are consistent with fracs: frac == n / Σn within the group
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val tot = g.map(_.getLong(2)).sum.toDouble
+      g.foreach(r => assert(r.getDouble(3) == r.getLong(2) / tot))
+    }
+  }
+}

@@ -80,4 +80,38 @@ class RetrievalBpeSpec extends AnyFunSuite with SparkSuite {
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     assert(out == Map(("a", "b") -> 5L, ("b", "c") -> 2L))
   }
+
+  test("bpeEncode reproduces the training segmentation on the Sennrich vocab") {
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("w", "freq")
+    val rank = Bpe.bpeTrain(vocab, 3).zipWithIndex.toMap
+    // rules: (e,s) < (es,t) < (l,o)
+    assert(Bpe.bpeEncode("lowest", rank) == Seq("lo", "w", "est"))
+    assert(Bpe.bpeEncode("low", rank) == Seq("lo", "w"))
+    assert(Bpe.bpeEncode("widest", rank) == Seq("w", "i", "d", "est"))
+  }
+
+  test("bpeEncode applies the lowest-rank merge first, not the leftmost") {
+    val rank = Map(("a", "b") -> 1, ("b", "c") -> 0)
+    // (b,c) trained earlier wins over the leftmost (a,b) candidate
+    assert(Bpe.bpeEncode("abc", rank) == Seq("a", "bc"))
+  }
+
+  test("bpeEncode round-trips and degrades to characters with no rules") {
+    val rank = Map(("e", "s") -> 0, ("es", "t") -> 1)
+    Seq("newest", "x", "", "stress").foreach { w =>
+      assert(Bpe.bpeEncode(w, rank).mkString == w)
+      assert(Bpe.bpeEncode(w, Map.empty).map(_.length).forall(_ == 1))
+    }
+  }
+
+  test("q108 token counts are bounded by words below and characters above") {
+    val rows = Bpe.q108BpeEncode(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nWords, nToks, nChars) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nWords > 0 && nToks >= nWords && nToks <= nChars)
+      assert(r.getDouble(4) == nChars.toDouble / nToks)
+    }
+  }
 }

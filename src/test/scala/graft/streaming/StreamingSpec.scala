@@ -179,4 +179,20 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("q109 stream-static join equals its batch equivalent") {
+    val streamed = StreamingOps.q109StreamStaticJoin(spark, dir)
+    val dim = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val batch = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // every purchase row joined: users are a subset of the dim keys
+    assert(streamed.agg(sum(col("n"))).head.getLong(0) ==
+      Tables.events(spark, dir).filter(col("event_type") === "purchase").count())
+  }
 }
