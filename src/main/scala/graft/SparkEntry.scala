@@ -175,7 +175,11 @@ object SparkEntry {
     // stream-static dimension-enrichment join
     "q109_stream_static_join" -> (StreamingOps.q109StreamStaticJoin _),
     // temperature-scaled source mix (countᵅ upsampling weights)
-    "q110_temperature_mix" -> (Curation.q110TemperatureMix _)
+    "q110_temperature_mix" -> (Curation.q110TemperatureMix _),
+    // per-user path NLL under the corpus Markov model (anomaly score)
+    "q111_path_anomaly" -> (EventOps.q111PathAnomaly _),
+    // equi-depth histogram (CBO selectivity / data-skipping statistic)
+    "q112_histogram_equidepth" -> (Analyze.q112HistogramEquidepth _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -280,6 +284,8 @@ object SparkEntry {
     "q106_drift_psi" -> Analyze.q106Sql,
     "q107_outlier_mad" -> Analyze.q107Sql,
     "q109_stream_static_join" -> StreamingOps.q109Sql,
-    "q110_temperature_mix" -> Curation.q110Sql
+    "q110_temperature_mix" -> Curation.q110Sql,
+    "q111_path_anomaly" -> EventOps.q111Sql,
+    "q112_histogram_equidepth" -> Analyze.q112Sql
   )
 }

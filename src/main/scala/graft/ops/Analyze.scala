@@ -241,4 +241,54 @@ object Analyze {
       | CAST(count(CASE WHEN d.dev > 3.0 * 1.4826 * m.mad THEN 1 END) AS BIGINT) AS n_out
       |FROM dev d JOIN mad m USING (event_type)
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q112: equi-depth histogram (CBO / data-skipping statistics)
+  // ------------------------------------------------------------------
+
+  /** q112: equi-depth (quartile) histogram of extendedprice — the
+    * statistic a cost-based optimizer keeps per column for selectivity
+    * estimation, and the boundary set a data-skipping layout (q82's
+    * z-order, file min/max envelopes) clusters against. Equi-DEPTH,
+    * not equi-width: each bucket holds ~25 % of rows regardless of
+    * value skew.
+    *
+    * Determinism: values are integer cents, so the exact interpolated
+    * quartiles are dyadic rationals both engines represent
+    * bit-identically (the q107 rule), and the ≤-boundary bucket
+    * assignment runs on identical doubles.
+    *
+    * Scale: ONE pass computes the boundaries (exact `percentile` here
+    * for oracle parity; approx_percentile — the q44 sketch — at 100 TB,
+    * constant state either way), the 1-row boundary frame broadcasts
+    * into a second scan-parallel pass for assignment + per-bucket
+    * aggregation. No global sort, no single-partition window — the
+    * trap an ntile() formulation would hit. */
+  def q112HistogramEquidepth(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.lineitem(s, d)
+      .select(Tables.cents(col("l_extendedprice")).cast("double").as("v"))
+    val bounds = v.agg(
+      expr("percentile(v, 0.25)").as("q1"),
+      expr("percentile(v, 0.5)").as("q2"),
+      expr("percentile(v, 0.75)").as("q3"))
+    v.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("v") <= col("q1"), 1L).when(col("v") <= col("q2"), 2L)
+          .when(col("v") <= col("q3"), 3L).otherwise(4L))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).cast("long").as("lo"), max(col("v")).cast("long").as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  val q112Sql: String =
+    """WITH v AS (
+      |  SELECT CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS DOUBLE) AS v
+      |  FROM lineitem),
+      |b AS (SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS q2,
+      |       quantile_cont(v, 0.75) AS q3 FROM v)
+      |SELECT CAST(CASE WHEN v <= q1 THEN 1 WHEN v <= q2 THEN 2
+      |            WHEN v <= q3 THEN 3 ELSE 4 END AS BIGINT) AS bucket,
+      | count(*) AS n, CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
+      |FROM v, b GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -281,4 +281,58 @@ object EventOps {
       |SELECT prev_type, next_type, n,
       | n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS frac
       |FROM tr ORDER BY prev_type, next_type""".stripMargin
+
+  /** q111: behavioral anomaly scoring — each user's event path scored
+   *  by its negative log-likelihood under the corpus-wide first-order
+   *  Markov model (q104's transition matrix). High avg-NLL users take
+   *  improbable action sequences; this is model-based anomaly
+   *  detection with the model TRAINED on the same engine pass.
+   *
+   *  Determinism: transition fracs are raw divisions of exact counts;
+   *  each step's −ln(frac) is micro-nat-quantized BEFORE the per-user
+   *  sum (order-free; the q79 ln() rule), and avg ships as a raw
+   *  long/long division.
+   *
+   *  Scale: one lag() window on the user_id partitioning, the T²-row
+   *  matrix re-joined by broadcast (never a shuffle of the event
+   *  stream on the pair key), one per-user hash aggregate riding the
+   *  same user_id partitioning as the window. */
+  def q111PathAnomaly(s: SparkSession, d: String): DataFrame = {
+    val perUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val matrix = Window.partitionBy(col("prev_type"))
+    val steps = events(s, d)
+      .filter(col("event_type").isNotNull)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(perUser))
+      .filter(col("prev_type").isNotNull)
+      .select(col("user_id"), col("prev_type"), col("event_type").as("next_type"))
+    val trans = steps
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("frac", col("n") / sum(col("n")).over(matrix))
+      .select(col("prev_type"), col("next_type"),
+        round(-log(col("frac")) * 1e6).cast("long").as("nll_micro"))
+    steps.join(broadcast(trans), Seq("prev_type", "next_type"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_steps"), sum(col("nll_micro")).as("path_nll_micro"))
+      .withColumn("avg_nll_micro", col("path_nll_micro") / col("n_steps"))
+      .orderBy(col("user_id"))
+  }
+
+  val q111Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events WHERE event_type IS NOT NULL),
+      |steps AS (
+      |  SELECT user_id, prev_type, event_type AS next_type
+      |  FROM seq WHERE prev_type IS NOT NULL),
+      |trans AS (
+      |  SELECT prev_type, next_type,
+      |   CAST(round(-ln(count(*) / CAST(sum(count(*)) OVER (PARTITION BY prev_type) AS DOUBLE)) * 1e6) AS BIGINT) AS nll_micro
+      |  FROM steps GROUP BY prev_type, next_type)
+      |SELECT s.user_id, count(*) AS n_steps,
+      | CAST(sum(t.nll_micro) AS BIGINT) AS path_nll_micro,
+      | sum(t.nll_micro) / CAST(count(*) AS DOUBLE) AS avg_nll_micro
+      |FROM steps s JOIN trans t USING (prev_type, next_type)
+      |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin
 }

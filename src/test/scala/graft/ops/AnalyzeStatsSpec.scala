@@ -96,6 +96,46 @@ class AnalyzeStatsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  // ----- path anomaly (q111) ---------------------------------------
+
+  test("q111 path NLL matches an in-memory recomputation exactly") {
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val steps = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      sorted.zip(sorted.tail).map { case (a, b) => (uid, a, b) }
+    }
+    val pairN = steps.groupBy(s => (s._2, s._3)).map { case (k, v) => k -> v.size.toLong }
+    val prevN = steps.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    def nllMicro(a: String, b: String): Long =
+      math.rint(-math.log(pairN((a, b)).toDouble / prevN(a)) * 1e6).toLong
+    val expected = steps.groupBy(_._1).map { case (uid, ss) =>
+      uid -> (ss.size.toLong, ss.map(s => nllMicro(s._2, s._3)).sum)
+    }
+    val got = EventOps.q111PathAnomaly(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
+  // ----- equi-depth histogram (q112) -------------------------------
+
+  test("q112 buckets are equi-depth, ordered, and non-overlapping") {
+    val rows = Analyze.q112HistogramEquidepth(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.lineitem(spark, sf).count())
+    rows.foreach { r => // ~25% each; ties can skew a little
+      assert(r.getLong(1) > total * 0.15 && r.getLong(1) < total * 0.35)
+      assert(r.getLong(2) <= r.getLong(3)) // lo <= hi within a bucket
+    }
+    rows.sliding(2).foreach { case Array(a, b) => // strictly separated ranges
+      assert(a.getLong(3) < b.getLong(2))
+    }
+  }
+
   // ----- temperature mix (q110) ------------------------------------
 
   test("q110 temperature weights flatten the source distribution") {
