@@ -600,10 +600,18 @@ object Dedup {
    *  gram key, then a per-document window (`max` over the trailing
    *  k-1 starts) to convert start flags into position coverage. No
    *  self-join on documents, no quadratic term anywhere: cost is
-   *  O(tokens) rows through two shuffles (gram key, doc key). At
-   *  100 TB the gram key would be a 128-bit hash instead of the gram
-   *  text (same plan, narrower shuffle); the string key is kept here
-   *  for exact oracle parity. Returns (doc_id, pos, tok, covered). */
+   *  O(tokens) rows through two shuffles (gram key, doc key).
+   *
+   *  The gram key is a 128-bit hash (two independent xxhash64
+   *  streams), never the gram text: the key is purely internal — the
+   *  dup decision (seen in ≥2 docs) is made and consumed inside this
+   *  plan, so only a 128-bit collision (~2⁻⁹⁶ at 10⁸ grams) could
+   *  perturb a result. The earlier string-keyed formulation OOM'd the
+   *  round-5 100× verify (60M-row octave, 8 GiB heap): 32 concurrent
+   *  string-keyed hash-agg tasks over ~10⁸ variable-width gram keys
+   *  exhausted the heap where two-long keys aggregate in a
+   *  fixed-width map and shuffle ~4× narrower. Returns
+   *  (doc_id, pos, tok, covered). */
   private[ops] def substrCoverage(docs: DataFrame, k: Int = SubstrK): DataFrame = {
     import docs.sparkSession.implicits._
     val toks = docs.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -612,17 +620,22 @@ object Dedup {
     // expression: the expression formulation re-copies k elements per
     // gram outside codegen and measured ~15× slower than tokenizing
     // once per document in JVM code (same finding as shingleRows).
+    // The gram string exists only inside this stage: it is hashed to
+    // (h1, h2) before anything shuffles.
     val starts = toks.flatMap { case (id, text0) =>
       val t = Option(text0).getOrElse("").trim.split("\\s+")
       if (t.length < k) Iterator.empty
       else Iterator.tabulate(t.length - k + 1)(i => (id, i + 1, t.slice(i, i + k).mkString(" ")))
     }.toDF("doc_id", "pos", "gram")
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("gram")).as("h1"),
+        xxhash64(lit("graft-substr-2"), col("gram")).as("h2"))
     // grams seen in ≥ 2 distinct documents
-    val dup = starts.groupBy(col("gram"))
+    val dup = starts.groupBy(col("h1"), col("h2"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2)
-      .select(col("gram"))
-    val dupStarts = starts.join(dup, "gram")
+      .select(col("h1"), col("h2"))
+    val dupStarts = starts.join(dup, Seq("h1", "h2"))
       .select(col("doc_id"), col("pos"), lit(1).as("dupstart"))
     // every token position, with its token (needed by the remover)
     val positions = toks.flatMap { case (id, text0) =>
