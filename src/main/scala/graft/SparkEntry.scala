@@ -179,7 +179,21 @@ object SparkEntry {
     // per-user path NLL under the corpus Markov model (anomaly score)
     "q111_path_anomaly" -> (EventOps.q111PathAnomaly _),
     // equi-depth histogram (CBO selectivity / data-skipping statistic)
-    "q112_histogram_equidepth" -> (Analyze.q112HistogramEquidepth _)
+    "q112_histogram_equidepth" -> (Analyze.q112HistogramEquidepth _),
+    // pairwise source-vocabulary Jaccard overlap (mixing diagnostic)
+    "q113_vocab_overlap" -> (TextAnalysis.q113VocabOverlap _),
+    // EXACT similarity self-join via prefix filtering (no LSH/blocking)
+    "q114_prefix_join" -> (Dedup.q114PrefixJoin _),
+    // per-document character-entropy quality signal
+    "q115_char_entropy" -> (TextAnalysis.q115CharEntropy _),
+    // daily calendar gap-fill + LOCF resample per user
+    "q116_gap_fill" -> (EventOps.q116GapFill _),
+    // 2D Pareto frontier (local-sweep-then-global skyline)
+    "q117_skyline" -> (Analyze.q117Skyline _),
+    // CUSUM level-shift change-point over the daily series
+    "q118_cusum" -> (Analyze.q118Cusum _),
+    // top-k PMI collocations (corpus bigram statistics)
+    "q119_pmi_collocations" -> (TextAnalysis.q119PmiCollocations _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -286,6 +300,13 @@ object SparkEntry {
     "q109_stream_static_join" -> StreamingOps.q109Sql,
     "q110_temperature_mix" -> Curation.q110Sql,
     "q111_path_anomaly" -> EventOps.q111Sql,
-    "q112_histogram_equidepth" -> Analyze.q112Sql
+    "q112_histogram_equidepth" -> Analyze.q112Sql,
+    "q113_vocab_overlap" -> TextAnalysis.q113Sql,
+    "q114_prefix_join" -> Dedup.q114Sql,
+    "q115_char_entropy" -> TextAnalysis.q115Sql,
+    "q116_gap_fill" -> EventOps.q116Sql,
+    "q117_skyline" -> Analyze.q117Sql,
+    "q118_cusum" -> Analyze.q118Sql,
+    "q119_pmi_collocations" -> TextAnalysis.q119Sql
   )
 }

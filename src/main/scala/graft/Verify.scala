@@ -43,6 +43,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the q61 gate memoizes its exact baselines + a checkpointed
+      // corpus-sized shingle frame for reuse across REPEATED gate
+      // runs (Bench's min-of-N); Verify evaluates each query once, so
+      // holding those pinned blocks for the rest of the suite is pure
+      // heap pressure at the large derived octaves — release them
+      if (name.startsWith("q61")) graft.ops.RecallGates.invalidateBaseline(sfDir)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

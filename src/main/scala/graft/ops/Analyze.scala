@@ -291,4 +291,142 @@ object Analyze {
       |            WHEN v <= q3 THEN 3 ELSE 4 END AS BIGINT) AS bucket,
       | count(*) AS n, CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
       |FROM v, b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q117: 2D skyline (Pareto frontier)
+  // ---------------------------------------------------------------
+
+  /** 2D skyline of (id, x, y) rows, both dimensions maximized: a row
+   *  survives iff no other row is ≥ in both dimensions and > in at
+   *  least one. Exact-duplicate (x, y) rows are mutually
+   *  non-dominating and all survive (strict-dominance semantics —
+   *  the NOT EXISTS definition).
+   *
+   *  Distributed shape: the skyline of a union is contained in the
+   *  union of per-part skylines, so each partition prunes locally
+   *  with an O(p log p) sort-sweep (sort by x desc, y desc; an
+   *  equal-x group survives iff its max y beats the running max y of
+   *  all strictly-greater x), then ONE tiny second pass sweeps the
+   *  surviving union. No all-pairs join, no corpus-wide
+   *  single-partition window — the two formulations this replaces.
+   *  The phase-2 input is worst-case the sum of per-partition
+   *  frontier sizes (anti-correlated data degrades toward the full
+   *  input; real spend/count distributions keep frontiers tiny). */
+  def skyline2d(pts: DataFrame): DataFrame = {
+    import pts.sparkSession.implicits._
+    def sweep(it: Iterator[(Long, Long, Long)]): Iterator[(Long, Long, Long)] = {
+      val rows = it.toArray.sortBy { case (id, x, y) => (-x, -y, id) }
+      val out = Array.newBuilder[(Long, Long, Long)]
+      var best = Long.MinValue
+      var i = 0
+      while (i < rows.length) {
+        val x = rows(i)._2
+        val groupMaxY = rows(i)._3 // first of the equal-x group (y desc)
+        var j = i
+        while (j < rows.length && rows(j)._2 == x) {
+          if (rows(j)._3 == groupMaxY && groupMaxY > best) out += rows(j)
+          j += 1
+        }
+        if (groupMaxY > best) best = groupMaxY
+        i = j
+      }
+      out.result().iterator
+    }
+    val typed = pts.as[(Long, Long, Long)]
+    val local = typed.mapPartitions(sweep)
+    local.repartition(1).mapPartitions(sweep)
+      .toDF(pts.columns: _*)
+      .orderBy(col(pts.columns(1)).desc, col(pts.columns(2)).desc,
+        col(pts.columns(0)))
+  }
+
+  /** q117: the customer Pareto frontier on (total spend, order
+   *  count) — "no other customer both spends more and orders more".
+   *  Spend is exact cents; the frontier is a set, so the result is
+   *  partitioning-independent. */
+  def q117Skyline(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(Tables.cents(col("o_totalprice"))).as("spend_cents"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"), col("spend_cents"), col("n_orders"))
+    skyline2d(agg)
+  }
+
+  /** Oracle: the window formulation — an equal-spend group survives
+   *  iff its max order-count beats every strictly-higher-spend row's
+   *  count (integer RANGE frame = strict dominance). Equivalent to
+   *  NOT EXISTS but linearithmic, so the selfcheck stays feasible at
+   *  the derived 10×/100× octaves. */
+  val q117Sql: String =
+    """WITH agg AS (
+      |  SELECT o_custkey,
+      |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+      |   count(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT o_custkey, spend_cents, n_orders,
+      |   max(n_orders) OVER (ORDER BY spend_cents
+      |     RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS best_above,
+      |   max(n_orders) OVER (PARTITION BY spend_cents) AS group_max
+      |  FROM agg)
+      |SELECT o_custkey, spend_cents, n_orders
+      |FROM w
+      |WHERE n_orders = group_max
+      |  AND (best_above IS NULL OR group_max > best_above)
+      |ORDER BY spend_cents DESC, n_orders DESC, o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q118: CUSUM change-point statistic
+  // ---------------------------------------------------------------
+
+  /** q118: CUSUM over the daily event-count series — the classic
+   *  level-shift detector: S_k = Σ_{i≤k}(x_i − mean). To keep every
+   *  engine exact, the deviations are scaled by the day count D:
+   *  D·S_k = D·prefix_k − k·T (T = total events) — pure int64
+   *  arithmetic, no rational mean. The |S| argmax row is flagged as
+   *  the change point (ties → earliest day).
+   *
+   *  Scale: the corpus-sized work is ONE hash aggregate to (day, n);
+   *  the window then runs over the day-count-sized series (≤ a few
+   *  thousand rows for years of data) — a deliberately tiny
+   *  single-partition tail, not a corpus-wide one. */
+  def q118Cusum(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val tot = daily.agg(sum(col("n")).as("t"), count(lit(1)).as("d"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val series = daily.crossJoin(broadcast(tot))
+      .withColumn("k", count(lit(1)).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cusum_d", sum(col("n")).over(w) * col("d") - col("k") * col("t"))
+    val peak = series.agg(max(abs(col("cusum_d"))).as("peak"))
+    val firstHit = series.crossJoin(broadcast(peak))
+      .filter(abs(col("cusum_d")) === col("peak"))
+      .agg(min(col("day")).as("cp"))
+    series.crossJoin(broadcast(firstHit))
+      .select(col("day"), col("n"), col("cusum_d"),
+        (col("day") === col("cp")).cast("int").as("is_changepoint"))
+      .orderBy(col("day"))
+  }
+
+  val q118Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1),
+      |tot AS (SELECT sum(n) AS t, count(*) AS d FROM daily),
+      |series AS (
+      |  SELECT day, n,
+      |   CAST(sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * d
+      |     - row_number() OVER (ORDER BY day) * t AS BIGINT) AS cusum_d
+      |  FROM daily, tot),
+      |peak AS (SELECT max(abs(cusum_d)) AS p FROM series),
+      |first_hit AS (SELECT min(day) AS cp FROM series, peak WHERE abs(cusum_d) = p)
+      |SELECT day, n, cusum_d,
+      | CAST(CASE WHEN day = cp THEN 1 ELSE 0 END AS INT) AS is_changepoint
+      |FROM series, first_hit
+      |ORDER BY day""".stripMargin
 }

@@ -128,7 +128,22 @@ object Dedup {
    *  similarity exceeds the threshold only via a non-min y is not
    *  emitted — bounded work over exhaustive recall, logged here
    *  rather than hidden. Below the cap nothing changes. The window
-   *  runs on the same (band, key) shuffle the join needs anyway. */
+   *  runs on the same (band, key) shuffle the join needs anyway.
+   *
+   *  Cap sizing: per-bucket clique work is ≤ cap², and for a bucket
+   *  filled with GENUINE near-dups the clique output is real result
+   *  rows — the cost is output-proportional, so a generous cap is
+   *  cheap where it matters. The q61 gate at the 100× octave caught
+   *  the old cap of 64 star-pairing through ±3%-perturbed clone
+   *  families of ~100 docs that share band keys without clearing the
+   *  pair threshold (families of 50 at the 50× octave still fit — a
+   *  cliff exactly at the cap): true same-copy pairs inside those
+   *  buckets were dropped. 256 clears duplication multiplicities
+   *  through the 200× octave; the residual star beyond the cap is
+   *  the permanent boundedness contract (an adversarial million-doc
+   *  identical-text bucket stays O(n)), with the wasted sub-threshold
+   *  clique work bounded by bands·cap² per family and discarded by
+   *  the est_jaccard filter downstream. */
   private[ops] def bandedPairs(banded: DataFrame, cap: Int = HotBucketCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("band"), col("key"))
@@ -147,7 +162,7 @@ object Dedup {
     cliques.union(stars).distinct()
   }
 
-  private val HotBucketCap = 64
+  private val HotBucketCap = 256
 
   /** Exact dedup: keeper = min doc_id per identical text. */
   def q20DedupExact(s: SparkSession, d: String): DataFrame =
@@ -758,6 +773,99 @@ object Dedup {
         col("keeper_id"))
       .orderBy(col("vec_id"))
   }
+
+  // ---------------------------------------------------------------
+  // q114: EXACT similarity self-join via prefix filtering (no LSH,
+  // no blocking key)
+  // ---------------------------------------------------------------
+
+  /** All shingle-set Jaccard pairs ≥ `threshold`, EXACTLY, via the
+   *  prefix-filtering principle (Chaudhuri/Ganti/Kaushik SSJoin;
+   *  Bayardo/Ma/Srikant all-pairs): order every set by one global
+   *  rarity order (ascending corpus frequency); if jac(A,B) ≥ t then
+   *  |A∩B| ≥ ⌈t·|A|⌉, so A and B MUST share an element inside their
+   *  first n−⌈t·n⌉+1 elements — joining only those prefixes finds
+   *  every qualifying pair with no false negatives, then an exact
+   *  verification on the full sets removes false positives.
+   *
+   *  This is the third point in the engine's similarity-join design
+   *  space: q23 is exact but needs a blocking key (lang) to bound the
+   *  self-join; q22's banded MinHash scales unblocked but is
+   *  probabilistic. Prefix filtering is exact AND unblocked — the
+   *  join touches only each set's rarest few elements, so hot
+   *  shingles ("the quick brown") never become join keys; skew is
+   *  excluded by construction, not capped after the fact.
+   *
+   *  Scale: shingles carry a 128-bit internal key (two xxhash64
+   *  streams, the q90 lesson — fixed-width agg state, narrow
+   *  shuffle); the global order is (corpus_freq, k1, k2), realized
+   *  per-doc by one window over the doc's own shingles (no global
+   *  rank materialization); candidate size-filter |B| ≥ ⌈t·|A|⌉
+   *  prunes before verification. */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleRows(docs)
+      .select(col("doc_id"),
+        xxhash64(col("s")).as("k1"), xxhash64(col("s"), lit(1)).as("k2"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val freq = sh.groupBy(col("k1"), col("k2")).agg(count(lit(1)).as("cnt"))
+    val prefix = sh.join(freq, Seq("k1", "k2"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("cnt"), col("k1"), col("k2"))))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("doc_id"), col("k1"), col("k2"), col("n"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("k1"), col("k2"),
+        col("n").as("n_a"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("k1"), col("k2"),
+        col("n").as("n_b")), Seq("k1", "k2"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("n_b") >= ceil(col("n_a") * threshold) &&
+        col("n_a") >= ceil(col("n_b") * threshold))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val co = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("k1"), col("k2")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("k1"), col("k2")),
+        Seq("doc_b", "k1", "k2"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("co"))
+    co.join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      // raw division: BASELINE.md's rational-rounding rule
+      .withColumn("jaccard",
+        col("co") * lit(1.0) / (col("n_a") + col("n_b") - col("co")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("co"), col("n_a"), col("n_b"),
+        col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q114: exact unblocked Jaccard ≥ 0.6 over 3-gram shingle sets —
+   *  the brute-force oracle proves the prefix filter lost nothing. */
+  def q114PrefixJoin(s: SparkSession, d: String): DataFrame =
+    prefixJaccardPairs(documents(s, d), 0.6)
+
+  /** Brute-force oracle: every co-occurring pair, no blocking, no
+   *  prefix — identical output proves zero false negatives. */
+  val q114Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+      |  WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |co AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, co, sa.n AS n_a, sb.n AS n_b,
+      | co * 1.0 / (sa.n + sb.n - co) AS jaccard
+      |FROM co JOIN sz sa ON co.doc_a = sa.doc_id
+      |        JOIN sz sb ON co.doc_b = sb.doc_id
+      |WHERE co * 1.0 / (sa.n + sb.n - co) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   val q92Sql: String =
     """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -335,4 +335,58 @@ object EventOps {
       | sum(t.nll_micro) / CAST(count(*) AS DOUBLE) AS avg_nll_micro
       |FROM steps s JOIN trans t USING (prev_type, next_type)
       |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q116: calendar gap-fill + last-observation-carried-forward
+  // ---------------------------------------------------------------
+
+  /** q116: regularize each user's event history onto a dense daily
+   *  calendar — missing days appear with n_events = 0 and the value
+   *  column carried forward from the last observed day (LOCF), the
+   *  canonical resample step before any time-series model or
+   *  day-over-day comparison.
+   *
+   *  Value sums are cents-quantized longs (Tables.cents) so both the
+   *  daily aggregate and the carried value are exact integers —
+   *  LOCF then moves an exact value, not a float.
+   *
+   *  Scale: one hash aggregate to (user, day); the calendar explode
+   *  generates only span-length rows per user (output-sized, not
+   *  corpus-sized); the LOCF window partitions BY USER — thousands
+   *  of independent partitions, never a global sort. */
+  def q116GapFill(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+    val daily = ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(Tables.cents(col("value"))).as("c"))
+    val days = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("user_id"),
+        explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+    days.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("c"), ignoreNulls = true).over(
+          Window.partitionBy(col("user_id")).orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cents_locf"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val q116Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+      |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |span AS (
+      |  SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1),
+      |cal AS (
+      |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
+      |  FROM span)
+      |SELECT cal.user_id, cal.day, coalesce(n, 0) AS n_events,
+      | last_value(c IGNORE NULLS) OVER (
+      |   PARTITION BY cal.user_id ORDER BY cal.day
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_locf
+      |FROM cal LEFT JOIN daily USING (user_id, day)
+      |ORDER BY user_id, day""".stripMargin
 }

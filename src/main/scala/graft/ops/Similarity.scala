@@ -337,6 +337,10 @@ object Similarity {
   private val PqM = 8           // subspaces (64-d → 8-d sub-vectors)
   private val PqK = 16          // centroids per subspace → 4-bit codes
   private val PqCandidates = 50 // ADC shortlist size before exact re-rank
+  // hard bound on the tie-inclusive shortlist (see pqShortlistRerank):
+  // an equal-code family larger than this is cut by id order — the
+  // documented boundedness trade, mirroring Dedup.HotBucketCap
+  private val PqTieCap = 1000
 
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
@@ -446,14 +450,37 @@ object Similarity {
     * exact cosine re-rank. Larger value wins in TopK, so the
     * quantized distance is negated (unit-sphere L2² ∈ [0,4] → the
     * 1e9 quantization keeps 9 significant digits, far below any
-    * meaningful ADC gap; ties break on nid); the shortlist rides the
-    * bounded TopK aggregate, not a window sort. */
+    * meaningful ADC gap); the shortlist rides the bounded TopK
+    * aggregate, not a window sort.
+    *
+    * The shortlist is TIE-INCLUSIVE: every candidate whose quantized
+    * ADC distance is at least as good as the PqCandidates-th best
+    * enters the re-rank (up to the PqTieCap heap bound). ADC cannot
+    * rank inside an equal-code group — a 4-bit-per-subspace code maps
+    * many near-clones to the SAME code word — so cutting an equal-
+    * distance group at position k by an arbitrary id order discards
+    * true neighbors the exact re-rank could have recovered. The q61
+    * pq floor caught exactly this at the 100× octave: ±3% clone
+    * families of ~100 vectors share one code word, the old id-order
+    * cut kept the lowest 50 ids of the tied family, and recall fell
+    * below 0.6 (families of ≤50 at the 50× octave still fit — a
+    * cliff at the shortlist size). Beyond PqTieCap the cut is the
+    * documented boundedness trade, same contract as the dedup side's
+    * hot-bucket cap. */
   private def pqShortlistRerank(e: DataFrame, scored: DataFrame): DataFrame = {
     val cand = scored
       .withColumn("negq", (-col("adc") * lit(1e9)).cast("long"))
       .groupBy(col("qid"))
-      .agg(graft.functions.TopK.topk(col("negq"), col("nid"), PqCandidates).as("sel"))
-      .select(col("qid"), explode(col("sel.payload")).as("nid"))
+      .agg(graft.functions.TopK.topk(col("negq"), col("nid"), PqTieCap).as("sel"))
+      // boundary key = the PqCandidates-th best kept (everything kept
+      // when the corpus is smaller than the shortlist)
+      .withColumn("thr",
+        when(size(col("sel")) >= PqCandidates,
+          element_at(col("sel.v"), PqCandidates))
+          .otherwise(lit(Long.MinValue)))
+      .select(col("qid"),
+        explode(expr("filter(sel, x -> x.v >= thr)")).as("c"))
+      .select(col("qid"), col("c.payload").as("nid"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     cand.join(e, col("nid") === col("vec_id"))

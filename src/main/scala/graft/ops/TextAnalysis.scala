@@ -553,4 +553,179 @@ object TextAnalysis {
       | count(CASE WHEN v.term IS NULL THEN 1 END) * 1.0 / count(*) AS oov_frac
       |FROM t LEFT JOIN vocab v USING (term)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q113: pairwise source-vocabulary overlap (Jaccard matrix)
+  // ---------------------------------------------------------------
+
+  /** q113: Jaccard overlap between the distinct-term vocabularies of
+   *  every source pair — the diagnostic a mixing policy (q74/q110)
+   *  consults before blending sources: near-identical vocabularies
+   *  mean the sources are redundant, disjoint ones mean a blend
+   *  shifts the token distribution.
+   *
+   *  Scale: one distinct-aggregate on (source, term), then a
+   *  self-join on `term` — each term contributes C(s_t, 2) pairs
+   *  where s_t ≤ #sources, so the join output is ≤ C(S,2) rows per
+   *  term: linear in the vocabulary, never quadratic in the corpus.
+   *  The S×S result is tiny by construction. */
+  def q113VocabOverlap(s: SparkSession, d: String): DataFrame = {
+    val terms = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .select(col("source"), col("term")).distinct()
+    val sizes = terms.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val a = terms.toDF("source_a", "term")
+    val b = terms.toDF("source_b", "term")
+    a.join(b, Seq("term")).filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b")).agg(count(lit(1)).as("co"))
+      .join(sizes.toDF("source_a", "n_a"), Seq("source_a"))
+      .join(sizes.toDF("source_b", "n_b"), Seq("source_b"))
+      // raw division (BASELINE.md rounding rule): identical exact
+      // longs make the double bit-identical across engines
+      .select(col("source_a"), col("source_b"), col("co"),
+        col("n_a"), col("n_b"),
+        (col("co") * lit(1.0) / (col("n_a") + col("n_b") - col("co"))).as("jac"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val q113Sql: String =
+    """WITH t AS (
+      |  SELECT DISTINCT source, term FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS term
+      |    FROM documents) u WHERE length(term) > 0),
+      |sz AS (SELECT source, count(*) AS n FROM t GROUP BY source),
+      |co AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS co
+      |  FROM t a JOIN t b ON a.term = b.term AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, co, sa.n AS n_a, sb.n AS n_b,
+      | co * 1.0 / (sa.n + sb.n - co) AS jac
+      |FROM co JOIN sz sa ON co.source_a = sa.source
+      |        JOIN sz sb ON co.source_b = sb.source
+      |ORDER BY source_a, source_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q115: per-document character-entropy quality signal
+  // ---------------------------------------------------------------
+
+  /** q115: Shannon entropy of the character distribution per
+   *  document — a cheap, language-agnostic quality/gibberish signal
+   *  (near-zero for repeated-char junk, high for random noise;
+   *  natural text sits in a narrow band). Computed in ONE typed map
+   *  per document (the shingleRows lesson: per-char column-level
+   *  explode would shuffle corpus×chars rows for a per-row answer).
+   *
+   *  Cross-engine determinism: each character's contribution
+   *  cnt·ln(n/cnt) is quantized to integral micro-nats BEFORE
+   *  summing (order-free, the q79 pattern), and the final entropy
+   *  ships as the raw division of exact longs. */
+  def q115CharEntropy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text0) =>
+        val text = Option(text0).getOrElse("")
+        val n = text.length.toLong
+        var sumMicro = 0L
+        if (n > 0) {
+          val counts = new java.util.HashMap[Char, Long]()
+          text.foreach(c => counts.merge(c, 1L, _ + _))
+          counts.forEach { (_, cnt) =>
+            sumMicro += math.round(cnt * math.log(n.toDouble / cnt) * 1e6)
+          }
+        }
+        (id, n, sumMicro)
+      }
+      .toDF("doc_id", "n_chars", "sum_micro")
+      .withColumn("entropy_nats",
+        when(col("n_chars") > 0, col("sum_micro") / 1e6 / col("n_chars"))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  val q115Sql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |cc AS (SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2),
+      |n AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars FROM cc GROUP BY 1),
+      |terms AS (
+      |  SELECT cc.doc_id,
+      |   CAST(round(cnt * ln(CAST(n_chars AS DOUBLE) / cnt) * 1e6) AS BIGINT) AS m
+      |  FROM cc JOIN n USING (doc_id))
+      |SELECT n.doc_id, n.n_chars,
+      | CAST(coalesce(sum(m), 0) AS BIGINT) AS sum_micro,
+      | CASE WHEN n.n_chars > 0
+      |      THEN coalesce(sum(m), 0) / 1e6 / n.n_chars ELSE 0.0 END AS entropy_nats
+      |FROM n LEFT JOIN terms USING (doc_id)
+      |GROUP BY n.doc_id, n.n_chars
+      |ORDER BY n.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q119: top-k PMI collocations (corpus bigram statistics)
+  // ---------------------------------------------------------------
+
+  /** q119: the corpus' strongest collocations — adjacent token pairs
+   *  ranked by pointwise mutual information. PMI compares the
+   *  bigram's observed rate against independence:
+   *  ln(p(a,b) / (p(a)·p(b))) with p(a,b) over bigram positions and
+   *  p(·) over token positions. Low-support pairs (c_ab < 5) are
+   *  noise and excluded, as every published collocation pipeline
+   *  does.
+   *
+   *  Determinism: the PMI double is computed with ONE canonical
+   *  left-associated expression on exact longs — both engines follow
+   *  IEEE round-to-nearest per op, so identical inputs + identical
+   *  association give the identical double — then quantized to
+   *  micro-nats (ln is irrational: round() is boundary-safe). The
+   *  top-20 ranks on the exact (pmi_micro, w, w2) triple.
+   *
+   *  Scale: two hash aggregates (bigrams, unigrams) + a join of the
+   *  bigram table against two 1-row-per-term tables; the heavy frame
+   *  shuffles once on the bigram key. Top-k is a TakeOrdered, not a
+   *  global sort. */
+  def q119PmiCollocations(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val big = toks
+      .withColumn("w2",
+        lead(col("w"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .select(col("w"), col("w2"))
+    val nTok = toks.select(count(lit(1)).as("n_tok"))
+    val nBig = big.select(count(lit(1)).as("n_big"))
+    val c2 = big.groupBy(col("w"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    c2.join(c1.toDF("w", "c_a"), Seq("w"))
+      .join(c1.toDF("w2", "c_b"), Seq("w2"))
+      .crossJoin(nTok).crossJoin(nBig)
+      // one canonical left-to-right association, mirrored in the SQL
+      .withColumn("pmi_micro",
+        round(log(col("c_ab").cast("double") * col("n_tok") / col("c_a")
+          * col("n_tok") / col("c_b") / col("n_big")) * 1e6).cast("long"))
+      .select(col("w"), col("w2"), col("c_ab"), col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w"), col("w2"))
+      .limit(20)
+  }
+
+  val q119Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, i AS pos, t[i] AS w
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) s,
+      |   LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+      |big AS (
+      |  SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |  FROM toks QUALIFY w2 IS NOT NULL),
+      |n1 AS (SELECT count(*) AS n_tok FROM toks),
+      |n2 AS (SELECT count(*) AS n_big FROM big),
+      |c2 AS (SELECT w, w2, count(*) AS c_ab FROM big GROUP BY 1, 2
+      |       HAVING count(*) >= 5),
+      |c1 AS (SELECT w, count(*) AS c_w FROM toks GROUP BY 1)
+      |SELECT c2.w, c2.w2, c_ab,
+      | CAST(round(ln(CAST(c_ab AS DOUBLE) * n_tok / ca.c_w
+      |   * n_tok / cb.c_w / n_big) * 1e6) AS BIGINT) AS pmi_micro
+      |FROM c2 JOIN c1 ca ON c2.w = ca.w JOIN c1 cb ON c2.w2 = cb.w,
+      |     n1, n2
+      |ORDER BY pmi_micro DESC, c2.w, c2.w2 LIMIT 20""".stripMargin
 }

@@ -1,0 +1,192 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q113–q119: vocab overlap, prefix-filter similarity join, char
+  * entropy, calendar gap-fill, skyline, CUSUM, PMI collocations. */
+class FrontierResampleSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ----- skyline2d (q117) ------------------------------------------
+
+  private def bruteSkyline(pts: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] =
+    pts.filter { p =>
+      !pts.exists(q => q._2 >= p._2 && q._3 >= p._3 &&
+        (q._2 > p._2 || q._3 > p._3))
+    }.toSet
+
+  test("skyline2d matches strict-dominance brute force, duplicates kept") {
+    val pts: Seq[(Long, Long, Long)] = Seq(
+      (1L, 10L, 1L), (2L, 9L, 5L), (3L, 9L, 5L), // duplicate (x,y): both stay
+      (4L, 9L, 4L),  // dominated inside its equal-x group
+      (5L, 10L, 0L), // dominated strictly in y by id 1
+      (6L, 1L, 9L), (7L, 0L, 10L), (8L, 1L, 8L))
+    val got = Analyze.skyline2d(pts.toDF("id", "x", "y"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == bruteSkyline(pts))
+    assert(got.contains((2L, 9L, 5L)) && got.contains((3L, 9L, 5L)))
+  }
+
+  test("skyline2d is partitioning-independent on random anti-correlated data") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1L to 400L).map { id =>
+      val x = rnd.nextInt(100).toLong
+      (id, x, 100L - x + rnd.nextInt(20)) // anti-correlated: wide frontier
+    }
+    val expected = bruteSkyline(pts)
+    Seq(1, 3, 8).foreach { p =>
+      val got = Analyze.skyline2d(pts.toDF("id", "x", "y").repartition(p))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected, s"partitions=$p")
+    }
+  }
+
+  test("q117 frontier rows are mutually non-dominating and dominate the rest") {
+    val rows = Analyze.q117Skyline(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    for (p <- rows; q <- rows if p != q)
+      assert(!(q._2 >= p._2 && q._3 >= p._3 && (q._2 > p._2 || q._3 > p._3)))
+  }
+
+  // ----- prefixJaccardPairs (q114) ---------------------------------
+
+  private def bruteJaccard(docs: Seq[(Long, String)], t: Double) = {
+    val sets = docs.map { case (id, text) =>
+      id -> text.trim.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      co = (sets(a) & sets(b)).size
+      jac = co.toDouble / (sets(a).size + sets(b).size - co)
+      if jac >= t
+    } yield (a, b)).toSet
+  }
+
+  test("prefixJaccardPairs matches brute force — zero false negatives") {
+    val base = "a b c d e f g h i j k l m n o p"
+    val docs: Seq[(Long, String)] = Seq(
+      1L -> base,
+      2L -> base,                         // identical: jac 1.0
+      3L -> (base + " q r"),              // high overlap
+      4L -> "z y x w v u t s r q p o",    // mostly disjoint
+      5L -> "a b c z z1 z2 z3 z4 z5 z6 z7 z8", // low overlap
+      6L -> (base.split(" ").drop(2).mkString(" ") + " aa bb")) // medium
+    val df = docs.map { case (id, t) => (id, "en", t) }.toDF("doc_id", "lang", "text")
+    for (t <- Seq(0.4, 0.6, 0.9)) {
+      val got = Dedup.prefixJaccardPairs(df, t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got == bruteJaccard(docs, t), s"threshold=$t")
+    }
+  }
+
+  test("prefixJaccardPairs agrees with lang-blocked q23 on single-lang corpus") {
+    // one lang ⇒ blocking is a no-op ⇒ the two EXACT paths must agree
+    val docs = Tables.documents(spark, sf).withColumn("lang", lit("xx"))
+    val viaPrefix = Dedup.prefixJaccardPairs(docs, 0.6)
+      .select("doc_a", "doc_b", "co").as[(Long, Long, Long)].collect().toSet
+    val viaBlocked = Dedup.jaccardPairs(docs, 0.6)
+      .select("doc_a", "doc_b", "co").as[(Long, Long, Long)].collect().toSet
+    assert(viaPrefix == viaBlocked)
+  }
+
+  // ----- q115 char entropy -----------------------------------------
+
+  test("q115 entropy: zero for constant text, ln(k) for uniform, bounded") {
+    val rows = TextAnalysis.q115CharEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val e = r.getDouble(3)
+      assert(e >= 0.0 && e <= math.log(n.toDouble) + 1e-9)
+    }
+    // closed forms of the micro-nat quantization: constant text → 0,
+    // a 4-char uniform doc → 4·round(ln 4·10⁶)
+    assert(math.round(4 * math.log(4.0 / 4) * 1e6) == 0L)
+    assert(4L * math.round(math.log(4.0) * 1e6) == 4L * 1386294L)
+  }
+
+  // ----- q116 gap-fill + LOCF --------------------------------------
+
+  test("q116 calendar is dense per user; gaps carry the last value forward") {
+    val rows = EventOps.q116GapFill(spark, sf)
+      .select(col("user_id"), col("day").cast("string"), col("n_events"),
+        col("cents_locf"))
+      .as[(Long, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (_, rs) =>
+      val days = rs.map(r => java.time.LocalDate.parse(r._2)).sorted
+      // dense: span length == row count
+      val span = java.time.temporal.ChronoUnit.DAYS.between(days.head, days.last) + 1
+      assert(span == days.length.toLong)
+      // LOCF: a zero-event day repeats the previous day's carried value
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) if cur._3 == 0L => assert(cur._4 == prev._4)
+        case _ =>
+      }
+    }
+    // gap rows exist at this SF and total events are preserved
+    assert(rows.exists(_._3 == 0L))
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_._3).sum == total)
+  }
+
+  // ----- q118 CUSUM ------------------------------------------------
+
+  test("q118 cusum ends at zero and flags exactly one earliest peak") {
+    val rows = Analyze.q118Cusum(spark, sf)
+      .select(col("day").cast("string"), col("n"), col("cusum_d"),
+        col("is_changepoint"))
+      .as[(String, Long, Long, Int)].collect().sortBy(_._1)
+    assert(rows.last._3 == 0L) // S_D = D·T − D·T
+    assert(rows.map(_._4).sum == 1)
+    val peak = rows.map(r => math.abs(r._3)).max
+    val cp = rows.find(_._4 == 1).get
+    assert(math.abs(cp._3) == peak)
+    assert(rows.filter(r => math.abs(r._3) == peak).head._1 == cp._1) // earliest
+    // recompute the scaled cusum directly
+    val d = rows.length.toLong
+    val t = rows.map(_._2).sum
+    var prefix = 0L
+    rows.zipWithIndex.foreach { case (r, i) =>
+      prefix += r._2
+      assert(r._3 == prefix * d - (i + 1) * t)
+    }
+  }
+
+  // ----- q113 vocab overlap ----------------------------------------
+
+  test("q113 emits every source pair once with a valid jaccard") {
+    val rows = TextAnalysis.q113VocabOverlap(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, co, na, nb, jac) =>
+      assert(a < b)
+      assert(co <= math.min(na, nb))
+      assert(jac == co.toDouble / (na + nb - co))
+    }
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+  }
+
+  // ----- q119 PMI --------------------------------------------------
+
+  test("q119 ranks by exact micro-PMI with full support filter") {
+    val rows = TextAnalysis.q119PmiCollocations(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_._3 >= 5))
+    // sorted by (pmi desc, w, w2)
+    rows.sliding(2).foreach {
+      case Array(p, c) =>
+        assert(p._4 > c._4 ||
+          (p._4 == c._4 && (p._1 < c._1 || (p._1 == c._1 && p._2 <= c._2))))
+      case _ =>
+    }
+  }
+}
