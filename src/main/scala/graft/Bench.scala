@@ -54,11 +54,17 @@ object Bench {
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
     }
-    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
+    // ms precision: full Double digits made the one-line JSON long
+    // enough that a prior round's stdout-tail capture truncated its
+    // HEAD and the recorder parsed null — sub-ms digits are container
+    // noise anyway. Double.toString (not %f) is locale-independent:
+    // a comma decimal point would not be JSON.
+    def sec(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"${esc(sfDir)}"}"""
+    val json = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"${esc(sfDir)}"}"""
     println(json)
     // also land the JSON in a file so the recorded artifact never
     // depends on stdout-tail capture (a prior round's artifact lost

@@ -26,6 +26,11 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
+    // name -> exception for every query that crashed, dumped as
+    // errors.json alongside the outputs: a crashed query must be an
+    // explicit red entry in the round artifact, not a silent absence
+    // (round 5 lost 15 queries invisibly to a testdata type change)
+    var errors = List.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -42,6 +47,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors ::= name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}"
       }
       // the q61 gate memoizes its exact baselines + a checkpointed
       // corpus-sized shingle frame for reuse across REPEATED gate
@@ -72,6 +78,11 @@ object Verify {
       SparkEntry.queries.keys.toSeq
         .filter(n => only.forall(_.contains(n)))
         .sorted.map(q).mkString("[", ",", "]"))
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.map(_._1).sorted.mkString(", ")}")
     graft.ops.InferOps.cleanupScratch()
     spark.stop()
   }

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provisioned parquet tables (TESTDATA.md). */
 object Tables {
@@ -20,13 +20,20 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** Normalizes a `ts` column that read as raw int64 nanos (under
-    * nanosAsLong) to micros TimestampType; native timestamps pass
-    * through; anything else fails fast at the source instead of
-    * surfacing later as an unexplained oracle/type error. Integer
-    * division: ns epochs (~1.7e18) overflow double precision. */
+  /** Normalizes a `ts` column to micros TimestampType regardless of how
+    * the provisioned parquet spelled it: raw int64 nanos (under
+    * nanosAsLong), TIMESTAMP(MICROS, isAdjustedToUTC=false) — which
+    * Spark surfaces as TimestampNTZType and a later re-provision of
+    * events.parquet actually used — or native TimestampType. The NTZ
+    * cast is value-preserving because every graft session pins
+    * spark.sql.session.timeZone=UTC, so the stored wall-clock micros
+    * are reinterpreted as the same UTC instant DuckDB reads. Anything
+    * else fails fast at the source instead of surfacing later as an
+    * unexplained oracle/type error. Integer division for the nanos
+    * leg: ns epochs (~1.7e18) overflow double precision. */
   def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case TimestampType => df
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
     case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     case other => throw new IllegalStateException(s"unexpected ts type $other")
   }
