@@ -193,7 +193,17 @@ object SparkEntry {
     // CUSUM level-shift change-point over the daily series
     "q118_cusum" -> (Analyze.q118Cusum _),
     // top-k PMI collocations (corpus bigram statistics)
-    "q119_pmi_collocations" -> (TextAnalysis.q119PmiCollocations _)
+    "q119_pmi_collocations" -> (TextAnalysis.q119PmiCollocations _),
+    // overlapping context-window chunking (retrieval/packing prep)
+    "q120_doc_chunking" -> (Audit.q120DocChunking _),
+    // exact embedding covariance from one-pass quantized moment sums
+    "q121_embedding_covariance" -> (Audit.q121EmbeddingCovariance _),
+    // blocked edit-distance entity resolution (record linkage)
+    "q122_entity_resolution" -> (Audit.q122EntityResolution _),
+    // source-balance audit: Gini / HHI / entropy of token share
+    "q123_source_balance" -> (Audit.q123SourceBalance _),
+    // per-document n-gram novelty (dedup-aware curriculum signal)
+    "q124_ngram_novelty" -> (Audit.q124NgramNovelty _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -307,6 +317,11 @@ object SparkEntry {
     "q116_gap_fill" -> EventOps.q116Sql,
     "q117_skyline" -> Analyze.q117Sql,
     "q118_cusum" -> Analyze.q118Sql,
-    "q119_pmi_collocations" -> TextAnalysis.q119Sql
+    "q119_pmi_collocations" -> TextAnalysis.q119Sql,
+    "q120_doc_chunking" -> Audit.q120Sql,
+    "q121_embedding_covariance" -> Audit.q121Sql,
+    "q122_entity_resolution" -> Audit.q122Sql,
+    "q123_source_balance" -> Audit.q123Sql,
+    "q124_ngram_novelty" -> Audit.q124Sql
   )
 }

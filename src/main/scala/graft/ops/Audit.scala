@@ -1,0 +1,371 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus preparation + audit operators (round 6): context-window
+ * chunking, exact embedding covariance, blocked edit-distance entity
+ * resolution, source-balance metrics, and per-document n-gram novelty.
+ *
+ * These extend the training-data-pipeline surface beyond the
+ * reference (which has no query engine at all — its only scan is the
+ * full-table export, `/root/reference/diepy/core.py:291`); semantics
+ * follow the published pipeline literature (chunked retrieval /
+ * context packing, dataset-balance audits, novelty-aware curricula).
+ * Every operator here is a declarative plan: narrow scans, partial
+ * aggregation before any shuffle, and no driver-side loops.
+ */
+object Audit {
+  import Tables._
+
+  // ---------------------------------------------------------------
+  // q120: overlapping context-window chunking
+  // ---------------------------------------------------------------
+
+  private val ChunkSize = 200
+  private val ChunkStride = 150
+
+  /** q120: split every document into overlapping fixed-size character
+   *  chunks (size 200, stride 150 → 50-char overlap) — the standard
+   *  retrieval/context-window preparation step. One generated
+   *  sequence + explode per row: chunk starts are 1, 151, 301, …
+   *  while ≤ length(text), so the final chunk may be short (substr
+   *  clamps) and a hypothetical empty text still yields one empty
+   *  chunk (greatest(len,1) keeps the sequence non-degenerate in
+   *  both engines).
+   *
+   *  Scale: scan-local projection — no shuffle, no UDF; sequence/
+   *  explode/substring are all codegen'd, and output size is
+   *  len/stride ≈ 1.33× the input bytes, independent of row count. */
+  /** Core of q120 over any (doc_id, text) frame. */
+  def chunkDocs(docs: DataFrame, size: Int, stride: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"))
+      .withColumn("chunk_start",
+        explode(sequence(lit(1), greatest(length(col("text")), lit(1)),
+          lit(stride))))
+      .select(
+        col("doc_id"),
+        ((col("chunk_start") - 1) / stride).cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        expr(s"substring(text, chunk_start, $size)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  def q120DocChunking(s: SparkSession, d: String): DataFrame =
+    chunkDocs(documents(s, d), ChunkSize, ChunkStride)
+
+  val q120Sql: String =
+    """SELECT doc_id,
+      | CAST((gs - 1) // 150 AS BIGINT) AS chunk_idx,
+      | CAST(gs AS BIGINT) AS chunk_start,
+      | substr(text, CAST(gs AS INTEGER), 200) AS chunk,
+      | CAST(length(substr(text, CAST(gs AS INTEGER), 200)) AS BIGINT) AS chunk_len
+      |FROM (
+      |  SELECT doc_id, text,
+      |   unnest(generate_series(1, greatest(length(text), 1), 150)) AS gs
+      |  FROM documents)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q121: exact embedding covariance (quantized one-pass outer product)
+  // ---------------------------------------------------------------
+
+  /** Quantization scale: float components are promoted to double
+   *  (exact) and scaled by 1e4 — a 24-bit float mantissa times 10⁴
+   *  stays exact in a double, so `round` behaves identically in both
+   *  engines, and products stay far under Long range at any corpus
+   *  size that fits an executor count (1e8 per product). */
+  private val CovScale = 10000.0
+
+  /** q121: the d×d covariance matrix of the embedding column, upper
+   *  triangle, from EXACT integer moment sums — the statistic behind
+   *  PCA/whitening of an embedding store. Each component is quantized
+   *  to round(x·1e4) (value-preserving per [[CovScale]]); Σqᵢ, Σqᵢqⱼ
+   *  are then order-independent integer sums, and cov(i,j) =
+   *  (Sᵢⱼ/n − (Sᵢ/n)(Sⱼ/n))/1e8 is the same IEEE expression in both
+   *  engines.
+   *
+   *  Scale shape: ONE pass — mapPartitions accumulates the d(d+1)/2
+   *  product sums and d component sums per partition in flat long
+   *  arrays (no per-row allocation beyond the quantized buffer), then
+   *  emits d(d+1)/2 partial rows per partition; the only shuffle is
+   *  that tiny partial-aggregate frame (32×2080 rows at d=64). The
+   *  oracle's posexplode+self-join formulation would shuffle corpus×d²
+   *  rows — that asymmetry is the point of the operator. */
+  /** Core of q121 over any frame with an `embedding: array<float>`
+    * column. */
+  def embeddingCovariance(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val partials = vecs.select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next()
+          val dim = first.length
+          val nPairs = dim * (dim + 1) / 2
+          val sv = new Array[Long](dim)
+          val sp = new Array[Long](nPairs)
+          val q = new Array[Long](dim)
+          var n = 0L
+          def add(v: Array[Float]): Unit = {
+            n += 1
+            var i = 0
+            while (i < dim) {
+              q(i) = math.round(v(i).toDouble * CovScale)
+              sv(i) += q(i)
+              i += 1
+            }
+            var idx = 0
+            i = 0
+            while (i < dim) {
+              var j = i
+              while (j < dim) { sp(idx) += q(i) * q(j); idx += 1; j += 1 }
+              i += 1
+            }
+          }
+          add(first)
+          it.foreach(add)
+          val out = Array.newBuilder[(Int, Int, Long, Long, Long, Long)]
+          var idx = 0
+          var i = 0
+          while (i < dim) {
+            var j = i
+            while (j < dim) {
+              out += ((i, j, n, sv(i), sv(j), sp(idx)))
+              idx += 1; j += 1
+            }
+            i += 1
+          }
+          out.result().iterator
+        }
+      }
+      .toDF("i", "j", "np", "si", "sj", "sij")
+    partials
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("np")).as("n"), sum(col("si")).as("s_i"),
+        sum(col("sj")).as("s_j"), sum(col("sij")).as("s_ij"))
+      .select(
+        col("i").cast("long").as("i"),
+        col("j").cast("long").as("j"),
+        col("n"),
+        ((col("s_ij") / col("n") - (col("s_i") / col("n")) * (col("s_j") / col("n")))
+          / lit(CovScale * CovScale)).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  def q121EmbeddingCovariance(s: SparkSession, d: String): DataFrame =
+    embeddingCovariance(embeddings(s, d))
+
+  val q121Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |   unnest(generate_series(1, len(embedding))) AS i,
+      |   unnest(embedding) AS x
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, i - 1 AS i,
+      |   CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS qv
+      |  FROM e),
+      |p AS (
+      |  SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+      |   CAST(sum(a.qv * b.qv) AS BIGINT) AS s_ij
+      |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+      |  GROUP BY 1, 2),
+      |m AS (SELECT i, CAST(sum(qv) AS BIGINT) AS s FROM q GROUP BY 1)
+      |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j, p.n,
+      | (CAST(p.s_ij AS DOUBLE) / p.n
+      |    - (CAST(mi.s AS DOUBLE) / p.n) * (CAST(mj.s AS DOUBLE) / p.n))
+      |   / 100000000.0 AS cov
+      |FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i
+      |ORDER BY i, j""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q122: blocked edit-distance entity resolution
+  // ---------------------------------------------------------------
+
+  /** q122: entity-resolution candidate pairs between the customer and
+   *  supplier registries — the record-linkage primitive: a BLOCKING
+   *  key (nationkey) turns the quadratic all-pairs comparison into an
+   *  equi-join, and the expensive theta predicate (levenshtein ≤ 2 on
+   *  the 9-digit entity key) runs only within blocks. Reports per
+   *  block: surviving pair count, distinct matched customers, and the
+   *  closest distance.
+   *
+   *  Scale shape: the equi-join shuffles on the block key only (AQE
+   *  broadcasts the small side here); edit distance is Catalyst's
+   *  codegen'd `levenshtein`, evaluated on block_pairs rows — the
+   *  blocked-join discipline is exactly what caps that at
+   *  Σ_b |C_b|·|S_b| instead of |C|·|S|. Skewed blocks fall under
+   *  AQE's skew-join splitting like any other join. */
+  def q122EntityResolution(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(
+      col("c_nationkey").as("nationkey"),
+      expr("substring(c_name, 10, 9)").as("ckey"))
+    val sup = supplier(s, d).select(
+      col("s_nationkey").as("nationkey"),
+      expr("substring(s_name, 10, 9)").as("skey"))
+    c.join(sup, Seq("nationkey"))
+      .withColumn("dist", levenshtein(col("ckey"), col("skey")))
+      .filter(col("dist") <= 2)
+      .groupBy(col("nationkey"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("ckey")).as("n_customers"),
+        min(col("dist")).cast("long").as("min_dist"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q122Sql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey AS nationkey, substr(c_name, 10, 9) AS ckey
+      |  FROM customer),
+      |s AS (
+      |  SELECT s_nationkey AS nationkey, substr(s_name, 10, 9) AS skey
+      |  FROM supplier),
+      |p AS (
+      |  SELECT nationkey, ckey, levenshtein(ckey, skey) AS dist
+      |  FROM c JOIN s USING (nationkey))
+      |SELECT nationkey, CAST(count(*) AS BIGINT) AS n_pairs,
+      | CAST(count(DISTINCT ckey) AS BIGINT) AS n_customers,
+      | CAST(min(dist) AS BIGINT) AS min_dist
+      |FROM p WHERE dist <= 2
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q123: source-balance audit (Gini / HHI / entropy of token share)
+  // ---------------------------------------------------------------
+
+  /** q123: dataset-balance audit over the source dimension — one row:
+   *  how evenly are training tokens distributed across sources?
+   *  Reports the Gini coefficient (0 = perfectly even), the
+   *  Herfindahl–Hirschman index Σp² (1/n = even), and Shannon entropy
+   *  in nats (ln n = even) of the per-source token distribution — the
+   *  numbers a mixture designer checks before setting q74/q110-style
+   *  reweighting.
+   *
+   *  Determinism: every metric derives from exact integer token
+   *  sums. Gini uses the rank formula 2Σr·xᵣ/(nΣx) − (n+1)/n over
+   *  ranks ordered by (tokens, source); HHI ships as the exact
+   *  integer Σx²/(Σx)²; entropy quantizes each source's x·ln(Σx/x)
+   *  to integral micro-nats before summing (the proven q79/q115
+   *  pattern — FP addition order never matters).
+   *
+   *  Scale: one corpus scan + a hash aggregate keyed by source; the
+   *  window/rank stage then runs on #sources rows (a bounded
+   *  dimension — 20 here, maybe 10⁴ for a web crawl), so the
+   *  single-partition window is deliberate, not a bottleneck. */
+  /** Core of q123 over any (source, text) frame. */
+  def sourceBalance(docs: DataFrame): DataFrame = {
+    val bySrc = docs
+      .groupBy(col("source"))
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("tok"))
+    val ranked = bySrc
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("tok").asc, col("source").asc)))
+      .withColumn("total", sum(col("tok")).over(
+        Window.partitionBy()))
+      .withColumn("m",
+        round(col("tok") * log(col("total").cast("double") / col("tok")) * 1e6)
+          .cast("long"))
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("tok")).as("s_t"),
+        sum(col("r") * col("tok")).as("s_rt"),
+        sum(col("tok") * col("tok")).as("s_t2"),
+        sum(col("m")).as("s_m"))
+      .select(
+        col("n").as("n_sources"),
+        col("s_t").as("total_tokens"),
+        (lit(2.0) * col("s_rt") / (col("n") * col("s_t"))
+          - (col("n") + lit(1.0)) / col("n")).as("gini"),
+        (col("s_t2") * lit(1.0) / (col("s_t") * col("s_t"))).as("hhi"),
+        (col("s_m") / 1e6 / col("s_t")).as("entropy_nats"))
+  }
+
+  def q123SourceBalance(s: SparkSession, d: String): DataFrame =
+    sourceBalance(documents(s, d))
+
+  val q123Sql: String =
+    """WITH tok AS (
+      |  SELECT source,
+      |   CAST(len(regexp_extract_all(text, '[^ \t\n\v\f\r]+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok FROM tok GROUP BY 1),
+      |r AS (
+      |  SELECT source, tok,
+      |   CAST(row_number() OVER (ORDER BY tok, source) AS BIGINT) AS r,
+      |   CAST(sum(tok) OVER () AS BIGINT) AS total
+      |  FROM s),
+      |m AS (
+      |  SELECT *,
+      |   CAST(round(tok * ln(CAST(total AS DOUBLE) / tok) * 1e6) AS BIGINT) AS m
+      |  FROM r)
+      |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+      | CAST(sum(tok) AS BIGINT) AS total_tokens,
+      | 2.0 * CAST(sum(r * tok) AS BIGINT) / (count(*) * CAST(sum(tok) AS BIGINT))
+      |   - (count(*) + 1.0) / count(*) AS gini,
+      | CAST(sum(tok * tok) AS BIGINT) * 1.0
+      |   / (CAST(sum(tok) AS BIGINT) * CAST(sum(tok) AS BIGINT)) AS hhi,
+      | CAST(sum(m) AS BIGINT) / 1e6 / CAST(sum(tok) AS BIGINT) AS entropy_nats
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q124: per-document n-gram novelty (novelty-aware curriculum signal)
+  // ---------------------------------------------------------------
+
+  /** q124: each document's contribution to corpus novelty — the
+   *  fraction of its distinct word 8-grams that NO earlier document
+   *  (by doc_id, the ingestion order) contains. Boilerplate-heavy
+   *  docs score near 0, fresh content near 1; pipelines use this for
+   *  dedup-aware curricula and incremental-crawl value estimates.
+   *
+   *  Scale shape: grams are keyed by a 128-bit hash pair (two
+   *  seeded xxhash64s — the q90/q91 discipline: the shuffle carries
+   *  16 bytes per gram instead of the ~50-byte gram text; 64 bits
+   *  alone would birthday-collide at web-corpus gram counts, 128
+   *  won't), one hash aggregate computes each gram's first sighting,
+   *  and one self-equi-join + per-doc aggregate produce the scores.
+   *  No corpus self-join on text, no window over the corpus. */
+  /** Core of q124 over any (doc_id, text) frame. */
+  def ngramNovelty(docs: DataFrame, n: Int): DataFrame = {
+    val g = Curation.ngramRows(docs, n)
+      .select(col("doc_id"),
+        xxhash64(col("g")).as("h1"),
+        xxhash64(lit("novelty2"), col("g")).as("h2"))
+    val first = g.groupBy(col("h1"), col("h2"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    g.join(first, Seq("h1", "h2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novel_frac", col("n_novel") * lit(1.0) / col("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q124NgramNovelty(s: SparkSession, d: String): DataFrame =
+    ngramNovelty(documents(s, d), n = 8)
+
+  val q124Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |   list_filter(string_split_regex(trim(text), '[ \t\n\v\f\r]+'), x -> x <> '') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-7),
+      |      i -> array_to_string(t[i:i+7], ' '))) AS g
+      |    FROM toks)),
+      |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1)
+      |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      | CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_novel,
+      | CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |   * 1.0 / count(*) AS novel_frac
+      |FROM g JOIN f USING (g)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the round-6 audit/preparation operators on
+  * hand-computable fixtures (the oracle gate covers the provisioned
+  * corpus; these pin the algebra itself). */
+class AuditSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("chunkDocs covers the text exactly: stride-prefixes + last chunk reassemble it") {
+    val text = ('a' to 'z').mkString * 20 // 520 chars
+    val docs = Seq((1L, text), (2L, "short"), (3L, "x" * 200)).toDF("doc_id", "text")
+    val out = Audit.chunkDocs(docs, size = 200, stride = 150)
+      .collect().groupBy(_.getLong(0))
+    docs.collect().foreach { r =>
+      val (id, t) = (r.getLong(0), r.getString(1))
+      val chunks = out(id).sortBy(_.getLong(1))
+      // starts are 1, 151, 301, ... and idx is dense from 0
+      chunks.zipWithIndex.foreach { case (c, k) =>
+        assert(c.getLong(1) == k && c.getLong(2) == 1L + 150L * k)
+      }
+      // every char position is covered; reassembly from stride-sized
+      // prefixes of all-but-last chunk plus the whole last chunk
+      val re = chunks.init.map(_.getString(3).take(150)).mkString + chunks.last.getString(3)
+      assert(re == t, s"doc $id reassembly")
+      assert(chunks.forall(c => c.getLong(4) <= 200 && c.getLong(4) == c.getString(3).length))
+    }
+  }
+
+  test("embeddingCovariance matches a hand-computed 2-d fixture and is partition-invariant") {
+    val vecs = Seq(
+      Array(1.0f, 2.0f), Array(3.0f, 0.0f), Array(5.0f, 4.0f), Array(7.0f, 2.0f))
+    // exact covariance of x=(1,3,5,7): mean 4, cov 5; y=(2,0,4,2): mean 2, cov 2
+    // cov(x,y) = E[xy]-E[x]E[y] = (2+0+20+14)/4 - 8 = 1
+    val expected = Map((0L, 0L) -> 5.0, (0L, 1L) -> 1.0, (1L, 1L) -> 2.0)
+    Seq(1, 3).foreach { parts =>
+      val df = spark.createDataset(vecs).repartition(parts).toDF("embedding")
+      val got = Audit.embeddingCovariance(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (k, (n, cov)) =>
+        assert(n == 4L)
+        assert(math.abs(cov - expected(k)) < 1e-9, s"pair $k at $parts partitions")
+      }
+    }
+  }
+
+  test("sourceBalance: uniform distribution scores Gini 0, HHI 1/n, entropy ln n") {
+    val docs = (0 until 4).map(i => (s"s$i", "a b c d e")).toDF("source", "text")
+    val r = Audit.sourceBalance(docs).collect().head
+    assert(r.getAs[Long]("n_sources") == 4L)
+    assert(r.getAs[Long]("total_tokens") == 20L)
+    assert(math.abs(r.getAs[Double]("gini")) < 1e-6)
+    assert(math.abs(r.getAs[Double]("hhi") - 0.25) < 1e-9)
+    assert(math.abs(r.getAs[Double]("entropy_nats") - math.log(4.0)) < 1e-5)
+  }
+
+  test("sourceBalance: full concentration scores Gini (n-1)/n, HHI ~1, entropy ~0") {
+    // one source holds all but epsilon of the tokens
+    val docs = Seq(("big", ("w " * 9999).trim), ("a", "x"), ("b", "x"), ("c", "x"))
+      .toDF("source", "text")
+    val r = Audit.sourceBalance(docs).collect().head
+    assert(r.getAs[Double]("gini") > 0.74) // → 3/4 as epsilon → 0
+    assert(r.getAs[Double]("hhi") > 0.99)
+    assert(r.getAs[Double]("entropy_nats") < 0.01)
+  }
+
+  test("ngramNovelty: first doc is fully novel, exact copy is fully derivative") {
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (10L, base),                      // first sighting of every gram
+      (20L, base),                      // exact copy → nothing novel
+      (30L, base + " fresh tail of new words here")) // mixed
+      .toDF("doc_id", "text")
+    val out = Audit.ngramNovelty(docs, n = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(10L)._3 == 1.0)
+    assert(out(20L)._3 == 0.0)
+    assert(out(30L)._1 > out(10L)._1) // longer doc, more grams
+    assert(out(30L)._3 > 0.0 && out(30L)._3 < 1.0)
+    // novelty counts are consistent: novel grams across docs = distinct grams
+    val totalNovel = out.values.map(_._2).sum
+    val distinctGrams = Curation.ngramRows(docs, 8).select("g").distinct().count()
+    assert(totalNovel == distinctGrams)
+  }
+
+  test("entity resolution: levenshtein blocking agrees with a brute-force check") {
+    // brute force the same predicate on the sf0.001 tables
+    val d = "/root/testdata/sf0.001"
+    val out = Audit.q122EntityResolution(spark, d).collect()
+      .map(r => r.getAs[Number]("nationkey").longValue -> r.getAs[Long]("n_pairs")).toMap
+    val c = Tables.customer(spark, d)
+      .select(col("c_nationkey").as("nk"), expr("substring(c_name, 10, 9)").as("a"))
+    val s2 = Tables.supplier(spark, d)
+      .select(col("s_nationkey").as("nk2"), expr("substring(s_name, 10, 9)").as("b"))
+    val brute = c.crossJoin(s2)
+      .filter(col("nk") === col("nk2") && levenshtein(col("a"), col("b")) <= 2)
+      .groupBy(col("nk")).count()
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    assert(out == brute)
+  }
+}
