@@ -70,6 +70,15 @@ class RetrievalBpeSpec extends AnyFunSuite with SparkSuite {
     assert(Bpe.bpeTrain(vocab, 5) == Seq(("a", "b")))
   }
 
+  test("driver-local and distributed merge loops learn identical rules") {
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L), ("west", 4L), ("lowest", 1L)).toDF("w", "freq")
+    val local = Bpe.bpeTrain(vocab, 8) // 6 words < cap → local path
+    val dist = Bpe.bpeTrain(vocab, 8, driverCap = 0L) // force distributed
+    assert(local == dist)
+    assert(local.nonEmpty)
+  }
+
   test("pairCounts weights by word frequency and skips single-symbol words") {
     val sym = Seq(
       ("ab", 3L, Seq("a", "b")),
