@@ -203,7 +203,13 @@ object SparkEntry {
     // source-balance audit: Gini / HHI / entropy of token share
     "q123_source_balance" -> (Audit.q123SourceBalance _),
     // per-document n-gram novelty (dedup-aware curriculum signal)
-    "q124_ngram_novelty" -> (Audit.q124NgramNovelty _)
+    "q124_ngram_novelty" -> (Audit.q124NgramNovelty _),
+    // stationary event-type distribution (integer power iteration)
+    "q125_stationary_dist" -> (EventOps.q125StationaryDist _),
+    // Zipf power-law fit over the term-frequency distribution
+    "q126_zipf_fit" -> (VocabStats.q126ZipfFit _),
+    // token coverage curve for vocab-size selection
+    "q127_token_coverage" -> (VocabStats.q127TokenCoverage _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -322,6 +328,9 @@ object SparkEntry {
     "q121_embedding_covariance" -> Audit.q121Sql,
     "q122_entity_resolution" -> Audit.q122Sql,
     "q123_source_balance" -> Audit.q123Sql,
-    "q124_ngram_novelty" -> Audit.q124Sql
+    "q124_ngram_novelty" -> Audit.q124Sql,
+    "q125_stationary_dist" -> EventOps.q125Sql,
+    "q126_zipf_fit" -> VocabStats.q126Sql,
+    "q127_token_coverage" -> VocabStats.q127Sql
   )
 }

@@ -389,4 +389,88 @@ object EventOps {
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_locf
       |FROM cal LEFT JOIN daily USING (user_id, day)
       |ORDER BY user_id, day""".stripMargin
+
+  /** q125: the stationary event-type distribution of the corpus
+   *  Markov chain (q104's transition matrix) — PageRank-style power
+   *  iteration, answering "where does user behavior settle?". 30
+   *  iterations of v′(j) = Σᵢ ⌊v(i)·p̂(i,j)⌋ over micro-quantized
+   *  transition probabilities p̂ = ⌊n·10⁶/rowtotal⌋ — ALL-INTEGER
+   *  arithmetic, so every iterate is exact and order-free in both
+   *  engines (the oracle replays the identical recursion as a
+   *  recursive CTE; a float power iteration would diverge in the
+   *  last bits after 30 rounds of reordered sums).
+   *
+   *  Scale: the corpus-sized work is q104's one lag() window + one
+   *  hash aggregate; the iteration then runs on the T×T matrix — a
+   *  bounded MODEL artifact (T = event-type vocabulary), collected
+   *  once like the IVF codebook / BPE rule table, never the event
+   *  stream. States are exactly those with an incoming transition
+   *  (matching the recursion's reachable set). */
+  def q125StationaryDist(s: SparkSession, d: String): DataFrame =
+    stationaryDist(events(s, d))
+
+  /** Core of q125 over any events-shaped frame (user_id, ts,
+    * event_id, event_type). */
+  def stationaryDist(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    val perUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = ev
+      .filter(col("event_type").isNotNull)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(perUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy(col("prev_type")).agg(sum(col("n")).as("tot"))
+    val p = tr.join(tot, "prev_type")
+      .select(col("prev_type"), col("next_type"),
+        expr("n * 1000000 div tot").as("pm"))
+      .as[(String, String, Long)]
+      .collect() // T² rows — the bounded model artifact
+    val states = (p.map(_._1) ++ p.map(_._2)).distinct.sorted
+    val reachable = states.filter(et => p.exists(_._2 == et)) // reachable set
+    var v: Map[String, Long] = states.map(_ -> 1000000000L).toMap
+    (1 to 30).foreach { _ =>
+      val next = reachable.map { j =>
+        j -> p.iterator.filter(_._2 == j)
+          .map { case (i, _, pm) => v.getOrElse(i, 0L) * pm / 1000000L }
+          .sum
+      }.toMap
+      v = next
+    }
+    val total = v.values.sum
+    reachable.map(et => (et, v(et), v(et) * 1.0 / total))
+      .toSeq.toDF("event_type", "mass_micro", "share")
+      .orderBy(col("event_type"))
+  }
+
+  val q125Sql: String =
+    """WITH RECURSIVE
+      |seq AS (
+      |  SELECT user_id, event_type,
+      |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events WHERE event_type IS NOT NULL),
+      |tr AS (
+      |  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot FROM tr GROUP BY 1),
+      |p AS (
+      |  SELECT tr.prev_type, tr.next_type, tr.n * 1000000 // t.tot AS pm
+      |  FROM tr JOIN tot t USING (prev_type)),
+      |states AS (
+      |  -- no top-level UNION here: inside WITH RECURSIVE, DuckDB
+      |  -- treats `x AS (a UNION b)` as an iterative CTE and runs the
+      |  -- second arm an extra time (doubled the k=0 mass)
+      |  SELECT DISTINCT et FROM (
+      |    SELECT prev_type AS et FROM tr
+      |    UNION ALL SELECT next_type FROM tr)),
+      |it(k, et, v) AS (
+      |  SELECT 0, et, CAST(1000000000 AS BIGINT) FROM states
+      |  UNION ALL
+      |  SELECT it.k + 1, p.next_type, CAST(sum(it.v * p.pm // 1000000) AS BIGINT)
+      |  FROM it JOIN p ON it.et = p.prev_type
+      |  WHERE it.k < 30
+      |  GROUP BY it.k + 1, p.next_type)
+      |SELECT et AS event_type, v AS mass_micro,
+      | v * 1.0 / (SELECT sum(v) FROM it i2 WHERE i2.k = 30) AS share
+      |FROM it WHERE k = 30 ORDER BY et""".stripMargin
 }

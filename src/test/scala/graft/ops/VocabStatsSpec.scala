@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixture coverage for q125-q127 (the oracle gate covers the
+  * provisioned tables; these pin the algebra on hand-computable
+  * inputs). */
+class VocabStatsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def eventsDf(path: Seq[String]) =
+    path.zipWithIndex.map { case (et, i) => (1L, i.toLong, et) }
+      .toDF("user_id", "event_id", "et")
+      .select(col("user_id"), col("event_id"),
+        to_timestamp(lit("2024-01-01 00:00:00")) + expr("make_interval(0,0,0,0,0,0,event_id)"),
+        col("et"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+
+  test("stationaryDist: a deterministic 2-cycle settles at the uniform distribution") {
+    // path A B A B A → transitions AB:2 BA:2 → p(A→B)=p(B→A)=1
+    val out = EventOps.stationaryDist(eventsDf(Seq("A", "B", "A", "B", "A")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set("A", "B"))
+    assert(out("A")._1 == 1000000000L && out("B")._1 == 1000000000L)
+    assert(out("A")._2 == 0.5 && out("B")._2 == 0.5)
+  }
+
+  test("stationaryDist: an absorbing state collects all the mass") {
+    // A→B once, then B→B forever: stationary mass concentrates on B
+    val out = EventOps.stationaryDist(eventsDf(Seq("A") ++ Seq.fill(9)("B")))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("B") > 0.99)
+  }
+
+  test("zipfFit matches an independently computed OLS on the same vocabulary") {
+    // freq(w_r) = 2^(7-r) for ranks 1..6 — deterministic vocabulary
+    // (words must be pure lowercase-alpha to pass the vocab filter)
+    val text = (1 to 6)
+      .flatMap(r => Seq.fill(1 << (7 - r))("w" + ("abcdef" (r - 1)).toString))
+      .mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val row = VocabStats.zipfFit(docs).collect().head
+    assert(row.getAs[Long]("n_terms") == 6L)
+    // reference fit computed the same way the operator defines it
+    val pts = (1 to 6).map { r =>
+      (math.round(math.log(r.toDouble) * 1e6).toDouble,
+        math.round(math.log((1 << (7 - r)).toDouble) * 1e6).toDouble)
+    }
+    val n = pts.length
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(row.getAs[Double]("slope") - slope) < 1e-9)
+    assert(row.getAs[Double]("slope") < 0.0) // decreasing law
+  }
+
+  test("tokenCoverage: a 3-term vocabulary is fully covered at any k >= 3") {
+    val docs = Seq((1L, ("aa " * 5 + "bb " * 3 + "cc " * 2).trim))
+      .toDF("doc_id", "text")
+    val rows = VocabStats.tokenCoverage(docs, Seq(2, 10)).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Long]("top_tokens"),
+          r.getAs[Long]("total_tokens"), r.getAs[Double]("coverage"))).toMap
+    assert(rows(2L) == ((2L, 8L, 10L, 0.8)))  // top-2: aa(5)+bb(3)
+    assert(rows(10L) == ((3L, 10L, 10L, 1.0)))
+  }
+}
