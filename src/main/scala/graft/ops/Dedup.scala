@@ -804,9 +804,14 @@ object Dedup {
    *  prunes before verification. */
   def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint: this frame feeds FIVE downstream references
+    // (freq, prefix, both candidate-verification joins, sizes);
+    // without it each one re-runs the corpus shingling flatMap —
+    // measured ~2× the query wall at sf0.1
     val sh = shingleRows(docs)
       .select(col("doc_id"),
         xxhash64(col("s")).as("k1"), xxhash64(col("s"), lit(1)).as("k2"))
+      .localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val freq = sh.groupBy(col("k1"), col("k2")).agg(count(lit(1)).as("cnt"))
     val prefix = sh.join(freq, Seq("k1", "k2"))

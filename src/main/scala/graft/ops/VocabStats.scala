@@ -98,20 +98,21 @@ object VocabStats {
 
   /** Core of q127 over any (text) frame and k-list. */
   def tokenCoverage(docs: DataFrame, ks: Seq[Int]): DataFrame = {
-    val vocab = Bpe.vocabulary(docs).cache()
+    // eager localCheckpoint (NOT cache+unpersist: the unpersist would
+    // run before the lazily-returned plan ever executes) — the vocab
+    // aggregate feeds one TakeOrdered per k plus the total
+    val vocab = Bpe.vocabulary(docs).localCheckpoint()
     val total = vocab.agg(sum(col("freq")).as("total"))
     val legs = ks.map { k =>
       vocab.orderBy(col("freq").desc, col("w")).limit(k)
         .agg(count(lit(1)).as("n_terms"), sum(col("freq")).as("top_tokens"))
         .select(lit(k.toLong).as("k"), col("n_terms"), col("top_tokens"))
     }
-    val out = legs.reduce(_.unionAll(_))
-      .crossJoin(total) // 3×1 rows
+    legs.reduce(_.unionAll(_))
+      .crossJoin(total) // |ks|×1 rows
       .select(col("k"), col("n_terms"), col("top_tokens"), col("total").as("total_tokens"),
         (col("top_tokens") * lit(1.0) / col("total")).as("coverage"))
       .orderBy(col("k"))
-    vocab.unpersist()
-    out
   }
 
   val q127Sql: String =
