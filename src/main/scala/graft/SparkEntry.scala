@@ -209,7 +209,11 @@ object SparkEntry {
     // Zipf power-law fit over the term-frequency distribution
     "q126_zipf_fit" -> (VocabStats.q126ZipfFit _),
     // token coverage curve for vocab-size selection
-    "q127_token_coverage" -> (VocabStats.q127TokenCoverage _)
+    "q127_token_coverage" -> (VocabStats.q127TokenCoverage _),
+    // materialized HLL sketch table + mergeable weekly rollup
+    "q128_sketch_rollup" -> (Analyze.q128SketchRollup _),
+    // point-in-time (as-of) join against an SCD2 dimension
+    "q129_pit_join" -> (MergeOps.q129PitJoin _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -331,6 +335,8 @@ object SparkEntry {
     "q124_ngram_novelty" -> Audit.q124Sql,
     "q125_stationary_dist" -> EventOps.q125Sql,
     "q126_zipf_fit" -> VocabStats.q126Sql,
-    "q127_token_coverage" -> VocabStats.q127Sql
+    "q127_token_coverage" -> VocabStats.q127Sql,
+    "q128_sketch_rollup" -> Analyze.q128Sql,
+    "q129_pit_join" -> MergeOps.q129Sql
   )
 }

@@ -433,4 +433,47 @@ object Analyze {
       | CAST(CASE WHEN day = cp THEN 1 ELSE 0 END AS INT) AS is_changepoint
       |FROM series, first_hit
       |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q128: materialized HLL sketch table + mergeable rollup
+  // ---------------------------------------------------------------
+
+  /** q128: the mergeable-sketch serving pattern — per-DAY HLL
+   *  sketches of distinct users are materialized ONCE as a durable
+   *  parquet table (a binary sketch column), then the weekly
+   *  distinct-user question is answered by UNIONING the daily
+   *  sketches (register-wise max — associative, commutative, and
+   *  order-free) WITHOUT rescanning the event stream. The q65-style
+   *  gate bounds the estimate within 5% of the exact count per week.
+   *
+   *  Scale: this is THE pattern for serving distinct counts over a
+   *  100 TB event store — the raw scan happens once at ingest
+   *  (append-only daily partitions), every range query afterwards
+   *  touches only days×|sketch| bytes (4 KB per day at lgK=12
+   *  regardless of cardinality). The exact side here exists only to
+   *  power the gate, exactly as in q65. */
+  def q128SketchRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = InferOps.tmpPath("hll_daily", d)
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"),
+        to_date(date_trunc("week", col("ts"))).as("week"), col("user_id"))
+    ev.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val est = s.read.parquet(dir)
+      .withColumn("week", to_date(date_trunc("week", col("day"))))
+      .groupBy(col("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ev.groupBy(col("week"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(exact, "week")
+      .select(col("week"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <= col("exact_users") * 0.05).as("ok"))
+      .orderBy(col("week"))
+  }
+
+  val q128Sql: String =
+    """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+      | count(DISTINCT user_id) AS exact_users, true AS ok
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 }

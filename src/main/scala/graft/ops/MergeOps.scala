@@ -234,4 +234,59 @@ object MergeOps {
     """SELECT o_custkey, count(*) AS n_orders,
       | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q129: point-in-time (as-of) join against an SCD2 dimension
+  // ---------------------------------------------------------------
+
+  /** q129: the feature-store temporal join — facts matched to the
+   *  dimension version that was effective AT event time (never a
+   *  later one: the leakage ML pipelines guard against). The
+   *  effective-dated dimension is a deterministic two-version history
+   *  derived from `customer` (v1 carries the original segment through
+   *  1997, v2 a relabeled segment from 1998 — the q85 SCD2 shape
+   *  without its staged-CDC scratch dependency); each order joins the
+   *  single version whose [eff_from, eff_to) interval covers its
+   *  order date.
+   *
+   *  Scale: versions-per-key is bounded (SCD2 histories grow by
+   *  updates, not by facts), so this is an equi-join on the key with
+   *  a residual interval predicate — NOT a range join: the shuffle
+   *  is the fact table's key shuffle, each probe scans its own few
+   *  versions. At 100 TB bucket both sides by the key and the join is
+   *  exchange-free (the q84/q98 layout discipline). */
+  def q129PitJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val dim = c.select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        to_date(lit("1995-01-01")).as("eff_from"),
+        to_date(lit("1998-01-01")).as("eff_to"))
+      .unionAll(c.select(col("c_custkey"),
+        concat(col("c_mktsegment"), lit("#R")).as("segment"),
+        to_date(lit("1998-01-01")).as("eff_from"),
+        to_date(lit("9999-12-31")).as("eff_to")))
+    Tables.orders(s, d)
+      .join(dim, col("o_custkey") === col("c_custkey")
+        && to_date(col("o_orderdate")) >= col("eff_from")
+        && to_date(col("o_orderdate")) < col("eff_to"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Tables.cents(col("o_totalprice"))).as("sum_cents"))
+      .orderBy(col("segment"))
+  }
+
+  val q129Sql: String =
+    """WITH dim AS (
+      |  SELECT c_custkey, c_mktsegment AS segment,
+      |   DATE '1995-01-01' AS eff_from, DATE '1998-01-01' AS eff_to
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment || '#R',
+      |   DATE '1998-01-01', DATE '9999-12-31'
+      |  FROM customer)
+      |SELECT segment, CAST(count(*) AS BIGINT) AS n_orders,
+      | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders o JOIN dim dm ON o.o_custkey = dm.c_custkey
+      | AND CAST(o.o_orderdate AS DATE) >= dm.eff_from
+      | AND CAST(o.o_orderdate AS DATE) < dm.eff_to
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

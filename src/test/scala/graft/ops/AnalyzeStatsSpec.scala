@@ -169,4 +169,30 @@ class AnalyzeStatsSpec extends AnyFunSuite with SparkSuite {
       g.foreach(r => assert(r.getDouble(3) == r.getLong(2) / tot))
     }
   }
+  // ----- sketch rollup (q128) --------------------------------------
+
+  test("HLL sketch union over daily partitions equals the whole-set sketch") {
+    // register-wise max is associative: union(sketch(A), sketch(B))
+    // must carry the same registers as sketch(A ∪ B)
+    val ev = (1 to 400).map(u => (u % 7, u.toLong)).toDF("day", "u")
+    val perDay = ev.groupBy(col("day")).agg(hll_sketch_agg(col("u")).as("sk"))
+    val merged = perDay.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .head().getLong(0)
+    val whole = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("u"))).as("e"))
+      .head().getLong(0)
+    assert(merged == whole)
+  }
+
+  test("q128 gate holds and exact counts agree with a direct distinct") {
+    val out = Analyze.q128SketchRollup(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("ok")))
+    val direct = Tables.events(spark, sf)
+      .select(to_date(date_trunc("week", col("ts"))).as("week"), col("user_id"))
+      .groupBy("week").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getAs[java.sql.Date]("week").toString -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(direct(r.getAs[java.sql.Date]("week").toString) == r.getAs[Long]("exact_users"))
+    }
+  }
 }

@@ -133,4 +133,21 @@ class MergeOpsSpec extends AnyFunSuite with SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == Set((1L, 2L, 100L), (2L, 4L, 75L), (9L, 1L, 10L)))
   }
+  // ----- point-in-time join (q129) ---------------------------------
+
+  test("q129 PIT join is leakage-free and conserves every order exactly once") {
+    val d = "/root/testdata/sf0.001"
+    val out = MergeOps.q129PitJoin(spark, d).collect()
+    val nOrders = Tables.orders(spark, d).count()
+    // conservation: every order matched exactly one dimension version
+    assert(out.map(_.getAs[Long]("n_orders")).sum == nOrders)
+    // temporal correctness: relabeled (#R) versions are effective from
+    // 1998 — their order counts must equal the post-1998 fact count,
+    // original segments the pre-1998 count
+    val post98 = Tables.orders(spark, d)
+      .filter(to_date(col("o_orderdate")) >= to_date(lit("1998-01-01"))).count()
+    val (v2, v1) = out.partition(_.getAs[String]("segment").endsWith("#R"))
+    assert(v2.map(_.getAs[Long]("n_orders")).sum == post98)
+    assert(v1.map(_.getAs[Long]("n_orders")).sum == nOrders - post98)
+  }
 }
