@@ -213,7 +213,11 @@ object SparkEntry {
     // materialized HLL sketch table + mergeable weekly rollup
     "q128_sketch_rollup" -> (Analyze.q128SketchRollup _),
     // point-in-time (as-of) join against an SCD2 dimension
-    "q129_pit_join" -> (MergeOps.q129PitJoin _)
+    "q129_pit_join" -> (MergeOps.q129PitJoin _),
+    // association rules (support/confidence/lift) over sessions
+    "q130_association_rules" -> (EventOps.q130AssociationRules _),
+    // per-source quality-score z-calibration
+    "q131_score_calibration" -> (Audit.q131ScoreCalibration _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -337,6 +341,8 @@ object SparkEntry {
     "q126_zipf_fit" -> VocabStats.q126Sql,
     "q127_token_coverage" -> VocabStats.q127Sql,
     "q128_sketch_rollup" -> Analyze.q128Sql,
-    "q129_pit_join" -> MergeOps.q129Sql
+    "q129_pit_join" -> MergeOps.q129Sql,
+    "q130_association_rules" -> EventOps.q130Sql,
+    "q131_score_calibration" -> Audit.q131Sql
   )
 }

@@ -350,6 +350,63 @@ object Audit {
   def q124NgramNovelty(s: SparkSession, d: String): DataFrame =
     ngramNovelty(documents(s, d), n = 8)
 
+  // ---------------------------------------------------------------
+  // q131: per-source quality-score calibration (z-normalization)
+  // ---------------------------------------------------------------
+
+  /** q131: calibrate the q29 quality score WITHIN each source before
+   *  any global threshold — sources score on different scales (one
+   *  crawl's median is another's tail), so global filtering without
+   *  per-source normalization silently biases the mix. Emits each
+   *  document's raw integer score and its within-source z-score.
+   *
+   *  Determinism: the score is an exact integer, so per-source n/Σq/
+   *  Σq² are exact longs and the z expression is the same IEEE
+   *  arithmetic in both engines (population variance; a zero-variance
+   *  source z-scores to 0 by the mirrored CASE).
+   *
+   *  Scale: one corpus scan → per-source hash agg on three longs →
+   *  re-join of the source-dimension frame (AQE broadcasts it; the
+   *  hint stays off per the q78 finding). */
+  def q131ScoreCalibration(s: SparkSession, d: String): DataFrame = {
+    val scored = documents(s, d).select(col("doc_id"), col("source"),
+      TextAnalysis.qualityScore(col("text")).cast("long").as("q"))
+    val stats = scored.groupBy(col("source")).agg(
+      count(lit(1)).as("n"), sum(col("q")).as("s"),
+      sum(col("q") * col("q")).as("s2"))
+    scored.join(stats, "source")
+      .withColumn("variance",
+        (col("s2") - col("s").cast("double") * col("s") / col("n")) / col("n"))
+      .select(col("doc_id"), col("source"), col("q"),
+        when(col("variance") > 0,
+          (col("q") - col("s").cast("double") / col("n")) / sqrt(col("variance")))
+          .otherwise(lit(0.0)).as("z"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q131Sql: String = {
+    // the q29 score, verbatim (same markers, same punct class)
+    val stop = TextAnalysis.StopWords
+      .map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")
+    s"""WITH scored AS (
+      |  SELECT doc_id, source,
+      |   CAST(least(len(regexp_extract_all(text, '[^ \\t\\n\\v\\f\\r]+')), 100)
+      |    + 2 * ($stop)
+      |    - len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\v\\f\\r]')) AS BIGINT) AS q
+      |  FROM documents),
+      |st AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s,
+      |   CAST(sum(q * q) AS BIGINT) AS s2
+      |  FROM scored GROUP BY 1)
+      |SELECT doc_id, scored.source, q,
+      | CASE WHEN (s2 - CAST(s AS DOUBLE) * s / n) / n > 0
+      |      THEN (q - CAST(s AS DOUBLE) / n)
+      |           / sqrt((s2 - CAST(s AS DOUBLE) * s / n) / n)
+      |      ELSE 0.0 END AS z
+      |FROM scored JOIN st ON scored.source = st.source
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val q124Sql: String =
     """WITH toks AS (
       |  SELECT doc_id,

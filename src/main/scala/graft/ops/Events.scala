@@ -473,4 +473,78 @@ object EventOps {
       |SELECT et AS event_type, v AS mass_micro,
       | v * 1.0 / (SELECT sum(v) FROM it i2 WHERE i2.k = 30) AS share
       |FROM it WHERE k = 30 ORDER BY et""".stripMargin
+
+  /** q130: association rules over behavioral sessions — for every
+   *  pair of event types co-occurring in a session (q15's 30-minute
+   *  gap semantics), the market-basket statistics: support,
+   *  confidence, and lift from EXACT session counts. Lift > 1 flags
+   *  behaviors that travel together (view→purchase), the signal
+   *  recommendation/abuse pipelines read off event streams.
+   *
+   *  Scale: sessionization is q15's one user_id window; the pair
+   *  frame self-joins the DISTINCT (session, type) rows on the
+   *  session key — bounded by sessions × type-vocabulary, never raw
+   *  events; every ratio is a raw division of exact longs. */
+  def q130AssociationRules(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = events(s, d)
+      .filter(col("event_type").isNotNull)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) >= 1800, 1)
+          .otherwise(0))
+      .withColumn("sess_idx", sum(col("new_sess")).over(run))
+      .select(col("user_id"), col("sess_idx"), col("event_type")).distinct()
+    val nSess = st.select(col("user_id"), col("sess_idx")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val perType = st.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val pairs = st.select(col("user_id"), col("sess_idx"), col("event_type").as("a"))
+      .join(st.select(col("user_id"), col("sess_idx"), col("event_type").as("b")),
+        Seq("user_id", "sess_idx"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(perType.select(col("event_type").as("a"), col("n_t").as("n_a")), "a")
+      .join(perType.select(col("event_type").as("b"), col("n_t").as("n_b")), "b")
+      .crossJoin(nSess) // 1-row scalar
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_sessions"),
+        (col("n_ab") * lit(1.0) / col("n_sessions")).as("support"),
+        (col("n_ab") * lit(1.0) / col("n_a")).as("confidence"),
+        (col("n_ab") * lit(1.0) * col("n_sessions") / (col("n_a") * col("n_b")))
+          .as("lift"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val q130Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+      |  FROM (
+      |   SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |          OR CAST(floor(epoch(ts)) AS BIGINT)
+      |             - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) >= 1800
+      |         THEN 1 ELSE 0 END AS new_sess
+      |   FROM events WHERE event_type IS NOT NULL) t),
+      |st AS (SELECT DISTINCT user_id, sess_idx, event_type FROM seq),
+      |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+      |       FROM (SELECT DISTINCT user_id, sess_idx FROM st)),
+      |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM st GROUP BY 1),
+      |pr AS (
+      |  SELECT x.event_type AS a, y.event_type AS b, CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM st x JOIN st y
+      |    ON x.user_id = y.user_id AND x.sess_idx = y.sess_idx
+      |   AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT a, b, n_ab, pa.n_t AS n_a, pb.n_t AS n_b, n_sessions,
+      | n_ab * 1.0 / n_sessions AS support,
+      | n_ab * 1.0 / pa.n_t AS confidence,
+      | n_ab * 1.0 * n_sessions / (pa.n_t * pb.n_t) AS lift
+      |FROM pr JOIN pt pa ON pr.a = pa.event_type
+      |        JOIN pt pb ON pr.b = pb.event_type, ns
+      |ORDER BY a, b""".stripMargin
 }

@@ -87,6 +87,18 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
     assert(totalNovel == distinctGrams)
   }
 
+  test("q131 calibration: z-scores are mean-0/var-1 per source; degenerate source -> 0") {
+    val out = Audit.q131ScoreCalibration(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Double]("z")))
+    val bySrc = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    bySrc.values.filter(_.length > 1).foreach { zs =>
+      val mean = zs.sum / zs.length
+      val v = zs.map(z => (z - mean) * (z - mean)).sum / zs.length
+      assert(math.abs(mean) < 1e-9)
+      assert(v == 0.0 || math.abs(v - 1.0) < 1e-9) // all-equal source → all z=0
+    }
+  }
+
   test("entity resolution: levenshtein blocking agrees with a brute-force check") {
     // brute force the same predicate on the sf0.001 tables
     val d = "/root/testdata/sf0.001"

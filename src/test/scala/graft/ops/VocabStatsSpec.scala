@@ -57,6 +57,30 @@ class VocabStatsSpec extends AnyFunSuite with SparkSuite {
     assert(row.getAs[Double]("slope") < 0.0) // decreasing law
   }
 
+  test("q130 association statistics match a hand-computed 2-session basket") {
+    // user 1: session {A,B} then (31 min later) session {A}
+    val ev = Seq((1L, 0L, 0L, "A"), (1L, 1L, 60L, "B"), (1L, 2L, 60L + 1860L, "A"))
+      .toDF("user_id", "event_id", "off", "et")
+      .select(col("user_id"), col("event_id"),
+        (to_timestamp(lit("2024-01-01 00:00:00")) + expr("make_interval(0,0,0,0,0,0,off)")).as("ts"),
+        col("et").as("event_type"))
+    // drive the public query path by writing a scratch events table
+    val out = {
+      val dir = java.nio.file.Files.createTempDirectory("assoc").toString
+      ev.withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      EventOps.q130AssociationRules(spark, dir).collect()
+    }
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getAs[Long]("n_ab") == 1L && r.getAs[Long]("n_a") == 2L
+      && r.getAs[Long]("n_b") == 1L && r.getAs[Long]("n_sessions") == 2L)
+    assert(r.getAs[Double]("support") == 0.5)
+    assert(r.getAs[Double]("confidence") == 0.5)
+    assert(r.getAs[Double]("lift") == 1.0)
+  }
+
   test("tokenCoverage: a 3-term vocabulary is fully covered at any k >= 3") {
     val docs = Seq((1L, ("aa " * 5 + "bb " * 3 + "cc " * 2).trim))
       .toDF("doc_id", "text")
