@@ -219,4 +219,36 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
     val vals = df.limit(5).collect().map(_.getDouble(0))
     vals.foreach(v => assert(math.abs(v - 1.0) < 1e-9))
   }
+  test("q120 chunking is scan-local: no Exchange anywhere in the plan") {
+    val p = plan(Audit.q120DocChunking(spark, d))
+    // sequence+explode+substring must stay a projection pipeline —
+    // the final orderBy is the only allowed exchange (range partition)
+    assert(!p.contains("hashpartitioning("), p.take(600))
+    assert("Exchange \\(".r.findAllIn(p).size <= 1, p.take(600))
+  }
+
+  test("q121 covariance shuffles only the tiny partial frame, never corpus x d^2") {
+    val df = Audit.q121EmbeddingCovariance(spark, d)
+    val p = plan(df)
+    // exactly two exchanges: the (i, j) partial-aggregate hash
+    // shuffle and the final orderBy range partition
+    assert("Exchange \\(".r.findAllIn(p).size == 2, p.take(600))
+    assert(p.contains("hashpartitioning(i#") || p.contains("hashpartitioning(i"), p.take(600))
+    // and no join anywhere (the oracle's self-join shape must not leak in)
+    assert(!p.contains("Join"), "covariance must not join")
+  }
+
+  test("q129 PIT join stays an equi-join on the key (no range-join NLJ)") {
+    val p = plan(MergeOps.q129PitJoin(spark, d))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("q124 novelty grams shuffle 128-bit hash keys, not gram text") {
+    val p = plan(Audit.q124NgramNovelty(spark, d))
+    // the first-sighting aggregate and the join must key on (h1, h2)
+    assert(p.contains("xxhash64"), p.take(400))
+    assert(!p.contains("hashpartitioning(g#"), "gram text must not be a shuffle key")
+  }
 }
