@@ -217,7 +217,9 @@ object SparkEntry {
     // association rules (support/confidence/lift) over sessions
     "q130_association_rules" -> (EventOps.q130AssociationRules _),
     // per-source quality-score z-calibration
-    "q131_score_calibration" -> (Audit.q131ScoreCalibration _)
+    "q131_score_calibration" -> (Audit.q131ScoreCalibration _),
+    // streaming top-k maintenance (complete-mode leaderboard)
+    "q132_stream_topk" -> (StreamingOps.q132StreamTopk _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -343,6 +345,7 @@ object SparkEntry {
     "q128_sketch_rollup" -> Analyze.q128Sql,
     "q129_pit_join" -> MergeOps.q129Sql,
     "q130_association_rules" -> EventOps.q130Sql,
-    "q131_score_calibration" -> Audit.q131Sql
+    "q131_score_calibration" -> Audit.q131Sql,
+    "q132_stream_topk" -> StreamingOps.q132Sql
   )
 }

@@ -496,4 +496,35 @@ object StreamingOps {
       |    PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
       |  FROM events) t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** q132: streaming top-k maintenance — the live leaderboard shape:
+   *  per-user activity totals accumulate as streaming state
+   *  (complete-mode aggregation), and each emission re-ranks to the
+   *  current top-10 by (events desc, user_id) — the deterministic
+   *  tie-break makes the final drain batch-split-independent, so the
+   *  result equals the batch ranking no matter how the stream was
+   *  micro-batched.
+   *
+   *  Scale: the stateful aggregate is user-dimension-sized (state
+   *  stores scale with shuffle partitions, kept narrow per the q34
+   *  rule); the rank runs on the emitted aggregate, not the stream.
+   *  For unbounded key spaces the state side swaps to the q53
+   *  space-saving sketch — here the exact form is the oracle-able
+   *  one. */
+  def q132StreamTopk(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.eventsStream(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Tables.cents(col("value"))).as("sum_cents"))
+    withShuffle(s, 8) {
+      drainToLocal(s, counts, "complete")(
+        _.orderBy(col("n_events").desc, col("user_id")).limit(10))
+    }
+  }
+
+  val q132Sql: String =
+    """SELECT user_id, count(*) AS n_events,
+      | CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events GROUP BY user_id
+      |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin
 }

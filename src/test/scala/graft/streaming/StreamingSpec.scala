@@ -195,4 +195,15 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(streamed.agg(sum(col("n"))).head.getLong(0) ==
       Tables.events(spark, dir).filter(col("event_type") === "purchase").count())
   }
+  test("q132 streaming top-k equals the batch leaderboard") {
+    val d = "/root/testdata/sf0.001"
+    val stream = StreamingOps.q132StreamTopk(spark, d).collect().toSeq
+    val batch = graft.ops.Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.ops.Tables.cents(col("value"))).as("sum_cents"))
+      .orderBy(col("n_events").desc, col("user_id")).limit(10)
+      .collect().toSeq
+    assert(stream == batch)
+  }
 }
