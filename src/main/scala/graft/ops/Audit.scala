@@ -76,8 +76,11 @@ object Audit {
   /** Quantization scale: float components are promoted to double
    *  (exact) and scaled by 1e4 — a 24-bit float mantissa times 10⁴
    *  stays exact in a double, so `round` behaves identically in both
-   *  engines, and products stay far under Long range at any corpus
-   *  size that fits an executor count (1e8 per product). */
+   *  engines. Overflow bound: unit-normalized components quantize to
+   *  |q| ≤ 10⁴, so each product is ≤ 10⁸ and the Long moment sums
+   *  hold to ~9×10¹⁰ vectors (≈ 23 PB of 64-dim float32 — beyond the
+   *  design envelope; past that, drop the scale a decade or lift the
+   *  final sums to decimal(38,0) as q76 does). */
   private val CovScale = 10000.0
 
   /** q121: the d×d covariance matrix of the embedding column, upper
