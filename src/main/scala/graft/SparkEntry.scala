@@ -219,7 +219,9 @@ object SparkEntry {
     // per-source quality-score z-calibration
     "q131_score_calibration" -> (Audit.q131ScoreCalibration _),
     // streaming top-k maintenance (complete-mode leaderboard)
-    "q132_stream_topk" -> (StreamingOps.q132StreamTopk _)
+    "q132_stream_topk" -> (StreamingOps.q132StreamTopk _),
+    // per-user temporal burstiness (automation/abuse signal)
+    "q133_burstiness" -> (EventOps.q133Burstiness _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -346,6 +348,7 @@ object SparkEntry {
     "q129_pit_join" -> MergeOps.q129Sql,
     "q130_association_rules" -> EventOps.q130Sql,
     "q131_score_calibration" -> Audit.q131Sql,
-    "q132_stream_topk" -> StreamingOps.q132Sql
+    "q132_stream_topk" -> StreamingOps.q132Sql,
+    "q133_burstiness" -> EventOps.q133Sql
   )
 }

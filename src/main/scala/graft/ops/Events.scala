@@ -547,4 +547,60 @@ object EventOps {
       |FROM pr JOIN pt pa ON pr.a = pa.event_type
       |        JOIN pt pb ON pr.b = pb.event_type, ns
       |ORDER BY a, b""".stripMargin
+
+  /** q133: per-user temporal burstiness — Goh–Barabási B = (σ−μ)/
+   *  (σ+μ) over the inter-event gap distribution. B → −1 for
+   *  metronome-regular activity (bots, schedulers), ≈ 0 for Poisson
+   *  arrivals, → +1 for heavy-tailed human bursts — a standard
+   *  automation/abuse signal read straight off the event stream.
+   *
+   *  Determinism: gaps are exact integer seconds from the q15
+   *  ordering; per-user (n, Σg, Σg²) are exact longs (Σg² stays
+   *  integral — gap² ≤ 10¹⁴ is Long-safe; Σg·Σg is computed in
+   *  DOUBLE, the q131 rule, since its integer form can overflow);
+   *  σ, μ, and B are the same IEEE expression in both engines, with
+   *  a mirrored zero-denominator guard.
+   *
+   *  Scale: one lag window + one hash aggregate, both on the
+   *  user_id partitioning q15 already established — no extra
+   *  shuffle shape. */
+  def q133Burstiness(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val g = events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))).as("gap"))
+    g.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sg"),
+        sum(col("gap") * col("gap")).as("sg2"))
+      .withColumn("mu", col("sg").cast("double") / col("n_gaps"))
+      .withColumn("sigma",
+        sqrt((col("sg2") - col("sg").cast("double") * col("sg") / col("n_gaps"))
+          / col("n_gaps")))
+      .select(col("user_id"), col("n_gaps"), col("mu").as("mean_gap"),
+        when(col("sigma") + col("mu") > 0,
+          (col("sigma") - col("mu")) / (col("sigma") + col("mu")))
+          .otherwise(lit(0.0)).as("burstiness"))
+      .orderBy(col("user_id"))
+  }
+
+  val q133Sql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |   CAST(floor(epoch(ts)) AS BIGINT)
+      |    - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap
+      |  FROM events),
+      |a AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+      |   CAST(sum(gap) AS BIGINT) AS sg, CAST(sum(gap * gap) AS BIGINT) AS sg2
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+      |m AS (
+      |  SELECT user_id, n_gaps, CAST(sg AS DOUBLE) / n_gaps AS mu,
+      |   sqrt((sg2 - CAST(sg AS DOUBLE) * sg / n_gaps) / n_gaps) AS sigma
+      |  FROM a)
+      |SELECT user_id, n_gaps, mu AS mean_gap,
+      | CASE WHEN sigma + mu > 0 THEN (sigma - mu) / (sigma + mu) ELSE 0.0 END
+      |   AS burstiness
+      |FROM m ORDER BY user_id""".stripMargin
 }

@@ -81,6 +81,30 @@ class VocabStatsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[Double]("lift") == 1.0)
   }
 
+  test("q133 burstiness: metronome scores -1, bursty gaps match the closed form") {
+    val ev = Seq(
+      // user 1: perfectly regular (gaps 10,10,10) → B = -1
+      (1L, 0L, 0L), (1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L),
+      // user 2: bursty (gaps 1,1,98)
+      (2L, 4L, 0L), (2L, 5L, 1L), (2L, 6L, 2L), (2L, 7L, 100L))
+      .toDF("user_id", "event_id", "off")
+      .select(col("user_id"), col("event_id"),
+        (to_timestamp(lit("2024-01-01 00:00:00")) + expr("make_interval(0,0,0,0,0,0,off)")).as("ts"))
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("burst").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.q133Burstiness(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("burstiness")).toMap
+    assert(out(1L) == -1.0)
+    val gaps = Seq(1L, 1L, 98L)
+    val n = gaps.length
+    val mu = gaps.sum.toDouble / n
+    val sigma = math.sqrt((gaps.map(g => g * g).sum - gaps.sum.toDouble * gaps.sum / n) / n)
+    assert(math.abs(out(2L) - (sigma - mu) / (sigma + mu)) < 1e-12)
+    assert(out(2L) > 0.0)
+  }
+
   test("tokenCoverage: a 3-term vocabulary is fully covered at any k >= 3") {
     val docs = Seq((1L, ("aa " * 5 + "bb " * 3 + "cc " * 2).trim))
       .toDF("doc_id", "text")
