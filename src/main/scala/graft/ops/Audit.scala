@@ -114,6 +114,12 @@ object Audit {
           val q = new Array[Long](dim)
           var n = 0L
           def add(v: Array[Float]): Unit = {
+            // fail fast on ragged input (the Tables.normalizeTs
+            // convention): a short vector would throw an opaque AIOOBE,
+            // a long one would be silently truncated in this partition
+            // yet define dim in another — inconsistent per-pair n.
+            require(v.length == dim,
+              s"embeddingCovariance: ragged embedding — expected dim $dim, got ${v.length}")
             n += 1
             var i = 0
             while (i < dim) {
@@ -265,6 +271,12 @@ object Audit {
     val bySrc = docs
       .groupBy(col("source"))
       .agg(sum(TextAnalysis.tokenCount(col("text"))).as("tok"))
+      // a zero-token source (whitespace-only docs) would make
+      // log(total/tok) infinite and round(Inf).cast(long) =
+      // Long.MaxValue, corrupting the entropy sum; by the x·ln(1/x)→0
+      // limit it contributes nothing, so drop it before ranking
+      // (mirrored in q123Sql).
+      .filter(col("tok") > 0)
     val ranked = bySrc
       .withColumn("r", row_number().over(
         Window.orderBy(col("tok").asc, col("source").asc)))
@@ -296,7 +308,8 @@ object Audit {
       |  SELECT source,
       |   CAST(len(regexp_extract_all(text, '[^ \t\n\v\f\r]+')) AS BIGINT) AS n_tok
       |  FROM documents),
-      |s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok FROM tok GROUP BY 1),
+      |s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok FROM tok
+      |      GROUP BY 1 HAVING sum(n_tok) > 0),
       |r AS (
       |  SELECT source, tok,
       |   CAST(row_number() OVER (ORDER BY tok, source) AS BIGINT) AS r,

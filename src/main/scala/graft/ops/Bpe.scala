@@ -45,6 +45,24 @@ object Bpe {
       .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
   }
 
+  /** Initial symbolization: one symbol per Unicode CODE POINT — the
+   *  same split the distributed path's `split(w, "(?<=.)(?=.)")`
+   *  performs (Java regex `.` matches a full code point), so both
+   *  bpeTrain paths and the encoder see identical initial sequences
+   *  for any vocabulary, supplementary-plane characters included.
+   *  A per-UTF-16-char split would cleave surrogate pairs. */
+  private[ops] def codePointSymbols(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0; var k = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      out(k) = w.substring(i, i + n)
+      i += n; k += 1
+    }
+    out
+  }
+
   /** Merge one (a, b) pair left-to-right within a symbol sequence —
    *  the standard BPE application rule ("aaa" + (a,a) → ["aa","a"]). */
   private[ops] def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
@@ -96,7 +114,7 @@ object Bpe {
   private def bpeTrainLocal(words: Array[(String, Long)],
       numMerges: Int): Seq[(String, String)] = {
     var sym: Array[(Array[String], Long)] =
-      words.map { case (w, f) => (w.map(_.toString).toArray, f) }
+      words.map { case (w, f) => (codePointSymbols(w), f) }
     val rules = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var i = 0
     var done = false
@@ -188,7 +206,7 @@ object Bpe {
     * reproduces exactly the segmentation training would have produced
     * for that word. O(|word|) rank lookups per pass, ≤ |word| passes. */
   def bpeEncode(word: String, rank: Map[(String, String), Int]): Seq[String] = {
-    var syms: Seq[String] = word.map(_.toString)
+    var syms: Seq[String] = codePointSymbols(word).toSeq
     var more = syms.length >= 2
     while (more) {
       var best: ((String, String), Int) = (null, Int.MaxValue)

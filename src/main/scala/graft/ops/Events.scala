@@ -438,7 +438,12 @@ object EventOps {
       v = next
     }
     val total = v.values.sum
-    reachable.map(et => (et, v(et), v(et) * 1.0 / total))
+    // total can be 0 (e.g. every reachable state's mass floored away);
+    // guard the division so share is 0.0, never NaN, on both engines.
+    reachable.map { et =>
+      val share = if (total == 0L) 0.0 else v(et) * 1.0 / total
+      (et, v(et), share)
+    }
       .toSeq.toDF("event_type", "mass_micro", "share")
       .orderBy(col("event_type"))
   }
@@ -469,10 +474,20 @@ object EventOps {
       |  SELECT it.k + 1, p.next_type, CAST(sum(it.v * p.pm // 1000000) AS BIGINT)
       |  FROM it JOIN p ON it.et = p.prev_type
       |  WHERE it.k < 30
-      |  GROUP BY it.k + 1, p.next_type)
-      |SELECT et AS event_type, v AS mass_micro,
-      | v * 1.0 / (SELECT sum(v) FROM it i2 WHERE i2.k = 30) AS share
-      |FROM it WHERE k = 30 ORDER BY et""".stripMargin
+      |  GROUP BY it.k + 1, p.next_type),
+      |-- The recursion emits a state at step k only while some
+      |-- predecessor survived step k-1: a state fed solely by
+      |-- pure-source states vanishes from `it` even though its
+      |-- stationary mass is legitimately 0. Left-join the reachable
+      |-- set (every state with an in-edge) so the row set matches the
+      |-- engine's: one row per reachable state, mass coalesced to 0.
+      |reach AS (SELECT DISTINCT next_type AS et FROM tr),
+      |fin AS (SELECT et, v FROM it WHERE k = 30),
+      |tot30 AS (SELECT coalesce(sum(v), 0) AS s FROM fin)
+      |SELECT r.et AS event_type, CAST(coalesce(f.v, 0) AS BIGINT) AS mass_micro,
+      | CASE WHEN t.s = 0 THEN 0.0 ELSE coalesce(f.v, 0) * 1.0 / t.s END AS share
+      |FROM reach r LEFT JOIN fin f ON r.et = f.et CROSS JOIN tot30 t
+      |ORDER BY r.et""".stripMargin
 
   /** q130: association rules over behavioral sessions — for every
    *  pair of event types co-occurring in a session (q15's 30-minute

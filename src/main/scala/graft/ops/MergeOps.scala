@@ -257,8 +257,11 @@ object MergeOps {
    *  exchange-free (the q84/q98 layout discipline). */
   def q129PitJoin(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
+    // The first version is open-ended at the low side: any fact date —
+    // however early — matches exactly one version, so the PIT join is
+    // total and conservation holds for any provisioned date range.
     val dim = c.select(col("c_custkey"), col("c_mktsegment").as("segment"),
-        to_date(lit("1995-01-01")).as("eff_from"),
+        to_date(lit("0001-01-01")).as("eff_from"),
         to_date(lit("1998-01-01")).as("eff_to"))
       .unionAll(c.select(col("c_custkey"),
         concat(col("c_mktsegment"), lit("#R")).as("segment"),
@@ -277,7 +280,7 @@ object MergeOps {
   val q129Sql: String =
     """WITH dim AS (
       |  SELECT c_custkey, c_mktsegment AS segment,
-      |   DATE '1995-01-01' AS eff_from, DATE '1998-01-01' AS eff_to
+      |   DATE '0001-01-01' AS eff_from, DATE '1998-01-01' AS eff_to
       |  FROM customer
       |  UNION ALL
       |  SELECT c_custkey, c_mktsegment || '#R',

@@ -48,6 +48,26 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("embeddingCovariance fails fast on ragged embeddings with a clear message") {
+    val vecs = Seq(Array(1.0f, 2.0f), Array(3.0f)) // second vector short
+    val df = spark.createDataset(vecs).repartition(1).toDF("embedding")
+    val e = intercept[Exception] { Audit.embeddingCovariance(df).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("ragged embedding")))
+  }
+
+  test("sourceBalance drops zero-token sources instead of corrupting the entropy sum") {
+    // one whitespace-only source: ln(total/0) would be +Inf and
+    // round(Inf).cast(long) = Long.MaxValue without the filter
+    val docs = ((0 until 4).map(i => (s"s$i", "a b c d e")) :+ ("empty", " \t\n"))
+      .toDF("source", "text")
+    val r = Audit.sourceBalance(docs).collect().head
+    assert(r.getAs[Long]("n_sources") == 4L)
+    assert(r.getAs[Long]("total_tokens") == 20L)
+    assert(math.abs(r.getAs[Double]("entropy_nats") - math.log(4.0)) < 1e-5)
+  }
+
   test("sourceBalance: uniform distribution scores Gini 0, HHI 1/n, entropy ln n") {
     val docs = (0 until 4).map(i => (s"s$i", "a b c d e")).toDF("source", "text")
     val r = Audit.sourceBalance(docs).collect().head

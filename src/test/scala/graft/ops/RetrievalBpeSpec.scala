@@ -79,6 +79,23 @@ class RetrievalBpeSpec extends AnyFunSuite with SparkSuite {
     assert(local.nonEmpty)
   }
 
+  test("codePointSymbols splits by code point, never cleaving surrogate pairs") {
+    assert(Bpe.codePointSymbols("abc").toSeq == Seq("a", "b", "c"))
+    val astral = "a😀b" // a 😀 b — 😀 is a surrogate pair
+    assert(Bpe.codePointSymbols(astral).toSeq == Seq("a", "😀", "b"))
+    // identical to the distributed path's regex split (Java '.' = one code point)
+    assert(Bpe.codePointSymbols(astral).toSeq == astral.split("(?<=.)(?=.)").toSeq)
+  }
+
+  test("local and distributed paths learn identical rules on supplementary-plane words") {
+    val vocab = Seq(("😀😀a", 5L), ("a😀", 3L))
+      .toDF("w", "freq")
+    val local = Bpe.bpeTrain(vocab, 4)
+    val dist = Bpe.bpeTrain(vocab, 4, driverCap = 0L)
+    assert(local == dist)
+    assert(local.nonEmpty)
+  }
+
   test("pairCounts weights by word frequency and skips single-symbol words") {
     val sym = Seq(
       ("ab", 3L, Seq("a", "b")),

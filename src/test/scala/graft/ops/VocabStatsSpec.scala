@@ -34,6 +34,16 @@ class VocabStatsSpec extends AnyFunSuite with SparkSuite {
     assert(out("B") > 0.99)
   }
 
+  test("stationaryDist: a drained chain keeps its reachable state at mass 0, share 0 (not NaN)") {
+    // single transition A→B: B is reachable but its only predecessor A
+    // is a pure source, so B's mass drains to 0 by iteration 2. The
+    // row must survive with mass 0 and share 0.0 — the guarded
+    // division — matching the oracle's reachable-set left join.
+    val out = EventOps.stationaryDist(eventsDf(Seq("A", "B")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("B", 0L, 0.0)))
+  }
+
   test("zipfFit matches an independently computed OLS on the same vocabulary") {
     // freq(w_r) = 2^(7-r) for ranks 1..6 — deterministic vocabulary
     // (words must be pure lowercase-alpha to pass the vocab filter)
