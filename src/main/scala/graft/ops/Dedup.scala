@@ -713,23 +713,43 @@ object Dedup {
 
   /** q91: exact substring REMOVAL — the cleaned corpus itself: every
    *  token covered by a cross-document duplicated k-gram is deleted
-   *  and the survivors re-joined in order. The reconstruction is a
-   *  per-document sort of surviving (pos, tok) pairs — collect_list
-   *  gives no ordering guarantee, so the array is sorted explicitly
-   *  before joining (struct sort is by leading field = pos). */
+   *  and the survivors re-joined in order. */
   def q91SubstrRemove(s: SparkSession, d: String): DataFrame =
     substrRemove(documents(s, d)).orderBy(col("doc_id"))
 
   /** q91's core over any (doc_id, text) frame — also the
-   *  CorpusPipeline.removeDuplicatedSubstrings stage. */
-  private[ops] def substrRemove(docs: DataFrame, k: Int = SubstrK): DataFrame =
+   *  CorpusPipeline.removeDuplicatedSubstrings stage.
+   *
+   *  Reconstruction is the q93 sorted-group shape: `groupByKey(doc)` +
+   *  `flatMapSortedGroups(pos)` streams each document's (pos, tok,
+   *  covered) rows in order off a SPILL-BACKED iterator and appends
+   *  survivors to one builder — never materializing an O(doc-length)
+   *  struct array in an aggregation buffer the way collect_list +
+   *  array_sort would (a 1M-token book is one sorted stream here, not
+   *  one in-heap array; the output string itself is the only O(doc)
+   *  allocation, inherent to the operator). */
+  private[ops] def substrRemove(docs: DataFrame, k: Int = SubstrK): DataFrame = {
+    import docs.sparkSession.implicits._
     substrCoverage(docs, k)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("covered") === 0, 1).otherwise(0)).cast("long").as("kept_tokens"),
-        concat_ws(" ", expr(
-          "transform(array_sort(collect_list(CASE WHEN covered = 0 THEN struct(pos, tok) END)), x -> x.tok)"))
-          .as("cleaned_text"))
+      .select(col("doc_id"), col("pos"), col("tok"), col("covered"))
+      .as[(Long, Int, String, Int)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("pos")) { (id: Long, it: Iterator[(Long, Int, String, Int)]) =>
+        var n = 0L
+        var kept = 0L
+        val sb = new java.lang.StringBuilder
+        it.foreach { case (_, _, tok, covered) =>
+          n += 1
+          if (covered == 0) {
+            kept += 1
+            if (sb.length > 0) sb.append(' ')
+            sb.append(tok)
+          }
+        }
+        Iterator.single((id, n, kept, sb.toString))
+      }
+      .toDF("doc_id", "n_tokens", "kept_tokens", "cleaned_text")
+  }
 
   val q91Sql: String =
     s"""$q90Base
@@ -758,20 +778,50 @@ object Dedup {
    *  proven stable through the 50× gate). */
   def q92SemanticDedup(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+    semDedupPolicy(
+      embeddings(s, d).select(col("vec_id"), col("label"), col("embedding")),
+      blockCol = "label", vecCol = "embedding", tau = 0.45)
+  }
+
+  /** The SemDeDup keep/drop policy over any (vec_id, block, vector)
+   *  frame — ONE implementation shared by the label-blocked q92 and
+   *  the IVF-cell-blocked production path [[semDedupByCell]], so the
+   *  two can never diverge on policy: within each block, a vector is
+   *  dropped iff an earlier (smaller vec_id) same-block vector has
+   *  cosine ≥ τ; its keeper is the smallest such earlier id. */
+  private[ops] def semDedupPolicy(e: DataFrame, blockCol: String,
+      vecCol: String, tau: Double): DataFrame = {
     val dropped = e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim",
-        round(graft.functions.GraftFunctions.cosine_sim(col("a.embedding"), col("b.embedding")), 6))
-      .filter(col("sim") >= 0.45)
+        round(graft.functions.GraftFunctions.cosine_sim(col(s"a.$vecCol"), col(s"b.$vecCol")), 6))
+      .filter(col("sim") >= tau)
       .groupBy(col("b.vec_id").as("vec_id"))
       .agg(min(col("a.vec_id")).as("keeper_id"))
-    e.select(col("vec_id"), col("label"))
+    e.select(col("vec_id"), col(blockCol))
       .join(dropped, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("label"),
+      .select(col("vec_id"), col(blockCol),
         when(col("keeper_id").isNotNull, 1).otherwise(0).as("dropped"),
         col("keeper_id"))
       .orderBy(col("vec_id"))
+  }
+
+  /** SemDeDup blocked by the DURABLE IVF cell assignment — the
+   *  production composition the q92 scaladoc promises: the blocking
+   *  key is the ANN index's own coarse partition
+   *  ([[Similarity.ivfWritePartitioned]] wrote the corpus partitioned
+   *  by cell), so the quadratic term runs within cells the layout
+   *  already co-locates — each `cell=<c>/` directory is one
+   *  self-contained block, no label oracle needed, and at 100 TB the
+   *  self-join shuffles on a key whose cardinality grows with the
+   *  corpus (the q25 blocking contract). Same policy, same τ
+   *  semantics as q92 via [[semDedupPolicy]]; output carries the cell
+   *  instead of the label. */
+  def semDedupByCell(s: SparkSession, layout: String, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    semDedupPolicy(
+      s.read.parquet(layout).select(col("vec_id"), col("cell"), col("v")),
+      blockCol = "cell", vecCol = "v", tau = tau)
   }
 
   // ---------------------------------------------------------------
@@ -800,10 +850,10 @@ object Dedup {
    *  streams, the q90 lesson — fixed-width agg state, narrow
    *  shuffle); the global order is (corpus_freq, k1, k2), realized
    *  per-doc by one window over the doc's own shingles (no global
-   *  rank materialization); candidate size-filter |B| ≥ ⌈t·|A|⌉
-   *  prunes before verification. */
+   *  rank materialization); the candidate size-filter |B| ≥ ⌈t·|A|⌉
+   *  and PPJoin's positional bound (see [[prefixCandidatePairs]])
+   *  both prune before verification. */
   def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // localCheckpoint: this frame feeds FIVE downstream references
     // (freq, prefix, both candidate-verification joins, sizes);
     // without it each one re-runs the corpus shingling flatMap —
@@ -813,22 +863,7 @@ object Dedup {
         xxhash64(col("s")).as("k1"), xxhash64(col("s"), lit(1)).as("k2"))
       .localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val freq = sh.groupBy(col("k1"), col("k2")).agg(count(lit(1)).as("cnt"))
-    val prefix = sh.join(freq, Seq("k1", "k2"))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("cnt"), col("k1"), col("k2"))))
-      .join(sizes, Seq("doc_id"))
-      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("doc_id"), col("k1"), col("k2"), col("n"))
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("k1"), col("k2"),
-        col("n").as("n_a"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("k1"), col("k2"),
-        col("n").as("n_b")), Seq("k1", "k2"))
-      .filter(col("doc_a") < col("doc_b") &&
-        col("n_b") >= ceil(col("n_a") * threshold) &&
-        col("n_a") >= ceil(col("n_b") * threshold))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val cand = prefixCandidatePairs(sh, sizes, threshold, positional = true)
     val co = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("k1"), col("k2")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("k1"), col("k2")),
@@ -843,6 +878,47 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("co"), col("n_a"), col("n_b"),
         col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The candidate stage of [[prefixJaccardPairs]], factored so the
+   *  spec can measure the positional filter's pruning. With
+   *  `positional` on, PPJoin's positional upper bound (Xiao/Wang/Lin/
+   *  Yu, "Efficient Similarity Joins for Near Duplicate Detection")
+   *  runs on every prefix match BEFORE the distinct: a match at
+   *  (1-based) rarity-order positions (iₐ, i_b) bounds the overlap by
+   *  1 + min(|A|−iₐ, |B|−i_b) — every other common element sits
+   *  strictly after both positions. The FIRST common element in the
+   *  global order realizes the tightest such bound and lies inside
+   *  both prefixes for any qualifying pair, so requiring the bound to
+   *  reach the minimum overlap t/(1+t)·(|A|+|B|) prunes with ZERO
+   *  false negatives. The exact-rational ceil is deliberately dropped
+   *  and an epsilon subtracted: FP rounding can then only WEAKEN the
+   *  prune, never break exactness. */
+  private[ops] def prefixCandidatePairs(sh: DataFrame, sizes: DataFrame,
+      threshold: Double, positional: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = sh.groupBy(col("k1"), col("k2")).agg(count(lit(1)).as("cnt"))
+    val prefix = sh.join(freq, Seq("k1", "k2"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("cnt"), col("k1"), col("k2"))))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("doc_id"), col("k1"), col("k2"), col("n"), col("pos"))
+    val matched = prefix.select(col("doc_id").as("doc_a"), col("k1"), col("k2"),
+        col("n").as("n_a"), col("pos").as("pos_a"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("k1"), col("k2"),
+        col("n").as("n_b"), col("pos").as("pos_b")), Seq("k1", "k2"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("n_b") >= ceil(col("n_a") * threshold) &&
+        col("n_a") >= ceil(col("n_b") * threshold))
+    val pruned =
+      if (!positional) matched
+      else matched.filter(
+        lit(1.0) + least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b"))
+          >= lit(threshold / (1.0 + threshold)) * (col("n_a") + col("n_b"))
+            - lit(1e-9))
+    pruned.select(col("doc_a"), col("doc_b")).distinct()
   }
 
   /** q114: exact unblocked Jaccard ≥ 0.6 over 3-gram shingle sets —

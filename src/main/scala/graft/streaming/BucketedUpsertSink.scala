@@ -1,5 +1,8 @@
 package graft.streaming
 
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
 import graft.ops.MergeOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,12 +21,23 @@ import org.apache.spark.sql.functions._
  * version is never mutated after its write, so a reader resolving
  * the manifest sees a consistent snapshot even mid-merge.
  *
- * The manifest (bucket → directory of its current data) lives on the
- * driver, mirroring how foreachBatch sinks track state; a durable
- * deployment would persist it next to the version dirs (an Iceberg
- * manifest-list in miniature). Its size is `numBuckets` entries —
- * bounded by construction, like the per-batch `touched` collect
- * (≤ numBuckets longs from a distinct over the batch's bucket ids).
+ * Durability (an Iceberg manifest-list in miniature): after every
+ * merge the FULL bucket → directory mapping is persisted as
+ * `base/v<id>/_manifest.tsv` (temp-file + atomic rename, written
+ * AFTER the version's parquet), so the newest version with a manifest
+ * is always a complete, consistent snapshot. [[BucketedUpsertSink.reopen]]
+ * restores a sink from the latest persisted manifest — a crash
+ * between parquet write and manifest rename simply falls back to the
+ * previous version (the orphan dir is unreferenced and vacuumable).
+ * The manifest is `numBuckets` lines — bounded by construction, like
+ * the per-batch `touched` collect (≤ numBuckets longs from a distinct
+ * over the batch's bucket ids).
+ *
+ * Retention: superseded bucket directories accumulate by design
+ * (append-only versions); [[vacuum]] deletes, below a
+ * keep-the-last-N-versions horizon, every bucket dir no retained
+ * manifest still references — carried-forward (still-live) dirs are
+ * untouched however old their version.
  *
  * The bucket id is DERIVED from the key (recomputed on read, never
  * stored in the files), so bucket routing can't drift from the data
@@ -31,8 +45,10 @@ import org.apache.spark.sql.functions._
  */
 final class BucketedUpsertSink(s: SparkSession, base: String, key: String,
     ord: String, numBuckets: Int) {
+  import BucketedUpsertSink._
 
   @volatile private var manifest = Map.empty[Long, String]
+  @volatile private var lastVersion = -1L
 
   private def bucketOf(df: DataFrame) =
     df.withColumn("__bucket", pmod(xxhash64(col(key)), lit(numBuckets.toLong)))
@@ -61,6 +77,8 @@ final class BucketedUpsertSink(s: SparkSession, base: String, key: String,
     MergeOps.latestPerKey(all, key, ord)
       .write.partitionBy("__bucket").mode("overwrite").parquet(next)
     manifest ++= touched.map(bk => bk -> s"$next/__bucket=$bk")
+    lastVersion = math.max(lastVersion, version)
+    persistManifest(version)
   }
 
   /** The assembled current snapshot: one read over each bucket's
@@ -70,4 +88,110 @@ final class BucketedUpsertSink(s: SparkSession, base: String, key: String,
     require(manifest.nonEmpty, "no batch has been merged yet")
     s.read.parquet(manifest.values.toSeq: _*)
   }
+
+  /** Delete superseded bucket directories below the retention horizon
+    * (the `retainVersions` most recent versions stay fully intact for
+    * readers pinned at a recent snapshot). A bucket dir under an old
+    * version survives iff the live manifest or any retained version's
+    * manifest still references it — a bucket carried forward by
+    * reference is live at ANY age and is never touched. A version dir
+    * left holding no bucket dirs (all superseded, or an orphan from a
+    * crash mid-write) is removed whole. Returns the deleted paths. */
+  def vacuum(retainVersions: Int): Seq[String] = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val horizon = lastVersion - retainVersions + 1
+    val versions = listVersions(base).sorted
+    val referenced: Set[String] =
+      manifest.values.toSet ++
+        versions.filter(_ >= horizon)
+          .flatMap(v => readManifest(Paths.get(s"$base/v$v/$ManifestFile")))
+          .flatMap(_.values)
+    val deleted = Seq.newBuilder[String]
+    versions.filter(_ < horizon).foreach { v =>
+      val vDir = new java.io.File(s"$base/v$v")
+      vDir.listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+        .foreach { f =>
+          val canonical = s"$base/v$v/${f.getName}"
+          if (!referenced.contains(canonical)) {
+            deleteRecursively(f.toPath)
+            deleted += canonical
+          }
+        }
+      val survivors = vDir.listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      if (survivors == 0) { // fully superseded (or crash orphan)
+        deleteRecursively(vDir.toPath)
+        deleted += vDir.getPath
+      }
+    }
+    deleted.result()
+  }
+
+  /** Restore in-memory state from a persisted manifest ([[reopen]]). */
+  private[streaming] def restore(version: Long, m: Map[Long, String]): Unit = {
+    manifest = m
+    lastVersion = version
+  }
+
+  /** Persist the full live manifest into the version dir: temp file +
+    * atomic rename, so a reader (or recovery) never sees a torn
+    * manifest. Written AFTER the version's parquet — a crash in
+    * between leaves recovery on the previous complete version. */
+  private def persistManifest(version: Long): Unit = {
+    val dir = Paths.get(s"$base/v$version")
+    Files.createDirectories(dir)
+    val body = manifest.toSeq.sortBy(_._1)
+      .map { case (bk, d) => s"$bk\t$d" }.mkString("", "\n", "\n")
+    val tmp = dir.resolve(s"$ManifestFile.tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(ManifestFile),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+object BucketedUpsertSink {
+
+  private[streaming] val ManifestFile = "_manifest.tsv"
+
+  /** Recovery constructor: reopen a sink over `base` from the LATEST
+    * persisted manifest (versions without one — crash orphans — are
+    * skipped). A fresh/empty base yields a sink in the pre-first-merge
+    * state. The reopened snapshot is byte-identical to the one the
+    * dead sink served: the manifest points at the same immutable
+    * version dirs (BucketedUpsertSinkSpec pins this). */
+  def reopen(s: SparkSession, base: String, key: String, ord: String,
+      numBuckets: Int): BucketedUpsertSink = {
+    val sink = new BucketedUpsertSink(s, base, key, ord, numBuckets)
+    listVersions(base).sorted.reverse
+      .iterator
+      .map(v => v -> readManifest(Paths.get(s"$base/v$v/$ManifestFile")))
+      .collectFirst { case (v, Some(m)) => (v, m) }
+      .foreach { case (v, m) => sink.restore(v, m) }
+    sink
+  }
+
+  /** Version ids present under `base` (dirs named `v<digits>`). */
+  private[streaming] def listVersions(base: String): Seq[Long] = {
+    val d = new java.io.File(base)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq.filter(_.isDirectory).map(_.getName)
+      .collect { case n if n.length > 1 && n.head == 'v'
+        && n.tail.forall(_.isDigit) => n.tail.toLong }
+  }
+
+  private def readManifest(p: Path): Option[Map[Long, String]] =
+    if (!Files.exists(p)) None
+    else Some(Files.readAllLines(p).asScala
+      .filter(_.nonEmpty)
+      .map { line =>
+        val tab = line.indexOf('\t')
+        line.take(tab).toLong -> line.drop(tab + 1)
+      }.toMap)
+
+  private def deleteRecursively(root: Path): Unit =
+    scala.util.Using.resource(Files.walk(root)) {
+      _.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
 }

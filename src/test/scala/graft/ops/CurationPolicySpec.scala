@@ -41,13 +41,30 @@ class CurationPolicySpec extends AnyFunSuite with SparkSuite {
       (1L, "a b c d e f"),
       (2L, "x y a b c q")
     ).toDF("doc_id", "text")
-    val cleaned = Dedup.substrCoverage(docs, k = 3)
-      .groupBy(col("doc_id"))
-      .agg(concat_ws(" ", expr(
-        "transform(array_sort(collect_list(CASE WHEN covered = 0 THEN struct(pos, tok) END)), x -> x.tok)"))
-        .as("cleaned_text"))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cleaned = Dedup.substrRemove(docs, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(cleaned == Map(1L -> "d e f", 2L -> "x y q"))
+  }
+
+  test("substring removal streams a 100k-token document without an aggregation-buffer array") {
+    // a book-length doc: 100k distinct tokens with the duplicated
+    // 8-gram planted mid-document; the sorted-group reconstruction
+    // must stream it (the old collect_list shape materialized all
+    // 100k (pos, tok) structs in one aggregation buffer)
+    val shared = (1 to 8).map(i => s"dup$i")
+    val n = 100000
+    val big = ((1 to 50000).map(i => s"w$i") ++ shared ++
+      (50001 to (n - 8)).map(i => s"w$i")).mkString(" ")
+    val docs = Seq((1L, big), (2L, shared.mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.substrRemove(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val (nTok, kept, cleaned) = out(1L)
+    assert(nTok == n.toLong)
+    assert(kept == n - 8L, "exactly the shared 8-gram is removed")
+    val expected = ((1 to 50000).map(i => s"w$i") ++
+      (50001 to (n - 8)).map(i => s"w$i")).mkString(" ")
+    assert(cleaned == expected)
+    assert(out(2L) == ((8L, 0L, "")), "the whole short doc is duplicated away")
   }
 
   test("q90 stats are internally consistent on testdata") {
@@ -84,6 +101,43 @@ class CurationPolicySpec extends AnyFunSuite with SparkSuite {
     assert(dropped.forall(r => ids.contains(r.getAs[Long]("keeper_id"))))
     rows.filter(_.getAs[Int]("dropped") == 0)
       .foreach(r => assert(r.isNullAt(r.fieldIndex("keeper_id"))))
+  }
+
+  test("semDedupByCell runs the identical policy over the durable IVF cell layout") {
+    val small = "/root/testdata/sf0.001"
+    val layout = java.nio.file.Files.createTempDirectory("ivf_semdedup").toString
+    Similarity.ivfWritePartitioned(spark, small, layout)
+    val out = Dedup.semDedupByCell(spark, layout, 0.45).collect()
+    // independent in-memory replay of the policy within each persisted
+    // cell: drop iff an earlier same-cell vector has round(cos, 6) ≥ τ
+    val vecs = spark.read.parquet(layout).select("vec_id", "cell", "v").collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("cell").intValue(),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map(p => p._1 * p._2).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = vecs.map { case (id, cell, v) =>
+      val keepers = vecs.filter { case (id2, cell2, v2) =>
+        cell2 == cell && id2 < id &&
+          BigDecimal(cos(v2, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.45
+      }.map(_._1)
+      id -> (if (keepers.isEmpty) None else Some(keepers.min))
+    }.toMap
+    assert(out.length == vecs.length)
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      expected(id) match {
+        case Some(k) =>
+          assert(r.getAs[Int]("dropped") == 1 && r.getAs[Long]("keeper_id") == k,
+            s"vec $id: expected drop with keeper $k")
+        case None =>
+          assert(r.getAs[Int]("dropped") == 0 && r.isNullAt(r.fieldIndex("keeper_id")),
+            s"vec $id: expected keep")
+      }
+    }
+    assert(out.exists(_.getAs[Int]("dropped") == 1),
+      "fixture should contain at least one same-cell near-dup")
   }
 
   // ----- q93: greedy sequence packing -----

@@ -84,6 +84,37 @@ class FrontierResampleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("PPJoin positional filter strictly prunes candidates and loses no qualifying pair") {
+    // near-dup-dense family: 8 docs identical except token 10 — each
+    // pair shares 7 of its 10 shingles (jac 7/13 ≈ 0.54 < 0.6), so the
+    // true answer excludes all 28 pairs, yet every pair passes the
+    // plain prefix filter: the 3 unique shingles fill prefix positions
+    // 1-3 and two SHARED shingles land at positions 4-5 of both docs.
+    // The positional bound 1 + min(10-p, 10-p) = 11-p < α = 7.5 then
+    // rejects every such match. The genuinely identical pair
+    // (100, 101) matches at position 1 (bound 10 ≥ 7.5) and survives.
+    val t12 = (1 to 12).map(i => s"t$i")
+    val family = (1 to 8).map(i => (i.toLong, t12.updated(9, s"x$i").mkString(" ")))
+    val dupText = (1 to 12).map(i => s"d$i").mkString(" ")
+    val all = family ++ Seq((100L, dupText), (101L, dupText))
+    val df = all.map { case (id, tx) => (id, "en", tx) }.toDF("doc_id", "lang", "text")
+    val sh = Dedup.shingleRows(df)
+      .select(col("doc_id"),
+        xxhash64(col("s")).as("k1"), xxhash64(col("s"), lit(1)).as("k2"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val plain = Dedup.prefixCandidatePairs(sh, sizes, 0.6, positional = false).count()
+    val posCand = Dedup.prefixCandidatePairs(sh, sizes, 0.6, positional = true)
+      .as[(Long, Long)].collect().toSet
+    assert(plain == 29L, s"fixture drift: expected 28 family pairs + 1 dup pair, got $plain")
+    assert(posCand.size < plain, "positional filter must strictly prune")
+    assert(posCand == Set((100L, 101L)), s"unexpected candidates: $posCand")
+    // end-to-end: the filtered path still matches brute force exactly
+    val got = Dedup.prefixJaccardPairs(df, 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == bruteJaccard(all, 0.6))
+    assert(got == Set((100L, 101L)))
+  }
+
   test("prefixJaccardPairs agrees with lang-blocked q23 on single-lang corpus") {
     // one lang ⇒ blocking is a no-op ⇒ the two EXACT paths must agree
     val docs = Tables.documents(spark, sf).withColumn("lang", lit("xx"))

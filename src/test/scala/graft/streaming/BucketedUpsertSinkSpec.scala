@@ -61,6 +61,84 @@ class BucketedUpsertSinkSpec extends AnyFunSuite with SparkSuite {
     assert(snap(18L) == (1L, "v18"))
   }
 
+  test("reopen restores a byte-identical snapshot from the persisted manifest") {
+    val base = Files.createTempDirectory("bsink_reopen").toString
+    val n = 4
+    val sink = new BucketedUpsertSink(spark, base, "k", "seq", numBuckets = n)
+    sink.merge((1L to 32L).map(k => (k, 1L, s"v$k")).toDF("k", "seq", "v"), 0)
+    sink.merge(Seq((5L, 2L, "upd5"), (33L, 1L, "new33")).toDF("k", "seq", "v"), 1)
+    val dirs = sink.bucketDirs
+    val files = dirs.map { case (b, d) => b -> fileStates(d) }
+    val rows = sink.snapshot().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    // the sink object "dies" (goes out of scope); recovery reopens
+    // from the latest on-disk manifest alone
+    val re = BucketedUpsertSink.reopen(spark, base, "k", "seq", numBuckets = n)
+    assert(re.bucketDirs == dirs, "recovered manifest differs")
+    re.bucketDirs.foreach { case (b, d) =>
+      assert(fileStates(d) == files(b), s"bucket $b files changed across reopen")
+    }
+    val reRows = re.snapshot().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(reRows.sameElements(rows))
+    // and the chain continues from the recovered state
+    re.merge(Seq((5L, 3L, "upd5b")).toDF("k", "seq", "v"), 2)
+    val snap = re.snapshot().collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(snap(5L) == "upd5b" && snap(33L) == "new33" && snap.size == 33)
+  }
+
+  test("reopen on a crash orphan (version dir without manifest) falls back to the prior version") {
+    val base = Files.createTempDirectory("bsink_orphan").toString
+    val sink = new BucketedUpsertSink(spark, base, "k", "seq", numBuckets = 2)
+    sink.merge(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "seq", "v"), 0)
+    val goodDirs = sink.bucketDirs
+    // simulate a crash between the v1 parquet write and the manifest
+    // rename: a v1 dir with data but no _manifest.tsv
+    val orphan = Paths.get(s"$base/v1/__bucket=0")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-orphan.parquet"), Array[Byte](1, 2, 3))
+    val re = BucketedUpsertSink.reopen(spark, base, "k", "seq", numBuckets = 2)
+    assert(re.bucketDirs == goodDirs, "recovery must skip the manifest-less orphan")
+    assert(re.snapshot().count() == 2)
+  }
+
+  test("vacuum removes superseded bucket dirs past retention, never live or retained ones") {
+    val base = Files.createTempDirectory("bsink_vac").toString
+    val n = 8
+    val sink = new BucketedUpsertSink(spark, base, "k", "seq", numBuckets = n)
+    // v0 fills all buckets; v1 and v2 each rewrite one key's bucket
+    sink.merge((1L to 64L).map(k => (k, 1L, s"v$k")).toDF("k", "seq", "v"), 0)
+    sink.merge(Seq((17L, 2L, "u17")).toDF("k", "seq", "v"), 1)
+    sink.merge(Seq((17L, 3L, "u17b")).toDF("k", "seq", "v"), 2)
+    val live = sink.bucketDirs
+    val liveFiles = live.map { case (b, d) => b -> fileStates(d) }
+    val b17 = spark.range(1).select(
+      pmod(xxhash64(lit(17L)), lit(n.toLong))).head.getLong(0)
+    // retain last 2 versions (v1, v2): v0's copy of bucket b17 is
+    // superseded and past horizon → deletable; v1's copy is superseded
+    // but RETAINED; every other v0 bucket is still live (carried
+    // forward by reference) and must survive at any age
+    val deleted = sink.vacuum(retainVersions = 2)
+    assert(deleted.contains(s"$base/v0/__bucket=$b17"), s"expected v0 bucket $b17 deleted: $deleted")
+    assert(Files.exists(Paths.get(s"$base/v1/__bucket=$b17")), "retained version dir deleted")
+    live.foreach { case (b, d) =>
+      assert(Files.exists(Paths.get(d)), s"live bucket $b dir deleted")
+      assert(fileStates(d) == liveFiles(b), s"live bucket $b files changed")
+    }
+    // snapshot unchanged after vacuum
+    val snap = sink.snapshot().collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(snap.size == 64 && snap(17L) == "u17b")
+    // a second vacuum with retention 1 clears v1's superseded copy and
+    // the now-empty v1 dir stays (v1 still holds nothing else? no —
+    // v1's only bucket was b17, so the whole v1 dir goes)
+    val deleted2 = sink.vacuum(retainVersions = 1)
+    assert(deleted2.contains(s"$base/v1/__bucket=$b17"))
+    assert(!Files.exists(Paths.get(s"$base/v1")), "fully superseded version dir should be removed")
+    assert(sink.snapshot().count() == 64)
+  }
+
   test("multi-version chain with duplicate keys inside a batch stays latest-wins") {
     val base = Files.createTempDirectory("bsink2").toString
     val sink = new BucketedUpsertSink(spark, base, "k", "seq", numBuckets = 4)
