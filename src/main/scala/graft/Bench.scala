@@ -60,7 +60,12 @@ object Bench {
     // noise anyway. Double.toString (not %f) is locale-independent:
     // a comma decimal point would not be JSON.
     def sec(v: Double): String = (math.round(v * 1000) / 1000.0).toString
-    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + sec(v) }
+    // per-query entries in DESCENDING time order: if a log capture
+    // truncates the line's tail, what survives is the headline totals
+    // plus the most expensive queries — the entries a reader actually
+    // needs; the cheap tail is what gets lost
+    val qs = results.toSeq.sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) => "\"" + esc(k) + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -76,6 +81,12 @@ object Bench {
     } catch { case _: Exception => () }
     graft.ops.InferOps.cleanupScratch()
     spark.stop()
+    // reprint the identical line as the FINAL stdout of the JVM: a
+    // tail-capture that starts mid-stream (the r6 artifact lost its
+    // JSON head that way) still ends on one complete copy; a
+    // head-keeping capture already has the first. Identical copies
+    // parse the same whether the recorder takes the first or the last.
+    println(json)
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -221,7 +221,11 @@ object SparkEntry {
     // streaming top-k maintenance (complete-mode leaderboard)
     "q132_stream_topk" -> (StreamingOps.q132StreamTopk _),
     // per-user temporal burstiness (automation/abuse signal)
-    "q133_burstiness" -> (EventOps.q133Burstiness _)
+    "q133_burstiness" -> (EventOps.q133Burstiness _),
+    // BPE tokenizer hard gate (the q61 pattern): round-trip, fixpoint,
+    // token validity, and independent-encoder parity as oracle-hashed
+    // booleans — the quality floor for the rows-only q108
+    "q134_bpe_gate" -> (Bpe.q134BpeGate _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -349,6 +353,7 @@ object SparkEntry {
     "q130_association_rules" -> EventOps.q130Sql,
     "q131_score_calibration" -> Audit.q131Sql,
     "q132_stream_topk" -> StreamingOps.q132Sql,
-    "q133_burstiness" -> EventOps.q133Sql
+    "q133_burstiness" -> EventOps.q133Sql,
+    "q134_bpe_gate" -> Bpe.q134Sql
   )
 }

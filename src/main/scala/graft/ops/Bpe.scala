@@ -244,6 +244,97 @@ object Bpe {
     * a rows-only check; BpeSpec pins the encoder against the
     * hand-computed Sennrich example, the round-trip identity, and the
     * zero-merge degenerate case. */
+  /** Independent reference encoder for the q134 parity gate:
+    * repeatedly merges the SINGLE LEFTMOST occurrence of the
+    * lowest-rank adjacent pair, where [[bpeEncode]] merges every
+    * occurrence of that pair in one left-to-right pass. The two are
+    * provably equivalent — a merge only creates pairs involving the
+    * NEW token, and any rule consuming a token is learned after the
+    * rule that built it (strictly higher rank), so the current
+    * minimum rank stays minimal until its occurrences are exhausted —
+    * which makes this a genuinely independent implementation of the
+    * same contract rather than a transcription of the main path. */
+  private[ops] def bpeEncodeReference(word: String,
+      rank: Map[(String, String), Int]): Seq[String] = {
+    var syms = codePointSymbols(word).toVector
+    var more = true
+    while (more && syms.length >= 2) {
+      val ranked = syms.zip(syms.tail).zipWithIndex
+        .flatMap { case (p, i) => rank.get(p).map(r => (r, i)) }
+      if (ranked.isEmpty) more = false
+      else {
+        val (_, i) = ranked.min
+        syms = (syms.take(i) :+ (syms(i) + syms(i + 1))) ++ syms.drop(i + 2)
+      }
+    }
+    syms
+  }
+
+  /** q134: hard quality gate for the BPE tokenizer — the q61 pattern
+    * applied to the one rows-only operator that had no floor: q108's
+    * segmentation is engine-specific (iterative greedy merges DuckDB
+    * can't express), but its CONTRACT is boolean and oracle-hashable.
+    * Four components over the trained 50-rule model, each an all-rows
+    * invariant on the corpus vocabulary:
+    *
+    *  - `bpe_round_trip`: decode(encode(w)) — symbol concatenation —
+    *    reproduces every vocabulary word exactly;
+    *  - `bpe_fixpoint`: no adjacent pair of any final segmentation is
+    *    still mergeable (inference stopped exactly when it should);
+    *  - `bpe_token_validity`: every multi-code-point token is the
+    *    product of a learned rule (a+b for some (a, b));
+    *  - `bpe_reference_parity`: on a deterministic ~1/8 vocabulary
+    *    sample, [[bpeEncode]] matches [[bpeEncodeReference]], an
+    *    independently-implemented encoder of the same spec.
+    *
+    * Scale: one map over the VOCABULARY (not the corpus) with the
+    * constant-size rule table in the task closure, then a single
+    * boolean aggregate — the gate costs one vocab pass beyond
+    * training. */
+  def q134BpeGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = vocabulary(documents(s, d))
+    val rules = bpeTrain(vocab, 50)
+    val rank = rules.zipWithIndex.toMap
+    val mergedToks: Set[String] = rules.map { case (a, b) => a + b }.toSet
+    vocab.select(col("w")).as[String]
+      .map { w =>
+        val syms = bpeEncode(w, rank)
+        val rtBad = if (syms.mkString == w) 0L else 1L
+        val fxBad = if (syms.length < 2 ||
+          syms.iterator.zip(syms.iterator.drop(1)).forall(p => !rank.contains(p))) 0L else 1L
+        val tvBad = if (syms.forall(t =>
+          t.codePointCount(0, t.length) == 1 || mergedToks.contains(t))) 0L else 1L
+        // deterministic sample: String.hashCode is part of the JLS,
+        // stable across JVMs and partitionings
+        val sampled = if ((w.hashCode & 7) == 0) 1L else 0L
+        val paBad = if (sampled == 0L || syms == bpeEncodeReference(w, rank)) 0L else 1L
+        (rtBad, fxBad, tvBad, sampled, paBad)
+      }
+      .toDF("rt_bad", "fx_bad", "tv_bad", "sampled", "pa_bad")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rt_bad")).as("rt"), sum(col("fx_bad")).as("fx"),
+        sum(col("tv_bad")).as("tv"), sum(col("sampled")).as("ns"),
+        sum(col("pa_bad")).as("pa"))
+      .select(explode(array(
+        struct(lit("bpe_fixpoint").as("component"),
+          (col("n") > 0 && col("fx") === 0).as("ok")),
+        struct(lit("bpe_reference_parity").as("component"),
+          (col("ns") > 0 && col("pa") === 0).as("ok")),
+        struct(lit("bpe_round_trip").as("component"),
+          (col("n") > 0 && col("rt") === 0).as("ok")),
+        struct(lit("bpe_token_validity").as("component"),
+          (col("n") > 0 && col("tv") === 0).as("ok")))).as("r"))
+      .select(col("r.component"), col("r.ok"))
+      .orderBy(col("component"))
+  }
+
+  val q134Sql: String =
+    """SELECT * FROM (VALUES
+      | ('bpe_fixpoint', true), ('bpe_reference_parity', true),
+      | ('bpe_round_trip', true), ('bpe_token_validity', true)
+      |) t(component, ok) ORDER BY component""".stripMargin
+
   def q108BpeEncode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d)

@@ -96,6 +96,24 @@ class RetrievalBpeSpec extends AnyFunSuite with SparkSuite {
     assert(local.nonEmpty)
   }
 
+  test("bpeEncodeReference agrees with bpeEncode on the Sennrich vocab and adversarial words") {
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L), ("west", 4L), ("lowest", 1L)).toDF("w", "freq")
+    val rank = Bpe.bpeTrain(vocab, 10).zipWithIndex.toMap
+    val words = Seq("low", "lower", "newest", "widest", "west", "lowest",
+      "wewest", "eststst", "lowlowlow", "x", "", "stew")
+    words.foreach { w =>
+      assert(Bpe.bpeEncode(w, rank) == Bpe.bpeEncodeReference(w, rank), s"word '$w'")
+    }
+  }
+
+  test("q134 gate components are all green on the provisioned corpus") {
+    val out = Bpe.q134BpeGate(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out == Map("bpe_fixpoint" -> true, "bpe_reference_parity" -> true,
+      "bpe_round_trip" -> true, "bpe_token_validity" -> true))
+  }
+
   test("pairCounts weights by word frequency and skips single-symbol words") {
     val sym = Seq(
       ("ab", 3L, Seq("a", "b")),
