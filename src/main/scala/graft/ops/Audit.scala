@@ -197,31 +197,74 @@ object Audit {
 
   /** q122: entity-resolution candidate pairs between the customer and
    *  supplier registries — the record-linkage primitive: a BLOCKING
-   *  key (nationkey) turns the quadratic all-pairs comparison into an
-   *  equi-join, and the expensive theta predicate (levenshtein ≤ 2 on
-   *  the 9-digit entity key) runs only within blocks. Reports per
-   *  block: surviving pair count, distinct matched customers, and the
-   *  closest distance.
+   *  key (nationkey) scopes the comparison, and the expensive theta
+   *  predicate (levenshtein ≤ 2 on the 9-digit entity key) runs only
+   *  on candidates. Reports per block: surviving pair count, distinct
+   *  matched customers, and the closest distance.
    *
-   *  Scale shape: the equi-join shuffles on the block key only (AQE
-   *  broadcasts the small side here); edit distance is Catalyst's
-   *  codegen'd `levenshtein`, evaluated on block_pairs rows — the
-   *  blocked-join discipline is exactly what caps that at
-   *  Σ_b |C_b|·|S_b| instead of |C|·|S|. Skewed blocks fall under
-   *  AQE's skew-join splitting like any other join. */
+   *  Scale shape — two exact prunes on top of the nationkey block,
+   *  because nationkey alone is a FIXED-cardinality key (25 values):
+   *  holding it while the data grows made block-local quadratic work
+   *  grow as the square of the scale factor (the round-5 q25 lesson;
+   *  the 100× octave measured this operator at 207 s before the fix).
+   *
+   *  1. Weight collapse: rows are reduced to DISTINCT (nationkey,
+   *     key) with multiplicities BEFORE any pairing — duplicate
+   *     entity names (replicated registries, re-registrations) then
+   *     multiply counts instead of join rows, and n_pairs is
+   *     recovered exactly as Σ w_c·w_s.
+   *  2. PassJoin segment filter (Li/Deng/Feng, "PASS-JOIN: a
+   *     partition-based method for similarity joins", VLDB 2012):
+   *     the customer key splits into τ+1 = 3 contiguous segments;
+   *     any supplier key within edit distance τ = 2 must contain one
+   *     segment EXACTLY, shifted by at most τ — so candidates come
+   *     from an equi-join on (nationkey, segment_idx, segment_text)
+   *     against the supplier key's substrings at the segment start
+   *     ± τ, a superset of the true pairs by pigeonhole (≤ 2 edit
+   *     ops leave ≥ 1 of 3 segments untouched, net shift ≤ 2).
+   *     Codegen'd `levenshtein` then verifies exactly; the join key
+   *     cardinality GROWS with the registry (segments are data), so
+   *     blocks stay bounded at any scale.
+   *
+   *  Both prunes are output-invariant: the oracle keeps the plain
+   *  blocked cross-join formulation and the hashes must agree. */
   def q122EntityResolution(s: SparkSession, d: String): DataFrame = {
+    val tau = 2
+    val segLen = 3
+    val segStarts = Seq(1, 4, 7) // 9-char keys → 3 segments of 3
     val c = customer(s, d).select(
-      col("c_nationkey").as("nationkey"),
-      expr("substring(c_name, 10, 9)").as("ckey"))
+        col("c_nationkey").as("nationkey"),
+        expr("substring(c_name, 10, 9)").as("ckey"))
+      .groupBy(col("nationkey"), col("ckey")).agg(count(lit(1)).as("wc"))
     val sup = supplier(s, d).select(
-      col("s_nationkey").as("nationkey"),
-      expr("substring(s_name, 10, 9)").as("skey"))
-    c.join(sup, Seq("nationkey"))
+        col("s_nationkey").as("nationkey"),
+        expr("substring(s_name, 10, 9)").as("skey"))
+      .groupBy(col("nationkey"), col("skey")).agg(count(lit(1)).as("ws"))
+    val cSeg = c.select(col("nationkey"), col("ckey"), col("wc"),
+      explode(array(segStarts.zipWithIndex.map { case (st, i) =>
+        struct(lit(i).as("i"), expr(s"substring(ckey, $st, $segLen)").as("g"))
+      }: _*)).as("sg"))
+      .select(col("nationkey"), col("ckey"), col("wc"),
+        col("sg.i").as("i"), col("sg.g").as("g"))
+    val sSeg = sup.select(col("nationkey"), col("skey"), col("ws"),
+      explode(array((for {
+        (st, i) <- segStarts.zipWithIndex
+        delta <- -tau to tau
+        p = st + delta if p >= 1
+      } yield struct(lit(i).as("i"),
+        expr(s"substring(skey, $p, $segLen)").as("g"))): _*)).as("sg"))
+      .select(col("nationkey"), col("skey"), col("ws"),
+        col("sg.i").as("i"), col("sg.g").as("g"))
+      .distinct() // repeated digits can emit one (i, g) from several shifts
+    val cand = cSeg.join(sSeg, Seq("nationkey", "i", "g"))
+      .select(col("nationkey"), col("ckey"), col("wc"), col("skey"), col("ws"))
+      .distinct() // one candidate per key pair, however many segments matched
+    cand
       .withColumn("dist", levenshtein(col("ckey"), col("skey")))
-      .filter(col("dist") <= 2)
+      .filter(col("dist") <= tau)
       .groupBy(col("nationkey"))
       .agg(
-        count(lit(1)).as("n_pairs"),
+        sum(col("wc") * col("ws")).as("n_pairs"),
         countDistinct(col("ckey")).as("n_customers"),
         min(col("dist")).cast("long").as("min_dist"))
       .orderBy(col("nationkey"))

@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSuite
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -46,6 +48,67 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
         assert(math.abs(cov - expected(k)) < 1e-9, s"pair $k at $parts partitions")
       }
     }
+  }
+
+  test("q122's PassJoin-filtered path equals the blocked cross-join brute force") {
+    val d = "/root/testdata/sf0.001"
+    val got = Audit.q122EntityResolution(spark, d).collect()
+      .map(r => (r.getAs[Int]("nationkey"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_customers"), r.getAs[Long]("min_dist")))
+    val c = Tables.customer(spark, d).selectExpr(
+      "c_nationkey AS nationkey", "substring(c_name, 10, 9) AS ckey")
+    val s2 = Tables.supplier(spark, d).selectExpr(
+      "s_nationkey AS nationkey", "substring(s_name, 10, 9) AS skey")
+    val brute = c.join(s2, Seq("nationkey"))
+      .withColumn("dist", levenshtein(col("ckey"), col("skey")))
+      .filter(col("dist") <= 2)
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("ckey")).as("n_customers"),
+        min(col("dist")).cast("long").as("min_dist"))
+      .orderBy(col("nationkey")).collect()
+      .map(r => (r.getAs[Int]("nationkey"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_customers"), r.getAs[Long]("min_dist")))
+    assert(got.sameElements(brute))
+    assert(got.nonEmpty)
+  }
+
+  test("q122 segment filter survives insertions, deletions, and duplicate names") {
+    // hand-built registries: substitution (dist 2), deletion+insertion
+    // (shifted segments), exact duplicate rows (weight collapse), and
+    // a far key that must NOT pair
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def reg(prefix: String, rows: Seq[(Int, String)]) = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.map { case (n, k) =>
+        Row(n, s"$prefix#$k"): Row
+      }.asJava),
+      StructType(Seq(StructField(s"${prefix.head.toLower}_nationkey", IntegerType),
+        StructField(s"${prefix.head.toLower}_name", StringType))))
+    val cRows = Seq(
+      (1, "000000111"), (1, "000000111"), // duplicate name: weight 2
+      (1, "123456789"),
+      (2, "000000111")) // other block
+    val sRows = Seq(
+      (1, "000099111"), // dist 2 from 000000111 (two subs)
+      (1, "012345678"), // one del + one ins from 123456789 (shifted)
+      (1, "999999999"), // far from everything
+      (2, "000000111")) // exact in block 2
+    val cDf = reg("Customer", cRows)
+    val sDf = reg("Supplier", sRows)
+    // route through the real operator by writing a tiny scratch dir
+    val dir = java.nio.file.Files.createTempDirectory("q122fix").toString
+    cDf.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    sDf.write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val out = Audit.q122EntityResolution(spark, dir).collect()
+      .map(r => r.getAs[Int]("nationkey") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_customers"), r.getAs[Long]("min_dist"))))
+      .toMap
+    // block 1: 000000111(w2)↔000099111 → 2 pairs dist 2;
+    //          123456789↔012345678 → 1 pair dist 2 → 3 pairs, 2 customers
+    assert(out(1) == ((3L, 2L, 2L)), s"block 1: ${out(1)}")
+    // block 2: exact match, dist 0
+    assert(out(2) == ((1L, 1L, 0L)), s"block 2: ${out(2)}")
   }
 
   test("embeddingCovariance fails fast on ragged embeddings with a clear message") {
