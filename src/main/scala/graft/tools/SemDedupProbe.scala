@@ -1,0 +1,58 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import graft.ops.{Dedup, Similarity, Tables}
+import org.apache.spark.sql.functions._
+
+/** Recall diagnostic for the two SemDeDup blockings: how many of the
+ *  UNBLOCKED near-dup drops (cosine ≥ τ to any earlier vector — the
+ *  quadratic ground truth) does each cheap blocking recover?
+ *
+ *   - label-blocked (q92's oracle-checkable stand-in key)
+ *   - IVF-cell-blocked (the durable production layout,
+ *     [[graft.ops.Dedup.semDedupByCell]])
+ *
+ *  A blocked policy can only MISS drops (blocks partition the pair
+ *  space), so recovered/true is a recall in [0, 1]. Numbers land in
+ *  BASELINE.md. Usage: runMain graft.tools.SemDedupProbe [sfDir] */
+object SemDedupProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = graft.GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    graft.functions.GraftFunctions.register(spark)
+    val tau = 0.45
+
+    val layout = Files.createTempDirectory("semdedup_ivf").toString
+    Similarity.ivfWritePartitioned(spark, d, layout)
+
+    val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    // unblocked ground truth: a vector is a true drop iff ANY earlier
+    // vector is within τ — the O(n²) scan the blockings exist to avoid
+    val truth = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", round(graft.functions.GraftFunctions
+        .cosine_sim(col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("sim") >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+
+    def drops(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("dropped") === 1).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+
+    val byLabel = drops(Dedup.q92SemanticDedup(spark, d))
+    val byCell = drops(Dedup.semDedupByCell(spark, layout, tau))
+
+    def pct(hit: Set[Long]): String =
+      if (truth.isEmpty) "n/a"
+      else f"${hit.intersect(truth).size}%d/${truth.size}%d = ${hit.intersect(truth).size * 100.0 / truth.size}%.1f%%"
+
+    println(s"[semdedup] corpus=$d tau=$tau true_drops=${truth.size}")
+    println(s"[semdedup] label-blocked recall: ${pct(byLabel)}")
+    println(s"[semdedup] ivf-cell-blocked recall: ${pct(byCell)}")
+    // blocked drops are a subset of true drops by construction; any
+    // excess would mean the blocking manufactured a pair — impossible
+    assert(byLabel.subsetOf(truth) && byCell.subsetOf(truth))
+    spark.stop()
+  }
+}
