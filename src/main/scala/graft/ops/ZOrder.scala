@@ -69,12 +69,33 @@ object ZOrder {
       .write.mode("overwrite").parquet(out)
   }
 
+  /** File count for a z-ordered rewrite of `df`, from its source
+    * size: ~32 MB of (compressed) input bytes per output file, floor
+    * 16. A FIXED count was the 100×-octave scale bug of this module:
+    * 60M rows forced into 16 range partitions ran 16 giant
+    * sort-and-encode tasks on 32 cores (255 s) — and at 100 TB would
+    * mean multi-TB files no reader wants. File count must grow with
+    * the data; per-file size is what stays constant. */
+  private[ops] def filesForBytes(bytes: Long): Int =
+    math.max(16L, bytes / (32L << 20) + 1).min(1 << 14).toInt
+
+  private[ops] def autoNumFiles(df: DataFrame): Int = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val bytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try p.getFileSystem(conf).getFileStatus(p).getLen catch { case _: Exception => 0L }
+    }.sum
+    filesForBytes(bytes)
+  }
+
   /** Z-ordered copy of lineitem by (l_partkey, l_suppkey), one per
     * JVM per source dir (same contract as InferOps.partitionedDocs). */
   def zorderedLineitem(s: SparkSession, d: String): DataFrame = {
     val dir = InferOps.tmpPath("zorder_li", d)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
-      writeZOrdered(Tables.lineitem(s, d), "l_partkey", "l_suppkey", dir, 16)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+      val src = Tables.lineitem(s, d)
+      writeZOrdered(src, "l_partkey", "l_suppkey", dir, autoNumFiles(src))
+    }
     s.read.parquet(dir)
   }
 

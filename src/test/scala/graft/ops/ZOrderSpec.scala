@@ -74,4 +74,13 @@ class ZOrderSpec extends AnyFunSuite with SparkSuite {
     assert(rows(0) == 0L && rows(1) == 1L && rows(2) == 4L && rows(3) == 5L)
     assert(rows(4) == 0x55555555L) // all 16 bits spread to even positions
   }
+
+  test("autoNumFiles scales with input bytes: floor 16 on small inputs, grows past it") {
+    // the provisioned sf0.01 lineitem is far under one 32 MB target -> floor
+    assert(ZOrder.autoNumFiles(Tables.lineitem(spark, d)) == 16)
+    assert(ZOrder.filesForBytes(0L) == 16)
+    assert(ZOrder.filesForBytes(3L * (32L << 20) + 1) == 16) // still under floor
+    assert(ZOrder.filesForBytes(40L * (32L << 20)) == 41)    // ~32 MB per file
+    assert(ZOrder.filesForBytes(Long.MaxValue / 4) == (1 << 14)) // capped
+  }
 }
