@@ -17,8 +17,14 @@ import org.apache.spark.sql.functions._
  * `false` and the driver's hash compare goes red. Floors match the
  * OpsInvariantsSpec assertions (ANN: ≥0.7 LSH / ≥0.6 IVF top-5
  * overlap — measured 0.88–0.96 LSH and 0.70–0.74 IVF at sf0.01/0.1
- * with the seeded k-means codebook; MinHash: zero missed exact pairs
- * ≥ threshold; SimHash: zero misses inside the banding's structural
+ * with the seeded k-means codebook; MinHash: ≤1% of exact pairs
+ * ≥ threshold missed — the 5×4 banding's promise is the S-curve, not
+ * zero-miss: per-pair miss probability at j=0.9 is (1−0.9⁴)⁵ ≈ 0.5%,
+ * invisible on tens of pairs (measured 0 through the 50× octave) and
+ * inevitably sampled at thousands (3 of 7,900 = 0.04% at 100×); the
+ * 1% floor states the operator's real probabilistic bound while
+ * still requiring zero misses on any corpus under ~100 pairs;
+ * SimHash: zero misses inside the banding's structural
  * Hamming ≤ 6 guarantee plus ≤5% of ≥0.9 pairs missed overall —
  * measured 0 on the provisioned corpora, 2.6% at a derived 10×).
  *
@@ -92,9 +98,9 @@ object RecallGates {
           (col("tot") > 0 && col("phits") >= col("tot") * 0.6).as("ok")))).as("r"))
       .select(col("r.component"), col("r.ok"))
 
-    // every exact near-dup pair (above the stated floor) must appear
-    // among the approximate pairs on THIS corpus — deterministic with
-    // the fixed data + hash seeds; a >HotBucketCap degenerate cluster
+    // ≥99% of exact near-dup pairs (above the stated threshold) must
+    // appear among the approximate pairs — deterministic with the
+    // fixed data + hash seeds; a >HotBucketCap degenerate cluster
     // would legitimately trade tail pairs for boundedness (Dedup
     // .bandedPairs), which this corpus doesn't contain.
     // ONE materialized shingle pass feeds the exact baseline (first
@@ -148,7 +154,11 @@ object RecallGates {
         count(when(col("jaccard") >= 0.9 && col("h").isNull, 1)).as("sh_missed"))
       .select(explode(array(
         struct(lit("minhash_lsh").as("component"),
-          (col("tot") > 0 && col("mh_missed") === 0).as("ok")),
+          // ≤1% missed: floor(1% of N) is 0 below 100 pairs, so the
+          // provisioned corpora still demand zero misses; at derived
+          // octaves the floor is the banding's true S-curve bound
+          // (100× measured 3/7,900 = 0.04%)
+          (col("tot") > 0 && col("mh_missed") <= col("tot") * 0.01).as("ok")),
         struct(lit("simhash").as("component"),
           (col("hi_tot") > 0 && col("sh_guar_missed") === 0
             && col("sh_missed") <= col("hi_tot") * 0.05).as("ok")))).as("r"))
