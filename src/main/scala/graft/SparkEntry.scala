@@ -225,7 +225,11 @@ object SparkEntry {
     // BPE tokenizer hard gate (the q61 pattern): round-trip, fixpoint,
     // token validity, and independent-encoder parity as oracle-hashed
     // booleans — the quality floor for the rows-only q108
-    "q134_bpe_gate" -> (Bpe.q134BpeGate _)
+    "q134_bpe_gate" -> (Bpe.q134BpeGate _),
+    // exact all-pairs TF-IDF cosine join via l2-mass prefix filter
+    "q135_cosine_join" -> (SparseSim.q135CosineJoin _),
+    // last-touch revenue attribution over the per-user event order
+    "q136_attribution" -> (EventOps.q136Attribution _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -354,6 +358,8 @@ object SparkEntry {
     "q131_score_calibration" -> Audit.q131Sql,
     "q132_stream_topk" -> StreamingOps.q132Sql,
     "q133_burstiness" -> EventOps.q133Sql,
-    "q134_bpe_gate" -> Bpe.q134Sql
+    "q134_bpe_gate" -> Bpe.q134Sql,
+    "q135_cosine_join" -> SparseSim.q135Sql,
+    "q136_attribution" -> EventOps.q136Sql
   )
 }

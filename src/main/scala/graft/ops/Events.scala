@@ -618,4 +618,61 @@ object EventOps {
       | CASE WHEN sigma + mu > 0 THEN (sigma - mu) / (sigma + mu) ELSE 0.0 END
       |   AS burstiness
       |FROM m ORDER BY user_id""".stripMargin
+
+  /** q136: last-touch revenue attribution — each purchase credits its
+   *  value to the nearest PRECEDING non-purchase event by the same
+   *  user within a 1-hour lookback ('direct' when none qualifies):
+   *  the marketing-attribution shape every event pipeline reports.
+   *
+   *  Determinism: the touch is selected by the q15 total order
+   *  (ts, event_id), amounts aggregate as exact cents, and the
+   *  lookback compares timestamps — no floating point anywhere in
+   *  the attribution decision.
+   *
+   *  Scale: one IGNORE-NULLS running window on the user_id
+   *  partitioning q15/q133 already establish, then a hash aggregate
+   *  on the tiny event-type dimension — no new shuffle shape, no
+   *  self-join (the naive form is purchases × events). */
+  def q136Attribution(s: SparkSession, d: String): DataFrame =
+    attributeLastTouch(events(s, d))
+
+  /** Core of q136 over any (user_id, event_id, ts, event_type, value)
+    * frame — split out so specs can pin the boundary semantics on
+    * synthetic rows. */
+  private[ops] def attributeLastTouch(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase",
+      struct(col("ts").as("t"), col("event_type").as("tp")))
+    ev
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("last_touch").isNotNull &&
+            col("last_touch.t") >= col("ts") - expr("INTERVAL 1 HOUR"),
+          col("last_touch.tp")).otherwise(lit("direct")).as("touch_type"),
+        Tables.cents(col("value")).as("cents"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("touch_type"))
+  }
+
+  val q136Sql: String =
+    """WITH t AS (
+      |  SELECT event_type, ts, "value",
+      |   last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+      |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts,
+      |   last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_tp
+      |  FROM events)
+      |SELECT
+      | CASE WHEN touch_ts IS NOT NULL AND touch_ts >= ts - INTERVAL 1 HOUR
+      |      THEN touch_tp ELSE 'direct' END AS touch_type,
+      | count(*) AS n_purchases,
+      | CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

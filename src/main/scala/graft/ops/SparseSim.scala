@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact all-pairs cosine similarity join over sparse TF-IDF vectors —
+ * the cosine sibling of q114's Jaccard prefix join, and the sparse
+ * complement to the dense-embedding ANN family (q25–q27/q37/q89):
+ * every document pair whose TF-IDF cosine clears a threshold, found
+ * WITHOUT the corpus×corpus comparison, with no approximation.
+ *
+ * The prune is the ℓ2-mass prefix filter (Bayardo, Ma & Srikant,
+ * "Scaling Up All Pairs Similarity Search", WWW'07): for each
+ * document, terms are ranked by ascending squared share of the
+ * vector's mass, and the maximal ascending run whose cumulative mass
+ * stays under t² is the SUFFIX. By Cauchy–Schwarz, a pair whose
+ * shared terms all fall in one side's suffix has cosine ≤ √(suffix
+ * mass) < t — so indexing only PREFIX terms (the few heaviest) and
+ * probing every document's prefix against the postings is lossless:
+ * any qualifying pair shares at least one prefix term of each probe
+ * side. The filter is epsilon-relaxed (suffix mass ≤ t²−1e-9) so FP
+ * rounding can only weaken the prune, never the result — the q114
+ * rule.
+ *
+ * Determinism (the hash-compare contract): weights are integer-
+ * quantized (round(tf·ln(N/df)·1000)), so dot products and norms are
+ * exact integer sums — aggregation order cannot perturb them; the
+ * final cosine divides integers through IEEE sqrt/division
+ * (bit-identical in both engines) and only the EMITTED score is
+ * rounded (6 dp, irrational-value rule). Overflow headroom: wq ≤
+ * tf·ln(N)·1e3 ≈ 1.5e7 at tf=1000, N=5M; a 500-term doc's norm sums
+ * to ≤1.2e17 — two orders under int64 at the 100× octave.
+ *
+ * Scale notes: candidates are generated per prefix term — a term
+ * lands in a prefix only where it carries a top share of a document's
+ * mass, which is exactly where idf says it is discriminative, so hot
+ * terms (near-zero idf weight) almost never become join keys; the
+ * candidate distinct and the dot-product re-join are both bounded by
+ * (candidate pairs)×(doc terms), not corpus². The ORACLE form is the
+ * corpus×corpus brute force — tractable at the provisioned SFs and
+ * documented ≤10× (the q121/q124 class: the oracle IS the quadratic
+ * the operator exists to avoid).
+ *
+ * Reference scope: the reference engine (3nth/diepy) has no
+ * similarity machinery; this belongs to the training-data-pipeline
+ * extension surface (near-dup mining over sparse features).
+ */
+object SparseSim {
+
+  /** Cosine threshold of the q135 join (part of the contract — the
+    * oracle applies the same). */
+  private val Thr = 0.9
+  /** Fixed-point weight scale (3 dp of tf·idf). */
+  private val Q = 1000.0
+
+  /** Per-doc TF-IDF weights over 3-token shingle features (the q114
+    * feature space, as a MULTISET — tf keeps repeat shingles),
+    * integer-quantized. Long-n-gram features are what make the join
+    * tractable on any corpus: unigram/bigram df scales with corpus
+    * density (a 31-token synthetic vocabulary leaves 96 %/38 % of all
+    * pairs as candidates), while a shingle's df is bounded by its
+    * text's actual duplication multiplicity (median 9, max 25 at
+    * sf0.1) — discriminative by construction.
+    * Columns: doc_id, term, wq (long). */
+  private[ops] def weights(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tf = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text0) =>
+        // tokenize once per doc in JVM code (the shingleRows rule)
+        val toks = Option(text0).getOrElse("").trim.split("\\s+")
+        if (toks.length < 3) Iterator.empty
+        else toks.sliding(3).map(g => (id, g.mkString(" ")))
+      }
+      .toDF("doc_id", "term")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")) * Q)
+          .cast("long").as("wq"))
+  }
+
+  /** q135: every unordered pair with TF-IDF cosine ≥ 0.9, exactly.
+    * Output (doc_a, doc_b, cosine), doc_a < doc_b. */
+  def q135CosineJoin(s: SparkSession, d: String): DataFrame =
+    cosineJoin(Tables.documents(s, d))
+
+  /** Core of q135 over any (doc_id, text) frame (spec entry point). */
+  private[ops] def cosineJoin(docs: DataFrame): DataFrame = {
+    val w = weights(docs.select(col("doc_id"), col("text")))
+      .localCheckpoint(true) // one shuffle feeds norms, prefixes, and both dot sides
+    // docs whose every term has idf 0 carry no mass: cosine is
+    // undefined for them (0/0) — excluded on both sides, like the
+    // oracle's nrm > 0 guard
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum(col("wq") * col("wq")).as("nrm"))
+      .filter(col("nrm") > 0)
+    // ascending cumulative squared-mass share per doc: the maximal
+    // head with cum ≤ t²−ε is the suffix (cannot reach t alone, by
+    // Cauchy–Schwarz); everything after it is the indexed prefix
+    val byMass = Window.partitionBy(col("doc_id"))
+      .orderBy(col("u2"), col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixes = w.join(norms, "doc_id")
+      .withColumn("u2",
+        (col("wq") * col("wq")).cast("double") / col("nrm").cast("double"))
+      .withColumn("cum", sum(col("u2")).over(byMass))
+      .filter(col("cum") > Thr * Thr - 1e-9)
+      .select(col("term"), col("doc_id"))
+    // candidate pairs: each doc's prefix terms against the FULL
+    // postings (the asymmetric-probe form of the filter — sound for
+    // any per-doc split, no global term order needed)
+    val cand = prefixes.as("a")
+      .join(w.select(col("term"), col("doc_id").as("b_id")).as("b"), Seq("term"))
+      .filter(col("doc_id") =!= col("b_id"))
+      .select(least(col("doc_id"), col("b_id")).as("doc_a"),
+        greatest(col("doc_id"), col("b_id")).as("doc_b"))
+      .distinct()
+    // exact integer dot product, candidates only
+    val dots = cand
+      .join(w.select(col("doc_id").as("doc_a"), col("term"), col("wq").as("wa")),
+        Seq("doc_a"))
+      .join(w.select(col("doc_id").as("doc_b"), col("term"), col("wq").as("wb")),
+        Seq("doc_b", "term"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), Seq("doc_b"))
+      .withColumn("cos",
+        col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos") >= Thr)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Candidate-pair count under the prefix filter — the spec hook
+    * proving the prune generates strictly fewer pairs than the
+    * corpus×corpus brute force on a prunable fixture. */
+  private[graft] def candidateCount(docs: DataFrame): Long = {
+    val w = weights(docs.select(col("doc_id"), col("text")))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum(col("wq") * col("wq")).as("nrm")).filter(col("nrm") > 0)
+    val byMass = Window.partitionBy(col("doc_id"))
+      .orderBy(col("u2"), col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w.join(norms, "doc_id")
+      .withColumn("u2",
+        (col("wq") * col("wq")).cast("double") / col("nrm").cast("double"))
+      .withColumn("cum", sum(col("u2")).over(byMass))
+      .filter(col("cum") > Thr * Thr - 1e-9)
+      .select(col("term"), col("doc_id")).as("a")
+      .join(w.select(col("term"), col("doc_id").as("b_id")).as("b"), Seq("term"))
+      .filter(col("doc_id") =!= col("b_id"))
+      .select(least(col("doc_id"), col("b_id")).as("doc_a"),
+        greatest(col("doc_id"), col("b_id")).as("doc_b"))
+      .distinct().count()
+  }
+
+  val q135Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS t
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term,
+      |   count(*) AS tf
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g
+      |  GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |w AS (
+      |  SELECT doc_id, tf.term,
+      |   CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000) AS BIGINT) AS wq
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+      |nrm AS (SELECT doc_id, sum(wq * wq) AS nrm FROM w GROUP BY doc_id
+      |        HAVING sum(wq * wq) > 0),
+      |dots AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wq * b.wq) AS dot
+      |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      | round(CAST(dot AS DOUBLE)
+      |   / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))), 6) AS cosine
+      |FROM dots
+      |JOIN nrm na ON na.doc_id = doc_a
+      |JOIN nrm nb ON nb.doc_id = doc_b
+      |WHERE CAST(dot AS DOUBLE)
+      |   / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+}

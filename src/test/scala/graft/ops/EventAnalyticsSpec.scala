@@ -85,4 +85,32 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSuite {
       ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 1L),
       ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
   }
+
+  test("last-touch attribution: lookback window, direct fallback, purchase never a touch") {
+    val ev = Seq(
+      // u1: click 30 min before -> credited to click
+      (1L, 10L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (1L, 11L, ts("2024-01-01 10:30:00"), "purchase", 5.0),
+      // u1 again: a SECOND purchase right after the first — the prior
+      // purchase is not a touch; the click (90 min back) is stale ->
+      // direct
+      (1L, 12L, ts("2024-01-01 11:30:00"), "purchase", 7.0),
+      // u2: view then click then purchase — the NEAREST touch (click)
+      // wins over the earlier view
+      (2L, 20L, ts("2024-01-01 09:00:00"), "view", 0.0),
+      (2L, 21L, ts("2024-01-01 09:40:00"), "click", 0.0),
+      (2L, 22L, ts("2024-01-01 10:00:00"), "purchase", 11.0),
+      // u3: purchase with no prior events at all -> direct
+      (3L, 30L, ts("2024-01-01 10:00:00"), "purchase", 3.0),
+      // u4: touch exactly 1 hour before (boundary is inclusive)
+      (4L, 40L, ts("2024-01-01 09:00:00"), "view", 0.0),
+      (4L, 41L, ts("2024-01-01 10:00:00"), "purchase", 2.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = EventOps.attributeLastTouch(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("click", 2L, 1600L),  // u1 first purchase (500) + u2 (1100)
+      ("direct", 2L, 1000L), // u1 second (stale, 700) + u3 (no touch, 300)
+      ("view", 1L, 200L)))   // u4: boundary-inclusive 1 h lookback
+  }
 }
