@@ -81,12 +81,23 @@ object Bench {
     } catch { case _: Exception => () }
     graft.ops.InferOps.cleanupScratch()
     spark.stop()
-    // reprint the identical line as the FINAL stdout of the JVM: a
-    // tail-capture that starts mid-stream (the r6 artifact lost its
-    // JSON head that way) still ends on one complete copy; a
-    // head-keeping capture already has the first. Identical copies
-    // parse the same whether the recorder takes the first or the last.
-    println(json)
+    // FINAL stdout line: a size-bounded copy of the headline. The
+    // recorder keeps only the last ~2,000 chars of stdout, and the
+    // full per-query map (135 queries) alone exceeds that — so the
+    // last line carries the same totals/failed/sf with the queries
+    // map truncated to the most expensive entries that fit a 1,600-
+    // char budget (complete, parseable JSON either way; the FULL map
+    // is in target/bench.json and in the first println above).
+    val budget = 1600 - (json.length - qs.length + 2 /* "{}" */)
+    val entries = results.toSeq.sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) => "\"" + esc(k) + "\":" + sec(v) }
+    val fit = new StringBuilder
+    entries.takeWhile { e =>
+      val grew = fit.length + e.length + 1 <= budget
+      if (grew) { if (fit.nonEmpty) fit.append(','); fit.append(e) }
+      grew
+    }
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":{$fit},"failed":$failedJson,"sf":"${esc(sfDir)}"}""")
     if (failed.nonEmpty) sys.exit(1)
   }
 }

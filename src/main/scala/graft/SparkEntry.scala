@@ -229,7 +229,12 @@ object SparkEntry {
     // exact all-pairs TF-IDF cosine join via l2-mass prefix filter
     "q135_cosine_join" -> (SparseSim.q135CosineJoin _),
     // last-touch revenue attribution over the per-user event order
-    "q136_attribution" -> (EventOps.q136Attribution _)
+    "q136_attribution" -> (EventOps.q136Attribution _),
+    // production SemDeDup over the durable IVF-cell layout, gated the
+    // q61 way (layout completeness + drop soundness + recall floor)
+    "q137_semdedup_cell" -> (Dedup.q137SemDedupCell _),
+    // first-touch + linear multi-touch attribution (q136's siblings)
+    "q138_attribution_models" -> (EventOps.q138AttributionModels _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -360,6 +365,8 @@ object SparkEntry {
     "q133_burstiness" -> EventOps.q133Sql,
     "q134_bpe_gate" -> Bpe.q134Sql,
     "q135_cosine_join" -> SparseSim.q135Sql,
-    "q136_attribution" -> EventOps.q136Sql
+    "q136_attribution" -> EventOps.q136Sql,
+    "q137_semdedup_cell" -> Dedup.q137Sql,
+    "q138_attribution_models" -> EventOps.q138Sql
   )
 }

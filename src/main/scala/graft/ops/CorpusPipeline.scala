@@ -239,7 +239,7 @@ object CorpusPipeline {
       |     PARTITION BY regexp_replace(trim(lower(text)), '[ \t\n\v\f\r]+', ' ', 'g')
       |     ORDER BY doc_id) AS rn
       |   FROM qf) t WHERE rn = 1),
-      |toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS t FROM ex),
+      |toks AS (SELECT doc_id, lang, string_split_regex(regexp_replace(text, '^[ \t\n\v\f\r]+|[ \t\n\v\f\r]+$', '', 'g'), '[ \t\n\v\f\r]+') AS t FROM ex),
       |sh AS (
       |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g),

@@ -332,7 +332,7 @@ object Curation {
 
   val q76Sql: String =
     """WITH RECURSIVE toks AS (
-      |  SELECT doc_id, lang, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS t FROM documents),
+      |  SELECT doc_id, lang, string_split_regex(regexp_replace(text, '^[ \t\n\v\f\r]+|[ \t\n\v\f\r]+$', '', 'g'), '[ \t\n\v\f\r]+') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g),
@@ -484,7 +484,21 @@ object Curation {
    *  (row_number window on the cluster key — clusters are tiny by
    *  construction, so the window partition never skews). */
   def q94ClusterKeepBest(s: SparkSession, d: String): DataFrame =
-    clusterKeepBest(documents(s, d)).orderBy(col("doc_id"))
+    keepBestFor(s, d).orderBy(col("doc_id"))
+
+  /** q94 and q95 consume the IDENTICAL clustered keep-best frame
+   *  (Jaccard edges → connected components → per-cluster argmax);
+   *  per corpus dir it is materialized once per JVM — the
+   *  zorderedLineitem / shingleCache contract for deterministic
+   *  corpus artifacts — so a verify/bench run pays for the edge set
+   *  and the CC iteration once, not once per query. Row footprint is
+   *  one small struct per document (5 cols), pinned for the JVM's
+   *  lifetime like the other per-corpus artifacts. */
+  private val keepBestCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def keepBestFor(s: SparkSession, d: String): DataFrame =
+    keepBestCache.getOrElseUpdate(d,
+      clusterKeepBest(documents(s, d)).localCheckpoint(true))
 
   /** Core of q94 over any (doc_id, lang, text) frame. */
   private[ops] def clusterKeepBest(docs: DataFrame,
@@ -520,7 +534,7 @@ object Curation {
    *  audit property a 100 TB training run needs). Cost on top of
    *  q94: one per-row projection. */
   def q95LeakageSafeSplit(s: SparkSession, d: String): DataFrame =
-    clusterKeepBest(documents(s, d))
+    keepBestFor(s, d)
       .withColumn("bucket", sampleBucket(col("rep_id")))
       .select(col("doc_id"), col("cluster"), col("rep_id"), col("bucket"),
         when(col("bucket") < 9000, "train").otherwise("holdout").as("split"))
@@ -530,7 +544,7 @@ object Curation {
     val stop = TextAnalysis.StopWords
       .map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")
     s"""WITH RECURSIVE toks AS (
-      |  SELECT doc_id, lang, string_split_regex(trim(text), '[ \\t\\n\\v\\f\\r]+') AS t FROM documents),
+      |  SELECT doc_id, lang, string_split_regex(regexp_replace(text, '^[ \\t\\n\\v\\f\\r]+|[ \\t\\n\\v\\f\\r]+$$', '', 'g'), '[ \\t\\n\\v\\f\\r]+') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g),
@@ -579,7 +593,7 @@ object Curation {
     val stop = TextAnalysis.StopWords
       .map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")
     s"""WITH RECURSIVE toks AS (
-      |  SELECT doc_id, lang, string_split_regex(trim(text), '[ \\t\\n\\v\\f\\r]+') AS t FROM documents),
+      |  SELECT doc_id, lang, string_split_regex(regexp_replace(text, '^[ \\t\\n\\v\\f\\r]+|[ \\t\\n\\v\\f\\r]+$$', '', 'g'), '[ \\t\\n\\v\\f\\r]+') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g),

@@ -184,7 +184,7 @@ object Dedup {
 
   val q23Sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, lang, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS t FROM documents),
+      |  SELECT doc_id, lang, string_split_regex(regexp_replace(text, '^[ \t\n\v\f\r]+|[ \t\n\v\f\r]+$', '', 'g'), '[ \t\n\v\f\r]+') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g),
@@ -215,7 +215,7 @@ object Dedup {
 
   val q40Sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, lang, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS t FROM documents),
+      |  SELECT doc_id, lang, string_split_regex(regexp_replace(text, '^[ \t\n\v\f\r]+|[ \t\n\v\f\r]+$', '', 'g'), '[ \t\n\v\f\r]+') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g),
@@ -438,7 +438,7 @@ object Dedup {
 
   val q83Sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, lang, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS t
+      |  SELECT doc_id, lang, string_split_regex(regexp_replace(text, '^[ \t\n\v\f\r]+|[ \t\n\v\f\r]+$', '', 'g'), '[ \t\n\v\f\r]+') AS t
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -684,7 +684,7 @@ object Dedup {
 
   private val q90Base: String =
     s"""WITH toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\v\\f\\r]+') AS t
+      |  SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \\t\\n\\v\\f\\r]+|[ \\t\\n\\v\\f\\r]+$$', '', 'g'), '[ \\t\\n\\v\\f\\r]+') AS t
       |  FROM documents),
       |starts AS (
       |  SELECT doc_id, i AS pos, array_to_string(t[i:i+${SubstrK - 1}], ' ') AS gram
@@ -824,6 +824,130 @@ object Dedup {
       blockCol = "cell", vecCol = "v", tau = tau)
   }
 
+  /** q137's τ (q92's value) and the truth-subsample prefix cap: the
+   *  unblocked quadratic ground truth is computed over vec_id <
+   *  [[SemDedupTruthCap]] only, so the gate's exact baseline stays a
+   *  FIXED cost (≤ cap²/2 cosines) at every octave while the policy
+   *  under audit runs on the full corpus. A prefix subsample is
+   *  CLOSED under "earlier vector": every earlier vector of a member
+   *  is itself a member, so the blocked policy restricted to the
+   *  prefix equals the policy run on the prefix — the restriction is
+   *  exact, not approximate. */
+  private[graft] val SemDedupTau = 0.45
+  private[graft] val SemDedupTruthCap = 2000L
+
+  /** The q137 cell-blocked policy over an already-capped (vec_id,
+   *  cell, v) layout slice — exposed for SemDedupProbe so the probe
+   *  measures exactly what the gate gates. */
+  private[graft] def semDedupCappedPolicy(capped: DataFrame, tau: Double): DataFrame =
+    semDedupPolicy(capped, blockCol = "cell", vecCol = "v", tau = tau)
+  /** Recall floor for the cell blocking vs the unblocked truth at
+   *  τ = [[SemDedupTau]], on the truth subsample. STATED HONESTLY
+   *  (the round-8 minhash-floor lesson): this is a measured
+   *  regression TRIPWIRE, not the operator's theoretical bound.
+   *  τ = 0.45 pairs are only moderately similar, and a single-probe
+   *  blocking misses any pair straddling a cell boundary by design —
+   *  the measured IVF-cell recall on the capped subsample is 28.6 %
+   *  (4/14) at sf0.01 and 37.0 % (50/135) at sf0.1 (SemDedupProbe,
+   *  BASELINE.md round-8) vs the 1/16 ≈ 6 % a cells-ignore-geometry
+   *  assignment would deliver (and 11 % for q92's label blocking). The 0.15 floor trips on a broken codebook or
+   *  corrupted layout (recall collapses toward random) while not
+   *  pretending cross-cell misses are avoidable. */
+  private[ops] val SemDedupRecallFloor = 0.15
+
+  /** q137: the PRODUCTION SemDeDup composition ([[semDedupByCell]]
+   *  over the durable [[Similarity.ivfLayoutDir]] layout), gated the
+   *  q61 way — the oracle is the all-true VALUES list, so any
+   *  regression in the layout or the blocking flips a row to false
+   *  and the driver's hash compare goes red. Components:
+   *
+   *   - `cell_layout_complete`: the durable layout holds exactly the
+   *     corpus's vectors — row count and distinct vec_id count both
+   *     equal the source count (a lost or duplicated vector is a
+   *     broken index, whatever the policy says);
+   *   - `cell_assign_durable`: every vector's PARTITION DIRECTORY in
+   *     the durable layout equals the cell the shared definition
+   *     ([[Similarity.withCell]]) assigns it today — the layout and
+   *     the in-memory path can never disagree about where a vector
+   *     lives (one O(n) equi-join, full corpus, no quadratic);
+   *   - `cell_drops_sound`: on the truth subsample, every cell-
+   *     blocked drop is also an unblocked-truth drop — blocks
+   *     partition the pair space, so a blocked policy can only MISS
+   *     drops, never manufacture them (SemDedupProbe's assertion,
+   *     now oracle-visible);
+   *   - `cell_recall`: the cell blocking recovers ≥
+   *     [[SemDedupRecallFloor]] of the unblocked truth drops on the
+   *     subsample (see the floor's scaladoc for what it does and
+   *     does not claim).
+   *
+   *  Scale shape: BOTH quadratic legs (unblocked truth AND the
+   *  audited cell-blocked policy) run on the vec_id <
+   *  [[SemDedupTruthCap]] prefix — exact by prefix-closure
+   *  (SemDedupCellSpec pins the restriction equality), so the gate
+   *  is FIXED-COST at every octave while the full-corpus evidence
+   *  (completeness + assignment parity) stays O(n) scans. The
+   *  full-corpus quadratic-within-cells policy remains a library
+   *  call ([[semDedupByCell]]); at a fixed 16-cell codebook its
+   *  per-cell population grows with the corpus, so a 100 TB
+   *  deployment runs it with a corpus-scaled cell count (the q25
+   *  contract) — the gate deliberately does not make the per-round
+   *  bench pay that quadratic. */
+  def q137SemDedupCell(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val layout = Similarity.ivfLayoutDir(s, d)
+    val stored = s.read.parquet(layout)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("v"))
+    val src = embeddings(s, d)
+    val completeness = stored
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("vec_id")).as("n_ids"))
+      .crossJoin(src.agg(count(lit(1)).as("n_src")))
+      .select((col("n_rows") === col("n_src") &&
+        col("n_ids") === col("n_src")).as("layout_ok"))
+    val parity = stored.select(col("vec_id"), col("cell"))
+      .join(Similarity.withCell(s, d)
+        .select(col("vec_id"), col("cell").as("cell_now")), Seq("vec_id"), "full")
+      .agg(count(when(col("cell").isNull || col("cell_now").isNull ||
+        col("cell") =!= col("cell_now"), 1)).as("mismatches"))
+      .select((col("mismatches") === 0).as("assign_ok"))
+    // unblocked ground truth on the prefix subsample: the constant
+    // block key makes semDedupPolicy compare EVERY earlier vector —
+    // the O(cap²) scan the cell blocking exists to avoid
+    val truthDrops = semDedupPolicy(
+      src.filter(col("vec_id") < SemDedupTruthCap)
+        .select(col("vec_id"), lit(0).as("blk"), col("embedding")),
+      blockCol = "blk", vecCol = "embedding", tau = SemDedupTau)
+      .filter(col("dropped") === 1).select(col("vec_id"))
+    // the audited policy, restricted to the same prefix BEFORE the
+    // self-join: equal to the full-corpus policy's restriction
+    // because a prefix is closed under "earlier same-cell vector"
+    val cellDrops = semDedupPolicy(
+      stored.filter(col("vec_id") < SemDedupTruthCap),
+      blockCol = "cell", vecCol = "v", tau = SemDedupTau)
+      .filter(col("dropped") === 1).select(col("vec_id"))
+    val gate = truthDrops.withColumn("t", lit(1))
+      .join(cellDrops.withColumn("c", lit(1)), Seq("vec_id"), "full")
+      .agg(count(col("t")).as("truth"),
+        count(when(col("t").isNotNull && col("c").isNotNull, 1)).as("hit"),
+        count(when(col("t").isNull, 1)).as("extra"))
+    completeness.crossJoin(parity).crossJoin(gate)
+      .select(explode(array(
+        struct(lit("cell_assign_durable").as("component"), col("assign_ok").as("ok")),
+        struct(lit("cell_drops_sound").as("component"),
+          (col("extra") === 0).as("ok")),
+        struct(lit("cell_layout_complete").as("component"), col("layout_ok").as("ok")),
+        struct(lit("cell_recall").as("component"),
+          (col("truth") > 0 &&
+            col("hit") >= col("truth") * SemDedupRecallFloor).as("ok")))).as("r"))
+      .select(col("r.component"), col("r.ok"))
+      .orderBy(col("component"))
+  }
+
+  val q137Sql: String =
+    """SELECT * FROM (VALUES
+      | ('cell_assign_durable', true), ('cell_drops_sound', true),
+      | ('cell_layout_complete', true), ('cell_recall', true)
+      |) t(component, ok) ORDER BY component""".stripMargin
+
   // ---------------------------------------------------------------
   // q114: EXACT similarity self-join via prefix filtering (no LSH,
   // no blocking key)
@@ -930,7 +1054,7 @@ object Dedup {
    *  prefix — identical output proves zero false negatives. */
   val q114Sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS t
+      |  SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \t\n\v\f\r]+|[ \t\n\v\f\r]+$', '', 'g'), '[ \t\n\v\f\r]+') AS t
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s

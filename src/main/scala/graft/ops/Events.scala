@@ -658,6 +658,109 @@ object EventOps {
       .orderBy(col("touch_type"))
   }
 
+  /** q138: first-touch and linear multi-touch attribution — the two
+   *  remaining models of the standard triple (q136 is last-touch).
+   *  Both share ONE window pass: the same user_id partitioning as
+   *  q136, but with an explicit 1-hour RANGE frame, so the frame
+   *  itself enforces the lookback (no post-hoc timestamp check) and
+   *  one more aggregate in the same pass serves both models — no new
+   *  shuffle, no purchases×events self-join.
+   *
+   *  Model semantics (deliberately self-contained; the lookback
+   *  window is [purchase_ts − 1 h, purchase_ts], peers at the
+   *  purchase's own timestamp included — RANGE/CURRENT ROW semantics,
+   *  identical in both engines):
+   *   - first_touch: full credit to the EARLIEST touch in the window
+   *     (ties broken by event_id, then event_type — realized by
+   *     min() over a zero-padded sortable string key, portable where
+   *     struct-min is not); 'direct' when the window has no touch;
+   *   - linear: credit split across every touch in the window. Each
+   *     per-touch share is quantized ONCE to integer micro-cents
+   *     (round(cents·10⁶/n) — identical IEEE division + half-up
+   *     round in both engines, the q110 w_micro treatment), then
+   *     only integers are summed, so aggregation order can't perturb
+   *     the result.
+   *
+   *  Scale: the RANGE frame holds at most one user-hour of events in
+   *  state; the collect_list per purchase is bounded by the same
+   *  user-hour (the q62 session contract), and everything after the
+   *  window is a hash aggregate on the tiny (model, event_type)
+   *  dimension. */
+  def q138AttributionModels(s: SparkSession, d: String): DataFrame =
+    attributeMultiTouch(events(s, d))
+
+  /** Core of q138 over any (user_id, event_id, ts, event_type, value)
+    * frame — split out so specs can pin boundary semantics. */
+  private[ops] def attributeMultiTouch(ev: DataFrame): DataFrame = {
+    val frame = "PARTITION BY user_id ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
+    val touchKey = "CASE WHEN event_type <> 'purchase' THEN " +
+      "concat(format_string('%020d', unix_micros(ts)), " +
+      "format_string('%012d', event_id), event_type) END"
+    val touchType = "CASE WHEN event_type <> 'purchase' THEN event_type END"
+    val p = ev
+      .withColumn("first_key", expr(s"min($touchKey) OVER ($frame)"))
+      // collect_list drops the purchase-row NULLs, so the list holds
+      // exactly the window's touches (order irrelevant — counts only)
+      .withColumn("touches", expr(s"collect_list($touchType) OVER ($frame)"))
+      .filter(col("event_type") === "purchase")
+      .select(col("first_key"), col("touches"),
+        size(col("touches")).cast("long").as("n_touches"),
+        Tables.cents(col("value")).as("cents"))
+    val first = p.select(lit("first_touch").as("model"),
+      when(col("n_touches") > 0, expr("substring(first_key, 33)"))
+        .otherwise(lit("direct")).as("touch_type"),
+      (col("cents") * 1000000L).as("credit_micro"))
+    val linear = p.filter(col("n_touches") > 0)
+      .select(explode(col("touches")).as("touch_type"),
+        col("n_touches"), col("cents"))
+      .select(lit("linear").as("model"), col("touch_type"),
+        round(col("cents").cast("double") * 1e6 / col("n_touches"))
+          .cast("long").as("credit_micro"))
+    val linearDirect = p.filter(col("n_touches") === 0)
+      .select(lit("linear").as("model"), lit("direct").as("touch_type"),
+        (col("cents") * 1000000L).as("credit_micro"))
+    first.unionByName(linear).unionByName(linearDirect)
+      .groupBy(col("model"), col("touch_type"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("credit_micro")).as("micro_cents"))
+      .orderBy(col("model"), col("touch_type"))
+  }
+
+  val q138Sql: String =
+    """WITH t AS (
+      |  SELECT event_type, "value",
+      |   min(CASE WHEN event_type <> 'purchase' THEN
+      |        printf('%020d', epoch_us(ts)) || printf('%012d', event_id) || event_type END)
+      |     OVER w AS first_key,
+      |   count(CASE WHEN event_type <> 'purchase' THEN 1 END) OVER w AS n_touches,
+      |   list(CASE WHEN event_type <> 'purchase' THEN event_type END) OVER w AS touches
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)),
+      |p AS (
+      |  SELECT first_key, touches, n_touches,
+      |   CAST(round("value" * 100) AS BIGINT) AS cents
+      |  FROM t WHERE event_type = 'purchase'),
+      |firstm AS (
+      |  SELECT 'first_touch' AS model,
+      |   CASE WHEN n_touches > 0 THEN substr(first_key, 33) ELSE 'direct' END AS touch_type,
+      |   cents * 1000000 AS credit_micro
+      |  FROM p),
+      |lin AS (
+      |  SELECT 'linear' AS model, u.tt AS touch_type,
+      |   CAST(round(CAST(cents AS DOUBLE) * 1e6 / n_touches) AS BIGINT) AS credit_micro
+      |  FROM p, LATERAL (SELECT unnest(touches) AS tt) u
+      |  WHERE u.tt IS NOT NULL),
+      |lind AS (
+      |  SELECT 'linear' AS model, 'direct' AS touch_type,
+      |   cents * 1000000 AS credit_micro
+      |  FROM p WHERE n_touches = 0),
+      |allm AS (
+      |  SELECT * FROM firstm UNION ALL SELECT * FROM lin UNION ALL SELECT * FROM lind)
+      |SELECT model, touch_type, count(*) AS n_credits,
+      | CAST(sum(credit_micro) AS BIGINT) AS micro_cents
+      |FROM allm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val q136Sql: String =
     """WITH t AS (
       |  SELECT event_type, ts, "value",

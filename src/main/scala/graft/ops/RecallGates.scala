@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
  * `false` and the driver's hash compare goes red. Floors match the
  * OpsInvariantsSpec assertions (ANN: ≥0.7 LSH / ≥0.6 IVF top-5
  * overlap — measured 0.88–0.96 LSH and 0.70–0.74 IVF at sf0.01/0.1
- * with the seeded k-means codebook; MinHash: ≤1% of exact pairs
- * ≥ threshold missed — the 5×4 banding's promise is the S-curve, not
- * zero-miss: per-pair miss probability at j=0.9 is (1−0.9⁴)⁵ ≈ 0.5%,
- * invisible on tens of pairs (measured 0 through the 50× octave) and
- * inevitably sampled at thousands (3 of 7,900 = 0.04% at 100×); the
- * 1% floor states the operator's real probabilistic bound while
- * still requiring zero misses on any corpus under ~100 pairs;
+ * with the seeded k-means codebook; MinHash: ≤1% of NEAR-EXACT
+ * (jaccard ≥ 0.9) pairs missed — the 5×4 banding's promise is the
+ * S-curve, not zero-miss: per-pair miss probability at j=0.9 is
+ * (1−0.9⁴)⁵ ≈ 0.5% (monotone decreasing in j), so 1% is the
+ * operator's own bound on the ≥0.9 band; at j=0.6 the same banding
+ * misses ~50% per pair by design, so no sub-0.9 floor is stated —
+ * it would measure the corpus's similarity distribution, not the
+ * banding. Misses were 0 through the 50× octave and 3 of 7,900
+ * ≥0.6 pairs (0.04%) at 100×; floor(1%·N)=0 keeps the gate at
+ * zero-miss on any corpus under ~100 hi pairs;
  * SimHash: zero misses inside the banding's structural
  * Hamming ≤ 6 guarantee plus ≤5% of ≥0.9 pairs missed overall —
  * measured 0 on the provisioned corpora, 2.6% at a derived 10×).
@@ -66,6 +69,31 @@ object RecallGates {
     bruteCache.remove(dir)
     exactPairCache.remove(dir)
     shingleCache.remove(dir)
+  }
+
+  /** Pair budget for the exact dedup baseline's driver collect. The
+   *  ANN brute baseline needs no cap — it is structurally ≤
+   *  queries×k (50) rows. The exact-Jaccard pair set, though, grows
+   *  with near-dup density: 7,900 pairs at the 100× octave is fine,
+   *  but at 1000× the collected baseline itself becomes the
+   *  quadratic the gate exists to audit around. Above the cap the
+   *  baseline is deterministically subsampled (seeded pair-hash
+   *  filter, independent of every sketch seed, so the measured miss
+   *  rate stays an unbiased estimate of the population rate) BEFORE
+   *  collecting; below it, the frame passes through untouched. */
+  private[ops] val ExactPairCap = 100000L
+
+  /** Deterministic pre-collect subsample of an exact pair baseline —
+   *  identity when the pair count is within `cap`. Seeded (61) hash
+   *  of the PAIR IDs: reproducible across runs, uncorrelated with
+   *  the minhash/simhash seeds whose recall it measures. */
+  private[ops] def capExactPairs(pairs: DataFrame,
+      cap: Long = ExactPairCap): DataFrame = {
+    val n = pairs.count()
+    if (n <= cap) pairs
+    else pairs.filter(
+      pmod(xxhash64(col("doc_a"), col("doc_b"), lit(61L)), lit(1000L))
+        < lit(math.max(1L, cap * 1000L / n)))
   }
 
   def q61ApproxRecall(s: SparkSession, d: String): DataFrame = {
@@ -116,8 +144,8 @@ object RecallGates {
     val shingles = shingleCache.getOrElseUpdate(d,
       Dedup.shingleRows(Tables.documents(s, d)).localCheckpoint(true))
     val exact = exactPairCache.getOrElseUpdate(d,
-      Dedup.jaccardPairsFromShingles(shingles, 0.6)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      capExactPairs(Dedup.jaccardPairsFromShingles(shingles, 0.6)
+          .select(col("doc_a"), col("doc_b"), col("jaccard")))
         .as[(Long, Long, Double)].collect().toIndexedSeq)
       .toDF("doc_a", "doc_b", "jaccard")
     val mh = Dedup.minhashEstPairs(shingles)
@@ -144,8 +172,8 @@ object RecallGates {
       .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), Seq("doc_b"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .agg(count(lit(1)).as("tot"),
-        count(when(col("m").isNull, 1)).as("mh_missed"),
+      .agg(
+        count(when(col("jaccard") >= 0.9 && col("m").isNull, 1)).as("mh_hi_missed"),
         // SimHash approximates term-set cosine, not Jaccard: only the
         // near-exact (≥0.9) pairs are held to the recall floor
         count(when(col("jaccard") >= 0.9, 1)).as("hi_tot"),
@@ -154,11 +182,16 @@ object RecallGates {
         count(when(col("jaccard") >= 0.9 && col("h").isNull, 1)).as("sh_missed"))
       .select(explode(array(
         struct(lit("minhash_lsh").as("component"),
-          // ≤1% missed: floor(1% of N) is 0 below 100 pairs, so the
-          // provisioned corpora still demand zero misses; at derived
-          // octaves the floor is the banding's true S-curve bound
-          // (100× measured 3/7,900 = 0.04%)
-          (col("tot") > 0 && col("mh_missed") <= col("tot") * 0.01).as("ok")),
+          // the ≤1% floor is scoped to jaccard ≥ 0.9 pairs (hi_tot,
+          // the simhash treatment): ONLY there is 1% the 5×4
+          // banding's own S-curve bound (per-pair miss (1−j⁴)⁵ ≤
+          // 0.53% at j=0.9, monotone ↓). At j=0.6 the same banding
+          // misses ~50% per pair BY DESIGN — a sub-0.9 floor would
+          // gate the corpus's pair-similarity distribution, not the
+          // operator. floor(1% of N)=0 below 100 pairs, so small
+          // corpora still demand zero hi misses (100× measured
+          // 3/7,900 over ALL ≥0.6 pairs = 0.04%)
+          (col("hi_tot") > 0 && col("mh_hi_missed") <= col("hi_tot") * 0.01).as("ok")),
         struct(lit("simhash").as("component"),
           (col("hi_tot") > 0 && col("sh_guar_missed") === 0
             && col("sh_missed") <= col("hi_tot") * 0.05).as("ok")))).as("r"))

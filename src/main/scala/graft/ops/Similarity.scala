@@ -201,7 +201,27 @@ object Similarity {
    *  Cell assignment is the same literal-centroid projection q37
    *  uses (memoized codebook), so the layout and the in-memory path
    *  can never disagree about where a vector lives. */
-  def ivfWritePartitioned(s: SparkSession, d: String, out: String): Unit = {
+  /** The durable IVF layout for corpus `d`, written once per JVM per
+   *  source dir (the zorderedLineitem contract): q137 and any other
+   *  consumer of the cell-partitioned layout share one write. The
+   *  root `_SUCCESS` marker is the completion gate — a partial write
+   *  (no marker) is rewritten, never trusted. */
+  def ivfLayoutDir(s: SparkSession, d: String): String = {
+    val dir = InferOps.tmpPath("ivf_layout", d)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+      ivfWritePartitioned(s, d, dir)
+    dir
+  }
+
+  def ivfWritePartitioned(s: SparkSession, d: String, out: String): Unit =
+    withCell(s, d).write.mode("overwrite").partitionBy("cell").parquet(out)
+
+  /** The corpus with its IVF cell assignment — THE definition shared
+   *  by the durable layout write above and q137's layout-parity
+   *  audit, so "which cell does this vector live in" has exactly one
+   *  implementation. Cell = argmax-cosine centroid of the memoized
+   *  codebook (literal centroids, scan-parallel projection). */
+  private[ops] def withCell(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
     val cents: Array[(Int, Seq[Double])] = codebook(e, d)
@@ -214,7 +234,6 @@ object Similarity {
       if (simCells.length == 1) simCells.head.getField("cid")
       else greatest(simCells.toIndexedSeq: _*).getField("cid")
     e.withColumn("cell", cellOf)
-      .write.mode("overwrite").partitionBy("cell").parquet(out)
   }
 
   /** Top-5 kNN over an [[ivfWritePartitioned]] layout. Probe cells

@@ -29,7 +29,14 @@ import org.apache.spark.sql.functions._
  * exact integer sums — aggregation order cannot perturb them; the
  * final cosine divides integers through IEEE sqrt/division
  * (bit-identical in both engines) and only the EMITTED score is
- * rounded (6 dp, irrational-value rule). Overflow headroom: wq ≤
+ * rounded (6 dp, irrational-value rule). Residual risk, stated
+ * honestly: the quantization itself goes through each engine's libm
+ * ln — ~1-ulp accurate but not correctly rounded — so a product
+ * landing within an ulp of a .5 quantization boundary could yield a
+ * wq differing by 1 between engines (the q114 irrational-value
+ * caveat applied to the WEIGHTS, not just the score); only
+ * arithmetic AFTER quantization is exact. No provisioned or derived
+ * corpus term lands on such a boundary. Overflow headroom: wq ≤
  * tf·ln(N)·1e3 ≈ 1.5e7 at tf=1000, N=5M; a 500-term doc's norm sums
  * to ≤1.2e17 — two orders under int64 at the 100× octave.
  *
@@ -164,7 +171,7 @@ object SparseSim {
 
   val q135Sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\v\f\r]+') AS t
+      |  SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \t\n\v\f\r]+|[ \t\n\v\f\r]+$', '', 'g'), '[ \t\n\v\f\r]+') AS t
       |  FROM documents),
       |tf AS (
       |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term,

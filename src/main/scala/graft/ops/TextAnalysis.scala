@@ -243,7 +243,7 @@ object TextAnalysis {
       | SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk
       | FROM (
       |  SELECT tok AS token, count(*) AS cnt FROM (
-      |   SELECT unnest(string_split_regex(trim(text), '[ \t\n\v\f\r]+')) AS tok FROM documents) u
+      |   SELECT unnest(string_split_regex(regexp_replace(text, '^[ \t\n\v\f\r]+|[ \t\n\v\f\r]+$', '', 'g'), '[ \t\n\v\f\r]+')) AS tok FROM documents) u
       |  GROUP BY 1) c ) r
       |WHERE rnk <= 10 ORDER BY rnk""".stripMargin
 

@@ -96,7 +96,17 @@ final class BucketedUpsertSink(s: SparkSession, base: String, key: String,
     * manifest still references it — a bucket carried forward by
     * reference is live at ANY age and is never touched. A version dir
     * left holding no bucket dirs (all superseded, or an orphan from a
-    * crash mid-write) is removed whole. Returns the deleted paths. */
+    * crash mid-write) is removed whole. Returns the deleted paths.
+    *
+    * READER CONTRACT (single-process, embedded use — stated, not
+    * enforced): retention is the only lease. A reader that resolved a
+    * manifest OLDER than the `retainVersions` horizon can lose files
+    * mid-read when vacuum runs concurrently — exactly Delta/Iceberg's
+    * `VACUUM` vs time-travel hazard, resolved there by retention
+    * windows too. Operate with `retainVersions` ≥ the oldest snapshot
+    * any live reader may hold (readers pinned within the horizon are
+    * always safe); a multi-process deployment would gate deletion on
+    * reader leases instead. */
   def vacuum(retainVersions: Int): Seq[String] = {
     require(retainVersions >= 1, "must retain at least the current version")
     val horizon = lastVersion - retainVersions + 1
@@ -105,7 +115,7 @@ final class BucketedUpsertSink(s: SparkSession, base: String, key: String,
       manifest.values.toSet ++
         versions.filter(_ >= horizon)
           .flatMap(v => readManifest(Paths.get(s"$base/v$v/$ManifestFile")))
-          .flatMap(_.values)
+          .flatMap(_.buckets.values)
     val deleted = Seq.newBuilder[String]
     versions.filter(_ < horizon).foreach { v =>
       val vDir = new java.io.File(s"$base/v$v")
@@ -137,12 +147,21 @@ final class BucketedUpsertSink(s: SparkSession, base: String, key: String,
   /** Persist the full live manifest into the version dir: temp file +
     * atomic rename, so a reader (or recovery) never sees a torn
     * manifest. Written AFTER the version's parquet — a crash in
-    * between leaves recovery on the previous complete version. */
+    * between leaves recovery on the previous complete version. The
+    * header line records the sink's ROUTING CONTRACT (numBuckets,
+    * key, ord): bucket ids are derived from the key by
+    * pmod(xxhash64(key), numBuckets), so a reopen under different
+    * parameters would route future merges by a different bucketing
+    * than the one the persisted dirs were written under — silently
+    * duplicating or dropping keys on carry-forward. [[reopen]] fails
+    * fast on any mismatch instead. */
   private def persistManifest(version: Long): Unit = {
     val dir = Paths.get(s"$base/v$version")
     Files.createDirectories(dir)
-    val body = manifest.toSeq.sortBy(_._1)
-      .map { case (bk, d) => s"$bk\t$d" }.mkString("", "\n", "\n")
+    val body =
+      s"#numBuckets=$numBuckets\tkey=$key\tord=$ord\n" +
+        manifest.toSeq.sortBy(_._1)
+          .map { case (bk, d) => s"$bk\t$d" }.mkString("", "\n", "\n")
     val tmp = dir.resolve(s"$ManifestFile.tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
     Files.move(tmp, dir.resolve(ManifestFile),
@@ -159,7 +178,16 @@ object BucketedUpsertSink {
     * skipped). A fresh/empty base yields a sink in the pre-first-merge
     * state. The reopened snapshot is byte-identical to the one the
     * dead sink served: the manifest points at the same immutable
-    * version dirs (BucketedUpsertSinkSpec pins this). */
+    * version dirs (BucketedUpsertSinkSpec pins this).
+    *
+    * FAILS FAST (IllegalArgumentException) when the caller's
+    * (numBuckets, key, ord) disagree with the manifest header the
+    * data was written under: bucket routing is derived from
+    * numBuckets and key, so a mismatched reopen would merge future
+    * batches under a different bucketing than the carried-forward
+    * dirs — silent key duplication/loss. The caller cannot "migrate"
+    * a sink by reopening with new parameters; rewrite the snapshot
+    * through a fresh sink instead. */
   def reopen(s: SparkSession, base: String, key: String, ord: String,
       numBuckets: Int): BucketedUpsertSink = {
     val sink = new BucketedUpsertSink(s, base, key, ord, numBuckets)
@@ -167,7 +195,16 @@ object BucketedUpsertSink {
       .iterator
       .map(v => v -> readManifest(Paths.get(s"$base/v$v/$ManifestFile")))
       .collectFirst { case (v, Some(m)) => (v, m) }
-      .foreach { case (v, m) => sink.restore(v, m) }
+      .foreach { case (v, m) =>
+        m.header.foreach { h =>
+          require(h == ((numBuckets, key, ord)),
+            s"reopen($base) mismatches the persisted sink contract: " +
+              s"written as (numBuckets=${h._1}, key=${h._2}, ord=${h._3}), " +
+              s"reopened as (numBuckets=$numBuckets, key=$key, ord=$ord) — " +
+              "bucket routing would diverge from the carried-forward data")
+        }
+        sink.restore(v, m.buckets)
+      }
     sink
   }
 
@@ -180,14 +217,28 @@ object BucketedUpsertSink {
         && n.tail.forall(_.isDigit) => n.tail.toLong }
   }
 
-  private def readManifest(p: Path): Option[Map[Long, String]] =
+  /** Parsed manifest: the optional routing-contract header (absent
+    * only in pre-header manifests, which are trusted as before) and
+    * the bucket → directory map. */
+  private[streaming] final case class Manifest(
+      header: Option[(Int, String, String)], buckets: Map[Long, String])
+
+  private def readManifest(p: Path): Option[Manifest] =
     if (!Files.exists(p)) None
-    else Some(Files.readAllLines(p).asScala
-      .filter(_.nonEmpty)
-      .map { line =>
-        val tab = line.indexOf('\t')
-        line.take(tab).toLong -> line.drop(tab + 1)
-      }.toMap)
+    else {
+      val lines = Files.readAllLines(p).asScala.filter(_.nonEmpty).toSeq
+      val header = lines.headOption.filter(_.startsWith("#")).map { h =>
+        val kv = h.drop(1).split('\t')
+          .map { f => val eq = f.indexOf('='); f.take(eq) -> f.drop(eq + 1) }
+          .toMap
+        (kv("numBuckets").toInt, kv("key"), kv("ord"))
+      }
+      Some(Manifest(header, lines.filterNot(_.startsWith("#"))
+        .map { line =>
+          val tab = line.indexOf('\t')
+          line.take(tab).toLong -> line.drop(tab + 1)
+        }.toMap))
+    }
 
   private def deleteRecursively(root: Path): Unit =
     scala.util.Using.resource(Files.walk(root)) {

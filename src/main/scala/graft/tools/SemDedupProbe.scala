@@ -19,40 +19,52 @@ import org.apache.spark.sql.functions._
 object SemDedupProbe {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val taus: Seq[Double] =
+      if (args.length > 1) args.drop(1).map(_.toDouble).toSeq
+      else Seq(0.45, 0.6, 0.8, 0.9, 0.95)
     val spark = graft.GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     graft.functions.GraftFunctions.register(spark)
-    val tau = 0.45
 
     val layout = Files.createTempDirectory("semdedup_ivf").toString
     Similarity.ivfWritePartitioned(spark, d, layout)
 
+    // the q137 gate's truth subsample: quadratics bounded by the cap
+    // (prefix-closed, so the restriction is exact — Dedup scaladoc)
+    val cap = Dedup.SemDedupTruthCap
     val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-    // unblocked ground truth: a vector is a true drop iff ANY earlier
-    // vector is within τ — the O(n²) scan the blockings exist to avoid
-    val truth = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(col("vec_id") < cap)
+    // unblocked ground truth per τ: a vector is a true drop iff ANY
+    // earlier vector is within τ — the O(n²) scan the blockings
+    // exist to avoid; one quadratic pass serves every τ
+    val pairSims = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", round(graft.functions.GraftFunctions
         .cosine_sim(col("a.embedding"), col("b.embedding")), 6))
-      .filter(col("sim") >= tau)
-      .select(col("b.vec_id").as("vec_id")).distinct()
-      .collect().map(_.getLong(0)).toSet
+      .filter(col("sim") >= taus.min)
+      .select(col("b.vec_id").as("vec_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
 
     def drops(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.filter(col("dropped") === 1).select(col("vec_id"))
         .collect().map(_.getLong(0)).toSet
 
-    val byLabel = drops(Dedup.q92SemanticDedup(spark, d))
-    val byCell = drops(Dedup.semDedupByCell(spark, layout, tau))
-
-    def pct(hit: Set[Long]): String =
-      if (truth.isEmpty) "n/a"
-      else f"${hit.intersect(truth).size}%d/${truth.size}%d = ${hit.intersect(truth).size * 100.0 / truth.size}%.1f%%"
-
-    println(s"[semdedup] corpus=$d tau=$tau true_drops=${truth.size}")
-    println(s"[semdedup] label-blocked recall: ${pct(byLabel)}")
-    println(s"[semdedup] ivf-cell-blocked recall: ${pct(byCell)}")
-    // blocked drops are a subset of true drops by construction; any
-    // excess would mean the blocking manufactured a pair — impossible
-    assert(byLabel.subsetOf(truth) && byCell.subsetOf(truth))
+    val cappedLayout = spark.read.parquet(layout)
+      .select(col("vec_id"), col("cell"), col("v"))
+      .filter(col("vec_id") < cap)
+    taus.foreach { tau =>
+      val truth = pairSims.collect { case (v, s) if s >= tau => v }.toSet
+      val byLabel = drops(Dedup.q92SemanticDedup(spark, d))
+        .intersect(truth) // q92 runs at its own fixed τ; report overlap
+      val byCell = drops(Dedup.semDedupCappedPolicy(cappedLayout, tau))
+      def pct(hit: Set[Long]): String =
+        if (truth.isEmpty) "n/a"
+        else f"${hit.intersect(truth).size}%d/${truth.size}%d = ${hit.intersect(truth).size * 100.0 / truth.size}%.1f%%"
+      println(s"[semdedup] corpus=$d cap=$cap tau=$tau true_drops=${truth.size}")
+      println(s"[semdedup]   label-blocked(q92@0.45) overlap: ${pct(byLabel)}")
+      println(s"[semdedup]   ivf-cell-blocked recall: ${pct(byCell)}")
+      // blocked drops are a subset of true drops by construction; any
+      // excess would mean the blocking manufactured a pair — impossible
+      assert(byCell.subsetOf(truth))
+    }
     spark.stop()
   }
 }

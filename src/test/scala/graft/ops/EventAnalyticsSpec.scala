@@ -113,4 +113,38 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSuite {
       ("direct", 2L, 1000L), // u1 second (stale, 700) + u3 (no touch, 300)
       ("view", 1L, 200L)))   // u4: boundary-inclusive 1 h lookback
   }
+
+  test("q138 first-touch/linear: range frame, equal split quantization, same-ts peers") {
+    val ev = Seq(
+      // u1: one touch 30 min back; then a second purchase whose
+      // window holds NO touch (the 10:00 click is 90 min stale)
+      (1L, 10L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (1L, 11L, ts("2024-01-01 10:30:00"), "purchase", 5.0),
+      (1L, 12L, ts("2024-01-01 11:30:00"), "purchase", 7.0),
+      // u2: view (exactly 1 h back, boundary inclusive) then click —
+      // FIRST touch is the view; linear splits 1100 cents in half
+      (2L, 20L, ts("2024-01-01 09:00:00"), "view", 0.0),
+      (2L, 21L, ts("2024-01-01 09:40:00"), "click", 0.0),
+      (2L, 22L, ts("2024-01-01 10:00:00"), "purchase", 11.0),
+      // u3: no prior events at all -> direct in both models
+      (3L, 30L, ts("2024-01-01 10:00:00"), "purchase", 3.0),
+      // u4: single touch at the exact window edge
+      (4L, 40L, ts("2024-01-01 09:00:00"), "view", 0.0),
+      (4L, 41L, ts("2024-01-01 10:00:00"), "purchase", 2.0),
+      // u5: touch at the SAME timestamp as the purchase — RANGE /
+      // CURRENT ROW includes timestamp peers in both engines
+      (5L, 50L, ts("2024-01-01 10:00:00"), "view", 0.0),
+      (5L, 51L, ts("2024-01-01 10:00:00"), "purchase", 4.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = EventOps.attributeMultiTouch(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      ("first_touch", "click", 1L, 500000000L),   // u1 p1
+      ("first_touch", "direct", 2L, 1000000000L), // u1 p2 + u3
+      ("first_touch", "view", 3L, 1700000000L),   // u2 (1100) + u4 (200) + u5 (400)
+      ("linear", "click", 2L, 1050000000L),  // u1 p1 full + u2 half (550)
+      ("linear", "direct", 2L, 1000000000L), // u1 p2 + u3
+      ("linear", "view", 3L, 1150000000L)),  // u2 half + u4 + u5
+      s"got $out")
+  }
 }

@@ -21,6 +21,23 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
     assert(missed.isEmpty, s"LSH missed exact pairs: $missed")
   }
 
+  test("capExactPairs: identity below the cap, deterministic seeded subsample above it") {
+    import spark.implicits._
+    val pairs = (1L to 500L).map(i => (i, i + 1000L, 0.9)).toDF("doc_a", "doc_b", "jaccard")
+    // below the cap the frame passes through untouched — every row
+    val below = RecallGates.capExactPairs(pairs, cap = 1000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(below.size == 500)
+    // above the cap: a strict, reproducible subsample near the budget
+    val once = RecallGates.capExactPairs(pairs, cap = 100L)
+      .collect().map(_.getLong(0)).toSet
+    val again = RecallGates.capExactPairs(pairs, cap = 100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(once == again, "subsample must be deterministic")
+    assert(once.nonEmpty && once.size < 500, s"expected a strict subsample, got ${once.size}")
+    assert(once.size <= 200, s"subsample far over budget: ${once.size} for cap 100")
+  }
+
   test("SimHash (q24) surfaces the near-exact pairs (jaccard ≥ 0.9)") {
     // SimHash approximates term-set cosine, not Jaccard: pairs near
     // the 0.6 Jaccard threshold can legitimately exceed the Hamming

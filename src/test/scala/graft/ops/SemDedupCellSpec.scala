@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q137's structural claims: the prefix-closure argument that lets
+  * the gate bound BOTH quadratic legs, the subset soundness of any
+  * blocking, and the gate end-to-end over a real durable layout. */
+class SemDedupCellSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+  graft.functions.GraftFunctions.register(spark)
+
+  /** Synthetic (vec_id, cell, v) frame with in-cell near-dups, a
+    * cross-cell near-dup pair (2001/3 - blocked policy must miss it),
+    * and ids above/below the cap boundary. */
+  private def fixture = Seq(
+    (1L, 0, Seq(1.0f, 0.0f, 0.0f)),
+    (2L, 0, Seq(0.99f, 0.14f, 0.0f)),  // near-dup of 1, same cell
+    (3L, 1, Seq(0.0f, 1.0f, 0.0f)),
+    (4L, 1, Seq(0.0f, 0.99f, 0.14f)),  // near-dup of 3, same cell
+    (5L, 0, Seq(0.0f, 0.0f, 1.0f)),    // no near-dup
+    (2001L, 1, Seq(1.0f, 0.01f, 0.0f)), // near-dup of 1 but OTHER cell
+    (2002L, 0, Seq(0.98f, 0.2f, 0.0f))  // above-cap near-dup of 1/2
+  ).toDF("vec_id", "cell", "v")
+
+  private def drops(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.filter(col("dropped") === 1).select(col("vec_id"), col("keeper_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("prefix restriction is exact: capped policy == full policy restricted to the cap") {
+    val cap = Dedup.SemDedupTruthCap
+    val full = drops(Dedup.semDedupCappedPolicy(fixture, 0.9))
+      .filter { case (v, _) => v < cap }
+    val capped = drops(Dedup.semDedupCappedPolicy(
+      fixture.filter(col("vec_id") < cap), 0.9))
+    // every earlier same-cell vector of a sub-cap member is itself
+    // sub-cap, so the restriction loses nothing and adds nothing —
+    // keepers included
+    assert(capped == full, s"capped=$capped full=$full")
+    assert(capped.nonEmpty)
+  }
+
+  test("cell-blocked drops are a subset of unblocked drops; cross-cell pairs are the misses") {
+    val blocked = drops(Dedup.semDedupCappedPolicy(fixture, 0.9))
+    val unblocked = drops(Dedup.semDedupCappedPolicy(
+      fixture.withColumn("cell", lit(0)), 0.9))
+    assert(blocked.keySet.subsetOf(unblocked.keySet))
+    // 2001 is a true near-dup of 1 but sits in cell 1: the blocking
+    // misses exactly it (and nothing else on this fixture)
+    assert(unblocked.keySet -- blocked.keySet == Set(2001L))
+    // in-cell pairs are found with min-id keepers
+    assert(blocked(2L) == 1L && blocked(4L) == 3L && blocked(2002L) == 1L)
+  }
+
+  test("q137 gate is all-true end-to-end over the real durable layout (sf0.001)") {
+    val rows = Dedup.q137SemDedupCell(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1))
+    assert(rows.map(_._1).toSeq == Seq("cell_assign_durable",
+      "cell_drops_sound", "cell_layout_complete", "cell_recall"))
+    // recall may legitimately be n/a-false only when truth is empty;
+    // the structural components must hold unconditionally
+    val m = rows.toMap
+    assert(m("cell_assign_durable") && m("cell_drops_sound")
+      && m("cell_layout_complete"))
+  }
+}

@@ -40,7 +40,10 @@ class SparseSimSpec extends AnyFunSuite with SparkSuite {
         .map(t => w(i)(t) * w(j)(t)).sum
       cos = dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
       if cos >= 0.9
-    } yield (i, j, math.rint(cos * 1e6) / 1e6)).toSet
+      // BigDecimal HALF_UP, matching Spark's round(_, 6) — math.rint
+      // is half-even and would diverge on an exact 7th-decimal tie
+    } yield (i, j, BigDecimal(cos)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
   }
 
   private val fixture = Seq(

@@ -88,6 +88,27 @@ class BucketedUpsertSinkSpec extends AnyFunSuite with SparkSuite {
     assert(snap(5L) == "upd5b" && snap(33L) == "new33" && snap.size == 33)
   }
 
+  test("reopen fails fast when (numBuckets, key, ord) mismatch the persisted contract") {
+    val base = Files.createTempDirectory("bsink_contract").toString
+    val sink = new BucketedUpsertSink(spark, base, "k", "seq", numBuckets = 4)
+    sink.merge((1L to 16L).map(k => (k, 1L, s"v$k")).toDF("k", "seq", "v"), 0)
+    // a different bucket count would route future merges by a
+    // different pmod than the carried-forward dirs were written under
+    val eB = intercept[IllegalArgumentException] {
+      BucketedUpsertSink.reopen(spark, base, "k", "seq", numBuckets = 8)
+    }
+    assert(eB.getMessage.contains("numBuckets=4") && eB.getMessage.contains("numBuckets=8"))
+    intercept[IllegalArgumentException] {
+      BucketedUpsertSink.reopen(spark, base, "v", "seq", numBuckets = 4)
+    }
+    intercept[IllegalArgumentException] {
+      BucketedUpsertSink.reopen(spark, base, "k", "v", numBuckets = 4)
+    }
+    // the matching contract still reopens cleanly after the refusals
+    val re = BucketedUpsertSink.reopen(spark, base, "k", "seq", numBuckets = 4)
+    assert(re.snapshot().count() == 16)
+  }
+
   test("reopen on a crash orphan (version dir without manifest) falls back to the prior version") {
     val base = Files.createTempDirectory("bsink_orphan").toString
     val sink = new BucketedUpsertSink(spark, base, "k", "seq", numBuckets = 2)
