@@ -824,6 +824,23 @@ object Dedup {
       blockCol = "cell", vecCol = "v", tau = tau)
   }
 
+  /** Full-corpus SemDeDup at 100 TB shape: the blocking layout uses
+   *  CORPUS-SCALED cells ([[Similarity.ivfWriteScaled]], ~500
+   *  vectors/cell), so the within-cell quadratic is bounded per cell
+   *  and LINEAR in the corpus overall — the q25 blocking contract
+   *  made concrete for the semantic-dedup path. Policy and τ
+   *  semantics are [[semDedupPolicy]], identical to q92/q137 (the
+   *  policies cannot diverge); only the blocking fineness differs.
+   *  Finer cells trade recall (more boundary-straddling pairs) for
+   *  bounded cost — SemDedupProbe reports the measured trade at each
+   *  octave (BASELINE.md round-8). Writes the layout under `out` and
+   *  returns the full keep/drop frame. */
+  def semDedupScaled(s: SparkSession, d: String, out: String,
+      tau: Double): DataFrame = {
+    Similarity.ivfWriteScaled(s, d, out)
+    semDedupByCell(s, out, tau)
+  }
+
   /** q137's τ (q92's value) and the truth-subsample prefix cap: the
    *  unblocked quadratic ground truth is computed over vec_id <
    *  [[SemDedupTruthCap]] only, so the gate's exact baseline stays a

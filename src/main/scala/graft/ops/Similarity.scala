@@ -128,6 +128,22 @@ object Similarity {
   private def codebook(e: DataFrame, dir: String): Array[Array[Double]] =
     codebookCache.getOrElseUpdate((dir, IvfCells), fitCodebook(e, IvfCells))
 
+  private def codebookK(e: DataFrame, dir: String, k: Int): Array[Array[Double]] =
+    codebookCache.getOrElseUpdate((dir, k), fitCodebook(e, k))
+
+  /** Corpus-scaled coarse cell count for BLOCKING consumers (the q25
+   *  contract: blocking-key cardinality must grow with the corpus so
+   *  per-block population — and with it any block-local quadratic —
+   *  stays constant). ~[[ScaledCellPop]] vectors per cell, floor
+   *  [[IvfCells]] (below which the fixed q37 codebook is already
+   *  right-sized), cap = the k-means sample size (a centroid can't
+   *  be meaningfully fit past one per sample point). At the cap the
+   *  per-cell population resumes linear growth — a real deployment
+   *  raises the sample alongside the corpus (it is one TakeOrdered). */
+  private[graft] val ScaledCellPop = 500L
+  private[graft] def scaledCellCount(n: Long): Int =
+    math.max(IvfCells, math.min(KMeansSample.toLong, n / ScaledCellPop).toInt)
+
   private def dotd(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
@@ -220,12 +236,15 @@ object Similarity {
    *  by the durable layout write above and q137's layout-parity
    *  audit, so "which cell does this vector live in" has exactly one
    *  implementation. Cell = argmax-cosine centroid of the memoized
-   *  codebook (literal centroids, scan-parallel projection). */
-  private[ops] def withCell(s: SparkSession, d: String): DataFrame = {
+   *  codebook (literal centroids, scan-parallel projection).
+   *  `k` ≤ 0 (default) means the fixed q37 codebook; a positive `k`
+   *  selects a codebook of that size (the scaled blocking path). */
+  private[ops] def withCell(s: SparkSession, d: String, k: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
-    val cents: Array[(Int, Seq[Double])] = codebook(e, d)
-      .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    val cb = if (k <= 0) codebook(e, d) else codebookK(e, d, k)
+    val cents: Array[(Int, Seq[Double])] =
+      cb.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
     require(cents.nonEmpty, s"$d: empty corpus, nothing to lay out")
     val simCells = cents.map { case (cid, cv) =>
       struct(cosine_sim(col("v"), typedLit(cv)).as("csim"), lit(cid).as("cid"))
@@ -234,6 +253,18 @@ object Similarity {
       if (simCells.length == 1) simCells.head.getField("cid")
       else greatest(simCells.toIndexedSeq: _*).getField("cid")
     e.withColumn("cell", cellOf)
+  }
+
+  /** Durable layout partitioned by CORPUS-SCALED cells — the blocking
+   *  twin of [[ivfWritePartitioned]] (which keeps q37's fixed probe
+   *  codebook): cell count = [[scaledCellCount]] of the corpus size,
+   *  so a block-local quadratic consumer (SemDeDup) does per-cell
+   *  work bounded by [[ScaledCellPop]]² and TOTAL work linear in the
+   *  corpus. Returns the cell count used. */
+  def ivfWriteScaled(s: SparkSession, d: String, out: String): Int = {
+    val k = scaledCellCount(embeddings(s, d).count())
+    withCell(s, d, k).write.mode("overwrite").partitionBy("cell").parquet(out)
+    k
   }
 
   /** Top-5 kNN over an [[ivfWritePartitioned]] layout. Probe cells

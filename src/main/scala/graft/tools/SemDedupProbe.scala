@@ -65,6 +65,29 @@ object SemDedupProbe {
       // excess would mean the blocking manufactured a pair — impossible
       assert(byCell.subsetOf(truth))
     }
+
+    // the corpus-scaled blocking (semDedupScaled): cell population
+    // stays ~ScaledCellPop at every octave, so full-corpus pair work
+    // (Σ_cell C(pop,2)) grows LINEARLY with the corpus — report the
+    // measured population spread and pair-work total, plus recall on
+    // the same capped subsample at the q137 τ
+    val scaledDir = Files.createTempDirectory("semdedup_scaled").toString
+    val k = Similarity.ivfWriteScaled(spark, d, scaledDir)
+    val st = spark.read.parquet(scaledDir).groupBy(col("cell"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("cells"),
+        max(col("n")).as("max_pop"), avg(col("n")).as("avg_pop"),
+        sum(col("n") * (col("n") - 1) / 2).as("pair_work")).head()
+    println(f"[semdedup] scaled blocking: k=$k cells=${st.getLong(0)} " +
+      f"avg_pop=${st.getDouble(2)}%.0f max_pop=${st.getLong(1)} pair_work=${st.getDouble(3)}%.0f")
+    val truth045 = pairSims.collect { case (v, s) if s >= 0.45 => v }.toSet
+    val byScaled = drops(Dedup.semDedupCappedPolicy(
+      spark.read.parquet(scaledDir).select(col("vec_id"), col("cell"), col("v"))
+        .filter(col("vec_id") < cap), 0.45))
+    if (truth045.nonEmpty)
+      println(f"[semdedup] scaled recall@0.45 (capped): " +
+        f"${byScaled.intersect(truth045).size}%d/${truth045.size}%d")
+    assert(byScaled.subsetOf(truth045))
     spark.stop()
   }
 }

@@ -53,6 +53,25 @@ class SemDedupCellSpec extends AnyFunSuite with SparkSuite {
     assert(blocked(2L) == 1L && blocked(4L) == 3L && blocked(2002L) == 1L)
   }
 
+  test("scaledCellCount: floor at the fixed codebook, ~500/cell, capped at the fit sample") {
+    assert(Similarity.scaledCellCount(500) == 16)   // small corpus: floor
+    assert(Similarity.scaledCellCount(8000) == 16)  // 16 × 500 boundary
+    assert(Similarity.scaledCellCount(20000) == 40) // grows with corpus
+    assert(Similarity.scaledCellCount(200000) == 400)
+    assert(Similarity.scaledCellCount(5000000) == 2048) // sample-size cap
+  }
+
+  test("semDedupScaled: one policy row per vector, drops keep earlier keepers (sf0.001)") {
+    val dir = java.nio.file.Files.createTempDirectory("sds").toString
+    val out = Dedup.semDedupScaled(spark, "/root/testdata/sf0.001", dir, 0.45)
+      .collect()
+    val n = Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    assert(out.length == n)
+    out.filter(_.getInt(2) == 1).foreach { r =>
+      assert(r.getLong(3) < r.getLong(0), "keeper must be an earlier vector")
+    }
+  }
+
   test("q137 gate is all-true end-to-end over the real durable layout (sf0.001)") {
     val rows = Dedup.q137SemDedupCell(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getBoolean(1))
