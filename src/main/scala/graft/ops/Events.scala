@@ -690,7 +690,14 @@ object EventOps {
     attributeMultiTouch(events(s, d))
 
   /** Core of q138 over any (user_id, event_id, ts, event_type, value)
-    * frame — split out so specs can pin boundary semantics. */
+    * frame — split out so specs can pin boundary semantics.
+    *
+    * Plan shape: both models' credit rows are built as ONE per-
+    * purchase array (a 1-element first-touch entry concatenated with
+    * the transform() of the touch list) and exploded once, so the
+    * window pass runs exactly once — a union of per-model branches
+    * would re-read the windowed frame per branch (ReusedExchange
+    * shares only the shuffle, not the sort+window compute). */
   private[ops] def attributeMultiTouch(ev: DataFrame): DataFrame = {
     val frame = "PARTITION BY user_id ORDER BY ts " +
       "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
@@ -707,22 +714,22 @@ object EventOps {
       .select(col("first_key"), col("touches"),
         size(col("touches")).cast("long").as("n_touches"),
         Tables.cents(col("value")).as("cents"))
-    val first = p.select(lit("first_touch").as("model"),
-      when(col("n_touches") > 0, expr("substring(first_key, 33)"))
-        .otherwise(lit("direct")).as("touch_type"),
-      (col("cents") * 1000000L).as("credit_micro"))
-    val linear = p.filter(col("n_touches") > 0)
-      .select(explode(col("touches")).as("touch_type"),
-        col("n_touches"), col("cents"))
-      .select(lit("linear").as("model"), col("touch_type"),
-        round(col("cents").cast("double") * 1e6 / col("n_touches"))
-          .cast("long").as("credit_micro"))
-    val linearDirect = p.filter(col("n_touches") === 0)
-      .select(lit("linear").as("model"), lit("direct").as("touch_type"),
-        (col("cents") * 1000000L).as("credit_micro"))
-    first.unionByName(linear).unionByName(linearDirect)
-      .groupBy(col("model"), col("touch_type"))
-      .agg(count(lit(1)).as("n_credits"), sum(col("credit_micro")).as("micro_cents"))
+    val fullCredit = (col("cents") * 1000000L).as("credit_micro")
+    val credits = concat(
+      array(struct(lit("first_touch").as("model"),
+        when(col("n_touches") > 0, expr("substring(first_key, 33)"))
+          .otherwise(lit("direct")).as("touch_type"),
+        fullCredit)),
+      when(col("n_touches") === 0,
+        array(struct(lit("linear").as("model"),
+          lit("direct").as("touch_type"), fullCredit)))
+        .otherwise(transform(col("touches"), t =>
+          struct(lit("linear").as("model"), t.as("touch_type"),
+            round(col("cents").cast("double") * 1e6 / col("n_touches"))
+              .cast("long").as("credit_micro")))))
+    p.select(explode(credits).as("c"))
+      .groupBy(col("c.model").as("model"), col("c.touch_type").as("touch_type"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("c.credit_micro")).as("micro_cents"))
       .orderBy(col("model"), col("touch_type"))
   }
 
