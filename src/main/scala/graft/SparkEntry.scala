@@ -234,7 +234,12 @@ object SparkEntry {
     // q61 way (layout completeness + drop soundness + recall floor)
     "q137_semdedup_cell" -> (Dedup.q137SemDedupCell _),
     // first-touch + linear multi-touch attribution (q136's siblings)
-    "q138_attribution_models" -> (EventOps.q138AttributionModels _)
+    "q138_attribution_models" -> (EventOps.q138AttributionModels _),
+    // referential-integrity / constraint audit: pk uniqueness, fk
+    // containment, not-null, domain checks across the whole snapshot
+    "q139_integrity_audit" -> (Integrity.q139IntegrityAudit _),
+    // exact two-sample KS drift between every pair of sources
+    "q140_ks_drift" -> (Analyze.q140KsDrift _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -367,6 +372,8 @@ object SparkEntry {
     "q135_cosine_join" -> SparseSim.q135Sql,
     "q136_attribution" -> EventOps.q136Sql,
     "q137_semdedup_cell" -> Dedup.q137Sql,
-    "q138_attribution_models" -> EventOps.q138Sql
+    "q138_attribution_models" -> EventOps.q138Sql,
+    "q139_integrity_audit" -> Integrity.q139Sql,
+    "q140_ks_drift" -> Analyze.q140Sql
   )
 }

@@ -476,4 +476,76 @@ object Analyze {
     """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
       | count(DISTINCT user_id) AS exact_users, true AS ok
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q140: exact two-sample Kolmogorov–Smirnov drift, all source pairs
+  // ------------------------------------------------------------------
+
+  /** Exact two-sample KS distance D = max over v of |F_a(v) − F_b(v)|
+    * for EVERY unordered pair of groups, over an integer-valued
+    * measurement. The nonparametric companion to q106's binned PSI: no
+    * bucket-width tuning, and D is the statistic behind the classical
+    * distribution-equality test — the per-source-pair drift screen a
+    * curation pipeline runs when deciding whether two crawls can share
+    * one mixing weight.
+    *
+    * Scale design: one scan → (group, value) count aggregate (map-side
+    * partials); the empirical CDFs materialize on the groups×values
+    * GRID (broadcast of the tiny group dim against the distinct-value
+    * frame — every group needs a step at every observed value or the
+    * pairwise diff under-samples the sup). The CDF window runs per
+    * group — parallelism bounded by |groups|, rows per group bounded
+    * by the VALUE DOMAIN, not the corpus (n_chars here; an unbounded
+    * domain should be bucketed first, q106's trade, or the grid itself
+    * explodes). The pairwise sup is an equi-join on value + a max
+    * aggregate: |pairs|·|values| rows, never corpus².
+    *
+    * Determinism: CDFs are raw divisions of exact long counts
+    * (bit-identical IEEE doubles across engines — the q105 rule);
+    * max(abs(diff)) over identical double sets is order-free. */
+  def ksAllPairs(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val counts = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val groups = counts.select(col("g")).distinct()
+    val values = counts.select(col("v")).distinct()
+    val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val byV = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+    val cdf = values.crossJoin(broadcast(groups))
+      .join(counts, Seq("g", "v"), "left").na.fill(0L, Seq("c"))
+      .join(broadcast(totals), Seq("g"))
+      .withColumn("cdf",
+        sum(col("c")).over(byV).cast("double") / col("n").cast("double"))
+      .select(col("g"), col("v"), col("cdf"))
+    cdf.as("a")
+      .join(cdf.as("b"),
+        col("a.v") === col("b.v") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("source_a"), col("b.g").as("source_b"))
+      .agg(max(abs(col("a.cdf") - col("b.cdf"))).as("ks_d"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** q140: KS drift between every pair of document sources over the
+    * document-length distribution. */
+  def q140KsDrift(s: SparkSession, d: String): DataFrame =
+    ksAllPairs(Tables.documents(s, d), col("source"), col("n_chars"))
+
+  val q140Sql: String =
+    """WITH counts AS (
+      |  SELECT source AS g, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT gs.g, vs.v FROM (SELECT DISTINCT g FROM counts) gs,
+      |   (SELECT DISTINCT v FROM counts) vs),
+      |filled AS (
+      |  SELECT grid.g, grid.v, COALESCE(counts.c, 0) AS c
+      |  FROM grid LEFT JOIN counts ON grid.g = counts.g AND grid.v = counts.v),
+      |cdf AS (
+      |  SELECT g, v,
+      |   CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS DOUBLE)
+      |     / CAST(sum(c) OVER (PARTITION BY g) AS DOUBLE) AS cdf
+      |  FROM filled)
+      |SELECT a.g AS source_a, b.g AS source_b, max(abs(a.cdf - b.cdf)) AS ks_d
+      |FROM cdf a JOIN cdf b ON a.v = b.v AND a.g < b.g
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

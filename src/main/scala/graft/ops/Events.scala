@@ -705,11 +705,15 @@ object EventOps {
       "concat(format_string('%020d', unix_micros(ts)), " +
       "format_string('%012d', event_id), event_type) END"
     val touchType = "CASE WHEN event_type <> 'purchase' THEN event_type END"
+    // both window expressions in ONE select: sequential withColumns
+    // leave a Project between the two Window nodes, which blocks
+    // CollapseWindow from fusing the identical specs into one operator
     val p = ev
-      .withColumn("first_key", expr(s"min($touchKey) OVER ($frame)"))
-      // collect_list drops the purchase-row NULLs, so the list holds
-      // exactly the window's touches (order irrelevant — counts only)
-      .withColumn("touches", expr(s"collect_list($touchType) OVER ($frame)"))
+      .select(col("*"),
+        expr(s"min($touchKey) OVER ($frame)").as("first_key"),
+        // collect_list drops the purchase-row NULLs, so the list holds
+        // exactly the window's touches (order irrelevant — counts only)
+        expr(s"collect_list($touchType) OVER ($frame)").as("touches"))
       .filter(col("event_type") === "purchase")
       .select(col("first_key"), col("touches"),
         size(col("touches")).cast("long").as("n_touches"),

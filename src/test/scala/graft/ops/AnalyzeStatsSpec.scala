@@ -195,4 +195,29 @@ class AnalyzeStatsSpec extends AnyFunSuite with SparkSuite {
       assert(direct(r.getAs[java.sql.Date]("week").toString) == r.getAs[Long]("exact_users"))
     }
   }
+
+  test("q140 KS: closed-form distances on hand-built distributions") {
+    import spark.implicits._
+    // A = {1,2,3,4}, B = {3,4,5,6}: sup at v=2 → |2/4 − 0| = 0.5
+    // C = {1,2,3,4} (≡ A): D(A,C) = 0;  E = {10,11}: D(A,E) = 1 (disjoint)
+    val df = (Seq(1, 2, 3, 4).map(("a", _)) ++ Seq(3, 4, 5, 6).map(("b", _)) ++
+      Seq(1, 2, 3, 4).map(("c", _)) ++ Seq(10, 11).map(("e", _)))
+      .toDF("src", "x")
+    val got = Analyze.ksAllPairs(df, col("src"), col("x")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("a", "b")) == 0.5)
+    assert(got(("a", "c")) == 0.0)
+    assert(got(("a", "e")) == 1.0)
+    assert(got(("b", "c")) == 0.5)
+    assert(got.size == 6)
+  }
+
+  test("q140 over the snapshot: one row per unordered source pair, D in [0,1]") {
+    val rows = Analyze.q140KsDrift(spark, sf).collect()
+    assert(rows.length == 190) // C(20,2) sources
+    assert(rows.forall { r =>
+      val d = r.getDouble(2); d >= 0.0 && d <= 1.0 &&
+        r.getString(0) < r.getString(1)
+    })
+  }
 }

@@ -251,4 +251,43 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("xxhash64"), p.take(400))
     assert(!p.contains("hashpartitioning(g#"), "gram text must not be a shuffle key")
   }
+
+  test("q135 exact cosine join: prefix-filtered equi-joins only, never corpus x corpus") {
+    val p = plan(SparseSim.q135CosineJoin(spark, d))
+    // every join keys on (term) or (doc id) — an all-pairs fallback
+    // here is the 125-billion-pair quadratic the operator exists to avoid
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cosine join must never degenerate to all-pairs")
+    // the candidate dot products combine map-side before the pair shuffle
+    assert(p.contains("partial_sum"), p.take(800))
+  }
+
+  test("q136/q138 attribution: exactly one window pass each, no cartesian") {
+    for (df <- Seq(EventOps.q136Attribution(spark, d),
+        EventOps.q138AttributionModels(spark, d))) {
+      // node-name match on the physical plan string (AQE wraps the
+      // plan in a leaf AdaptiveSparkPlanExec, so a tree collect over
+      // executedPlan cannot see the inner operators)
+      val p = df.queryExecution.executedPlan.toString
+      val windows = "(?m)^[\\s*+:-]*Window ".r.findAllIn(p).size
+      // q138's two models ride ONE exploded credits array — a per-model
+      // union would re-run the sort+window compute per branch
+      assert(windows == 1, s"expected 1 Window operator, got $windows in:\n${p.take(1200)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
+  test("q137 SemDeDup policy self-joins on the blocking key, never all-pairs") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // gate the policy composition directly: q137's top-level frame
+    // cross-joins three 1-row gate aggregates (bounded by construction),
+    // which would trip a plan-wide no-cartesian assertion
+    val e = Seq((1L, 0, Array(1f, 0f)), (2L, 0, Array(1f, 0f)),
+      (3L, 1, Array(0f, 1f))).toDF("vec_id", "cell", "v")
+    val p = plan(Dedup.semDedupPolicy(e, blockCol = "cell", vecCol = "v", tau = 0.9))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the quadratic term must run within cells, not across the corpus")
+    assert(p.contains("cell"), "blocking key must drive the self-join")
+  }
 }
