@@ -239,7 +239,10 @@ object SparkEntry {
     // containment, not-null, domain checks across the whole snapshot
     "q139_integrity_audit" -> (Integrity.q139IntegrityAudit _),
     // exact two-sample KS drift between every pair of sources
-    "q140_ks_drift" -> (Analyze.q140KsDrift _)
+    "q140_ks_drift" -> (Analyze.q140KsDrift _),
+    // streaming drift monitor: per-day PSI vs the corpus margin,
+    // maintained by one streaming tumbling aggregation
+    "q141_stream_drift" -> (StreamingOps.q141StreamDriftPsi _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -374,6 +377,7 @@ object SparkEntry {
     "q137_semdedup_cell" -> Dedup.q137Sql,
     "q138_attribution_models" -> EventOps.q138Sql,
     "q139_integrity_audit" -> Integrity.q139Sql,
-    "q140_ks_drift" -> Analyze.q140Sql
+    "q140_ks_drift" -> Analyze.q140Sql,
+    "q141_stream_drift" -> StreamingOps.q141Sql
   )
 }

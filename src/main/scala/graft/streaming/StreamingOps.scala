@@ -175,6 +175,109 @@ object StreamingOps {
     }
   }
 
+  // ------------------------------------------------------------------
+  // q141: streaming drift monitor — per-day PSI vs the corpus margin
+  // ------------------------------------------------------------------
+
+  /** q141: distribution-drift monitoring ON THE STREAM — the ML-ops
+    * screen that catches a value distribution going sideways while
+    * data is still arriving. One streaming tumbling-day aggregation
+    * maintains (day, value-bucket) counts ($20 buckets on exact
+    * cents); when the stream drains, each day's bucket distribution
+    * is scored with PSI against the all-days margin of the SAME
+    * drained matrix (q106's math verbatim: Laplace smoothing, each
+    * term quantized to integer micro-nats BEFORE the order-free sum).
+    *
+    * Scale: the row-volume work is the streaming partial aggregate —
+    * state is |days|·|buckets| counters, and the post-drain PSI math
+    * runs on that tiny matrix, never re-reading events. In production
+    * the drain boundary becomes a sliding re-score on the live state
+    * (same frame, foreachBatch); the file-source drain keeps the
+    * batch oracle exact here. */
+  def q141StreamDriftPsi(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.eventsStream(s, d)
+      .withColumn("bucket",
+        floor(Tables.cents(col("value")) / lit(2000L)).cast("long"))
+      .groupBy(window(col("ts"), "1 day"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("day_bucket"),
+        col("bucket"), col("n"))
+    withShuffle(s, 8) {
+      drainToLocal(s, counts, "complete")(perDayPsi)
+    }
+  }
+
+  /** PSI of every day against the corpus margin, on the drained
+    * (day_bucket, bucket, n) matrix. The grid completion mirrors
+    * q140's: each day needs a (possibly zero) count at every observed
+    * bucket or the smoothed shares disagree on the bucket universe. */
+  private[streaming] def perDayPsi(m0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // rebuild the matrix as a LocalRelation first: the memory sink's
+    // plan is not a MultiInstanceRelation, so the grid's self-joins
+    // below would fail reference dedup against it. The rows are
+    // already driver-resident in the sink (complete mode), so this
+    // collect adds nothing — the matrix is |days|·|buckets|, bounded
+    // by the value domain and the stream's day span, not the corpus.
+    val s = m0.sparkSession
+    val m = s.createDataFrame(
+      java.util.Arrays.asList(m0.collect(): _*), m0.schema)
+    val grid = m.select(col("day_bucket")).distinct()
+      .crossJoin(m.select(col("bucket")).distinct())
+      .join(m, Seq("day_bucket", "bucket"), "left")
+      .na.fill(0L, Seq("n"))
+    val byDay = Window.partitionBy(col("day_bucket"))
+    val byBucket = Window.partitionBy(col("bucket"))
+    val all = Window.partitionBy(lit(1))
+    grid
+      .withColumn("nd", sum(col("n")).over(byDay))
+      .withColumn("nb", sum(col("n")).over(byBucket))
+      .withColumn("nn", sum(col("n")).over(all))
+      .withColumn("k", count(lit(1)).over(byDay)) // grid ⇒ = |buckets|
+      .withColumn("p_d",
+        (col("n") + 1) / (col("nd").cast("double") + col("k")))
+      .withColumn("p_r",
+        (col("nb") + 1) / (col("nn").cast("double") + col("k")))
+      .withColumn("psi_micro",
+        round((col("p_d") - col("p_r")) * log(col("p_d") / col("p_r")) * 1e6)
+          .cast("long"))
+      .groupBy(col("day_bucket"))
+      .agg(max(col("nd")).as("n_events"), sum(col("psi_micro")).as("psi_micro"))
+      .orderBy(col("day_bucket"))
+  }
+
+  val q141Sql: String =
+    """WITH c AS (
+      |  SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_bucket,
+      |   CAST(floor(CAST(round("value"*100) AS BIGINT) / 2000) AS BIGINT) AS bucket,
+      |   count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT ds.day_bucket, bs.bucket
+      |  FROM (SELECT DISTINCT day_bucket FROM c) ds,
+      |   (SELECT DISTINCT bucket FROM c) bs),
+      |f AS (
+      |  SELECT grid.day_bucket, grid.bucket, COALESCE(c.n, 0) AS n
+      |  FROM grid LEFT JOIN c
+      |   ON grid.day_bucket = c.day_bucket AND grid.bucket = c.bucket),
+      |e AS (
+      |  SELECT day_bucket, bucket, n,
+      |   sum(n) OVER (PARTITION BY day_bucket) AS nd,
+      |   sum(n) OVER (PARTITION BY bucket) AS nb,
+      |   sum(n) OVER () AS nn,
+      |   count(*) OVER (PARTITION BY day_bucket) AS k
+      |  FROM f),
+      |p AS (
+      |  SELECT day_bucket, nd,
+      |   CAST(round(((n + 1) / (CAST(nd AS DOUBLE) + k)
+      |     - (nb + 1) / (CAST(nn AS DOUBLE) + k))
+      |    * ln(((n + 1) / (CAST(nd AS DOUBLE) + k))
+      |      / ((nb + 1) / (CAST(nn AS DOUBLE) + k))) * 1e6) AS BIGINT) AS t
+      |  FROM e)
+      |SELECT day_bucket, CAST(max(nd) AS BIGINT) AS n_events,
+      | CAST(sum(t) AS BIGINT) AS psi_micro
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q109Sql: String =
     """SELECT c_mktsegment, count(*) AS n,
       | CAST(sum(CAST(round("value"*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value

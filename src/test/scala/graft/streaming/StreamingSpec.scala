@@ -180,6 +180,24 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("q141 streaming drift monitor equals the batch PSI over the same buckets") {
+    val streamed = StreamingOps.q141StreamDriftPsi(spark, dir)
+    val batchCounts = Tables.events(spark, dir)
+      .withColumn("bucket",
+        floor(Tables.cents(col("value")) / lit(2000L)).cast("long"))
+      .groupBy(window(col("ts"), "1 day"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("day_bucket"),
+        col("bucket"), col("n"))
+    val batch = StreamingOps.perDayPsi(batchCounts)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // drift scores are nonnegative by Gibbs' inequality (up to the
+    // micro-nat quantization of each term)
+    val mn = streamed.agg(min(col("psi_micro"))).head().getLong(0)
+    assert(mn >= -50, s"per-day PSI must be ~nonnegative, got $mn")
+  }
+
   test("q109 stream-static join equals its batch equivalent") {
     val streamed = StreamingOps.q109StreamStaticJoin(spark, dir)
     val dim = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
