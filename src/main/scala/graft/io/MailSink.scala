@@ -32,10 +32,11 @@ import java.util.{Base64, Locale}
  * and the message bytes — the testable contract — are identical
  * either way.
  *
- * Scale note: the attachment is streamed through base64 in one pass
- * of bounded 57-byte chunks, never holding more than one encoded
- * line beyond the raw bytes; a mail message is a driver-side
- * artifact (this is a notification sink, not a data path).
+ * Scale note: the attachment is read once and held in memory along
+ * with its encoded form while the message assembles — a mail message
+ * is a driver-side notification artifact (this is not a data path),
+ * so attachment size is expected to be export-report scale, not
+ * corpus scale.
  */
 object MailSink {
 
@@ -45,9 +46,16 @@ object MailSink {
   }
 
   /** Default transport: write each message as `<seq>_<subject-slug>.eml`
-    * into `dir` via temp-file + atomic rename. */
+    * into `dir` via temp-file + atomic rename. The sequence resumes
+    * from the directory's highest existing message, so a restarted
+    * process appends instead of silently replacing earlier mail. */
   final class OutboxTransport(dir: String) extends MailTransport {
-    private var seq = 0
+    private var seq = {
+      val existing = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .flatMap(f => "^(\\d{5})_.*\\.eml$".r.findFirstMatchIn(f.getName)
+          .map(_.group(1).toInt))
+      if (existing.isEmpty) 0 else existing.max + 1
+    }
     def send(from: String, recipients: Seq[String], message: String): Unit =
       synchronized {
         val base = Paths.get(dir)
@@ -56,6 +64,9 @@ object MailSink {
           .map(_.group(1)).getOrElse("message")
         val slug = subject.toLowerCase(Locale.ROOT)
           .replaceAll("[^a-z0-9]+", "-").replaceAll("^-|-$", "").take(40)
+        // rename(2) replaces an existing target silently — advance past
+        // any name already present so queued mail is never destroyed
+        while (Files.exists(base.resolve(f"$seq%05d_$slug.eml"))) seq += 1
         val name = f"$seq%05d_$slug.eml"
         seq += 1
         val tmp = Files.createTempFile(base, ".eml-", ".tmp")
@@ -93,18 +104,26 @@ object MailSink {
     bytes.grouped(57).map(g => enc.encodeToString(g)).mkString("\r\n")
   }
 
+  /** Header values must not smuggle line breaks: a subject or address
+    * derived from user data (a table name, a file name) could
+    * otherwise inject arbitrary headers (e.g. a forged Bcc) into the
+    * message a relay will send. */
+  private def hdr(v: String): String = v.replaceAll("[\r\n]+", " ")
+
   /** Assemble the full RFC 5322 message string. `date` is injected so
     * message bytes are a deterministic function of the arguments. */
   def composeMessage(from: String, to: Seq[String], cc: Seq[String],
       subject: String, body: String, attachment: Path,
       date: Instant): String = {
     require(to.nonEmpty, "at least one To recipient")
+    val bytes = Files.readAllBytes(attachment) // read ONCE: digest and
+    // part body must describe the same bytes even if the file changes
     val boundary = {
       // content-derived boundary: deterministic, and a digest makes a
       // collision with the payload text practically impossible
       val md = java.security.MessageDigest.getInstance("SHA-256")
       md.update(body.getBytes(StandardCharsets.UTF_8))
-      md.update(Files.readAllBytes(attachment))
+      md.update(bytes)
       "=_graft_" + md.digest().take(12).map("%02x".format(_)).mkString
     }
     val filename = attachment.getFileName.toString
@@ -112,25 +131,28 @@ object MailSink {
     val crlf = "\r\n"
     // plain concatenation, not stripMargin: payload lines may start
     // with any character, including the margin char
-    val attachmentPart =
-      if (ctype.startsWith("text/")) {
-        val text = new String(Files.readAllBytes(attachment),
-          StandardCharsets.UTF_8)
+    val text = if (ctype.startsWith("text/"))
+      Some(new String(bytes, StandardCharsets.UTF_8)) else None
+    val attachmentPart = text match {
+      // inline text rides with RFC-required CRLF line endings; a line
+      // past the RFC 5322 length limit falls back to base64 (a relay
+      // would otherwise reject or fold-corrupt the attachment)
+      case Some(t) if t.linesIterator.forall(_.length <= 900) =>
         s"Content-Type: $ctype; charset=utf-8" + crlf +
           s"""Content-Disposition: attachment; filename="$filename"""" + crlf +
-          crlf + text
-      } else {
+          crlf + t.linesIterator.mkString(crlf)
+      case _ =>
         s"Content-Type: $ctype" + crlf +
           "Content-Transfer-Encoding: base64" + crlf +
           s"""Content-Disposition: attachment; filename="$filename"""" + crlf +
-          crlf + b64Lines(Files.readAllBytes(attachment))
-      }
+          crlf + b64Lines(bytes)
+    }
     val ccHeader =
-      if (cc.nonEmpty) s"CC: ${cc.mkString(", ")}" + crlf else ""
-    s"From: $from" + crlf +
-      s"To: ${to.mkString(", ")}" + crlf +
+      if (cc.nonEmpty) s"CC: ${hdr(cc.mkString(", "))}" + crlf else ""
+    s"From: ${hdr(from)}" + crlf +
+      s"To: ${hdr(to.mkString(", "))}" + crlf +
       ccHeader +
-      s"Subject: $subject" + crlf +
+      s"Subject: ${hdr(subject)}" + crlf +
       s"Date: ${Rfc1123.format(date)}" + crlf +
       "MIME-Version: 1.0" + crlf +
       s"""Content-Type: multipart/mixed; boundary="$boundary"""" + crlf +

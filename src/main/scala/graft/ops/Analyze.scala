@@ -126,6 +126,28 @@ object Analyze {
   // q106: distribution-drift score (PSI) between two corpus slices
   // ------------------------------------------------------------------
 
+  /** The ONE Laplace-smoothed share rule shared by every PSI consumer
+    * (q106, q141): (n+1)/(tot+k). Centralized so the smoothing can
+    * never silently diverge from the oracle SQL's spelling. */
+  private[graft] def laplaceShare(n: Column, tot: Column, k: Column): Column =
+    (n + lit(1)) / (tot.cast("double") + k)
+
+  /** One PSI term quantized to integer micro-nats BEFORE summing (the
+    * q79 rule: ln() output is irrational, so round() is boundary-safe
+    * and the integer sum is order-free across partitionings). */
+  private[graft] def psiMicro(p: Column, q: Column): Column =
+    round((p - q) * log(p / q) * 1e6).cast("long")
+
+  /** Complete the (a, b) count grid: every distinct a × every distinct
+    * b, `cnt` filled 0 where absent — the shape q140's CDF grid and
+    * q141's smoothed shares both need (a missing cell still carries a
+    * smoothed probability / CDF step). */
+  private[graft] def completeGrid(df: DataFrame, a: String, b: String,
+      cnt: String): DataFrame =
+    df.select(col(a)).distinct()
+      .crossJoin(df.select(col(b)).distinct())
+      .join(df, Seq(a, b), "left").na.fill(0L, Seq(cnt))
+
   /** q106: population stability index between two halves of the corpus
     * (even- vs odd-numbered sources) over document-length buckets — the
     * standard drift monitor between a reference and a candidate data
@@ -153,10 +175,9 @@ object Analyze {
       .withColumn("tot_a", sum(col("n_a")).over(all))
       .withColumn("tot_b", sum(col("n_b")).over(all))
       .withColumn("n_buckets", count(lit(1)).over(all))
-      .withColumn("p_a", (col("n_a") + lit(1)) / (col("tot_a") + col("n_buckets")))
-      .withColumn("p_b", (col("n_b") + lit(1)) / (col("tot_b") + col("n_buckets")))
-      .withColumn("psi_micro",
-        round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")) * 1e6).cast("long"))
+      .withColumn("p_a", laplaceShare(col("n_a"), col("tot_a"), col("n_buckets")))
+      .withColumn("p_b", laplaceShare(col("n_b"), col("tot_b"), col("n_buckets")))
+      .withColumn("psi_micro", psiMicro(col("p_a"), col("p_b")))
     buckets
       .select(col("bucket"), col("n_a"), col("n_b"), col("p_a"), col("p_b"), col("psi_micro"))
       .union(buckets.groupBy()
@@ -504,7 +525,12 @@ object Analyze {
     * (bit-identical IEEE doubles across engines — the q105 rule);
     * max(abs(diff)) over identical double sets is order-free. */
   def ksAllPairs(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    // a NULL value carries no position on the real line: admitting it
+    // would inflate every cumulative count (Spark sorts nulls first)
+    // while the SQL twin (nulls last) would not — drop both null
+    // groups and null values so the empirical CDFs are well-defined
     val counts = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
     val groups = counts.select(col("g")).distinct()
     val values = counts.select(col("v")).distinct()

@@ -35,7 +35,15 @@ object StreamingOps {
       .queryName(name).trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
     try {
-      val result = post(s.table(name))
+      // localize the sink table BEFORE post() runs: the memory sink's
+      // rows are already driver-resident, and MemoryPlan is not a
+      // MultiInstanceRelation — a post() that self-joins the sink
+      // table (q141's grid completion) would fail attribute dedup
+      // against the shared plan. A LocalRelation self-joins cleanly.
+      val sunk = s.table(name)
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
+      val result = post(local)
       val rows = result.collect()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
     } finally s.catalog.dropTempView(name) // also on post/collect failure:
@@ -211,21 +219,10 @@ object StreamingOps {
     * (day_bucket, bucket, n) matrix. The grid completion mirrors
     * q140's: each day needs a (possibly zero) count at every observed
     * bucket or the smoothed shares disagree on the bucket universe. */
-  private[streaming] def perDayPsi(m0: DataFrame): DataFrame = {
+  private[streaming] def perDayPsi(m: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // rebuild the matrix as a LocalRelation first: the memory sink's
-    // plan is not a MultiInstanceRelation, so the grid's self-joins
-    // below would fail reference dedup against it. The rows are
-    // already driver-resident in the sink (complete mode), so this
-    // collect adds nothing — the matrix is |days|·|buckets|, bounded
-    // by the value domain and the stream's day span, not the corpus.
-    val s = m0.sparkSession
-    val m = s.createDataFrame(
-      java.util.Arrays.asList(m0.collect(): _*), m0.schema)
-    val grid = m.select(col("day_bucket")).distinct()
-      .crossJoin(m.select(col("bucket")).distinct())
-      .join(m, Seq("day_bucket", "bucket"), "left")
-      .na.fill(0L, Seq("n"))
+    import graft.ops.Analyze.{completeGrid, laplaceShare, psiMicro}
+    val grid = completeGrid(m, "day_bucket", "bucket", "n")
     val byDay = Window.partitionBy(col("day_bucket"))
     val byBucket = Window.partitionBy(col("bucket"))
     val all = Window.partitionBy(lit(1))
@@ -234,13 +231,9 @@ object StreamingOps {
       .withColumn("nb", sum(col("n")).over(byBucket))
       .withColumn("nn", sum(col("n")).over(all))
       .withColumn("k", count(lit(1)).over(byDay)) // grid ⇒ = |buckets|
-      .withColumn("p_d",
-        (col("n") + 1) / (col("nd").cast("double") + col("k")))
-      .withColumn("p_r",
-        (col("nb") + 1) / (col("nn").cast("double") + col("k")))
-      .withColumn("psi_micro",
-        round((col("p_d") - col("p_r")) * log(col("p_d") / col("p_r")) * 1e6)
-          .cast("long"))
+      .withColumn("p_d", laplaceShare(col("n"), col("nd"), col("k")))
+      .withColumn("p_r", laplaceShare(col("nb"), col("nn"), col("k")))
+      .withColumn("psi_micro", psiMicro(col("p_d"), col("p_r")))
       .groupBy(col("day_bucket"))
       .agg(max(col("nd")).as("n_events"), sum(col("psi_micro")).as("psi_micro"))
       .orderBy(col("day_bucket"))

@@ -29,7 +29,8 @@ class MailSinkSpec extends AnyFunSuite {
     assert(msg.contains("Date: Fri, 14 Aug 2026 12:00:00 +0000\r\n"))
     assert(msg.contains("Content-Type: text/csv; charset=utf-8"))
     assert(msg.contains("Content-Disposition: attachment; filename=\"export.csv\""))
-    assert(msg.contains("a,b\n1,2\n"), "text files attach as decoded text, not base64")
+    assert(msg.contains("a,b\r\n1,2"),
+      "text files attach as decoded text with CRLF-normalized line endings")
     // multipart framing: two parts, one closing boundary
     val boundary = "(?m)boundary=\"([^\"]+)\"".r.findFirstMatchIn(msg).get.group(1)
     assert(("--" + boundary + "\r\n").r.findAllIn(msg).size == 2)
@@ -70,6 +71,31 @@ class MailSinkSpec extends AnyFunSuite {
     val written = new String(Files.readAllBytes(
       Paths.get(outbox, files(0))), StandardCharsets.UTF_8)
     assert(written.contains("Subject: Weekly Export!"))
+  }
+
+  test("a restarted outbox appends after the existing messages, never replaces") {
+    val outbox = Files.createTempDirectory("outbox2").toString
+    val att = tmpFile("a.txt", "x".getBytes(StandardCharsets.UTF_8))
+    new MailSink.OutboxTransport(outbox).send("f@x", Seq("t@x"),
+      MailSink.composeMessage("f@x", Seq("t@x"), Nil, "first", "b", att, date))
+    // fresh instance over the same directory (process restart)
+    new MailSink.OutboxTransport(outbox).send("f@x", Seq("t@x"),
+      MailSink.composeMessage("f@x", Seq("t@x"), Nil, "second", "b", att, date))
+    val names = new java.io.File(outbox).listFiles().map(_.getName).sorted
+    assert(names.toSeq == Seq("00000_first.eml", "00001_second.eml"), names.mkString(","))
+  }
+
+  test("header values cannot inject lines; over-long text lines fall back to base64") {
+    val att = tmpFile("a.txt", "x".getBytes(StandardCharsets.UTF_8))
+    val msg = MailSink.composeMessage("f@x", Seq("t@x"), Nil,
+      "done\r\nBcc: attacker@evil", "b", att, date)
+    assert(!msg.linesIterator.exists(_.startsWith("Bcc:")),
+      "CRLF in a subject must not become a header")
+    assert(msg.contains("Subject: done Bcc: attacker@evil\r\n"))
+    val wide = tmpFile("w.txt", ("y" * 1200 + "\n").getBytes(StandardCharsets.UTF_8))
+    val m2 = MailSink.composeMessage("f@x", Seq("t@x"), Nil, "s", "b", wide, date)
+    assert(m2.contains("Content-Transfer-Encoding: base64"),
+      "a text line past the RFC length limit must ride base64")
   }
 
   test("deterministic: same inputs, byte-identical message") {
