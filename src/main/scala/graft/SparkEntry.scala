@@ -242,7 +242,9 @@ object SparkEntry {
     "q140_ks_drift" -> (Analyze.q140KsDrift _),
     // streaming drift monitor: per-day PSI vs the corpus margin,
     // maintained by one streaming tumbling aggregation
-    "q141_stream_drift" -> (StreamingOps.q141StreamDriftPsi _)
+    "q141_stream_drift" -> (StreamingOps.q141StreamDriftPsi _),
+    // Spearman rank agreement between quality signals, per source
+    "q142_signal_agreement" -> (Analyze.q142SignalAgreement _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -378,6 +380,7 @@ object SparkEntry {
     "q138_attribution_models" -> EventOps.q138Sql,
     "q139_integrity_audit" -> Integrity.q139Sql,
     "q140_ks_drift" -> Analyze.q140Sql,
-    "q141_stream_drift" -> StreamingOps.q141Sql
+    "q141_stream_drift" -> StreamingOps.q141Sql,
+    "q142_signal_agreement" -> Analyze.q142Sql
   )
 }

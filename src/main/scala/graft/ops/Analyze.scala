@@ -574,4 +574,77 @@ object Analyze {
       |SELECT a.g AS source_a, b.g AS source_b, max(abs(a.cdf - b.cdf)) AS ks_d
       |FROM cdf a JOIN cdf b ON a.v = b.v AND a.g < b.g
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q142: Spearman rank agreement between quality signals, per group
+  // ------------------------------------------------------------------
+
+  /** Spearman rank correlation ρ = 1 − 6·Σd²/(n(n²−1)) between two
+    * signals within each group — the signal-agreement audit a curation
+    * pipeline runs before trusting a cheap proxy signal in place of an
+    * expensive one (if length rank-orders documents like the quality
+    * score does, the cheap signal can gate first at 100 TB).
+    *
+    * Ranks are row_number over (signal, tiebreak) — a deterministic
+    * PERMUTATION rank, so ρ is an exact function of the data with no
+    * average-rank tie rationals; the tie-break choice is part of the
+    * operator's contract and mirrored in the oracle. Σd² is an exact
+    * long sum (map-side partials after the two rank windows, which
+    * share one partition-by-group sort exchange); the final ρ division
+    * ships RAW (exact integers → bit-identical IEEE doubles across
+    * engines — the q105 rule).
+    *
+    * Scale: two window passes over one group-partitioned exchange +
+    * one hash aggregate; parallelism is bounded by |groups| in the
+    * window stage (the q140 caveat) but rows stream through — nothing
+    * is quadratic and no state exceeds the group's row count. */
+  def spearman(df: DataFrame, g: Column, x: Column, y: Column,
+      tie: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(g.as("g"), x.as("x"), y.as("y"), tie.as("t"))
+    val rx = row_number().over(
+      Window.partitionBy(col("g")).orderBy(col("x"), col("t")))
+    val ry = row_number().over(
+      Window.partitionBy(col("g")).orderBy(col("y"), col("t")))
+    keyed
+      .withColumn("d", rx.cast("long") - ry.cast("long"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("d") * col("d")).as("sum_d2"))
+      .withColumn("rho",
+        when(col("n_docs") > 1,
+          lit(1.0) - lit(6.0) * col("sum_d2") /
+            (col("n_docs") * (col("n_docs") * col("n_docs") - lit(1.0)))))
+      .orderBy(col("g"))
+  }
+
+  /** q142: does document LENGTH rank-order a source's documents the
+    * way the q29 quality score does? One row per source. */
+  def q142SignalAgreement(s: SparkSession, d: String): DataFrame =
+    spearman(
+      Tables.documents(s, d).withColumn("q",
+        TextAnalysis.qualityScore(col("text"))),
+      col("source"), col("n_chars"), col("q"), col("doc_id"))
+      .withColumnRenamed("g", "source")
+
+  val q142Sql: String = {
+    val stop = TextAnalysis.StopWords
+      .map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")
+    s"""WITH s AS (
+       |  SELECT source, doc_id, n_chars,
+       |   least(len(regexp_extract_all(text, '[^ \\t\\n\\v\\f\\r]+')), 100)
+       |    + 2*($stop)
+       |    - len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\v\\f\\r]')) AS q
+       |  FROM documents),
+       |r AS (
+       |  SELECT source,
+       |   row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rx,
+       |   row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS ry
+       |  FROM s)
+       |SELECT source, count(*) AS n_docs,
+       | CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+       | CASE WHEN count(*) > 1 THEN
+       |  1.0 - 6.0 * sum((rx - ry) * (rx - ry))
+       |   / (count(*) * (count(*) * count(*) - 1.0)) END AS rho
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
 }

@@ -212,6 +212,30 @@ class AnalyzeStatsSpec extends AnyFunSuite with SparkSuite {
     assert(got.size == 6)
   }
 
+  test("q142 Spearman: closed-form rho on hand-built rankings") {
+    import spark.implicits._
+    // g1: y = x (perfect agreement), g2: y = -x (perfect inversion),
+    // g3: one adjacent swap among 4 -> d² sum 2, rho = 1 - 12/60 = 0.8
+    val df = (Seq((1, 1), (2, 2), (3, 3)).map { case (x, y) => ("g1", x, y) } ++
+      Seq((1, 9), (2, 8), (3, 7)).map { case (x, y) => ("g2", x, y) } ++
+      Seq((1, 1), (2, 3), (3, 2), (4, 4)).map { case (x, y) => ("g3", x, y) })
+      .zipWithIndex.map { case ((g, x, y), i) => (g, x, y, i.toLong) }
+      .toDF("g", "x", "y", "id")
+    val got = Analyze.spearman(df, col("g"), col("x"), col("y"), col("id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got("g1") == ((0L, 1.0)))
+    assert(got("g2") == ((8L, -1.0))) // d = (1-3, 0, 3-1): sum_d2 = 8
+    assert(got("g3")._2 == 0.8)
+  }
+
+  test("q142 over the snapshot: one row per source, rho in [-1,1]") {
+    val rows = Analyze.q142SignalAgreement(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.forall { r =>
+      val rho = r.getDouble(3); rho >= -1.0 && rho <= 1.0 && r.getLong(1) > 1
+    })
+  }
+
   test("q140 over the snapshot: one row per unordered source pair, D in [0,1]") {
     val rows = Analyze.q140KsDrift(spark, sf).collect()
     assert(rows.length == 190) // C(20,2) sources
