@@ -31,11 +31,14 @@ object Dedup {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("lang"), col("text"))
       .as[(Long, String, String)]
-      .flatMap { case (id, lang0, text0) =>
-        // user-facing entry point (CorpusPipeline): tolerate NULL
-        // text/lang rather than NPE-ing an executor task
+      .flatMap { case (id, lang, text0) =>
+        // user-facing entry point (CorpusPipeline): tolerate NULL text
+        // rather than NPE-ing an executor task. A NULL lang stays NULL
+        // (not ""): the blocked joins downstream use lang as an equi
+        // key, and SQL NULL never equi-matches — mapping it to ""
+        // would conflate null-lang docs with genuine empty-string-lang
+        // docs and diverge from the q23/q40 oracles on such rows.
         val text = Option(text0).getOrElse("")
-        val lang = Option(lang0).getOrElse("")
         val toks = text.trim.split("\\s+")
         if (toks.length < 3) Iterator.empty
         else toks.sliding(3).map(_.mkString(" ")).toSet[String]
@@ -251,16 +254,26 @@ object Dedup {
   def minhashEstPairs(sh: DataFrame): DataFrame = {
     val sig = minhashSignatures(sh)
     val cand = bandedPairs(mkBanded(sig))
+    minhashVerify(cand, "doc_a", sig, "doc_b", sig)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Signature-agreement verification shared by the full-corpus
+    * (q22) and incremental (q96) paths: est_jaccard = agreeing
+    * minhash coordinates / K, round 6, kept at ≥ 0.5. ONE definition
+    * so the two paths cannot drift — CurationPolicySpec pins their
+    * equivalence, and a threshold change must hit both at once. */
+  private def minhashVerify(cand: DataFrame, aId: String, sigA: DataFrame,
+      bId: String, sigB: DataFrame): DataFrame = {
     val agree = (0 until MinHashK)
       .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
       .reduce(_ + _)
     cand
-      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(sigA.as("sa"), col(aId) === col("sa.doc_id"))
+      .join(sigB.as("sb"), col(bId) === col("sb.doc_id"))
       .withColumn("est_jaccard", round(agree / lit(MinHashK.toDouble), 6))
       .filter(col("est_jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+      .select(col(aId), col(bId), col("est_jaccard"))
   }
 
   /** All k minhashes in ONE hash aggregate over exploded shingles. */
@@ -348,7 +361,8 @@ object Dedup {
    *  bucket cap) EVERY bucket saturates and the cap's star-pairing
    *  destroys within-bucket recall — a 10× scale-up run tripped the
    *  q61 gate with Hamming-1 pairs missed. 16-bit keys defer
-   *  saturation by 256× (~4M docs/table at cap 64); at corpora past
+   *  saturation by 256× (~16.7M docs/table at the current hot-bucket
+   *  cap of 256 — 65,536 buckets × cap); at corpora past
    *  that, pass `blocksPerKey = 3` to [[simhashPairsFromSigs]]
    *  (C(8,3)=56 tables, 24-bit keys, guarantee Hamming ≤ 5). */
   def simhashPairs(sh0: DataFrame): DataFrame =
@@ -363,9 +377,10 @@ object Dedup {
    *  keys and a structural collision guarantee for Hamming ≤ 8−k
    *  (≤ 8−k errors leave ≥ k blocks clean → that subset's table
    *  collides). k=2 (default): 28 tables, 16-bit keys, guarantee ≤6 —
-   *  right up to ~4M docs/table at the hot-bucket cap. k=3: 56
-   *  tables, 24-bit keys, guarantee ≤5, saturation deferred another
-   *  256× — the >4M-docs-per-table setting. k=1 is rejected: 8-bit
+   *  right up to ~16.7M docs/table at the hot-bucket cap (65,536
+   *  buckets × cap 256). k=3: 56 tables, 24-bit keys, guarantee ≤5,
+   *  saturation deferred another 256× — the >16.7M-docs-per-table
+   *  setting. k=1 is rejected: 8-bit
    *  keys are the documented production recall cliff above. */
   def simhashPairsFromSigs(sigs: DataFrame, blocksPerKey: Int = 2): DataFrame = {
     require(blocksPerKey >= 2 && blocksPerKey <= 4,
@@ -560,15 +575,7 @@ object Dedup {
     val cand = bband
       .join(idxBands.select(col("bkey"), col("doc_id").as("corpus_id")), "bkey")
       .select(col("batch_id"), col("corpus_id")).distinct()
-    val agree = (0 until MinHashK)
-      .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(bsig.as("sa"), col("batch_id") === col("sa.doc_id"))
-      .join(idxSigs.as("sb"), col("corpus_id") === col("sb.doc_id"))
-      .withColumn("est_jaccard", round(agree / lit(MinHashK.toDouble), 6))
-      .filter(col("est_jaccard") >= 0.5)
-      .select(col("batch_id"), col("corpus_id"), col("est_jaccard"))
+    minhashVerify(cand, "batch_id", bsig, "corpus_id", idxSigs)
   }
 
   /** [[minhashBatchVsIndex]] against [[writeLshIndex]] tables. */
@@ -645,6 +652,13 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         xxhash64(col("gram")).as("h1"),
         xxhash64(lit("graft-substr-2"), col("gram")).as("h2"))
+      // materialize ONCE: the dup aggregate and the dupStarts join
+      // both read this frame, and ReuseExchange cannot share them
+      // (the aggregate leg partial-aggregates below its exchange, the
+      // join leg shuffles raw rows) — without the checkpoint the
+      // corpus-wide tokenize+hash flatMap, the dominant stage, runs
+      // twice (the prefixJaccardPairs finding, ~2× wall)
+      .localCheckpoint(true)
     // grams seen in ≥ 2 distinct documents
     val dup = starts.groupBy(col("h1"), col("h2"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
@@ -1044,15 +1058,21 @@ object Dedup {
         Window.partitionBy(col("doc_id"))
           .orderBy(col("cnt"), col("k1"), col("k2"))))
       .join(sizes, Seq("doc_id"))
-      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
+      // ε inside every ceil: n·t computed in FP can land one ulp ABOVE
+      // the exact rational (e.g. 100·0.07 → 7.000000000000001, ceil 8
+      // instead of 7), which would make a lossless prune drop a
+      // qualifying pair. Subtracting ε first means rounding error can
+      // only WEAKEN the prune — the positional filter below applies
+      // the same guard for the same reason.
+      .filter(col("pos") <= col("n") - ceil(col("n") * threshold - 1e-9) + 1)
       .select(col("doc_id"), col("k1"), col("k2"), col("n"), col("pos"))
     val matched = prefix.select(col("doc_id").as("doc_a"), col("k1"), col("k2"),
         col("n").as("n_a"), col("pos").as("pos_a"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("k1"), col("k2"),
         col("n").as("n_b"), col("pos").as("pos_b")), Seq("k1", "k2"))
       .filter(col("doc_a") < col("doc_b") &&
-        col("n_b") >= ceil(col("n_a") * threshold) &&
-        col("n_a") >= ceil(col("n_b") * threshold))
+        col("n_b") >= ceil(col("n_a") * threshold - 1e-9) &&
+        col("n_a") >= ceil(col("n_b") * threshold - 1e-9))
     val pruned =
       if (!positional) matched
       else matched.filter(

@@ -75,15 +75,9 @@ object Similarity {
     if (cents.isEmpty)
       return e.filter(lit(false)).select(col("vec_id").as("qid"),
         lit(0L).as("rnk"), col("vec_id").as("nid"), lit(0.0).as("sim"))
-    // struct(csim, cid) max == "nearest cell, ties to larger cid" —
-    // identical semantics to the former max(struct) aggregation
-    val simCells = cents.map { case (cid, cv) =>
-      struct(cosine_sim(col("v"), typedLit(cv)).as("csim"), lit(cid).as("cid"))
-    }
-    val cellOf =
-      if (simCells.length == 1) simCells.head.getField("cid")
-      else greatest(simCells.toIndexedSeq: _*).getField("cid")
-    val corpus = e.withColumn("cell", cellOf)
+    // cell assignment: THE shared definition (cellAssign) — q37's
+    // in-memory path and the durable withCell layout must agree
+    val corpus = e.withColumn("cell", cellAssign(cents))
     // queries probe their top-IvfProbes cells: sort the 16 (nsim, cid)
     // structs ascending == csim desc with cid-asc tie-break (the same
     // order the former row_number window produced)
@@ -246,13 +240,22 @@ object Similarity {
     val cents: Array[(Int, Seq[Double])] =
       cb.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
     require(cents.nonEmpty, s"$d: empty corpus, nothing to lay out")
+    e.withColumn("cell", cellAssign(cents))
+  }
+
+  /** THE cell-assignment expression over the vector column `v` —
+    * struct(csim, cid) max == "nearest cell, ties to larger cid",
+    * identical semantics to the former max(struct) aggregation.
+    * q37's probe path and the durable [[withCell]] layout both route
+    * through this single definition so the q137 parity gate audits
+    * the layout AND the in-memory assignment cannot silently diverge
+    * from it. */
+  private def cellAssign(cents: Array[(Int, Seq[Double])]): Column = {
     val simCells = cents.map { case (cid, cv) =>
       struct(cosine_sim(col("v"), typedLit(cv)).as("csim"), lit(cid).as("cid"))
     }
-    val cellOf =
-      if (simCells.length == 1) simCells.head.getField("cid")
-      else greatest(simCells.toIndexedSeq: _*).getField("cid")
-    e.withColumn("cell", cellOf)
+    if (simCells.length == 1) simCells.head.getField("cid")
+    else greatest(simCells.toIndexedSeq: _*).getField("cid")
   }
 
   /** Durable layout partitioned by CORPUS-SCALED cells — the blocking
@@ -354,6 +357,14 @@ object Similarity {
     graft.functions.GraftFunctions.register(s)
     val e = embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // fail fast on a dimension mismatch: dot(v, plane) returns NULL
+    // when lengths differ, every when(dot > 0) would fall to 0, and
+    // ALL vectors would silently collapse into key 0 of every table —
+    // a 16×-amplified all-pairs join returning plausible results
+    e.select(size(col("v"))).head(1).foreach { r =>
+      require(r.getInt(0) == Dim,
+        s"q27 hyperplanes are $Dim-dimensional; corpus vectors have dim ${r.getInt(0)}")
+    }
     // native DotProduct: the zip_with/aggregate formulation allocates
     // an intermediate array per (row, plane) — 64 allocations per row
     def tableKey(t: Int): Column =
