@@ -438,9 +438,16 @@ object Curation {
       .flatMapSortedGroups(col("doc_id")) { (src: String, it: Iterator[(Long, String, Long)]) =>
         var bin = 0L
         var fill = 0L
+        var first = true
         it.map { case (id, _, nt) =>
-          if (fill > 0L && fill + nt > cap) { bin += 1; fill = nt }
+          // `!first`, not `fill > 0`: the oracle's recursion applies
+          // the cap test to every non-first doc, and a zero-token doc
+          // can leave fill at 0 MID-stream — a fill-based guard would
+          // then keep a following oversized doc in the current bin
+          // while the SQL recursion opens a new one
+          if (!first && fill + nt > cap) { bin += 1; fill = nt }
           else fill += nt
+          first = false
           (id, src, nt, bin, fill)
         }
       }

@@ -591,8 +591,13 @@ object EventOps {
         sum(col("gap") * col("gap")).as("sg2"))
       .withColumn("mu", col("sg").cast("double") / col("n_gaps"))
       .withColumn("sigma",
-        sqrt((col("sg2") - col("sg").cast("double") * col("sg") / col("n_gaps"))
-          / col("n_gaps")))
+        // clamp the radicand at 0: FP cancellation on a near-metronome
+        // user whose sg**2 exceeds 2**53 can compute a tiny negative for
+        // a true variance >= 0 — Spark sqrt would yield NaN and DuckDB
+        // sqrt() HARD-ERRORS on negatives, aborting the whole oracle
+        sqrt(greatest(lit(0.0),
+          (col("sg2") - col("sg").cast("double") * col("sg") / col("n_gaps"))
+            / col("n_gaps"))))
       .select(col("user_id"), col("n_gaps"), col("mu").as("mean_gap"),
         when(col("sigma") + col("mu") > 0,
           (col("sigma") - col("mu")) / (col("sigma") + col("mu")))
@@ -612,7 +617,7 @@ object EventOps {
       |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
       |m AS (
       |  SELECT user_id, n_gaps, CAST(sg AS DOUBLE) / n_gaps AS mu,
-      |   sqrt((sg2 - CAST(sg AS DOUBLE) * sg / n_gaps) / n_gaps) AS sigma
+      |   sqrt(greatest(0.0, (sg2 - CAST(sg AS DOUBLE) * sg / n_gaps) / n_gaps)) AS sigma
       |  FROM a)
       |SELECT user_id, n_gaps, mu AS mean_gap,
       | CASE WHEN sigma + mu > 0 THEN (sigma - mu) / (sigma + mu) ELSE 0.0 END
@@ -702,8 +707,12 @@ object EventOps {
     val frame = "PARTITION BY user_id ORDER BY ts " +
       "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
     val touchKey = "CASE WHEN event_type <> 'purchase' THEN " +
+      // 20-digit fields for BOTH components: a 12-digit event_id field
+      // silently overflows for ids >= 10^12 (the ScaleGen id-shift
+      // hazard class), shifting the fixed substring offset below and
+      // gluing id digits onto the extracted touch_type
       "concat(format_string('%020d', unix_micros(ts)), " +
-      "format_string('%012d', event_id), event_type) END"
+      "format_string('%020d', event_id), event_type) END"
     val touchType = "CASE WHEN event_type <> 'purchase' THEN event_type END"
     // both window expressions in ONE select: sequential withColumns
     // leave a Project between the two Window nodes, which blocks
@@ -721,7 +730,7 @@ object EventOps {
     val fullCredit = (col("cents") * 1000000L).as("credit_micro")
     val credits = concat(
       array(struct(lit("first_touch").as("model"),
-        when(col("n_touches") > 0, expr("substring(first_key, 33)"))
+        when(col("n_touches") > 0, expr("substring(first_key, 41)"))
           .otherwise(lit("direct")).as("touch_type"),
         fullCredit)),
       when(col("n_touches") === 0,
@@ -741,7 +750,7 @@ object EventOps {
     """WITH t AS (
       |  SELECT event_type, "value",
       |   min(CASE WHEN event_type <> 'purchase' THEN
-      |        printf('%020d', epoch_us(ts)) || printf('%012d', event_id) || event_type END)
+      |        printf('%020d', epoch_us(ts)) || printf('%020d', event_id) || event_type END)
       |     OVER w AS first_key,
       |   count(CASE WHEN event_type <> 'purchase' THEN 1 END) OVER w AS n_touches,
       |   list(CASE WHEN event_type <> 'purchase' THEN event_type END) OVER w AS touches
@@ -754,7 +763,7 @@ object EventOps {
       |  FROM t WHERE event_type = 'purchase'),
       |firstm AS (
       |  SELECT 'first_touch' AS model,
-      |   CASE WHEN n_touches > 0 THEN substr(first_key, 33) ELSE 'direct' END AS touch_type,
+      |   CASE WHEN n_touches > 0 THEN substr(first_key, 41) ELSE 'direct' END AS touch_type,
       |   cents * 1000000 AS credit_micro
       |  FROM p),
       |lin AS (

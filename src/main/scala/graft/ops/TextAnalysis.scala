@@ -75,7 +75,7 @@ object TextAnalysis {
     val mx = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
     val cases = langs.map(l => s"WHEN score_$l = $mx THEN '$l'").mkString(" ")
     s"""SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
-       | CASE WHEN $mx <= 0 THEN 'und' $cases END AS predicted
+       | CASE WHEN $mx <= 0 THEN 'und' $cases ELSE 'und' END AS predicted
        |FROM (SELECT doc_id, ${langs.map(l => s"${sc(l)} AS score_$l").mkString(", ")}
        |      FROM documents) t
        |ORDER BY doc_id""".stripMargin
@@ -123,7 +123,7 @@ object TextAnalysis {
     val mx = s"greatest(${langs.map(l => s"ng_$l").mkString(", ")})"
     val cases = langs.map(l => s"WHEN ng_$l = $mx THEN '$l'").mkString(" ")
     s"""SELECT doc_id, ${langs.map(l => s"ng_$l").mkString(", ")},
-       | CASE WHEN $mx <= 0 THEN 'und' $cases END AS predicted
+       | CASE WHEN $mx <= 0 THEN 'und' $cases ELSE 'und' END AS predicted
        |FROM (SELECT doc_id, ${langs.map(l => s"${sc(l)} AS ng_$l").mkString(", ")}
        |      FROM documents) t
        |ORDER BY doc_id""".stripMargin
@@ -231,6 +231,10 @@ object TextAnalysis {
     // re-sort duplicating the sketch's own tie-break
     documents(s, d)
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      // SQL trim() strips only spaces, so a tab/newline-edged doc
+      // yields a phantom '' token the oracle (regexp-trimmed + empty-
+      // filtered) never counts — drop empties on BOTH sides
+      .filter(col("tok") =!= "")
       .agg(graft.functions.HeavyHitters.heavy_hitters(col("tok"), 10, 4096).as("top"))
       .select(posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("e.item").as("token"), col("e.cnt").as("cnt"),
@@ -243,7 +247,7 @@ object TextAnalysis {
       | SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk
       | FROM (
       |  SELECT tok AS token, count(*) AS cnt FROM (
-      |   SELECT unnest(string_split_regex(regexp_replace(text, '^[ \t\n\v\f\r]+|[ \t\n\v\f\r]+$', '', 'g'), '[ \t\n\v\f\r]+')) AS tok FROM documents) u
+      |   SELECT unnest(list_filter(string_split_regex(regexp_replace(text, '^[ \t\n\v\f\r]+|[ \t\n\v\f\r]+$', '', 'g'), '[ \t\n\v\f\r]+'), x -> x <> '')) AS tok FROM documents) u
       |  GROUP BY 1) c ) r
       |WHERE rnk <= 10 ORDER BY rnk""".stripMargin
 
@@ -644,11 +648,19 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // anchored on documents with a LEFT JOIN (the q70Sql fix), not on
+  // the chars CTE: string_split('', '') yields [''] and
+  // string_split(NULL, '') yields NULL, so a chars-anchored oracle
+  // would give empty-text docs n_chars=1 and drop NULL-text docs
+  // entirely, while the Spark map emits (id, 0, 0, 0.0) for both
   val q115Sql: String =
     """WITH chars AS (
-      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |  FROM documents WHERE text IS NOT NULL AND text <> ''),
       |cc AS (SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2),
-      |n AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars FROM cc GROUP BY 1),
+      |n AS (SELECT d.doc_id, CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_chars
+      |      FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+      |      GROUP BY d.doc_id),
       |terms AS (
       |  SELECT cc.doc_id,
       |   CAST(round(cnt * ln(CAST(n_chars AS DOUBLE) / cnt) * 1e6) AS BIGINT) AS m
