@@ -257,15 +257,25 @@ object EventOps {
    *  across engines). NULL event types are excluded on both sides
    *  (the q66 MAP_KEY_NULL rule: a null state is a data bug, not a
    *  transition). */
-  def q104EventTransitions(s: SparkSession, d: String): DataFrame = {
+  /** (user_id, prev_type, next_type) consecutive-event steps — THE
+    * shared transition source for q104/q111/q125, so the NULL-state
+    * rule and the (ts, event_id) ordering have exactly one
+    * definition. */
+  private def transitionSteps(ev: DataFrame): DataFrame = {
     val perUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val matrix = Window.partitionBy(col("prev_type"))
-    events(s, d)
-      .filter(col("event_type").isNotNull)
+    ev.filter(col("event_type").isNotNull)
       .withColumn("prev_type", lag(col("event_type"), 1).over(perUser))
       .filter(col("prev_type").isNotNull)
-      .groupBy(col("prev_type"), col("event_type").as("next_type"))
-      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("prev_type"), col("event_type").as("next_type"))
+  }
+
+  /** (prev_type, next_type, n) counts over [[transitionSteps]]. */
+  private def transitionCounts(steps: DataFrame): DataFrame =
+    steps.groupBy(col("prev_type"), col("next_type")).agg(count(lit(1)).as("n"))
+
+  def q104EventTransitions(s: SparkSession, d: String): DataFrame = {
+    val matrix = Window.partitionBy(col("prev_type"))
+    transitionCounts(transitionSteps(events(s, d)))
       .withColumn("frac", col("n") / sum(col("n")).over(matrix))
       .orderBy(col("prev_type"), col("next_type"))
   }
@@ -298,16 +308,9 @@ object EventOps {
    *  stream on the pair key), one per-user hash aggregate riding the
    *  same user_id partitioning as the window. */
   def q111PathAnomaly(s: SparkSession, d: String): DataFrame = {
-    val perUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val matrix = Window.partitionBy(col("prev_type"))
-    val steps = events(s, d)
-      .filter(col("event_type").isNotNull)
-      .withColumn("prev_type", lag(col("event_type"), 1).over(perUser))
-      .filter(col("prev_type").isNotNull)
-      .select(col("user_id"), col("prev_type"), col("event_type").as("next_type"))
-    val trans = steps
-      .groupBy(col("prev_type"), col("next_type"))
-      .agg(count(lit(1)).as("n"))
+    val steps = transitionSteps(events(s, d))
+    val trans = transitionCounts(steps)
       .withColumn("frac", col("n") / sum(col("n")).over(matrix))
       .select(col("prev_type"), col("next_type"),
         round(-log(col("frac")) * 1e6).cast("long").as("nll_micro"))
@@ -413,13 +416,7 @@ object EventOps {
     * event_id, event_type). */
   def stationaryDist(ev: DataFrame): DataFrame = {
     import ev.sparkSession.implicits._
-    val perUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val tr = ev
-      .filter(col("event_type").isNotNull)
-      .withColumn("prev_type", lag(col("event_type"), 1).over(perUser))
-      .filter(col("prev_type").isNotNull)
-      .groupBy(col("prev_type"), col("event_type").as("next_type"))
-      .agg(count(lit(1)).as("n"))
+    val tr = transitionCounts(transitionSteps(ev))
     val tot = tr.groupBy(col("prev_type")).agg(sum(col("n")).as("tot"))
     val p = tr.join(tot, "prev_type")
       .select(col("prev_type"), col("next_type"),
