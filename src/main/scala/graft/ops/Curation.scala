@@ -330,8 +330,14 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
-  val q76Sql: String =
-    """WITH RECURSIVE toks AS (
+  /** The Jaccard-cluster CTE chain (3-token shingles, 0.6 threshold,
+    * recursive reachability, min-label clusters) shared VERBATIM by
+    * q76Sql/q94Sql/q95Sql — one copy, so the tokenization and the
+    * threshold cannot drift between the three oracles. Plain (non-
+    * interpolated) string: the regex `$` anchor stays literal, and
+    * interpolating it as a VALUE into the composed s-strings below
+    * does not re-scan its content. */
+  private val ClusterCtes: String = """toks AS (
       |  SELECT doc_id, lang, string_split_regex(regexp_replace(text, '^[ \t\n\v\f\r]+|[ \t\n\v\f\r]+$', '', 'g'), '[ \t\n\v\f\r]+') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -353,7 +359,29 @@ object Curation {
       |  SELECT a, a FROM edges
       |  UNION
       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-      |labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+      |labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)"""
+
+  /** The quality + cluster + representative CTEs shared by q94Sql and
+    * q95Sql (rides [[ClusterCtes]]' labels). */
+  private def repCtes(stop: String): String =
+    s"""q AS (
+      |  SELECT doc_id,
+      |   CAST(least(len(regexp_extract_all(text, '[^ \\t\\n\\v\\f\\r]+')), 100)
+      |        + 2*($stop)
+      |        - len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\v\\f\\r]')) AS BIGINT) AS quality_score
+      |  FROM documents),
+      |cl AS (
+      |  SELECT q.doc_id, coalesce(l.cluster, q.doc_id) AS cluster, q.quality_score
+      |  FROM q LEFT JOIN labels l ON q.doc_id = l.id),
+      |reps AS (
+      |  SELECT cluster, doc_id AS rep_id FROM (
+      |    SELECT cluster, doc_id,
+      |     row_number() OVER (PARTITION BY cluster
+      |       ORDER BY quality_score DESC, doc_id) AS rn
+      |    FROM cl) t WHERE rn = 1)"""
+
+  val q76Sql: String =
+    s"""WITH RECURSIVE $ClusterCtes
       |SELECT l.id AS doc_id, l.cluster,
       |       CAST(count(*) OVER (PARTITION BY l.cluster) AS BIGINT) AS csize
       |FROM labels l ORDER BY doc_id""".stripMargin
@@ -550,44 +578,8 @@ object Curation {
   val q95Sql: String = {
     val stop = TextAnalysis.StopWords
       .map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")
-    s"""WITH RECURSIVE toks AS (
-      |  SELECT doc_id, lang, string_split_regex(regexp_replace(text, '^[ \\t\\n\\v\\f\\r]+|[ \\t\\n\\v\\f\\r]+$$', '', 'g'), '[ \\t\\n\\v\\f\\r]+') AS t FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |co AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |pairs AS (
-      |  SELECT doc_a, doc_b
-      |  FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
-      |          JOIN sizes sb ON co.doc_b = sb.doc_id
-      |  WHERE co * 1.0 / (sa.n + sb.n - co) >= 0.6),
-      |edges AS (
-      |  SELECT doc_a AS a, doc_b AS b FROM pairs
-      |  UNION SELECT doc_b, doc_a FROM pairs),
-      |reach(id, r) AS (
-      |  SELECT a, a FROM edges
-      |  UNION
-      |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-      |labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
-      |q AS (
-      |  SELECT doc_id,
-      |   CAST(least(len(regexp_extract_all(text, '[^ \\t\\n\\v\\f\\r]+')), 100)
-      |        + 2*($stop)
-      |        - len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\v\\f\\r]')) AS BIGINT) AS quality_score
-      |  FROM documents),
-      |cl AS (
-      |  SELECT q.doc_id, coalesce(l.cluster, q.doc_id) AS cluster, q.quality_score
-      |  FROM q LEFT JOIN labels l ON q.doc_id = l.id),
-      |reps AS (
-      |  SELECT cluster, doc_id AS rep_id FROM (
-      |    SELECT cluster, doc_id,
-      |     row_number() OVER (PARTITION BY cluster
-      |       ORDER BY quality_score DESC, doc_id) AS rn
-      |    FROM cl) t WHERE rn = 1)
+    s"""WITH RECURSIVE $ClusterCtes,
+      |${repCtes(stop)}
       |SELECT cl.doc_id, cl.cluster, r.rep_id,
       | ((r.rep_id % 10000) * 5245 + 12345) % 10000 AS bucket,
       | CASE WHEN ((r.rep_id % 10000) * 5245 + 12345) % 10000 < 9000
@@ -599,44 +591,8 @@ object Curation {
   val q94Sql: String = {
     val stop = TextAnalysis.StopWords
       .map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")
-    s"""WITH RECURSIVE toks AS (
-      |  SELECT doc_id, lang, string_split_regex(regexp_replace(text, '^[ \\t\\n\\v\\f\\r]+|[ \\t\\n\\v\\f\\r]+$$', '', 'g'), '[ \\t\\n\\v\\f\\r]+') AS t FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) g),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |co AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |pairs AS (
-      |  SELECT doc_a, doc_b
-      |  FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
-      |          JOIN sizes sb ON co.doc_b = sb.doc_id
-      |  WHERE co * 1.0 / (sa.n + sb.n - co) >= 0.6),
-      |edges AS (
-      |  SELECT doc_a AS a, doc_b AS b FROM pairs
-      |  UNION SELECT doc_b, doc_a FROM pairs),
-      |reach(id, r) AS (
-      |  SELECT a, a FROM edges
-      |  UNION
-      |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-      |labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
-      |q AS (
-      |  SELECT doc_id,
-      |   CAST(least(len(regexp_extract_all(text, '[^ \\t\\n\\v\\f\\r]+')), 100)
-      |        + 2*($stop)
-      |        - len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\v\\f\\r]')) AS BIGINT) AS quality_score
-      |  FROM documents),
-      |cl AS (
-      |  SELECT q.doc_id, coalesce(l.cluster, q.doc_id) AS cluster, q.quality_score
-      |  FROM q LEFT JOIN labels l ON q.doc_id = l.id),
-      |reps AS (
-      |  SELECT cluster, doc_id AS rep_id FROM (
-      |    SELECT cluster, doc_id,
-      |     row_number() OVER (PARTITION BY cluster
-      |       ORDER BY quality_score DESC, doc_id) AS rn
-      |    FROM cl) t WHERE rn = 1)
+    s"""WITH RECURSIVE $ClusterCtes,
+      |${repCtes(stop)}
       |SELECT cl.doc_id, cl.cluster, cl.quality_score, r.rep_id,
       | CASE WHEN cl.doc_id = r.rep_id THEN 1 ELSE 0 END AS is_rep
       |FROM cl JOIN reps r USING (cluster)
