@@ -33,6 +33,7 @@ object SparkEntry {
     "q10_distinct_agg" -> (Relational.q10DistinctAgg _),
     "q11_semi_anti" -> (Relational.q11SemiAnti _),
     "q16_cube" -> (Relational.q16Cube _),
+    "q17_grouping_sets" -> (Relational.q17GroupingSets _),
     "q18_interval_join" -> (Relational.q18IntervalJoin _),
     "q19_pivot" -> (Relational.q19Pivot _),
     "q44_percentiles" -> (Relational.q44Percentiles _),
@@ -260,6 +261,7 @@ object SparkEntry {
     "q10_distinct_agg" -> Relational.q10Sql,
     "q11_semi_anti" -> Relational.q11Sql,
     "q16_cube" -> Relational.q16Sql,
+    "q17_grouping_sets" -> Relational.q17Sql,
     "q38_approx_distinct" -> Relational.q38Sql,
     "q39_vector_stats" -> Similarity.q39Sql,
     "q18_interval_join" -> Relational.q18Sql,

@@ -126,7 +126,10 @@ object MailSink {
       md.update(bytes)
       "=_graft_" + md.digest().take(12).map("%02x".format(_)).mkString
     }
-    val filename = attachment.getFileName.toString
+    // the filename is user-derived data inside a quoted header value:
+    // strip line breaks (hdr) AND double quotes, or it can close the
+    // quote and inject headers the same way a CRLF subject could
+    val filename = hdr(attachment.getFileName.toString).replace("\"", "")
     val ctype = guessContentType(filename)
     val crlf = "\r\n"
     // plain concatenation, not stripMargin: payload lines may start
@@ -136,11 +139,16 @@ object MailSink {
     val attachmentPart = text match {
       // inline text rides with RFC-required CRLF line endings; a line
       // past the RFC 5322 length limit falls back to base64 (a relay
-      // would otherwise reject or fold-corrupt the attachment)
-      case Some(t) if t.linesIterator.forall(_.length <= 900) =>
+      // would otherwise reject or fold-corrupt the attachment), and so
+      // does any text with lone-\r endings, which CRLF normalization
+      // could not round-trip. A trailing newline is preserved (the
+      // linesIterator reassembly would otherwise silently drop it).
+      case Some(t) if !t.replace("\r\n", "\n").contains('\r') &&
+          t.linesIterator.forall(_.length <= 900) =>
         s"Content-Type: $ctype; charset=utf-8" + crlf +
           s"""Content-Disposition: attachment; filename="$filename"""" + crlf +
-          crlf + t.linesIterator.mkString(crlf)
+          crlf + t.linesIterator.mkString(crlf) +
+          (if (t.endsWith("\n")) crlf else "")
       case _ =>
         s"Content-Type: $ctype" + crlf +
           "Content-Transfer-Encoding: base64" + crlf +

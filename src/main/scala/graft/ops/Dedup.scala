@@ -967,7 +967,11 @@ object Dedup {
           (col("extra") === 0).as("ok")),
         struct(lit("cell_layout_complete").as("component"), col("layout_ok").as("ok")),
         struct(lit("cell_recall").as("component"),
-          (col("truth") > 0 &&
+          // truth == 0 is vacuously ok: a legitimately duplicate-free
+          // corpus has no drops to recover, which is not a recall
+          // failure (requiring truth > 0 made the all-true oracle a
+          // latent false alarm for new/derived corpora)
+          (col("truth") === 0 ||
             col("hit") >= col("truth") * SemDedupRecallFloor).as("ok")))).as("r"))
       .select(col("r.component"), col("r.ok"))
       .orderBy(col("component"))

@@ -707,9 +707,13 @@ object EventOps {
       // 20-digit fields for BOTH components: a 12-digit event_id field
       // silently overflows for ids >= 10^12 (the ScaleGen id-shift
       // hazard class), shifting the fixed substring offset below and
-      // gluing id digits onto the extracted touch_type
-      "concat(format_string('%020d', unix_micros(ts)), " +
-      "format_string('%020d', event_id), event_type) END"
+      // gluing id digits onto the extracted touch_type. Both values
+      // are biased by +2^62 before formatting: a bare '%020d' keeps
+      // the width for negatives but the leading '-' inverts lexical
+      // order among them, so pre-1970 timestamps or negative ids
+      // would pick the wrong 'earliest' touch
+      "concat(format_string('%020d', unix_micros(ts) + 4611686018427387904L), " +
+      "format_string('%020d', event_id + 4611686018427387904L), event_type) END"
     val touchType = "CASE WHEN event_type <> 'purchase' THEN event_type END"
     // both window expressions in ONE select: sequential withColumns
     // leave a Project between the two Window nodes, which blocks
@@ -747,7 +751,7 @@ object EventOps {
     """WITH t AS (
       |  SELECT event_type, "value",
       |   min(CASE WHEN event_type <> 'purchase' THEN
-      |        printf('%020d', epoch_us(ts)) || printf('%020d', event_id) || event_type END)
+      |        printf('%020d', epoch_us(ts) + 4611686018427387904) || printf('%020d', event_id + 4611686018427387904) || event_type END)
       |     OVER w AS first_key,
       |   count(CASE WHEN event_type <> 'purchase' THEN 1 END) OVER w AS n_touches,
       |   list(CASE WHEN event_type <> 'purchase' THEN event_type END) OVER w AS touches

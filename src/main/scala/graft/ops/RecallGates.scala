@@ -89,9 +89,14 @@ object RecallGates {
    *  the minhash/simhash seeds whose recall it measures. */
   private[ops] def capExactPairs(pairs: DataFrame,
       cap: Long = ExactPairCap): DataFrame = {
-    val n = pairs.count()
-    if (n <= cap) pairs
-    else pairs.filter(
+    // materialize the pair frame ONCE before counting: the count and
+    // the subsequent filter+collect would otherwise each evaluate the
+    // exact-Jaccard pair join — paying the quadratic baseline twice
+    // at exactly the large-octave scale the cap exists to bound
+    val p = pairs.localCheckpoint(true)
+    val n = p.count()
+    if (n <= cap) p
+    else p.filter(
       pmod(xxhash64(col("doc_a"), col("doc_b"), lit(61L)), lit(1000L))
         < lit(math.max(1L, cap * 1000L / n)))
   }

@@ -316,6 +316,40 @@ object Relational {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** Explicit GROUPING SETS — an arbitrary set list ((status),
+   *  (priority)) that neither ROLLUP (q09) nor CUBE (q16) can
+   *  express: per-status and per-priority marginals with no pair and
+   *  no grand total. `grouping()` disambiguates a NULL that came
+   *  from the data from a NULL the grouping-set expansion produced —
+   *  the distinction coalesce alone cannot make. Same Expand-based
+   *  physical shape as rollup/cube: one scan, one hash aggregate
+   *  over the expanded rows. */
+  def q17GroupingSets(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("o_totalprice"))) / 100.0).as("total"),
+        // grouping() is only resolvable inside the grouping-sets
+        // Aggregate itself — materialize the bit here, label below
+        grouping(col("o_orderstatus")).as("g_status"))
+      .select(
+        when(col("g_status") === 0, lit("status"))
+          .otherwise(lit("priority")).as("dim"),
+        coalesce(col("o_orderstatus"), col("o_orderpriority")).as("grp_key"),
+        col("n"), col("total"))
+      .orderBy(col("dim"), col("grp_key"))
+
+  val q17Sql: String =
+    """SELECT CASE WHEN GROUPING(o_orderstatus) = 0 THEN 'status'
+      |      ELSE 'priority' END AS dim,
+      | coalesce(o_orderstatus, o_orderpriority) AS grp_key,
+      | count(*) AS n,
+      | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total
+      |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY dim, grp_key""".stripMargin
+
   /** Interval (range) join: for every error event, count the same
    *  user's purchases within the following hour — equi key (user)
    *  plus a range predicate. At scale the equi key carries the

@@ -98,6 +98,28 @@ class MailSinkSpec extends AnyFunSuite {
       "a text line past the RFC length limit must ride base64")
   }
 
+  test("attachment filename cannot break or inject headers") {
+    val att = tmpFile("a\".txt\r\nBcc: attacker@evil",
+      "x".getBytes(StandardCharsets.UTF_8))
+    val msg = MailSink.composeMessage("f@x", Seq("t@x"), Nil, "s", "b", att, date)
+    assert(!msg.linesIterator.exists(_.startsWith("Bcc:")),
+      "CRLF in a filename must not become a header")
+    assert(!msg.contains("filename=\"a\""),
+      "a double quote in a filename must not close the quoted value")
+  }
+
+  test("text attachments round-trip trailing newlines; lone-\\r text rides base64") {
+    val att = tmpFile("t.txt", "a\nb\n\n".getBytes(StandardCharsets.UTF_8))
+    val msg = MailSink.composeMessage("f@x", Seq("t@x"), Nil, "s", "b", att, date)
+    val part = msg.split("filename=\"t.txt\"\r\n\r\n")(1).split("\r\n--")(0)
+    assert(part == "a\r\nb\r\n\r\n",
+      s"trailing terminator must survive CRLF normalization, got ${part.length} chars")
+    val mac = tmpFile("m.txt", "a\rb\n".getBytes(StandardCharsets.UTF_8))
+    val m2 = MailSink.composeMessage("f@x", Seq("t@x"), Nil, "s", "b", mac, date)
+    assert(m2.contains("Content-Transfer-Encoding: base64"),
+      "lone-\\r line endings cannot round-trip as inline text")
+  }
+
   test("deterministic: same inputs, byte-identical message") {
     val att = tmpFile("a.txt", "x".getBytes(StandardCharsets.UTF_8))
     val m1 = MailSink.composeMessage("f@x", Seq("t@x"), Nil, "s", "b", att, date)
