@@ -1,164 +1,339 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
- * Multimodal-column plumbing: media payloads ride as opaque `binary`
- * columns with typed metadata extracted by a per-partition decode
- * pass (SURVEY.md north-star surface).
+ * Multimodal-column operators: media payloads ride as opaque `binary`
+ * columns; metadata, features, resizes, and frame samples come from a
+ * REAL image decode (JDK `javax.imageio` — PNG and BMP codecs ship
+ * with the JDK, no external libraries) running at a per-partition
+ * decoder instantiation point.
  *
- * The decode step is a clearly-marked deterministic STUB (no image
- * codecs ship in this container): "decoding" derives width/height/
- * channels from the byte length and an md5 content hash. The
- * Spark-side plumbing is real: typed Dataset, mapPartitions batch
- * shape (one decoder instantiation per partition — exactly where a
- * JNI/codec handle would live), and a schema that downstream
- * operators consume.
+ * Fixture protocol (what makes a real decoder oracle-checkable): the
+ * bounded fixture corpus (one image per document with doc_id < 60,
+ * the q75 contract) is GENERATED from a closed-form pixel function of
+ * doc_id ([[ImagePixels]]) and written as genuine PNG/BMP files. The
+ * engine path then reads the files with Spark's distributed
+ * `binaryFile` source, sniffs the container format from MAGIC BYTES
+ * (not the extension), and decodes real pixels with a per-partition
+ * `ImageReader`. The DuckDB oracle never sees the image bytes — it
+ * recomputes the same statistics independently from the closed form,
+ * so a decoder that misreads width, stride, channel order, or
+ * bottom-up BMP row order goes hash-red.
  *
- * Scale notes: binary payloads stay columnar (parquet binary);
- * decode is embarrassingly parallel per partition; metadata columns
- * are tiny and prunable.
+ * Scale shape: `binaryFile` scans partition per file; decode is
+ * embarrassingly parallel with one codec handle per partition (the
+ * JNI/codec-instantiation point a production decoder needs); the
+ * emitted metadata columns are tiny and prunable. The driver-side
+ * fixture WRITE is bounded by construction (60 files) — a real corpus
+ * arrives as files, it is not exported through the driver.
  */
 object Multimodal {
   import Tables._
 
-  final case class MediaRow(doc_id: Long, payload: Array[Byte])
-  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
-      height: Long, channels: Long, content_hash: String)
+  // ---------------------------------------------------------------
+  // Deterministic fixture images
+  // ---------------------------------------------------------------
 
-  /** STUB decoder — deterministic fake of an image header parse. A
-   *  real deployment swaps only this function for a codec call; the
-   *  digest/codec handle is instantiated once per PARTITION and
-   *  passed in. */
-  /** Stub header dimensions — pure functions of payload length,
-   *  shared by the full decode (q31) and the resize path (q45) so the
-   *  two can't drift. */
-  private[ops] def stubWidth(n: Long): Long = 64 + n % 512
-  private[ops] def stubHeight(n: Long): Long = 64 + (n * 7) % 512
+  /** Closed-form test-pattern: dimensions and every channel value are
+   *  pure functions of (doc_id, x, y), so the DuckDB oracle can
+   *  recompute any pixel statistic without decoding anything. The
+   *  three channels use distinct affine lattices mod 256 — a decoder
+   *  that swaps channels (BGR/RGB), transposes axes, or flips BMP's
+   *  bottom-up row order produces different sums. */
+  private[ops] object ImagePixels {
+    def width(id: Long): Int = 16 + (id % 17).toInt
+    def height(id: Long): Int = 16 + ((id * 7) % 13).toInt
+    def r(id: Long, x: Int, y: Int): Int = ((x * 31 + y * 17 + id) % 256).toInt
+    def g(id: Long, x: Int, y: Int): Int = ((x * 13 + y * 29 + id * 3) % 256).toInt
+    def b(id: Long, x: Int, y: Int): Int = ((x * 7 + y * 11 + id * 5) % 256).toInt
 
-  def decodeStub(md: java.security.MessageDigest, r: MediaRow): MediaMeta = {
-    val n = r.payload.length.toLong
-    md.reset()
-    val hex = md.digest(r.payload).map("%02x".format(_)).mkString
-    MediaMeta(r.doc_id, n, stubWidth(n), stubHeight(n), 3L, hex)
+    def render(id: Long): BufferedImage = {
+      val (w, h) = (width(id), height(id))
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (r(id, x, y) << 16) | (g(id, x, y) << 8) | b(id, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
   }
 
-  /** Treat each document's text bytes as a fake media payload and run
-   *  the decode pipeline. */
+  /** Even ids encode as PNG, odd as BMP — two genuinely different
+   *  containers (deflate-compressed chunks vs raw bottom-up rows)
+   *  through one decode path. */
+  private[ops] def fixtureFormat(id: Long): String =
+    if (id % 2 == 0) "png" else "bmp"
+
+  /** Write the bounded image fixture corpus (doc_id < 60, one real
+   *  PNG/BMP file per document) if not already present; returns the
+   *  directory. Idempotent so repeated queries in one suite run pay
+   *  the encode once. */
+  private[ops] def ensureImageFixtures(s: SparkSession, d: String): String = {
+    val dir = java.nio.file.Paths.get(InferOps.tmpPath("imgmedia", d))
+    val ids = documents(s, d).filter(col("doc_id") < 60)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val expected = ids.map(id => s"img_$id.${fixtureFormat(id)}").toSet
+    val have: Set[String] =
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val st = java.nio.file.Files.list(dir)
+        try st.iterator().asScala.map(_.getFileName.toString).toSet
+        finally st.close()
+      } else Set.empty
+    if (have != expected) {
+      java.nio.file.Files.createDirectories(dir)
+      have.diff(expected).foreach(n => java.nio.file.Files.delete(dir.resolve(n)))
+      ids.foreach { id =>
+        val fmt = fixtureFormat(id)
+        javax.imageio.ImageIO.write(ImagePixels.render(id), fmt,
+          dir.resolve(s"img_$id.$fmt").toFile)
+      }
+    }
+    dir.toString
+  }
+
+  // ---------------------------------------------------------------
+  // The per-partition decoder
+  // ---------------------------------------------------------------
+
+  /** One decoder instance per PARTITION: the `ImageReader`s (the
+   *  codec handles) are created once and re-targeted per payload —
+   *  exactly where a JNI decoder or GPU codec context would live.
+   *  Dispatch is on CONTENT (magic bytes), never the filename. */
+  private[ops] final class ImageDecoder {
+    private val png = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    private val bmp = javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
+
+    def sniff(bytes: Array[Byte]): String =
+      if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0x89 &&
+        bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
+      else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+      else "unknown"
+
+    def decode(bytes: Array[Byte]): (String, BufferedImage) = {
+      val fmt = sniff(bytes)
+      val reader = fmt match {
+        case "png" => png
+        case "bmp" => bmp
+        case other => throw new IllegalArgumentException(
+          s"unsupported image payload (magic sniffed as '$other')")
+      }
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis)
+        (fmt, reader.read(0))
+      } finally iis.close()
+    }
+  }
+
+  /** Exact per-channel pixel sums — integer, order-free, and
+   *  oracle-recomputable; the basic "feature vector" downstream
+   *  dedup/quality filters consume. */
+  private[ops] def channelSums(img: BufferedImage): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
+  }
+
+  /** Shared scan front end: distributed binaryFile scan over the
+   *  fixture dir, doc_id from the path, raw payload bytes out. Each
+   *  media query decodes inside its own single mapPartitions (one
+   *  decoder per partition, decoded rasters never cross an encoder
+   *  boundary — an AWT image is not serializable and never needs to
+   *  be). */
+  private def imagePayloads(s: SparkSession, d: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    val dir = ensureImageFixtures(s, d)
+    s.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "img_(\\d+)\\.", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+  }
+
+  // ---------------------------------------------------------------
+  // q31: decode → typed metadata
+  // ---------------------------------------------------------------
+
+  final case class ImageMeta(doc_id: Long, fmt: String, width: Long,
+      height: Long, channels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** q31: real image decode — format from magic bytes, dimensions and
+   *  band count from the decoded raster, per-channel sums from actual
+   *  pixel data. */
   def q31MultimodalMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRow]
+    imagePayloads(s, d)
       .mapPartitions { it =>
-        // per-partition decoder instantiation point (codec/JNI handle)
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map(r => decodeStub(md, r))
-      }
-      .toDF()
-      .orderBy(col("doc_id"))
-  }
-
-  val q31Sql: String =
-    """SELECT doc_id,
-      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      | 64 + CAST(octet_length(encode(text)) AS BIGINT) % 512 AS width,
-      | 64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 512 AS height,
-      | CAST(3 AS BIGINT) AS channels,
-      | md5(text) AS content_hash
-      |FROM documents ORDER BY doc_id""".stripMargin
-
-  final case class ResizedMeta(doc_id: Long, width: Long, height: Long,
-      new_width: Long, new_height: Long,
-      f_alpha: Long, f_digit: Long, f_space: Long, f_other: Long)
-
-  /** Resize + feature-extract over decoded media metadata: fit into
-   *  224×224 preserving aspect ratio (integer arithmetic →
-   *  deterministic), plus a STUB feature vector (char-class
-   *  histogram standing in for a pixel histogram — same shape, same
-   *  batch semantics). */
-  def q45ResizeFeatures(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    documents(s, d)
-      .select(col("doc_id"), col("text"), encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, String, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, text, payload) =>
-          // width/height are pure functions of the payload LENGTH
-          // (decodeStub's header-parse stub) — resizing needs no
-          // content hash, so skip the per-row MD5 the full decode
-          // pipeline (q31) pays for its content_hash column
-          val n = payload.length.toLong
-          val m = MediaMeta(id, n, stubWidth(n), stubHeight(n), 3L, "")
-          // fit into 224×224, round-half-up, floor at 1
-          val scaleNum = 224L
-          val (nw, nh) =
-            if (m.width >= m.height)
-              (scaleNum, math.max(1L, (m.height * scaleNum + m.width / 2) / m.width))
-            else
-              (math.max(1L, (m.width * scaleNum + m.height / 2) / m.height), scaleNum)
-          // ASCII classes; iterate CODE POINTS (the oracle's regex
-          // counts codepoints — counting UTF-16 chars would double
-          // count surrogate pairs into f_other)
-          def alpha(cp: Int) = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')
-          def digit(cp: Int) = cp >= '0' && cp <= '9'
-          var fa = 0L; var fd = 0L; var fs = 0L; var fo = 0L
-          var ci = 0
-          while (ci < text.length) {
-            val cp = text.codePointAt(ci)
-            if (alpha(cp)) fa += 1
-            else if (digit(cp)) fd += 1
-            else if (cp == ' ') fs += 1
-            else fo += 1
-            ci += Character.charCount(cp)
-          }
-          ResizedMeta(id, m.width, m.height, nw, nh, fa, fd, fs, fo)
+        val dec = new ImageDecoder
+        it.map { case (id, bytes) =>
+          val (fmt, img) = dec.decode(bytes)
+          val (sr, sg, sb) = channelSums(img)
+          ImageMeta(id, fmt, img.getWidth.toLong, img.getHeight.toLong,
+            img.getRaster.getNumBands.toLong, sr, sg, sb)
         }
       }
       .toDF()
       .orderBy(col("doc_id"))
   }
 
+  /** Oracle: recompute the pixel statistics from the closed form —
+   *  independent of the image bytes, so any decode defect (stride,
+   *  channel order, BMP bottom-up rows) diverges. */
+  val q31Sql: String =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+      |dim AS (
+      |  SELECT doc_id,
+      |   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+      |   16 + doc_id % 17 AS w, 16 + (doc_id * 7) % 13 AS h
+      |  FROM ids),
+      |cells AS (
+      |  SELECT doc_id, fmt, w, h, x, y
+      |  FROM dim,
+      |   LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) gx,
+      |   LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) gy)
+      |SELECT doc_id, fmt,
+      | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      | CAST(3 AS BIGINT) AS channels,
+      | CAST(sum((x * 31 + y * 17 + doc_id) % 256) AS BIGINT) AS sum_r,
+      | CAST(sum((x * 13 + y * 29 + doc_id * 3) % 256) AS BIGINT) AS sum_g,
+      | CAST(sum((x * 7 + y * 11 + doc_id * 5) % 256) AS BIGINT) AS sum_b
+      |FROM cells GROUP BY doc_id, fmt, w, h ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q45: decode → resize (nearest-neighbor) → features
+  // ---------------------------------------------------------------
+
+  final case class ResizedImage(doc_id: Long, width: Long, height: Long,
+      new_width: Long, new_height: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Resize target box (thumbnails): integer fit-within arithmetic so
+   *  the output dimensions are deterministic in any engine. */
+  private[ops] val FitBox = 64L
+
+  /** q45: real resize — fit the DECODED dimensions into a 64×64 box
+   *  (aspect-preserving, round-half-up, floor 1) and resample with
+   *  nearest-neighbor (`src = (dst * srcDim) / dstDim`, the classic
+   *  integer mapping — deterministic, unlike any interpolating
+   *  filter), then feature-extract the RESIZED pixels. */
+  def q45ResizeFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    imagePayloads(s, d)
+      .mapPartitions { it =>
+        val dec = new ImageDecoder
+        it.map { case (id, bytes) => resizeOne(dec, id, bytes) }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Decode + nearest-neighbor resample of one payload — split out so
+   *  the spec can pin the resize math on a checked-in fixture. */
+  private[ops] def resizeOne(dec: ImageDecoder, id: Long,
+      bytes: Array[Byte]): ResizedImage = {
+    val img = dec.decode(bytes)._2
+    val w = img.getWidth.toLong
+    val h = img.getHeight.toLong
+    val (nw, nh) =
+      if (w >= h) (FitBox, math.max(1L, (h * FitBox + w / 2) / w))
+      else (math.max(1L, (w * FitBox + h / 2) / h), FitBox)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y2 = 0
+    while (y2 < nh) {
+      val sy = ((y2 * h) / nh).toInt
+      var x2 = 0
+      while (x2 < nw) {
+        val sx = ((x2 * w) / nw).toInt
+        val p = img.getRGB(sx, sy)
+        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+        x2 += 1
+      }
+      y2 += 1
+    }
+    ResizedImage(id, w, h, nw, nh, sr, sg, sb)
+  }
+
   val q45Sql: String =
-    """WITH m AS (
-      |  SELECT doc_id, text,
-      |   64 + CAST(octet_length(encode(text)) AS BIGINT) % 512 AS width,
-      |   64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 512 AS height
-      |  FROM documents)
-      |SELECT doc_id, width, height,
-      | CASE WHEN width >= height THEN 224
-      |      ELSE greatest(1, (width * 224 + height // 2) // height) END AS new_width,
-      | CASE WHEN width >= height THEN greatest(1, (height * 224 + width // 2) // width)
-      |      ELSE 224 END AS new_height,
-      | CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS f_alpha,
-      | CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS f_digit,
-      | CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS f_space,
-      | CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS f_other
-      |FROM m ORDER BY doc_id""".stripMargin
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+      |dim AS (
+      |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 7) % 13 AS h
+      |  FROM ids),
+      |d2 AS (
+      |  SELECT doc_id, w, h,
+      |   CASE WHEN w >= h THEN 64 ELSE greatest(1, (w * 64 + h // 2) // h) END AS nw,
+      |   CASE WHEN w >= h THEN greatest(1, (h * 64 + w // 2) // w) ELSE 64 END AS nh
+      |  FROM dim),
+      |cells AS (
+      |  SELECT doc_id, w, h, nw, nh, (x * w) // nw AS sx, (y * h) // nh AS sy
+      |  FROM d2,
+      |   LATERAL (SELECT unnest(generate_series(0, nw - 1)) AS x) gx,
+      |   LATERAL (SELECT unnest(generate_series(0, nh - 1)) AS y) gy)
+      |SELECT doc_id,
+      | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      | CAST(nw AS BIGINT) AS new_width, CAST(nh AS BIGINT) AS new_height,
+      | CAST(sum((sx * 31 + sy * 17 + doc_id) % 256) AS BIGINT) AS sum_r,
+      | CAST(sum((sx * 13 + sy * 29 + doc_id * 3) % 256) AS BIGINT) AS sum_g,
+      | CAST(sum((sx * 7 + sy * 11 + doc_id * 5) % 256) AS BIGINT) AS sum_b
+      |FROM cells GROUP BY doc_id, w, h, nw, nh ORDER BY doc_id""".stripMargin
 
-  final case class Frame(doc_id: Long, frame_idx: Long, frame_ts_ms: Long,
-      frame_hash: String)
+  // ---------------------------------------------------------------
+  // q42: decode → frame sampling
+  // ---------------------------------------------------------------
 
-  /** Frame sampling from a fake video payload: the decode/sample step
-   *  is a per-partition flatMap (1 payload row → N frame rows — the
-   *  real batch shape for video pipelines); the per-frame "decode" is
-   *  a deterministic STUB (md5 of payload + frame index @ 4 fps). */
+  final case class FrameRow(doc_id: Long, frame_idx: Long, frame_ts_ms: Long,
+      strip_sum: Long)
+
+  /** Rows per sampled frame (a 4-row horizontal strip of the decoded
+   *  image stands in for one video frame at 4 fps). */
+  private[ops] val FrameRows = 4
+
+  /** q42: frame sampling over real decoded pixels — one payload row
+   *  fans out to N frame rows (the per-partition flatMap shape a
+   *  video pipeline needs), each frame summarized by an exact pixel
+   *  sum of its strip. */
   def q42FrameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRow]
+    imagePayloads(s, d)
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { r =>
-          val nFrames = r.payload.length % 7 + 1
+        val dec = new ImageDecoder
+        it.flatMap { case (id, bytes) =>
+          val img = dec.decode(bytes)._2
+          val h = img.getHeight
+          val nFrames = (h + FrameRows - 1) / FrameRows
           (0 until nFrames).iterator.map { i =>
-            md.reset()
-            md.update(r.payload)
-            md.update(s"#$i".getBytes("UTF-8"))
-            Frame(r.doc_id, i.toLong, i * 250L,
-              md.digest().map("%02x".format(_)).mkString)
+            var sum = 0L
+            var y = i * FrameRows
+            val yEnd = math.min(y + FrameRows, h)
+            while (y < yEnd) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            FrameRow(id, i.toLong, i * 250L, sum)
           }
         }
       }
@@ -167,12 +342,29 @@ object Multimodal {
   }
 
   val q42Sql: String =
-    """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+      |dim AS (
+      |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 7) % 13 AS h
+      |  FROM ids),
+      |fr AS (
+      |  SELECT doc_id, w, h, i
+      |  FROM dim,
+      |   LATERAL (SELECT unnest(generate_series(0, (h + 3) // 4 - 1)) AS i) gi),
+      |cells AS (
+      |  SELECT doc_id, i, x, y
+      |  FROM fr,
+      |   LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) gx,
+      |   LATERAL (SELECT unnest(generate_series(i * 4, least(i * 4 + 3, h - 1))) AS y) gy)
+      |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
       | CAST(i * 250 AS BIGINT) AS frame_ts_ms,
-      | md5(text || '#' || i) AS frame_hash
-      |FROM documents,
-      | LATERAL (SELECT unnest(generate_series(0, octet_length(encode(text)) % 7)) AS i) g
-      |ORDER BY doc_id, frame_idx""".stripMargin
+      | CAST(sum((x * 31 + y * 17 + doc_id) % 256
+      |        + (x * 13 + y * 29 + doc_id * 3) % 256
+      |        + (x * 7 + y * 11 + doc_id * 5) % 256) AS BIGINT) AS strip_sum
+      |FROM cells GROUP BY doc_id, i ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q75: binary-file ingestion with content-based dispatch
+  // ---------------------------------------------------------------
 
   /** Magic headers for the q75 fixture. Real container formats with
    *  ASCII magics (GIF, RIFF/WAVE, RIFF/AVI) so the DuckDB oracle —

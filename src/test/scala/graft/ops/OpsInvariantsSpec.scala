@@ -217,13 +217,23 @@ class OpsInvariantsSpec extends AnyFunSuite with SparkSuite {
     assert(spark.read.parquet(out).count() == src.count())
   }
 
-  test("multimodal metadata matches its defining formula") {
-    val rows = Multimodal.q31MultimodalMeta(spark, d).limit(50).collect()
+  test("multimodal metadata comes from a REAL decode of real PNG/BMP bytes") {
+    val rows = Multimodal.q31MultimodalMeta(spark, d).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val n = r.getAs[Long]("n_bytes")
-      assert(r.getAs[Long]("width") == 64 + n % 512)
-      assert(r.getAs[Long]("height") == 64 + (n * 7) % 512)
-      assert(r.getAs[String]("content_hash").length == 32)
+      val id = r.getAs[Long]("doc_id")
+      // format sniffed from magic bytes must match what was encoded
+      assert(r.getAs[String]("fmt") == Multimodal.fixtureFormat(id))
+      // dimensions from the decoded raster, sums from decoded pixels
+      val w = Multimodal.ImagePixels.width(id)
+      val h = Multimodal.ImagePixels.height(id)
+      assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h)
+      assert(r.getAs[Long]("channels") == 3L)
+      var sr = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        sr += Multimodal.ImagePixels.r(id, x, y)
+      assert(r.getAs[Long]("sum_r") == sr,
+        s"decoded red-channel sum diverged for doc $id")
     }
   }
 
