@@ -331,14 +331,20 @@ object Analyze {
    *  union of per-part skylines, so each partition prunes locally
    *  with an O(p log p) sort-sweep (sort by x desc, y desc; an
    *  equal-x group survives iff its max y beats the running max y of
-   *  all strictly-greater x), then ONE tiny second pass sweeps the
-   *  surviving union. No all-pairs join, no corpus-wide
-   *  single-partition window — the two formulations this replaces.
-   *  The phase-2 input is worst-case the sum of per-partition
-   *  frontier sizes (anti-correlated data degrades toward the full
-   *  input; real spend/count distributions keep frontiers tiny). */
+   *  all strictly-greater x). The survivors are then RANGE-
+   *  partitioned on x (equal x co-located) and swept within each
+   *  range; the only cross-range fact a point needs is the max y of
+   *  every strictly-higher-x range — ranges are disjoint in x, so a
+   *  higher range's point dominates iff its y ≥ mine. That suffix
+   *  max is ONE value per range partition: a bounded driver
+   *  reduction (O(#partitions), never O(frontier)), broadcast back
+   *  as the final cut. No all-pairs join, no corpus-wide
+   *  single-partition stage — even on fully anti-correlated data
+   *  (every local frontier O(partition)) the largest single task is
+   *  one range's share of the frontier union. */
   def skyline2d(pts: DataFrame): DataFrame = {
-    import pts.sparkSession.implicits._
+    val sess = pts.sparkSession
+    import sess.implicits._
     def sweep(it: Iterator[(Long, Long, Long)]): Iterator[(Long, Long, Long)] = {
       val rows = it.toArray.sortBy { case (id, x, y) => (-x, -y, id) }
       val out = Array.newBuilder[(Long, Long, Long)]
@@ -359,8 +365,35 @@ object Analyze {
     }
     val typed = pts.as[(Long, Long, Long)]
     val local = typed.mapPartitions(sweep)
-    local.repartition(1).mapPartitions(sweep)
-      .toDF(pts.columns: _*)
+    // phase 2: disjoint x ranges (ascending pid = ascending x), local
+    // sweep per range, tagged with the range id for the cross-cut
+    val swept = local.repartitionByRange(local.col("_2"))
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        sweep(it).map { case (id, x, y) => (pid, id, x, y) }
+      }
+      .toDF("pid" +: pts.columns: _*)
+      // two actions read this frame (the pid-max reduction and the
+      // final cut); checkpoint so the scan+sweeps+shuffle run once —
+      // the blocks stay DISTRIBUTED (executor-resident), only the
+      // per-partition maxima ever reach the driver
+      .localCheckpoint(true)
+    // bounded driver reduction: one (pid, max y) per range partition →
+    // suffix max over strictly-higher ranges, broadcast back
+    val maxYByPid = swept.groupBy(col("pid"))
+      .agg(max(col(pts.columns(2))).as("m"))
+      .as[(Int, Long)].collect()
+    var run = Option.empty[Long]
+    val above: Seq[(Int, Option[Long])] =
+      maxYByPid.sortBy(-_._1).map { case (pid, m) =>
+        val r = pid -> run
+        run = Some(run.fold(m)(math.max(_, m)))
+        r
+      }.toSeq
+    val aboveDf = above.toDF("pid", "y_above")
+    swept.join(broadcast(aboveDf), Seq("pid"), "left")
+      .filter(col("y_above").isNull || col(pts.columns(2)) > col("y_above"))
+      .drop("pid", "y_above")
       .orderBy(col(pts.columns(1)).desc, col(pts.columns(2)).desc,
         col(pts.columns(0)))
   }

@@ -45,6 +45,28 @@ class FrontierResampleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("skyline2d survives the adversarial case: every point on the frontier, no single-task stage") {
+    // perfectly anti-correlated: x strictly increasing, y strictly
+    // decreasing — NOTHING is dominated, so every local frontier is
+    // the whole partition and the phase-2 input is the full dataset.
+    // The old repartition(1) sweep made that one task; the range-
+    // partitioned cross-cut must keep it distributed.
+    val pts = (1L to 2000L).map(id => (id, id, 3000L - id))
+    val df = pts.toDF("id", "x", "y").repartition(16)
+    val result = Analyze.skyline2d(df)
+    val plan = result.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"adversarial skyline must not funnel the frontier union into one task:\n$plan")
+    assert(result.count() == 2000L, "anti-correlated data: all points survive")
+    // and dominated points are still cut across range boundaries
+    val withDupsAndDominated = (pts ++ Seq((9001L, 1L, 1L), (9002L, 2000L, 999L)))
+      .toDF("id", "x", "y").repartition(16)
+    val ids = Analyze.skyline2d(withDupsAndDominated)
+      .select("id").as[Long].collect().toSet
+    assert(!ids.contains(9001L) && !ids.contains(9002L))
+    assert(ids.size == 2000)
+  }
+
   test("q117 frontier rows are mutually non-dominating and dominate the rest") {
     val rows = Analyze.q117Skyline(spark, sf)
       .as[(Long, Long, Long)].collect()
