@@ -234,6 +234,7 @@ object SparkEntry {
     // production SemDeDup over the durable IVF-cell layout, gated the
     // q61 way (layout completeness + drop soundness + recall floor)
     "q137_semdedup_cell" -> (Dedup.q137SemDedupCell _),
+    "q143_semdedup_multiprobe" -> (Dedup.q143SemDedupMultiProbe _),
     // first-touch + linear multi-touch attribution (q136's siblings)
     "q138_attribution_models" -> (EventOps.q138AttributionModels _),
     // referential-integrity / constraint audit: pk uniqueness, fk
@@ -379,6 +380,7 @@ object SparkEntry {
     "q135_cosine_join" -> SparseSim.q135Sql,
     "q136_attribution" -> EventOps.q136Sql,
     "q137_semdedup_cell" -> Dedup.q137Sql,
+    "q143_semdedup_multiprobe" -> Dedup.q143Sql,
     "q138_attribution_models" -> EventOps.q138Sql,
     "q139_integrity_audit" -> Integrity.q139Sql,
     "q140_ks_drift" -> Analyze.q140Sql,

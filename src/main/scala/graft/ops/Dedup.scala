@@ -872,6 +872,53 @@ object Dedup {
    *  measures exactly what the gate gates. */
   private[graft] def semDedupCappedPolicy(capped: DataFrame, tau: Double): DataFrame =
     semDedupPolicy(capped, blockCol = "cell", vecCol = "v", tau = tau)
+
+  /** MULTI-PROBE SemDeDup: identical keep/drop policy, but candidate
+   *  pairs come from the top-`probes` cell overlay
+   *  ([[Similarity.withProbeCells]]) instead of the single primary
+   *  cell. Cross-cell misses — a near-dup pair straddling one cell
+   *  boundary — dominate single-probe's measured losses (37 % recall
+   *  at sf0.1, BASELINE round-8); with each vector additionally
+   *  probing its runner-up cell, such a pair still meets in one of
+   *  the probed cells. Structural guarantees, both q143-gated:
+   *  multi-probe drops ⊇ single-probe drops (probe element 0 IS the
+   *  primary cell, so every single-probe candidate survives) and
+   *  ⊆ the unblocked truth (blocking only ever prunes pairs). Scale
+   *  shape: still banded — pair work grows by at most probes² per
+   *  cell collision (measured ~2–3× at probes = 2), never corpus². */
+  def semDedupMultiProbe(s: SparkSession, d: String, tau: Double,
+      probes: Int = 2): DataFrame =
+    multiProbePolicy(Similarity.withProbeCells(s, d, probes), tau)
+
+  /** Capped multi-probe variant for gates/probes — exact restriction
+   *  by prefix-closure (the q137 contract). */
+  private[graft] def semDedupMultiProbeCapped(s: SparkSession, d: String,
+      tau: Double, probes: Int = 2, cap: Long = SemDedupTruthCap): DataFrame =
+    multiProbePolicy(
+      Similarity.withProbeCells(s, d, probes).filter(col("vec_id") < cap), tau)
+
+  /** Policy core over a (vec_id, v, cells) frame: explode the probe
+   *  cells, pair within any shared cell, keep the earliest keeper.
+   *  A pair sharing BOTH probe cells appears twice in the join; the
+   *  min-aggregate collapses it, so the policy is set-semantics
+   *  identical to [[semDedupPolicy]] over the implied pair set. */
+  private def multiProbePolicy(probed: DataFrame, tau: Double): DataFrame = {
+    val exploded = probed.select(col("vec_id"), col("v"),
+      explode(col("cells")).as("cell"))
+    val dropped = exploded.as("a").join(exploded.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim",
+        round(graft.functions.GraftFunctions.cosine_sim(col("a.v"), col("b.v")), 6))
+      .filter(col("sim") >= tau)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("keeper_id"))
+    probed.select(col("vec_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("keeper_id").isNotNull, 1).otherwise(0).as("dropped"),
+        col("keeper_id"))
+      .orderBy(col("vec_id"))
+  }
   /** Recall floor for the cell blocking vs the unblocked truth at
    *  τ = [[SemDedupTau]], on the truth subsample. STATED HONESTLY
    *  (the round-8 minhash-floor lesson): this is a measured
@@ -981,6 +1028,97 @@ object Dedup {
     """SELECT * FROM (VALUES
       | ('cell_assign_durable', true), ('cell_drops_sound', true),
       | ('cell_layout_complete', true), ('cell_recall', true)
+      |) t(component, ok) ORDER BY component""".stripMargin
+
+  /** q143: the MULTI-PROBE SemDeDup gate, q137's style (all-true
+   *  VALUES oracle). Components:
+   *
+   *   - `probe2_primary_parity`: probe element 0 equals the
+   *     single-cell assignment for EVERY vector (full corpus, O(n))
+   *     — the overlay and the durable layout can never disagree
+   *     about a vector's primary cell;
+   *   - `probe2_superset`: on the truth subsample, every
+   *     single-probe drop is also a multi-probe drop (structural:
+   *     the primary cell is probed, so no candidate pair is lost);
+   *   - `probe2_sound`: multi-probe drops ⊆ unblocked truth drops
+   *     (blocking only prunes the pair space);
+   *   - `probe2_gain`: multi-probe recovers at least as many truth
+   *     drops as single-probe (the measured STRICT gain per octave
+   *     is SemDedupProbe evidence in BASELINE — a gate can only
+   *     assert non-regression without lying on a corpus whose
+   *     misses aren't cross-cell);
+   *   - `probe2_work_bounded`: distinct multi-probe candidate pairs
+   *     ≤ 4× single-probe candidates + 64 on the subsample — the
+   *     probes² collision bound as a measured tripwire (a hot
+   *     runner-up cell that breaks the linear-work story trips it).
+   *
+   *  Scale shape: the three quadratic legs all run on the vec_id <
+   *  [[SemDedupTruthCap]] prefix (fixed cost at every octave); the
+   *  parity leg is one O(n) equi-join. */
+  def q143SemDedupMultiProbe(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cap = SemDedupTruthCap
+    val parity = Similarity.withProbeCells(s, d, 2)
+      .select(col("vec_id"), col("cells").getItem(0).as("c0"))
+      .join(Similarity.withCell(s, d).select(col("vec_id"), col("cell")),
+        Seq("vec_id"), "full")
+      .agg(count(when(col("c0").isNull || col("cell").isNull ||
+        col("c0") =!= col("cell"), 1)).as("mm"))
+      .select((col("mm") === 0).as("parity_ok"))
+    val src = embeddings(s, d)
+    val truthDrops = semDedupPolicy(
+      src.filter(col("vec_id") < cap)
+        .select(col("vec_id"), lit(0).as("blk"), col("embedding")),
+      blockCol = "blk", vecCol = "embedding", tau = SemDedupTau)
+      .filter(col("dropped") === 1).select(col("vec_id"))
+    val layoutCapped = s.read.parquet(Similarity.ivfLayoutDir(s, d))
+      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("v"))
+      .filter(col("vec_id") < cap)
+    val singleDrops = semDedupCappedPolicy(layoutCapped, SemDedupTau)
+      .filter(col("dropped") === 1).select(col("vec_id"))
+    val multiDrops = semDedupMultiProbeCapped(s, d, SemDedupTau)
+      .filter(col("dropped") === 1).select(col("vec_id"))
+    val flags = truthDrops.withColumn("t", lit(1))
+      .join(singleDrops.withColumn("sp", lit(1)), Seq("vec_id"), "full")
+      .join(multiDrops.withColumn("mp", lit(1)), Seq("vec_id"), "full")
+      .agg(
+        count(when(col("sp").isNotNull && col("mp").isNull, 1)).as("lost"),
+        count(when(col("mp").isNotNull && col("t").isNull, 1)).as("extra"),
+        count(when(col("t").isNotNull && col("sp").isNotNull, 1)).as("s_hit"),
+        count(when(col("t").isNotNull && col("mp").isNotNull, 1)).as("m_hit"))
+    val explodedCapped = Similarity.withProbeCells(s, d, 2)
+      .filter(col("vec_id") < cap)
+      .select(col("vec_id"), explode(col("cells")).as("cell"))
+    val candM = explodedCapped.as("a").join(explodedCapped.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+      .agg(count(lit(1)).as("cand_m"))
+    val single = layoutCapped.select(col("vec_id"), col("cell"))
+    val candS = single.as("a").join(single.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .agg(count(lit(1)).as("cand_s"))
+    parity.crossJoin(flags).crossJoin(candM).crossJoin(candS)
+      .select(explode(array(
+        struct(lit("probe2_gain").as("component"),
+          (col("m_hit") >= col("s_hit")).as("ok")),
+        struct(lit("probe2_primary_parity").as("component"),
+          col("parity_ok").as("ok")),
+        struct(lit("probe2_sound").as("component"),
+          (col("extra") === 0).as("ok")),
+        struct(lit("probe2_superset").as("component"),
+          (col("lost") === 0).as("ok")),
+        struct(lit("probe2_work_bounded").as("component"),
+          (col("cand_m") <= col("cand_s") * 4 + 64).as("ok")))).as("r"))
+      .select(col("r.component"), col("r.ok"))
+      .orderBy(col("component"))
+  }
+
+  val q143Sql: String =
+    """SELECT * FROM (VALUES
+      | ('probe2_gain', true), ('probe2_primary_parity', true),
+      | ('probe2_sound', true), ('probe2_superset', true),
+      | ('probe2_work_bounded', true)
       |) t(component, ok) ORDER BY component""".stripMargin
 
   // ---------------------------------------------------------------

@@ -258,6 +258,36 @@ object Similarity {
     else greatest(simCells.toIndexedSeq: _*).getField("cid")
   }
 
+  /** The corpus with its top-`probes` nearest cells as an array —
+    * the MULTI-PROBE side of the cell blocking. Ordering is
+    * (csim, cid) descending, the same lexicographic struct order
+    * `greatest` uses, so element 0 is exactly [[cellAssign]]'s
+    * single-probe cell (q143 gates that parity on the full corpus).
+    * The durable layout stays single-cell; multi-probe is a
+    * candidate-generation overlay — each vector additionally probes
+    * its runner-up cells, so a near-dup pair straddling one cell
+    * boundary still shares a probe cell. Cost shape: the projection
+    * is the same scan-parallel literal-centroid arithmetic as
+    * [[withCell]]; downstream pair work grows by at most probes² per
+    * colliding pair (measured ~2× at probes = 2, BASELINE round-9). */
+  private[graft] def withProbeCells(s: SparkSession, d: String,
+      probes: Int, k: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val cb = if (k <= 0) codebook(e, d) else codebookK(e, d, k)
+    val cents: Array[(Int, Seq[Double])] =
+      cb.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    require(cents.nonEmpty, s"$d: empty corpus, nothing to lay out")
+    val simCells = cents.map { case (cid, cv) =>
+      struct(cosine_sim(col("v"), typedLit(cv)).as("csim"), lit(cid).as("cid"))
+    }
+    e.withColumn("cells",
+      transform(
+        slice(sort_array(array(simCells.toIndexedSeq: _*), asc = false),
+          1, math.min(probes, cents.length)),
+        c => c.getField("cid")))
+  }
+
   /** Durable layout partitioned by CORPUS-SCALED cells — the blocking
    *  twin of [[ivfWritePartitioned]] (which keeps q37's fixed probe
    *  codebook): cell count = [[scaledCellCount]] of the corpus size,

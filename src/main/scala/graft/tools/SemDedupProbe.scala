@@ -55,15 +55,19 @@ object SemDedupProbe {
       val byLabel = drops(Dedup.q92SemanticDedup(spark, d))
         .intersect(truth) // q92 runs at its own fixed τ; report overlap
       val byCell = drops(Dedup.semDedupCappedPolicy(cappedLayout, tau))
+      val byMulti = drops(Dedup.semDedupMultiProbeCapped(spark, d, tau))
       def pct(hit: Set[Long]): String =
         if (truth.isEmpty) "n/a"
         else f"${hit.intersect(truth).size}%d/${truth.size}%d = ${hit.intersect(truth).size * 100.0 / truth.size}%.1f%%"
       println(s"[semdedup] corpus=$d cap=$cap tau=$tau true_drops=${truth.size}")
       println(s"[semdedup]   label-blocked(q92@0.45) overlap: ${pct(byLabel)}")
       println(s"[semdedup]   ivf-cell-blocked recall: ${pct(byCell)}")
+      println(s"[semdedup]   ivf-cell multi-probe(2) recall: ${pct(byMulti)}")
       // blocked drops are a subset of true drops by construction; any
       // excess would mean the blocking manufactured a pair — impossible
       assert(byCell.subsetOf(truth))
+      // the primary cell is always probed, so multi-probe can only add
+      assert(byCell.subsetOf(byMulti) && byMulti.subsetOf(truth))
     }
 
     // the corpus-scaled blocking (semDedupScaled): cell population
