@@ -235,6 +235,7 @@ object SparkEntry {
     // q61 way (layout completeness + drop soundness + recall floor)
     "q137_semdedup_cell" -> (Dedup.q137SemDedupCell _),
     "q143_semdedup_multiprobe" -> (Dedup.q143SemDedupMultiProbe _),
+    "q144_ivf_append" -> (Similarity.q144IvfAppend _),
     // first-touch + linear multi-touch attribution (q136's siblings)
     "q138_attribution_models" -> (EventOps.q138AttributionModels _),
     // referential-integrity / constraint audit: pk uniqueness, fk
@@ -381,6 +382,7 @@ object SparkEntry {
     "q136_attribution" -> EventOps.q136Sql,
     "q137_semdedup_cell" -> Dedup.q137Sql,
     "q143_semdedup_multiprobe" -> Dedup.q143Sql,
+    "q144_ivf_append" -> Similarity.q144Sql,
     "q138_attribution_models" -> EventOps.q138Sql,
     "q139_integrity_audit" -> Integrity.q139Sql,
     "q140_ks_drift" -> Analyze.q140Sql,

@@ -345,6 +345,85 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Incremental IVF index maintenance: assign a batch of new vectors
+    * with the MEMOIZED codebook (the model artifact persisted
+    * alongside the layout — [[codebook]]'s scaladoc) and append them
+    * into the existing `cell=<c>/` partition directories. O(batch)
+    * work: one literal-centroid projection over the batch plus a
+    * partitioned append; existing cell files are never rewritten.
+    * Contract (q144-gated): the codebook is fit on the
+    * [[KMeansSample]] SMALLEST vec_ids, so append batches with ids
+    * above the base corpus leave the artifact — and therefore every
+    * existing assignment — bit-identical; appended ≡ rebuilt from
+    * scratch, exactly. A deployment whose batches can precede the
+    * sample prefix persists the codebook file instead (same memoized
+    * artifact, different durability). */
+  def ivfAppend(s: SparkSession, d: String, layout: String,
+      batch: DataFrame): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val cents: Array[(Int, Seq[Double])] =
+      codebook(e, d).zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    require(cents.nonEmpty, s"$d: no codebook to append against")
+    batch.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("cell", cellAssign(cents))
+      .write.mode("append").partitionBy("cell").parquet(layout)
+  }
+
+  /** q144: the incremental-maintenance gate (all-true VALUES oracle,
+    * the q137/q143 style). One run = one full cycle: write a base
+    * layout holding all but the top-decile vec_ids (overwrite, so the
+    * query is idempotent across bench repeats), [[ivfAppend]] the
+    * held-out batch, then audit the combined layout against the
+    * rebuilt-from-scratch assignment ([[withCell]]):
+    *
+    *  - `append_complete`: the layout holds exactly the corpus
+    *    (row count and distinct ids both equal n);
+    *  - `append_equiv_rebuild`: every vector's stored cell equals the
+    *    from-scratch assignment — appending lost/moved nothing;
+    *  - `append_batch_sized`: exactly the held-out batch arrived via
+    *    the append leg.
+    *
+    *  Scale shape: the threshold is one TakeOrdered; both audit legs
+    *  are O(n) scans/equi-joins — no quadratic anywhere. */
+  def q144IvfAppend(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val batchN = math.max(1L, math.min(n / 2, math.max(64L, n / 10)))
+    val t = e.select(col("vec_id")).orderBy(col("vec_id").desc)
+      .limit(batchN.toInt).agg(min(col("vec_id"))).head().getLong(0)
+    val dir = InferOps.tmpPath("ivf_append", d)
+    withCell(s, d).filter(col("vec_id") < t)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    ivfAppend(s, d, dir, e.filter(col("vec_id") >= t))
+    val stored = s.read.parquet(dir)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"))
+    val rebuilt = withCell(s, d)
+      .select(col("vec_id"), col("cell").as("cell_rebuilt"))
+    stored.join(rebuilt, Seq("vec_id"), "full")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("vec_id")).as("n_ids"),
+        count(when(col("cell").isNull || col("cell_rebuilt").isNull ||
+          col("cell") =!= col("cell_rebuilt"), 1)).as("mismatches"),
+        count(when(col("vec_id") >= t, 1)).as("n_batch"))
+      .select(explode(array(
+        struct(lit("append_batch_sized").as("component"),
+          (col("n_batch") === batchN).as("ok")),
+        struct(lit("append_complete").as("component"),
+          (col("n_rows") === n && col("n_ids") === n).as("ok")),
+        struct(lit("append_equiv_rebuild").as("component"),
+          (col("mismatches") === 0).as("ok")))).as("r"))
+      .select(col("r.component"), col("r.ok"))
+      .orderBy(col("component"))
+  }
+
+  val q144Sql: String =
+    """SELECT * FROM (VALUES
+      | ('append_batch_sized', true), ('append_complete', true),
+      | ('append_equiv_rebuild', true)
+      |) t(component, ok) ORDER BY component""".stripMargin
+
   private val Dim = 64
   // r=4 bits per table, L=16 tables: collision prob for a cosine-0.4
   // neighbor ≈ 1-(1-p^4)^16 ≈ 0.94 (p = 1-θ/π ≈ 0.63) — wider buckets
