@@ -92,6 +92,19 @@ object SemDedupProbe {
       println(f"[semdedup] scaled recall@0.45 (capped): " +
         f"${byScaled.intersect(truth045).size}%d/${truth045.size}%d")
     assert(byScaled.subsetOf(truth045))
+
+    // time the FULL-CORPUS deployment path once per octave: layout
+    // write + within-cell policy over every vector (the quadratic the
+    // per-round bench deliberately does not pay — q137 scaladoc);
+    // numbers land in BASELINE's wall-vs-octave table
+    val t0 = System.nanoTime()
+    val timedDir = Files.createTempDirectory("semdedup_scaled_full").toString
+    val full = Dedup.semDedupScaled(spark, d, timedDir, 0.45)
+    val nDrops = full.filter(col("dropped") === 1).count()
+    val nAll = full.count()
+    println(f"[semdedup] scaled FULL-corpus policy: " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s wall (layout write + policy), " +
+      f"drops=$nDrops%d of $nAll%d vectors")
     spark.stop()
   }
 }
