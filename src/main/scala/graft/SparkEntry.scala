@@ -247,7 +247,16 @@ object SparkEntry {
     // maintained by one streaming tumbling aggregation
     "q141_stream_drift" -> (StreamingOps.q141StreamDriftPsi _),
     // Spearman rank agreement between quality signals, per source
-    "q142_signal_agreement" -> (Analyze.q142SignalAgreement _)
+    "q142_signal_agreement" -> (Analyze.q142SignalAgreement _),
+    // multinomial Naive Bayes source classifier (train + apply,
+    // micro-nat-quantized — the SQL-expressible curation classifier)
+    "q145_nb_classifier" -> (Classify.q145NaiveBayes _),
+    // hybrid retrieval: BM25 ∪ dense cosine, reciprocal-rank fusion
+    "q146_hybrid_rrf" -> (Retrieval.q146HybridRrf _),
+    // multimodal audio: real RIFF/WAVE PCM decode via javax.sound
+    "q147_audio_meta" -> (Multimodal.q147AudioMeta _),
+    // distributed integer PageRank over the co-purchase part graph
+    "q148_pagerank" -> (Graph.q148PageRank _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -387,6 +396,10 @@ object SparkEntry {
     "q139_integrity_audit" -> Integrity.q139Sql,
     "q140_ks_drift" -> Analyze.q140Sql,
     "q141_stream_drift" -> StreamingOps.q141Sql,
-    "q142_signal_agreement" -> Analyze.q142Sql
+    "q142_signal_agreement" -> Analyze.q142Sql,
+    "q145_nb_classifier" -> Classify.q145Sql,
+    "q146_hybrid_rrf" -> Retrieval.q146Sql,
+    "q147_audio_meta" -> Multimodal.q147Sql,
+    "q148_pagerank" -> Graph.q148Sql
   )
 }

@@ -122,27 +122,34 @@ object EventOps {
       | FROM events) t
       |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
-  /** Gap-based sessionization (30-minute inactivity gap): classic
-   *  lag → gap flag → running-sum session index, then per-session
-   *  rollup. Single shuffle on user_id. Boundary is `gap >= 1800`,
-   *  the strict-merge rule session_window uses — so q15 and the
-   *  streaming q62 sessionize identically at the exact boundary. */
-  def q15Sessionize(s: SparkSession, d: String): DataFrame = {
+  /** Appends the gap-based session index `sess_idx` (30-minute
+   *  inactivity gap) to an events frame: classic lag → gap flag →
+   *  running-sum. Single shuffle on user_id. Boundary is
+   *  `gap >= 1800`, the strict-merge rule session_window uses — so
+   *  q15, q130 and the streaming q62 sessionize identically at the
+   *  exact boundary. Shared by every session-shaped operator (the
+   *  SQL-side twin is the shared sessionized CTE fragment). */
+  private[graft] def sessionized(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(s, d)
+    ev
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
           unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) >= 1800, 1)
           .otherwise(0))
       .withColumn("sess_idx", sum(col("new_sess")).over(run))
+  }
+
+  /** q15: gap-based sessionization + per-session rollup over
+   *  [[sessionized]]'s one user_id shuffle. */
+  def q15Sessionize(s: SparkSession, d: String): DataFrame =
+    sessionized(events(s, d))
       .groupBy(col("user_id"), col("sess_idx"))
       .agg(unix_timestamp(min(col("ts"))).as("sess_start"),
         count(lit(1)).as("n_events"),
         (sum(cents(col("value"))) / 100.0).as("sum_value"))
       .orderBy(col("user_id"), col("sess_idx"))
-  }
 
   val q15Sql: String =
     """SELECT user_id, sess_idx,
@@ -498,16 +505,7 @@ object EventOps {
    *  session key — bounded by sessions × type-vocabulary, never raw
    *  events; every ratio is a raw division of exact longs. */
   def q130AssociationRules(s: SparkSession, d: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val st = events(s, d)
-      .filter(col("event_type").isNotNull)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      .withColumn("new_sess",
-        when(col("prev_ts").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) >= 1800, 1)
-          .otherwise(0))
-      .withColumn("sess_idx", sum(col("new_sess")).over(run))
+    val st = sessionized(events(s, d).filter(col("event_type").isNotNull))
       .select(col("user_id"), col("sess_idx"), col("event_type")).distinct()
     val nSess = st.select(col("user_id"), col("sess_idx")).distinct()
       .agg(count(lit(1)).as("n_sessions"))

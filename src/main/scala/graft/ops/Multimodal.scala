@@ -439,4 +439,174 @@ object Multimodal {
       | CASE kind WHEN 'gif' THEN 'image' WHEN 'wav' THEN 'audio'
       |      ELSE 'video' END AS modality
       |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q147: audio decode — real RIFF/WAVE PCM through javax.sound
+  // ---------------------------------------------------------------
+
+  /** Closed-form PCM fixture (the [[ImagePixels]] protocol for audio):
+   *  every parameter and every 16-bit sample is a pure function of
+   *  (audio id, channel, sample index), so the DuckDB oracle can
+   *  recompute any waveform statistic without touching the bytes. A
+   *  decoder that misreads byte order, interleaving, or the fmt-chunk
+   *  channel count produces different sums and goes hash-red. */
+  private[ops] object AudioPcm {
+    def channels(id: Long): Int = 1 + (id % 2).toInt
+    def rate(id: Long): Int = 8000 << (id % 3).toInt
+    def nSamples(id: Long): Int = 400 + ((id * 37) % 229).toInt
+    /** Signed 16-bit sample, |s| <= 2000 by construction. */
+    def sample(id: Long, ch: Int, i: Int): Int =
+      ((i.toLong * 73 + ch.toLong * 9973 + id * 131) % 4001).toInt - 2000
+
+    /** Canonical 44-byte PCM16 WAV container + interleaved LE frames. */
+    def render(id: Long): Array[Byte] = {
+      val nc = channels(id); val sr = rate(id); val n = nSamples(id)
+      val dataLen = n * nc * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(nc.toShort).putInt(sr)
+        .putInt(sr * nc * 2).putShort((nc * 2).toShort).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < n) {
+        var ch = 0
+        while (ch < nc) { bb.putShort(sample(id, ch, i).toShort); ch += 1 }
+        i += 1
+      }
+      bb.array()
+    }
+  }
+
+  /** The audio fixture id range: docs [60, 100) — disjoint from the
+   *  image fixture ids (< 60), so one corpus carries both modalities. */
+  private[ops] def audioIds(s: SparkSession, d: String): Array[Long] =
+    documents(s, d).filter(col("doc_id") >= 60 && col("doc_id") < 100)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+
+  /** Write the bounded WAV fixture corpus (one real RIFF/WAVE file per
+   *  doc in [60,100)) if absent; idempotent like the image twin. */
+  private[ops] def ensureAudioFixtures(s: SparkSession, d: String): String = {
+    val dir = java.nio.file.Paths.get(InferOps.tmpPath("audmedia", d))
+    val ids = audioIds(s, d)
+    val expected = ids.map(id => s"aud_$id.wav").toSet
+    val have: Set[String] =
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val st = java.nio.file.Files.list(dir)
+        try st.iterator().asScala.map(_.getFileName.toString).toSet
+        finally st.close()
+      } else Set.empty
+    if (have != expected) {
+      java.nio.file.Files.createDirectories(dir)
+      have.diff(expected).foreach(n => java.nio.file.Files.delete(dir.resolve(n)))
+      ids.foreach { id =>
+        java.nio.file.Files.write(dir.resolve(s"aud_$id.wav"), AudioPcm.render(id))
+      }
+    }
+    dir.toString
+  }
+
+  /** Per-partition audio decoder — the [[ImageDecoder]] pattern for
+   *  sound: dispatch on RIFF/WAVE magic bytes, decode through the
+   *  JDK's real WAV codec (`javax.sound.sampled.AudioSystem`), then
+   *  walk the decoded PCM frames honoring the container's declared
+   *  byte order and interleaving. */
+  private[ops] final class AudioDecoder {
+    def sniff(bytes: Array[Byte]): String =
+      if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+        bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') "wav"
+      else "unknown"
+
+    /** (sampleRate, channels, nFrames, perChannelSums, peakAbs). */
+    def decode(bytes: Array[Byte]): (Int, Int, Long, Array[Long], Long) = {
+      require(sniff(bytes) == "wav",
+        s"unsupported audio payload (magic sniffed as '${sniff(bytes)}')")
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16,
+          s"expected PCM_SIGNED 16-bit, got $fmt")
+        val nc = fmt.getChannels
+        val pcm = in.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(pcm).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nFrames = pcm.length / (nc * 2)
+        val sums = new Array[Long](nc)
+        var peak = 0L
+        var i = 0
+        while (i < nFrames) {
+          var ch = 0
+          while (ch < nc) {
+            val v = bb.getShort((i * nc + ch) * 2).toLong
+            sums(ch) += v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            ch += 1
+          }
+          i += 1
+        }
+        (fmt.getSampleRate.toInt, nc, nFrames.toLong, sums, peak)
+      } finally in.close()
+    }
+  }
+
+  final case class AudioMeta(audio_id: Long, fmt: String, sample_rate: Long,
+      channels: Long, n_samples: Long, dur_micros: Long,
+      sum_ch0: Long, sum_ch1: Long, peak: Long)
+
+  /** q147: real audio decode — the multimodal audio pillar. The WAV
+   *  fixture corpus rides Spark's distributed `binaryFile` source;
+   *  each partition instantiates one decoder, sniffs the RIFF/WAVE
+   *  magic, decodes genuine PCM through the JDK codec, and emits
+   *  typed waveform metadata (rate / channels / duration) plus exact
+   *  integer per-channel sums and the peak amplitude — the features
+   *  an audio-quality filter (clipping, silence, channel imbalance)
+   *  consumes. Mono files report sum_ch1 = 0. */
+  def q147AudioMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = ensureAudioFixtures(s, d)
+    s.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "aud_(\\d+)\\.", 1).cast("long").as("audio_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val dec = new AudioDecoder
+        it.map { case (id, bytes) =>
+          val (rate, nc, n, sums, peak) = dec.decode(bytes)
+          AudioMeta(id, "wav", rate.toLong, nc.toLong, n,
+            n * 1000000L / rate, sums(0), if (nc > 1) sums(1) else 0L, peak)
+        }
+      }
+      .toDF()
+      .orderBy(col("audio_id"))
+  }
+
+  /** Oracle: recompute every waveform statistic from the closed form —
+   *  independent of the WAV bytes (the q31 protocol). */
+  val q147Sql: String =
+    """WITH ids AS (SELECT doc_id AS id FROM documents
+      |             WHERE doc_id >= 60 AND doc_id < 100),
+      |dim AS (
+      |  SELECT id, 1 + id % 2 AS nc, 8000 * (1 << (id % 3)) AS sr,
+      |         400 + (id * 37) % 229 AS n
+      |  FROM ids),
+      |samp AS (
+      |  SELECT id, nc, sr, n, ch, (i * 73 + ch * 9973 + id * 131) % 4001 - 2000 AS v
+      |  FROM dim,
+      |   LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS ch) gc,
+      |   LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) gi)
+      |SELECT id AS audio_id, 'wav' AS fmt,
+      | CAST(sr AS BIGINT) AS sample_rate, CAST(nc AS BIGINT) AS channels,
+      | CAST(n AS BIGINT) AS n_samples,
+      | CAST(n * 1000000 // sr AS BIGINT) AS dur_micros,
+      | CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_ch0,
+      | CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_ch1,
+      | CAST(max(abs(v)) AS BIGINT) AS peak
+      |FROM samp GROUP BY id, nc, sr, n ORDER BY audio_id""".stripMargin
 }

@@ -1,8 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions.cosine_sim
 import graft.functions.TopK
 
 /**
@@ -148,5 +150,115 @@ object Retrieval {
       |  SELECT query_id, doc_id, score,
       |   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
       |  FROM scored) r
+      |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q146: hybrid retrieval — BM25 ∪ dense cosine, RRF fusion
+  // ---------------------------------------------------------------
+
+  /** q146: hybrid retrieval with reciprocal-rank fusion (Cormack et
+   *  al. '09, the standard k=60 variant) — the two-tower shape every
+   *  production RAG stack runs: a sparse lexical leg (BM25, q97's
+   *  scorer at k=20) and a dense semantic leg (exact cosine over the
+   *  query docs' own embeddings, q26's contract at k=20), fused by
+   *  summing 1/(60+rank) credit per system and re-ranking.
+   *
+   *  Scale: each leg is an already-audited retrieval shape (BM25's
+   *  pre-shuffle query-term filter; cosine against a broadcast
+   *  query-vector set); the fusion itself touches only the two
+   *  top-k frames — queries × 40 rows, corpus-independent.
+   *
+   *  Determinism: RRF credit is the INTEGER quotient
+   *  1000000000 div (60 + rank) — no doubles anywhere in the fusion,
+   *  so fused scores are exact long sums; ties break on doc_id. */
+  def q146HybridRrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val queries = Queries.toDF("query_id", "term")
+    val sparse = bm25TopK(documents(s, d).select(col("doc_id"), col("text")),
+        queries, 20)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+    // dense leg: the query docs' embeddings probe the corpus — ids
+    // 1..5 are exactly the BM25 query_id domain, so both systems
+    // rank the same id space (doc_id ≡ vec_id in the testdata)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id").between(1, 5))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val dense = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine_sim(col("embedding"), col("qe")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= 20)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rnk"))
+    rrfFuse(Seq(sparse, dense), 10)
+  }
+
+  /** Reciprocal-rank fusion of N (query_id, doc_id, rnk) ranking
+   *  frames: integer credit 10⁹ div (60 + rnk) per system, exact
+   *  long sums, top-k re-rank with doc_id tie-break. */
+  def rrfFuse(legs: Seq[DataFrame], k: Int): DataFrame = {
+    val fused = legs.reduce(_ unionByName _)
+      .select(col("query_id"), col("doc_id"),
+        expr("1000000000 div (60 + rnk)").as("c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf_units"))
+    fused
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_units").desc, col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf_units"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val q146Sql: String =
+    """WITH q(query_id, term) AS (VALUES
+      |  (1,'spark'),(1,'join'),(2,'dup'),(2,'merge'),
+      |  (3,'stream'),(3,'window'),(3,'batch'),(4,'fast'),(4,'sort'),
+      |  (5,'customer'),(5,'order'),(5,'query')),
+      |d AS (SELECT doc_id, len(list_filter(string_split(text,' '), x -> len(x)>0)) AS dl
+      |      FROM documents),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM d),
+      |toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      |tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+      |       FROM toks t JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+      |       GROUP BY t.doc_id, t.term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |contrib AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |   CAST(round(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+      |     * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+      |     * 1000000) AS BIGINT) AS c
+      |  FROM tf JOIN dfreq f USING (term) JOIN q USING (term)
+      |          JOIN d ON tf.doc_id = d.doc_id CROSS JOIN stats s),
+      |sparse AS (
+      |  SELECT query_id, doc_id, rnk FROM (
+      |    SELECT query_id, doc_id,
+      |     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+      |    FROM (SELECT query_id, doc_id, sum(c) AS score
+      |          FROM contrib GROUP BY query_id, doc_id) s0) s1
+      |  WHERE rnk <= 20),
+      |dense AS (
+      |  SELECT query_id, nid AS doc_id, rnk FROM (
+      |    SELECT q2.vec_id AS query_id, c2.vec_id AS nid,
+      |     row_number() OVER (PARTITION BY q2.vec_id ORDER BY
+      |      round(list_dot_product(CAST(q2.embedding AS DOUBLE[]), CAST(c2.embedding AS DOUBLE[]))
+      |        / (sqrt(list_dot_product(CAST(q2.embedding AS DOUBLE[]), CAST(q2.embedding AS DOUBLE[])))
+      |           * sqrt(list_dot_product(CAST(c2.embedding AS DOUBLE[]), CAST(c2.embedding AS DOUBLE[])))), 6)
+      |      DESC, c2.vec_id) AS rnk
+      |    FROM embeddings q2 JOIN embeddings c2
+      |      ON q2.vec_id BETWEEN 1 AND 5 AND c2.vec_id <> q2.vec_id) t
+      |  WHERE rnk <= 20),
+      |u AS (
+      |  SELECT query_id, doc_id, CAST(1000000000 // (60 + rnk) AS BIGINT) AS c FROM sparse
+      |  UNION ALL
+      |  SELECT query_id, doc_id, CAST(1000000000 // (60 + rnk) AS BIGINT) FROM dense),
+      |f AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_units
+      |      FROM u GROUP BY query_id, doc_id)
+      |SELECT query_id, rnk, doc_id, rrf_units FROM (
+      |  SELECT query_id, doc_id, rrf_units,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY rrf_units DESC, doc_id) AS rnk
+      |  FROM f) r
       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixture coverage for q148's integer PageRank: the oracle gate
+  * replays the same arithmetic in DuckDB over the provisioned graph;
+  * these pin the iteration against an independent in-spec replay on
+  * hand-sized graphs and the distribution-independence invariant. */
+class GraphRankSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val M = 1000000000000L
+
+  /** Independent driver-side replay of the exact integer iteration. */
+  private def replay(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = deg.size.toLong
+    val tele = (M * 15L) / (100L * n)
+    var r: Map[Long, Long] = deg.keys.map(_ -> M / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => (r(src) * 85L) / (100L * deg(src)) }.sum
+      }
+      r = deg.keys.map(k => k -> (tele + in.getOrElse(k, 0L))).toMap
+    }
+    r
+  }
+
+  // symmetrized path graph 1–2–3 plus a 4–5 pair: mixed degrees,
+  // two components
+  private val pathEdges: Seq[(Long, Long)] =
+    Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (4L, 5L), (5L, 4L))
+
+  test("pageRank matches an independent integer replay exactly") {
+    val out = Graph.pageRank(pathEdges.toDF("src", "dst"), Graph.Iterations)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == replay(pathEdges, Graph.Iterations))
+  }
+
+  test("the hub of a star graph outranks every leaf") {
+    val star = (2L to 6L).flatMap(l => Seq((1L, l), (l, 1L)))
+    val out = Graph.pageRank(star.toDF("src", "dst"), Graph.Iterations)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((2L to 6L).forall(l => out(1L) > out(l)))
+    assert(out == replay(star, Graph.Iterations))
+  }
+
+  test("result is independent of input partitioning and conserves bounded mass") {
+    val df = pathEdges.toDF("src", "dst")
+    val a = Graph.pageRank(df.repartition(1), Graph.Iterations).collect()
+    val b = Graph.pageRank(df.repartition(7), Graph.Iterations).collect()
+    assert(a.toSeq == b.toSeq)
+    // floor arithmetic only ever loses mass — never exceeds M
+    assert(a.map(_.getLong(2)).sum <= M)
+  }
+}
