@@ -256,7 +256,11 @@ object SparkEntry {
     // multimodal audio: real RIFF/WAVE PCM decode via javax.sound
     "q147_audio_meta" -> (Multimodal.q147AudioMeta _),
     // distributed integer PageRank over the co-purchase part graph
-    "q148_pagerank" -> (Graph.q148PageRank _)
+    "q148_pagerank" -> (Graph.q148PageRank _),
+    // DSIR-style importance resampling weights (hashed n-gram ratio)
+    "q149_importance_weights" -> (Curation.q149ImportanceWeights _),
+    // schema-evolution-tolerant ingest (additive mergeSchema union)
+    "q150_schema_evolution" -> (InferOps.q150SchemaEvolution _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -400,6 +404,8 @@ object SparkEntry {
     "q145_nb_classifier" -> Classify.q145Sql,
     "q146_hybrid_rrf" -> Retrieval.q146Sql,
     "q147_audio_meta" -> Multimodal.q147Sql,
-    "q148_pagerank" -> Graph.q148Sql
+    "q148_pagerank" -> Graph.q148Sql,
+    "q149_importance_weights" -> Curation.q149Sql,
+    "q150_schema_evolution" -> InferOps.q150Sql
   )
 }

@@ -670,4 +670,115 @@ object Curation {
       | w_micro / CAST(sum(w_micro) OVER () AS DOUBLE) AS share,
       | w_micro / CAST(sum(w_micro) OVER () AS DOUBLE) * 10000 AS alloc_10k
       |FROM c ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q149: DSIR-style importance resampling weights
+  // ---------------------------------------------------------------
+
+  /** Feature-hash bucket count for [[q149ImportanceWeights]]. */
+  private val DsirBuckets = 512L
+
+  /** q149: data-selection importance weights (Xie et al.'s DSIR
+   *  shape): score every document by how much more likely its hashed
+   *  unigram features are under a TARGET distribution (here the
+   *  'src1' slice — the "looks like the benchmark" proxy) than under
+   *  the raw-corpus source distribution; keep docs with positive
+   *  log-ratio. The curation step between "crawl everything" and
+   *  "train on what matters".
+   *
+   *  Scale: features are hashed to a FIXED 512-bucket space with the
+   *  native rolling-hash expression (q41's char-poly, DuckDB-mirrored
+   *  via list_reduce), so both n-gram models are 512-row broadcast
+   *  artifacts no matter the corpus size; corpus work is one token
+   *  pass + a broadcast bucket join + one per-doc hash agg. A
+   *  token-free doc keeps weight 0 via the doc-seeded left join (the
+   *  q145 base rule).
+   *
+   *  Determinism: per-bucket log-ratio is ONE canonical
+   *  ln(tgt-ratio) − ln(src-ratio) expression, Laplace-smoothed,
+   *  micro-nat-quantized ONCE; per-doc weights are exact long sums.
+   *  The keep rule is RELATIVE — weight above the corpus's truncated
+   *  mean — because DSIR selects proportionally, not by sign: on a
+   *  near-homogeneous corpus every smoothed log-ratio sum is slightly
+   *  negative (the Laplace mass skews small target slices down), so a
+   *  sign rule degenerates to keep-nothing. The threshold is one
+   *  integer (Σw div N, both engines truncate toward zero); long sums
+   *  hold to ~10¹² docs — beyond that the total needs decimal(38). */
+  def q149ImportanceWeights(s: SparkSession, d: String): DataFrame = {
+    graft.functions.RollingHash.register(s)
+    val base = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val toks = base
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .withColumn("b", pmod(graft.functions.RollingHash.rolling_hash(col("term")),
+        lit(DsirBuckets)))
+    val srcCounts = toks.groupBy(col("b")).agg(count(lit(1)).as("n_src"))
+    val tgtCounts = toks.filter(col("source") === "src1")
+      .groupBy(col("b")).agg(count(lit(1)).as("n_tgt"))
+    val totals = toks.agg(
+      count(lit(1)).as("t_src"),
+      count(when(col("source") === "src1", 1)).as("t_tgt"))
+    val lr = srcCounts.join(tgtCounts, Seq("b"), "left").crossJoin(broadcast(totals))
+      .withColumn("lr_micro",
+        round((log((coalesce(col("n_tgt"), lit(0L)) + lit(1)).cast("double") /
+            (col("t_tgt") + lit(DsirBuckets))) -
+          log((col("n_src") + lit(1)).cast("double") /
+            (col("t_src") + lit(DsirBuckets)))) * 1000000).cast("long"))
+      .select(col("b"), col("lr_micro"))
+    val perDoc = toks.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr_micro")).as("w_micro"))
+    val weights = base.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("w_micro"), lit(0L)).as("weight_micro"))
+    // one global integer threshold: truncated mean of all weights
+    val stats = weights.agg(sum(col("weight_micro")).as("s"),
+      count(lit(1)).as("n"))
+      .select(expr("s div n").as("thr"))
+    weights.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("n_tokens"), col("weight_micro"),
+        (col("weight_micro") > col("thr")).cast("int").cast("long").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q149Sql: String =
+    """WITH base AS (SELECT doc_id, source, text FROM documents),
+      |toks AS (
+      |  SELECT doc_id, source,
+      |   list_reduce(
+      |     list_prepend(7::BIGINT,
+      |       list_transform(
+      |         list_filter(string_split_regex(t.term, ''), x -> x <> ''),
+      |         x -> unicode(x)::BIGINT)),
+      |     (acc, c) -> (acc * 31 + c) % 2147483647) % 512 AS b
+      |  FROM base, LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+      |  WHERE length(t.term) > 0),
+      |srcc AS (SELECT b, CAST(count(*) AS BIGINT) AS n_src FROM toks GROUP BY b),
+      |tgtc AS (SELECT b, CAST(count(*) AS BIGINT) AS n_tgt FROM toks
+      |         WHERE source = 'src1' GROUP BY b),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS t_src,
+      |         CAST(count(CASE WHEN source = 'src1' THEN 1 END) AS BIGINT) AS t_tgt
+      |        FROM toks),
+      |lr AS (
+      |  SELECT s.b,
+      |   CAST(round((ln(CAST(coalesce(g.n_tgt, 0) + 1 AS DOUBLE) / (t.t_tgt + 512))
+      |             - ln(CAST(s.n_src + 1 AS DOUBLE) / (t.t_src + 512))) * 1000000)
+      |     AS BIGINT) AS lr_micro
+      |  FROM srcc s LEFT JOIN tgtc g USING (b) CROSS JOIN tot t),
+      |pd AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |   CAST(sum(lr.lr_micro) AS BIGINT) AS w_micro
+      |  FROM toks JOIN lr USING (b) GROUP BY doc_id),
+      |w AS (
+      |  SELECT b0.doc_id,
+      |   coalesce(pd.n_tokens, 0) AS n_tokens,
+      |   coalesce(pd.w_micro, 0) AS weight_micro
+      |  FROM (SELECT doc_id FROM base) b0
+      |  LEFT JOIN pd USING (doc_id)),
+      |thr AS (SELECT CAST(sum(weight_micro) // count(*) AS BIGINT) AS thr FROM w)
+      |SELECT w.doc_id, w.n_tokens, w.weight_micro,
+      | CAST(CASE WHEN w.weight_micro > t.thr THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM w CROSS JOIN thr t ORDER BY w.doc_id""".stripMargin
 }

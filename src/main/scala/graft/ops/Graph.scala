@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Distributed graph analytics over relational edge lists. The first
@@ -48,8 +49,15 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int = Iterations): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // materialize the (src, dst, deg) frame once; every iteration —
-    // and the final deg join — re-reads this, never the base scan
-    val e = edges.join(deg, "src").localCheckpoint()
+    // and the final deg join — re-reads this, never the base scan.
+    // DISK_ONLY: the edge frame is DATA-sized (hundreds of millions
+    // of rows at the 100× octave) — memory-resident blocks pinned
+    // storage while the per-iteration hash aggregate wanted execution
+    // memory and OOM'd a 16g heap at 100×; serialized-on-disk blocks
+    // cost one read per iteration and leave the unified pool to the
+    // aggregate. The vertex-sized ranks below stay memory-resident.
+    val e = edges.join(deg, "src")
+      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
     val n = e.select(col("src")).distinct().count()
     if (n == 0)
       return e.select(col("src").as("node"), lit(0L).as("deg"),

@@ -271,4 +271,46 @@ object InferOps {
     """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
       |FROM lineitem WHERE l_discount > 0.05
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q150: schema-evolution-tolerant ingest — the long-lived-dataset
+   *  reality: an early snapshot was written BEFORE a column existed,
+   *  a later one after. Snapshot v1 (even order keys) omits
+   *  o_orderstatus; v2 (odd keys) carries it. One `mergeSchema` read
+   *  over the batch-partitioned layout unifies them — v1 rows surface
+   *  a NULL status — and the aggregate runs over the union. Additive
+   *  (new-column) evolution only: that is what parquet schema merge
+   *  guarantees; type WIDENING is a rewrite, not a merge (documented
+   *  divergence from systems that upcast on read).
+   *
+   *  Scale: schema merge reads FOOTERS, not data (and respects
+   *  spark.sql.parquet.mergeSchema semantics — per-file schemas union
+   *  on the driver); the data path stays a plain partitioned parquet
+   *  scan with pushdown intact. The oracle recomputes the identical
+   *  union from the source table (the q33/q67 lossless-roundtrip
+   *  protocol: no oracle dependency on scratch paths). */
+  def q150SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpPath("evolve", d)
+    val o = orders(s, d)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.cents(col("o_totalprice"))).as("sum_cents"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q150Sql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+      |        ELSE o_orderstatus END AS o_orderstatus,
+      | count(*) AS n,
+      | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 }
