@@ -260,7 +260,15 @@ object SparkEntry {
     // DSIR-style importance resampling weights (hashed n-gram ratio)
     "q149_importance_weights" -> (Curation.q149ImportanceWeights _),
     // schema-evolution-tolerant ingest (additive mergeSchema union)
-    "q150_schema_evolution" -> (InferOps.q150SchemaEvolution _)
+    "q150_schema_evolution" -> (InferOps.q150SchemaEvolution _),
+    // intra-doc repetition filters (Gopher-style word/bigram shares)
+    "q151_repetition_filter" -> (TextAnalysis.q151RepetitionFilter _),
+    // hard-negative mining: top-k cross-label cosine neighbors
+    "q152_hard_negatives" -> (Similarity.q152HardNegatives _),
+    // CDC extract: snapshot diff into an insert/update/delete set
+    "q153_snapshot_diff" -> (MergeOps.q153SnapshotDiff _),
+    // phrase search over a positional inverted index
+    "q154_phrase_search" -> (Retrieval.q154PhraseSearch _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -406,6 +414,10 @@ object SparkEntry {
     "q147_audio_meta" -> Multimodal.q147Sql,
     "q148_pagerank" -> Graph.q148Sql,
     "q149_importance_weights" -> Curation.q149Sql,
-    "q150_schema_evolution" -> InferOps.q150Sql
+    "q150_schema_evolution" -> InferOps.q150Sql,
+    "q151_repetition_filter" -> TextAnalysis.q151Sql,
+    "q152_hard_negatives" -> Similarity.q152Sql,
+    "q153_snapshot_diff" -> MergeOps.q153Sql,
+    "q154_phrase_search" -> Retrieval.q154Sql
   )
 }

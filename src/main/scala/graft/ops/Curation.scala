@@ -712,15 +712,18 @@ object Curation {
       .filter(length(col("term")) > 0)
       .withColumn("b", pmod(graft.functions.RollingHash.rolling_hash(col("term")),
         lit(DsirBuckets)))
-    val srcCounts = toks.groupBy(col("b")).agg(count(lit(1)).as("n_src"))
-    val tgtCounts = toks.filter(col("source") === "src1")
-      .groupBy(col("b")).agg(count(lit(1)).as("n_tgt"))
-    val totals = toks.agg(
-      count(lit(1)).as("t_src"),
-      count(when(col("source") === "src1", 1)).as("t_tgt"))
-    val lr = srcCounts.join(tgtCounts, Seq("b"), "left").crossJoin(broadcast(totals))
+    // BOTH n-gram models from ONE token pass: n_src and the src1-
+    // conditional n_tgt fold into the same 512-bucket hash aggregate,
+    // and the totals reduce the 512-row model, not the corpus — the
+    // corpus is exploded exactly twice (model fit + per-doc scoring)
+    val bucketCounts = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("n_src"),
+      count(when(col("source") === "src1", 1)).as("n_tgt"))
+    val totals = bucketCounts.agg(
+      sum(col("n_src")).as("t_src"), sum(col("n_tgt")).as("t_tgt"))
+    val lr = bucketCounts.crossJoin(broadcast(totals))
       .withColumn("lr_micro",
-        round((log((coalesce(col("n_tgt"), lit(0L)) + lit(1)).cast("double") /
+        round((log((col("n_tgt") + lit(1)).cast("double") /
             (col("t_tgt") + lit(DsirBuckets))) -
           log((col("n_src") + lit(1)).cast("double") /
             (col("t_src") + lit(DsirBuckets)))) * 1000000).cast("long"))

@@ -292,4 +292,59 @@ object MergeOps {
       | AND CAST(o.o_orderdate AS DATE) >= dm.eff_from
       | AND CAST(o.o_orderdate AS DATE) < dm.eff_to
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q153: CDC extract — diff two snapshots into a change set
+  // ---------------------------------------------------------------
+
+  /** q153: change-data-capture EXTRACT — the inverse direction of
+   *  q84 (which APPLIES a change set): given two keyed snapshots of
+   *  the orders table, emit the minimal insert/update/delete set that
+   *  turns v1 into v2. Snapshots derive deterministically from the
+   *  source table (v1 omits the %10==7 residue, v2 omits %10==3 and
+   *  bumps every %5==0 price by 500 cents) so the oracle replays the
+   *  identical derivation — no scratch-path dependency.
+   *
+   *  Scale: ONE full-outer join co-partitioned on the key plus a
+   *  row-local classification — at 100 TB both snapshots are bucketed
+   *  by key and the join is shuffle-free; unchanged rows (the vast
+   *  majority in real CDC) are filtered before the presentation sort.
+   *  All prices compare as exact integer cents (the q01 rule), so
+   *  "changed" is never a floating-point judgement. */
+  def q153SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      Tables.cents(col("o_totalprice")).as("cents"))
+    val v1 = o.filter(pmod(col("o_orderkey"), lit(10)) =!= 7)
+      .select(col("o_orderkey").as("k1"), col("cents").as("old_cents"))
+    val v2 = o.filter(pmod(col("o_orderkey"), lit(10)) =!= 3)
+      .select(col("o_orderkey").as("k2"),
+        (col("cents") + when(pmod(col("o_orderkey"), lit(5)) === 0, 500L)
+          .otherwise(0L)).as("new_cents"))
+    v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .withColumn("change",
+        when(col("k1").isNull, "insert")
+          .when(col("k2").isNull, "delete")
+          .when(col("old_cents") =!= col("new_cents"), "update"))
+      .filter(col("change").isNotNull)
+      .select(coalesce(col("k1"), col("k2")).as("o_orderkey"),
+        col("change"), col("old_cents"), col("new_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q153Sql: String =
+    """WITH o AS (SELECT o_orderkey,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |v1 AS (SELECT o_orderkey AS k1, cents AS old_cents FROM o
+      |       WHERE o_orderkey % 10 <> 7),
+      |v2 AS (SELECT o_orderkey AS k2,
+      |  cents + CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END AS new_cents
+      |  FROM o WHERE o_orderkey % 10 <> 3)
+      |SELECT coalesce(k1, k2) AS o_orderkey,
+      | CASE WHEN k1 IS NULL THEN 'insert'
+      |      WHEN k2 IS NULL THEN 'delete'
+      |      WHEN old_cents <> new_cents THEN 'update' END AS change,
+      | old_cents, new_cents
+      |FROM v1 FULL OUTER JOIN v2 ON k1 = k2
+      |WHERE (k1 IS NULL OR k2 IS NULL OR old_cents <> new_cents)
+      |ORDER BY o_orderkey""".stripMargin
 }

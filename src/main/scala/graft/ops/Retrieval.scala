@@ -261,4 +261,64 @@ object Retrieval {
       |   row_number() OVER (PARTITION BY query_id ORDER BY rrf_units DESC, doc_id) AS rnk
       |  FROM f) r
       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q154: phrase search over a positional inverted index
+  // ---------------------------------------------------------------
+
+  /** q154: exact-phrase search the inverted-index way — the corpus's
+   *  hottest bigram (count desc, phrase asc — deterministic) becomes
+   *  the query phrase; matches come from POSITIONAL POSTINGS
+   *  (term, doc_id, pos) self-joined on (doc_id, pos+1), never from
+   *  re-scanning text. Positions are 1-based on both engines.
+   *
+   *  Scale: at 100 TB the postings frame is the durable inverted
+   *  index bucketed BY TERM — a phrase query reads |phrase| term
+   *  shards and joins them co-partitioned on doc_id, touching
+   *  posting-list bytes, not corpus bytes. Here the phrase-selection
+   *  stage is corpus-wide by design (it picks the demo query); the
+   *  1-row winner broadcasts back, so the search leg's plan is the
+   *  production one. Overlapping occurrences count individually
+   *  (position pairs), matching the window-replay oracle exactly. */
+  def q154PhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "term")))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("term"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val hot = toks.withColumn("nxt", lead(col("term"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("term").as("w1"), col("nxt").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+      .limit(1)
+    val p1 = toks.join(broadcast(hot), col("term") === col("w1"))
+      .select(col("doc_id"), col("pos"), col("w1"), col("w2"))
+    val p2 = toks.select(col("doc_id").as("d2"), col("pos").as("q"), col("term").as("t2"))
+    p1.join(p2, col("doc_id") === col("d2") && col("q") === col("pos") + 1 &&
+        col("t2") === col("w2"))
+      .groupBy(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("phrase"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q154Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |   CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+      |  FROM documents),
+      |t2 AS (SELECT * FROM toks WHERE term <> ''),
+      |adj AS (
+      |  SELECT doc_id, term, pos,
+      |   lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |  FROM t2
+      |  QUALIFY lead(term) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
+      |hot AS (
+      |  SELECT term AS w1, nxt AS w2, count(*) AS c FROM adj
+      |  GROUP BY 1, 2 ORDER BY c DESC, w1, w2 LIMIT 1)
+      |SELECT a.doc_id, h.w1 || ' ' || h.w2 AS phrase,
+      | CAST(count(*) AS BIGINT) AS n_hits,
+      | CAST(min(a.pos) AS BIGINT) AS first_pos
+      |FROM adj a JOIN hot h ON a.term = h.w1 AND a.nxt = h.w2
+      |GROUP BY 1, 2 ORDER BY a.doc_id""".stripMargin
 }

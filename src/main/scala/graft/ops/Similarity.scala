@@ -755,4 +755,52 @@ object Similarity {
     }.toDF("qid", "nid", "adc")
     pqShortlistRerank(e, scored)
   }
+
+  // ---------------------------------------------------------------
+  // q152: hard-negative mining for contrastive training
+  // ---------------------------------------------------------------
+
+  /** q152: hard-negative mining — for each query vector, the top-5
+   *  most-cosine-similar vectors whose LABEL differs (the "looks the
+   *  same, means something else" candidates a contrastive or reranker
+   *  training set wants as negatives). The q26 exact-knn shape with a
+   *  label-disagreement predicate pushed into the join condition, so
+   *  same-label pairs never reach the scorer.
+   *
+   *  Scale: identical to q26's — the bounded query set broadcasts,
+   *  the corpus streams once; swap the brute leg for the IVF/PQ probe
+   *  (q37/q89) when the corpus outgrows a scan, the label predicate
+   *  composes unchanged. round(…, 6) is fine here: cosine is
+   *  irrational, the rational-rounding hazard doesn't apply. */
+  def q152HardNegatives(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("q_label"))
+    val ranked = e.join(broadcast(q), col("label") =!= col("q_label"))
+      .withColumn("sim", round(cosine_sim(col("embedding"), col("qe")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= 5)
+    ranked.select(col("qid"), col("rnk"), col("vec_id").as("nid"),
+        col("q_label").cast("long").as("q_label"),
+        col("label").cast("long").as("n_label"), col("sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val q152Sql: String =
+    """SELECT qid, rnk, nid, q_label, n_label, sim FROM (
+      | SELECT qid, nid, q_label, n_label, sim,
+      |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+      | FROM (
+      |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |   CAST(q.label AS BIGINT) AS q_label, CAST(c.label AS BIGINT) AS n_label,
+      |   round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+      |     / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+      |        * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS sim
+      |  FROM embeddings q JOIN embeddings c
+      |   ON q.vec_id < 10 AND c.label <> q.label) p) t
+      |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 }

@@ -740,4 +740,108 @@ object TextAnalysis {
       |FROM c2 JOIN c1 ca ON c2.w = ca.w JOIN c1 cb ON c2.w2 = cb.w,
       |     n1, n2
       |ORDER BY pmi_micro DESC, c2.w, c2.w2 LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q151: intra-document repetition filters (Gopher-style)
+  // ---------------------------------------------------------------
+
+  /** q151: the Rae et al. (Gopher) repetition family at word
+   *  granularity — per document: most-frequent-word share, the
+   *  fraction of bigram occurrences belonging to a repeated bigram,
+   *  and the distinct-word ratio, plus the composite rep_flag a
+   *  curation pass drops on. Complements q29 (aggregate signal
+   *  quality) and q70 (CROSS-doc duplicate n-grams): this one is
+   *  strictly WITHIN-doc repetition.
+   *
+   *  Scale: two hash aggregations keyed by (doc_id, term) /
+   *  (doc_id, bigram) plus one per-doc window for bigram adjacency —
+   *  all work is proportional to token count, partitions are
+   *  doc-bounded, nothing is corpus². Fractions ship as RAW divisions
+   *  of exact longs (the determinism rule: identical integer inputs →
+   *  bit-identical doubles in both engines; no rounding of rationals).
+   *  Token-free docs surface zeros/flag-false via the doc-seeded left
+   *  join. Thresholds (0.12 / 0.10 / 0.35) sit at the corpus p75-p90
+   *  so the flag genuinely splits the provisioned distribution. */
+  def q151RepetitionFilter(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val toks = base
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    val wc = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val perDoc = wc.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_words"),
+      max(col("c")).as("max_word_count"),
+      count(lit(1)).as("n_distinct"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bc = toks.withColumn("nxt", lead(col("term"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("term"), col("nxt")).as("bg"))
+      .agg(count(lit(1)).as("c"))
+    val bd = bc.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_bigrams"),
+      sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_bigrams"))
+    base.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .join(bd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("max_word_count"), lit(0L)).as("max_word_count"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("dup_bigrams"), lit(0L)).as("dup_bigrams"))
+      .withColumn("top_word_frac",
+        col("max_word_count") / greatest(col("n_words"), lit(1L)))
+      .withColumn("dup_bigram_frac",
+        col("dup_bigrams") / greatest(col("n_bigrams"), lit(1L)))
+      .withColumn("rep_flag",
+        (col("n_words") > 0 &&
+          (col("top_word_frac") > 0.12 || col("dup_bigram_frac") > 0.10 ||
+            col("n_distinct") / col("n_words").cast("double") < 0.35))
+          .cast("int").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q151Sql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |   generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM base),
+      |t2 AS (SELECT * FROM toks WHERE term <> ''),
+      |wc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+      |       FROM t2 GROUP BY 1, 2),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+      |   CAST(max(c) AS BIGINT) AS max_word_count,
+      |   CAST(count(*) AS BIGINT) AS n_distinct
+      |  FROM wc GROUP BY 1),
+      |big AS (
+      |  SELECT doc_id, term || ' ' || lead(term) OVER
+      |    (PARTITION BY doc_id ORDER BY pos) AS bg
+      |  FROM t2
+      |  QUALIFY lead(term) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
+      |bc AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+      |       FROM big GROUP BY 1, 2),
+      |bd AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |   CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_bigrams
+      |  FROM bc GROUP BY 1)
+      |SELECT b.doc_id,
+      | coalesce(p.n_words, 0) AS n_words,
+      | coalesce(p.n_distinct, 0) AS n_distinct,
+      | coalesce(p.max_word_count, 0) AS max_word_count,
+      | coalesce(d.n_bigrams, 0) AS n_bigrams,
+      | coalesce(d.dup_bigrams, 0) AS dup_bigrams,
+      | coalesce(p.max_word_count, 0) * 1.0
+      |   / greatest(coalesce(p.n_words, 0), 1) AS top_word_frac,
+      | coalesce(d.dup_bigrams, 0) * 1.0
+      |   / greatest(coalesce(d.n_bigrams, 0), 1) AS dup_bigram_frac,
+      | CAST(CASE WHEN coalesce(p.n_words, 0) > 0 AND (
+      |    coalesce(p.max_word_count, 0) * 1.0 / greatest(coalesce(p.n_words, 0), 1) > 0.12
+      |    OR coalesce(d.dup_bigrams, 0) * 1.0 / greatest(coalesce(d.n_bigrams, 0), 1) > 0.10
+      |    OR coalesce(p.n_distinct, 0) * 1.0 / p.n_words < 0.35)
+      |   THEN 1 ELSE 0 END AS BIGINT) AS rep_flag
+      |FROM (SELECT doc_id FROM base) b
+      |LEFT JOIN perdoc p USING (doc_id)
+      |LEFT JOIN bd d USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
 }

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixture coverage for q151 (intra-doc repetition filters), q152
+  * (hard-negative mining) and q153 (CDC snapshot diff) — the oracle
+  * gates cover the provisioned corpus; these pin the algebra on
+  * hand-built inputs where every expected value is derivable by eye. */
+class RepCdcSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def stage(tag: String)(write: String => Unit): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+    write(dir); dir
+  }
+
+  test("repetition filter: word share, dup-bigram share, flag reasons") {
+    val dir = stage("rep") { d =>
+      Seq(
+        // "a a a a b": top word 4/5 = 0.8 > .12; bigrams a-a a-a a-a a-b
+        // -> dup 3/4 > .10 -> flagged on both ratio rules
+        (1L, "a a a a b"),
+        // all-distinct 10 words, no repeated bigram: top 1/10 < .12,
+        // dup 0, distinct 1.0 -> clean
+        (2L, "q r s t u v w x y z"),
+        // empty doc -> zeros, not flagged
+        (3L, ""),
+        // single word: no bigrams; top 1/1 = 1.0 > .12 -> flagged
+        (4L, "solo"))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    }
+    val out = TextAnalysis.q151RepetitionFilter(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7), r.getLong(8)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 2L, 4L, 4L, 3L, 0.8, 0.75, 1L),
+      (2L, 10L, 10L, 1L, 9L, 0L, 0.1, 0.0, 0L),
+      (3L, 0L, 0L, 0L, 0L, 0L, 0.0, 0.0, 0L),
+      (4L, 1L, 1L, 1L, 0L, 0L, 1.0, 0.0, 1L)))
+  }
+
+  test("hard negatives: only cross-label candidates rank, self excluded by label") {
+    val dir = stage("hardneg") { d =>
+      // qid 0 (label 0): cross-label candidates are 10 (close) and 11
+      // (orthogonal); 12 shares label 0 and must never appear.
+      Seq(
+        (0L, Array(1.0f, 0.0f), 0),
+        (10L, Array(0.9f, 0.1f), 1),
+        (11L, Array(0.0f, 1.0f), 1),
+        (12L, Array(1.0f, 0.01f), 0))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    }
+    val out = Similarity.q152HardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // q0 sees exactly 10 then 11; neither same-label vec ranks
+    assert(out.toSeq == Seq((0L, 1L, 10L, 0L, 1L), (0L, 2L, 11L, 0L, 1L)))
+  }
+
+  test("phrase search: hottest bigram wins ties by name, overlaps count, positions 1-based") {
+    val dir = stage("phrase") { d =>
+      // bigram counts: "a a" x3 (doc 1 overlapping) + 0 elsewhere;
+      // "b c" x2 (docs 2, 3). Hottest = "a a".
+      Seq(
+        (1L, "a a a a"),     // positions 1..4 -> pairs at 1,2,3
+        (2L, "b c x"),
+        (3L, "y b c"))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    }
+    val out = Retrieval.q154PhraseSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "a a", 3L, 1L)))
+  }
+
+  test("snapshot diff classifies insert/update/delete and drops unchanged") {
+    val dir = stage("cdc") { d =>
+      // keys: 3 -> delete (absent from v2), 7 -> insert (absent from
+      // v1), 5 & 10 -> update (+500 cents), 1 -> unchanged (dropped)
+      Seq((1L, 10.0), (3L, 30.0), (5L, 50.0), (7L, 70.0), (10L, 100.0))
+        .toDF("o_orderkey", "o_totalprice")
+        .withColumn("o_custkey", lit(1L))
+        .withColumn("o_orderstatus", lit("O"))
+        .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    }
+    val out = MergeOps.q153SnapshotDiff(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      (3L, "delete", Some(3000L), None),
+      (5L, "update", Some(5000L), Some(5500L)),
+      (7L, "insert", None, Some(7000L)),
+      (10L, "update", Some(10000L), Some(10500L))))
+  }
+}
