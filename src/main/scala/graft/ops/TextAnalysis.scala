@@ -18,25 +18,48 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
   import Tables._
 
-  // every count is cast to BIGINT: Spark's regexp_count/length return
-  // INT while DuckDB returns BIGINT — outputs must agree for the
-  // driver's schema check
-  def tokenCount(c: Column): Column =
-    regexp_count(c, lit("\\S+")).cast("long")
+  // the hot text counters are ONE fused native scan (TextScan.scala)
+  // instead of a regex pass per signal — the regex formulations remain
+  // the SEMANTIC CONTRACT (the DuckDB oracle runs them; TextScanSpec
+  // pins the equivalence property-wise). All outputs are BIGINT to
+  // match DuckDB's widths.
+  private def regScan(): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      graft.functions.TextCounts.register(s)
+      graft.functions.WordHits.register(s)
+    }
 
-  /** Total whole-word hits for ANY of `words` in ONE text scan: a
-   *  single alternation regex replaces the per-word regexp_count pass
-   *  (16+ scans/row across q28/q29/q54 before). Counts are identical
-   *  to summed per-word counts — every word occurrence matches exactly
-   *  one alternative and consumes the whole word, so alternatives
-   *  can't overlap. */
-  def markerScore(c: Column, words: Seq[String]): Column =
-    regexp_count(c, lit(words.mkString("\\b(", "|", ")\\b"))).cast("long")
+  /** ≡ `regexp_count(c, "\\S+")`: maximal non-whitespace runs. */
+  def tokenCount(c: Column): Column = {
+    regScan()
+    graft.functions.TextCounts.text_counts(c).getField("n_words")
+  }
+
+  /** Total whole-word hits for ANY of `words` in ONE text scan —
+   *  ≡ `regexp_count(c, "\\b(w1|w2|…)\\b")` for word-char-only
+   *  markers: every occurrence is a maximal word-char run equal to
+   *  one marker, so alternatives can't overlap and the set-membership
+   *  scan counts exactly what the alternation regex counts. */
+  def markerScore(c: Column, words: Seq[String]): Column = {
+    regScan()
+    graft.functions.WordHits.word_hits(c, words)
+  }
 
   /** Quality-score building blocks, shared with CorpusPipeline. */
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
-  def punctCount(c: Column): Column =
-    regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("long")
+
+  /** ≡ `regexp_count(c, "[^A-Za-z0-9\\s]")`. */
+  def punctCount(c: Column): Column = {
+    regScan()
+    graft.functions.TextCounts.text_counts(c).getField("n_punct")
+  }
+
+  /** ≡ `regexp_count(c, "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")` — the
+   *  BPE-ish tokenizer: greedy letter runs + single digits + punct. */
+  def bpeTokenCount(c: Column): Column = {
+    regScan()
+    graft.functions.TextCounts.text_counts(c).getField("bpe_tokens")
+  }
   /** The ONE quality formula, over precomputed signal columns —
     * qualityScore (q54) and q29 both route through it so the two
     * surfaces cannot drift. */
@@ -169,7 +192,7 @@ object TextAnalysis {
     documents(s, d).select(
       col("doc_id"),
       tokenCount(col("text")).as("ws_tokens"),
-      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long").as("bpe_tokens"),
+      bpeTokenCount(col("text")).as("bpe_tokens"),
       length(col("text")).cast("long").as("len"))
       .withColumn("tokens_per_100chars",
         col("bpe_tokens") * lit(100.0) / greatest(col("len"), lit(1)))
