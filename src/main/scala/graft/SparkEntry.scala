@@ -268,7 +268,11 @@ object SparkEntry {
     // CDC extract: snapshot diff into an insert/update/delete set
     "q153_snapshot_diff" -> (MergeOps.q153SnapshotDiff _),
     // phrase search over a positional inverted index
-    "q154_phrase_search" -> (Retrieval.q154PhraseSearch _)
+    "q154_phrase_search" -> (Retrieval.q154PhraseSearch _),
+    // int8 embedding quantization with a certified error bound
+    "q155_int8_quant" -> (Similarity.q155Int8Quant _),
+    // curriculum ordering: exact global positions, no global window
+    "q156_curriculum_order" -> (Curation.q156CurriculumOrder _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -418,6 +422,8 @@ object SparkEntry {
     "q151_repetition_filter" -> TextAnalysis.q151Sql,
     "q152_hard_negatives" -> Similarity.q152Sql,
     "q153_snapshot_diff" -> MergeOps.q153Sql,
-    "q154_phrase_search" -> Retrieval.q154Sql
+    "q154_phrase_search" -> Retrieval.q154Sql,
+    "q155_int8_quant" -> Similarity.q155Sql,
+    "q156_curriculum_order" -> Curation.q156Sql
   )
 }

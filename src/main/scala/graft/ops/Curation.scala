@@ -784,4 +784,78 @@ object Curation {
       |SELECT w.doc_id, w.n_tokens, w.weight_micro,
       | CAST(CASE WHEN w.weight_micro > t.thr THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM w CROSS JOIN thr t ORDER BY w.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q156: curriculum ordering — exact global positions, no global
+  // window
+  // ---------------------------------------------------------------
+
+  /** q156: curriculum ordering for training — every document gets its
+   *  exact 0-based GLOBAL position in the (quality_score DESC, doc_id)
+   *  order, plus the epoch-stable shard that position lands in. The
+   *  order is the "clean data first" curriculum a staged training run
+   *  consumes; the position must be deterministic and reproducible
+   *  across re-runs and engines.
+   *
+   *  Scale design — the whole point of this operator: the naive
+   *  formulation is `row_number() OVER (ORDER BY ...)`, a GLOBAL
+   *  window that Spark executes as a SINGLE partition holding the
+   *  entire corpus — the canonical 100 TB plan-killer. Instead:
+   *    1. `repartitionByRange` on the sort key (range exchange —
+   *       the same shuffle a global sort pays, ~corpus/P per task),
+   *    2. one tiny aggregate of per-partition row counts (P rows,
+   *       P = shuffle partitions) collected and prefix-summed on the
+   *       driver — driver work is O(P), never O(rows),
+   *    3. one narrow `mapPartitions` pass that adds the partition's
+   *       offset to its local running index (order inside a range
+   *       partition is guaranteed by `sortWithinPartitions`).
+   *  Tie-safety: the composite key (score, doc_id) is UNIQUE, so
+   *  positions are a total order independent of where the sampled
+   *  range bounds fall. The frame is localCheckpoint-materialized so
+   *  the count pass and the stamping pass see the SAME physical
+   *  partitioning (and the range shuffle runs once).
+   *
+   *  The quality key reuses q29's integer quality formula (one fused
+   *  TextCounts scan), so curriculum and quality-gate semantics
+   *  cannot drift. */
+  def q156CurriculumOrder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keyed = documents(s, d).select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality_score"))
+    val parted = keyed
+      .repartitionByRange(col("quality_score").desc, col("doc_id"))
+      .sortWithinPartitions(col("quality_score").desc, col("doc_id"))
+      .localCheckpoint(eager = true)
+    val counts = parted.select(spark_partition_id().as("pid"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = parted.rdd.getNumPartitions
+    val offsets = new Array[Long](nParts + 1)
+    (0 until nParts).foreach { p =>
+      offsets(p + 1) = offsets(p) + counts.getOrElse(p, 0L) }
+    val bOffsets = s.sparkContext.broadcast(offsets)
+    parted.as[(Long, Long)].mapPartitions { it =>
+      val base = bOffsets.value(org.apache.spark.TaskContext.getPartitionId())
+      it.zipWithIndex.map { case ((id, q), i) => (id, q, base + i) }
+    }.toDF("doc_id", "quality_score", "position")
+      .withColumn("train_shard", pmod(col("position"), lit(16L)))
+      .orderBy(col("position"))
+  }
+
+  val q156Sql: String = {
+    val stop = TextAnalysis.StopWords
+      .map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))")
+      .mkString(" + ")
+    s"""WITH q AS (
+      |  SELECT doc_id,
+      |   CAST(least(len(regexp_extract_all(text, '[^ \\t\\n\\v\\f\\r]+')), 100)
+      |        + 2*($stop)
+      |        - len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\v\\f\\r]')) AS BIGINT)
+      |     AS quality_score
+      |  FROM documents)
+      |SELECT doc_id, quality_score,
+      | row_number() OVER (ORDER BY quality_score DESC, doc_id) - 1 AS position,
+      | (row_number() OVER (ORDER BY quality_score DESC, doc_id) - 1) % 16 AS train_shard
+      |FROM q ORDER BY position""".stripMargin
+  }
 }

@@ -790,6 +790,83 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  // ---------------------------------------------------------------
+  // q155: int8 embedding quantization with a certified error bound
+  // ---------------------------------------------------------------
+
+  /** q155: symmetric absmax int8 quantization of the embedding
+   *  column — the 4× storage/bandwidth reduction an embedding store
+   *  takes before ANN at the 100 TB scale (the PQ leg (q89) compresses
+   *  harder but lossier; int8 is the "keep re-rankable fidelity"
+   *  tier). Per vector: scale = absmax/127, code_i =
+   *  floor(x_i/scale + 0.5) ∈ [-127, 127], plus a SELF-CERTIFYING
+   *  reconstruction audit: max |x_i − code_i·scale| must sit under
+   *  scale/2 (+1 ulp slack), shipped as the err_ok gate column.
+   *
+   *  Determinism (oracle-hashed, not rows-only): float→double widening
+   *  is exact, every per-element op (divide, +0.5, floor, multiply,
+   *  subtract, abs) is one IEEE double op both engines run
+   *  identically, and the only reductions are exact-integer sums and
+   *  order-free maxes — `round()` half-mode divergence never enters
+   *  (floor(v+0.5) IS the rounding). Zero vectors quantize to zero
+   *  codes with err 0 rather than NaN.
+   *
+   *  Scale: embarrassingly parallel single projection — no shuffle,
+   *  no UDF (array higher-order functions), codes stay with the row
+   *  so the downstream layout write is the same partitioned write the
+   *  IVF path uses. */
+  def q155Int8Quant(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("absmax", array_max(transform(col("embedding"),
+        x => abs(x.cast("double")))))
+      .withColumn("scale", col("absmax") / lit(127.0))
+    val codes = when(col("absmax") === 0.0,
+        transform(col("embedding"), _ => lit(0L)))
+      .otherwise(transform(col("embedding"),
+        x => floor(x.cast("double") / col("scale") + lit(0.5))))
+    val err = when(col("absmax") === 0.0, lit(0.0))
+      .otherwise(array_max(zip_with(col("embedding"), col("codes"),
+        (x, c) => abs(x.cast("double") - c.cast("double") * col("scale")))))
+    e.withColumn("codes", codes)
+      .withColumn("max_abs_err", err)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        col("absmax"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + abs(c)).as("code_l1"),
+        col("max_abs_err"),
+        (col("max_abs_err") <= col("scale") * lit(0.5000000001))
+          .cast("int").cast("long").as("err_ok"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q155Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v,
+      |   list_max(list_transform(v, x -> abs(x))) AS absmax
+      |  FROM e),
+      |q AS (
+      |  SELECT vec_id, v, absmax, absmax / 127.0 AS scale,
+      |   CASE WHEN absmax = 0
+      |    THEN list_transform(v, x -> CAST(0 AS BIGINT))
+      |    ELSE list_transform(v, x -> CAST(floor(x / (absmax / 127.0) + 0.5) AS BIGINT))
+      |   END AS codes
+      |  FROM s)
+      |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims, absmax,
+      | CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS code_sum,
+      | CAST(coalesce(list_sum(list_transform(codes, c -> abs(c))), 0) AS BIGINT) AS code_l1,
+      | CASE WHEN absmax = 0 THEN 0.0
+      |  ELSE list_max(list_transform(range(1, len(v) + 1),
+      |        i -> abs(v[i] - codes[i] * scale)))
+      | END AS max_abs_err,
+      | CAST(CASE WHEN (CASE WHEN absmax = 0 THEN 0.0
+      |   ELSE list_max(list_transform(range(1, len(v) + 1),
+      |         i -> abs(v[i] - codes[i] * scale))) END)
+      |   <= scale * 0.5000000001 THEN 1 ELSE 0 END AS BIGINT) AS err_ok
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val q152Sql: String =
     """SELECT qid, rnk, nid, q_label, n_label, sim FROM (
       | SELECT qid, nid, q_label, n_label, sim,

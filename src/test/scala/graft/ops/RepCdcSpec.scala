@@ -80,6 +80,65 @@ class RepCdcSpec extends AnyFunSuite with SparkSuite {
     assert(out.toSeq == Seq((1L, "a a", 3L, 1L)))
   }
 
+  test("int8 quantization: codes, exact integer sums, certified error bound") {
+    val dir = stage("int8") { d =>
+      Seq(
+        (1L, Array(2.0f, -1.0f, 0.5f), 0),
+        (2L, Array(0.0f, 0.0f), 0), // zero vector: zero codes, err 0, ok
+        (3L, Array(-3.0f), 1))      // single dim: code -127 exactly
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    }
+    val out = Similarity.q155Int8Quant(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6)))
+    // replay the same double arithmetic independently
+    def quant(xs: Array[Float]): (Double, Array[Long], Double) = {
+      val absmax = xs.map(x => math.abs(x.toDouble)).max
+      if (absmax == 0.0) (0.0, xs.map(_ => 0L), 0.0)
+      else {
+        val scale = absmax / 127.0
+        val codes = xs.map(x => math.floor(x.toDouble / scale + 0.5).toLong)
+        val err = xs.zip(codes).map { case (x, c) =>
+          math.abs(x.toDouble - c.toDouble * scale) }.max
+        (absmax, codes, err)
+      }
+    }
+    val exp = Seq(
+      (1L, Array(2.0f, -1.0f, 0.5f)), (2L, Array(0.0f, 0.0f)), (3L, Array(-3.0f)))
+      .map { case (id, xs) =>
+        val (am, cs, er) = quant(xs)
+        (id, xs.length.toLong, am, cs.sum, cs.map(math.abs).sum, er, 1L)
+      }
+    assert(out.toSeq == exp)
+    // the -3.0 single-dim vector must hit the clamp boundary exactly
+    assert(out(2)._4 == -127L && out(2)._5 == 127L)
+  }
+
+  test("curriculum order: exact global positions without a global window") {
+    val dir = stage("curr") { d =>
+      // enough docs to spread across several range partitions, with
+      // deliberate quality ties (identical texts) so tie-breaking by
+      // doc_id is exercised across partition boundaries
+      val docs = (1L to 500L).map { i =>
+        val text = if (i % 7 == 0) "the quick brown fox of the" // tie group
+        else ("word " * (i % 13 + 1).toInt).trim + (if (i % 2 == 0) " the of and." else "")
+        (i, text)
+      }
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    }
+    val out = Curation.q156CurriculumOrder(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent replay: sort collected (score, id) pairs in-memory
+    val expected = out.map(t => (t._1, t._2)).sortBy { case (id, q) => (-q, id) }
+      .zipWithIndex.map { case ((id, q), i) => (id, q, i.toLong, i.toLong % 16) }
+    assert(out.length == 500)
+    assert(out.toSeq == expected.toSeq)
+  }
+
   test("snapshot diff classifies insert/update/delete and drops unchanged") {
     val dir = stage("cdc") { d =>
       // keys: 3 -> delete (absent from v2), 7 -> insert (absent from
