@@ -270,7 +270,11 @@ object Retrieval {
    *  hottest bigram (count desc, phrase asc — deterministic) becomes
    *  the query phrase; matches come from POSITIONAL POSTINGS
    *  (term, doc_id, pos) self-joined on (doc_id, pos+1), never from
-   *  re-scanning text. Positions are 1-based on both engines.
+   *  re-scanning text. Positions are DENSE 1-based indices among the
+   *  non-empty tokens (TextAnalysis.spaceToks — one flatMap pass, no
+   *  posexplode + window sort of the token stream), so `pos + 1` IS
+   *  consecutive-token adjacency on both engines even across repeated
+   *  separators.
    *
    *  Scale: at 100 TB the postings frame is the durable inverted
    *  index bucketed BY TERM — a phrase query reads |phrase| term
@@ -281,14 +285,10 @@ object Retrieval {
    *  production one. Overlapping occurrences count individually
    *  (position pairs), matching the window-replay oracle exactly. */
   def q154PhraseSearch(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "term")))
-      .filter(col("term") =!= "")
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("term"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val hot = toks.withColumn("nxt", lead(col("term"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .groupBy(col("term").as("w1"), col("nxt").as("w2"))
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val toks = TextAnalysis.spaceToks(base)
+    val hot = TextAnalysis.spaceBigrams(base)
+      .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w1"), col("w2"))
       .limit(1)
@@ -303,11 +303,14 @@ object Retrieval {
   }
 
   val q154Sql: String =
-    """WITH toks AS (
+    """WITH toks0 AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
-      |   CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+      |   CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS raw_pos
       |  FROM documents),
-      |t2 AS (SELECT * FROM toks WHERE term <> ''),
+      |t2 AS (
+      |  SELECT doc_id, term,
+      |   row_number() OVER (PARTITION BY doc_id ORDER BY raw_pos) AS pos
+      |  FROM toks0 WHERE term <> ''),
       |adj AS (
       |  SELECT doc_id, term, pos,
       |   lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt

@@ -768,6 +768,39 @@ object TextAnalysis {
   // q151: intra-document repetition filters (Gopher-style)
   // ---------------------------------------------------------------
 
+  /** (doc_id, pos, term) rows — single-space tokens with DENSE
+   *  1-based positions among the NON-EMPTY tokens, produced by one
+   *  typed flatMap per the shingleRows rule. The posexplode +
+   *  per-doc-window formulation this replaces paid a full sort
+   *  shuffle of every token (~10⁸ rows at the 100× octave) just to
+   *  compute adjacency; here adjacency is free at tokenize time and
+   *  dense positions make a `pos + 1` join ≡ consecutive-token
+   *  adjacency regardless of repeated separators (the raw-subscript
+   *  variant silently disagreed with a lead()-based oracle on
+   *  double-space text). */
+  private[ops] def spaceToks(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text0) =>
+        Option(text0).getOrElse("").split(" ", -1).iterator
+          .filter(_.nonEmpty).zipWithIndex
+          .map { case (t, i) => (id, (i + 1).toLong, t) }
+      }.toDF("doc_id", "pos", "term")
+  }
+
+  /** (doc_id, pos, w1, w2) consecutive-token bigrams, pos = dense
+   *  position of w1 — the same one-pass flatMap tokenization. */
+  private[ops] def spaceBigrams(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text0) =>
+        val toks = Option(text0).getOrElse("").split(" ", -1).filter(_.nonEmpty)
+        if (toks.length < 2) Iterator.empty
+        else (0 until toks.length - 1).iterator
+          .map(i => (id, (i + 1).toLong, toks(i), toks(i + 1)))
+      }.toDF("doc_id", "pos", "w1", "w2")
+  }
+
   /** q151: the Rae et al. (Gopher) repetition family at word
    *  granularity — per document: most-frequent-word share, the
    *  fraction of bigram occurrences belonging to a repeated bigram,
@@ -777,28 +810,26 @@ object TextAnalysis {
    *  strictly WITHIN-doc repetition.
    *
    *  Scale: two hash aggregations keyed by (doc_id, term) /
-   *  (doc_id, bigram) plus one per-doc window for bigram adjacency —
-   *  all work is proportional to token count, partitions are
-   *  doc-bounded, nothing is corpus². Fractions ship as RAW divisions
-   *  of exact longs (the determinism rule: identical integer inputs →
-   *  bit-identical doubles in both engines; no rounding of rationals).
-   *  Token-free docs surface zeros/flag-false via the doc-seeded left
-   *  join. Thresholds (0.12 / 0.10 / 0.35) sit at the corpus p75-p90
-   *  so the flag genuinely splits the provisioned distribution. */
+   *  (doc_id, bigram) over one-pass flatMap tokenization — all work
+   *  is proportional to token count, map-side partial aggregation
+   *  shrinks both shuffles to the distinct-key counts, nothing is
+   *  corpus² and nothing sorts the token stream. Fractions ship as
+   *  RAW divisions of exact longs (the determinism rule: identical
+   *  integer inputs → bit-identical doubles in both engines; no
+   *  rounding of rationals). Token-free docs surface zeros/flag-false
+   *  via the doc-seeded left join. Thresholds (0.12 / 0.10 / 0.35)
+   *  sit at the corpus p75-p90 so the flag genuinely splits the
+   *  provisioned distribution. */
   def q151RepetitionFilter(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select(col("doc_id"), col("text"))
-    val toks = base
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
-      .filter(col("term") =!= "")
-    val wc = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val wc = spaceToks(base).groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
     val perDoc = wc.groupBy(col("doc_id")).agg(
       sum(col("c")).as("n_words"),
       max(col("c")).as("max_word_count"),
       count(lit(1)).as("n_distinct"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bc = toks.withColumn("nxt", lead(col("term"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .groupBy(col("doc_id"), concat_ws(" ", col("term"), col("nxt")).as("bg"))
+    val bc = spaceBigrams(base)
+      .groupBy(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("bg"))
       .agg(count(lit(1)).as("c"))
     val bd = bc.groupBy(col("doc_id")).agg(
       sum(col("c")).as("n_bigrams"),

@@ -69,7 +69,8 @@ class RepCdcSpec extends AnyFunSuite with SparkSuite {
       Seq(
         (1L, "a a a a"),     // positions 1..4 -> pairs at 1,2,3
         (2L, "b c x"),
-        (3L, "y b c"))
+        (3L, "y b c"),
+        (4L, "a  a"))        // double space: DENSE positions 1,2 -> a hit
         .toDF("doc_id", "text")
         .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
         .withColumn("n_chars", length(col("text")).cast("long"))
@@ -77,7 +78,7 @@ class RepCdcSpec extends AnyFunSuite with SparkSuite {
     }
     val out = Retrieval.q154PhraseSearch(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    assert(out.toSeq == Seq((1L, "a a", 3L, 1L)))
+    assert(out.toSeq == Seq((1L, "a a", 3L, 1L), (4L, "a a", 1L, 1L)))
   }
 
   test("int8 quantization: codes, exact integer sums, certified error bound") {
