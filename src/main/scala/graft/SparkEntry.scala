@@ -272,7 +272,9 @@ object SparkEntry {
     // int8 embedding quantization with a certified error bound
     "q155_int8_quant" -> (Similarity.q155Int8Quant _),
     // curriculum ordering: exact global positions, no global window
-    "q156_curriculum_order" -> (Curation.q156CurriculumOrder _)
+    "q156_curriculum_order" -> (Curation.q156CurriculumOrder _),
+    // kNN over the int8-quantized store (exact integer dot ranking)
+    "q157_knn_int8" -> (Similarity.q157KnnInt8 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -424,6 +426,7 @@ object SparkEntry {
     "q153_snapshot_diff" -> MergeOps.q153Sql,
     "q154_phrase_search" -> Retrieval.q154Sql,
     "q155_int8_quant" -> Similarity.q155Sql,
-    "q156_curriculum_order" -> Curation.q156Sql
+    "q156_curriculum_order" -> Curation.q156Sql,
+    "q157_knn_int8" -> Similarity.q157Sql
   )
 }

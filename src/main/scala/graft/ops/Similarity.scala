@@ -867,6 +867,85 @@ object Similarity {
       |   <= scale * 0.5000000001 THEN 1 ELSE 0 END AS BIGINT) AS err_ok
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q157: kNN over the int8-quantized embeddings (exact integer dot)
+  // ---------------------------------------------------------------
+
+  /** q157: similarity search over q155's int8 codes — the query the
+   *  quantized store actually serves: score(q, c) =
+   *  codeDot(q, c) · scale_q · scale_c ≈ ⟨x_q, x_c⟩, reading 4× fewer
+   *  bytes per candidate than the float leg. The ranking is
+   *  oracle-HASHED, not rows-only, because nothing in it is
+   *  engine-soft: the code dot is an EXACT long sum (order-free), the
+   *  two scale factors are single IEEE multiplies of identical
+   *  doubles, and ties break on vec_id. This is the q26 broadcast
+   *  shape; at the 100 TB octave the candidate side becomes the
+   *  IVF-partitioned layout (q37) with codes stored per cell — the
+   *  scoring expression composes unchanged.
+   *
+   *  Honest semantics note: this ranks by the QUANTIZED similarity —
+   *  near-ties of the float ranking may legitimately swap; that is
+   *  the accuracy/bandwidth trade int8 stores make, and q155's
+   *  certified per-element error bound is the contract that keeps the
+   *  swap window at scale/2 per dimension. */
+  def q157KnnInt8(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("absmax", array_max(transform(col("embedding"),
+        x => abs(x.cast("double")))))
+      .withColumn("scale", col("absmax") / lit(127.0))
+      .withColumn("codes", when(col("absmax") === 0.0,
+          transform(col("embedding"), _ => lit(0L)))
+        .otherwise(transform(col("embedding"),
+          x => floor(x.cast("double") / col("scale") + lit(0.5)))))
+      .select(col("vec_id"), col("scale"), col("codes"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("scale").as("q_scale"),
+        col("codes").as("q_codes"))
+    val ranked = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("code_dot",
+        aggregate(zip_with(col("codes"), col("q_codes"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("score",
+        col("code_dot").cast("double") * col("scale") * col("q_scale"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= 5)
+    ranked.select(col("qid"), col("rnk"), col("vec_id").as("nid"),
+        col("code_dot"), col("score"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val q157Sql: String =
+    """WITH e0 AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v,
+      |   list_max(list_transform(v, x -> abs(x))) AS absmax
+      |  FROM e0),
+      |e AS (
+      |  SELECT vec_id, absmax / 127.0 AS scale,
+      |   CASE WHEN absmax = 0
+      |    THEN list_transform(v, x -> CAST(0 AS BIGINT))
+      |    ELSE list_transform(v, x -> CAST(floor(x / (absmax / 127.0) + 0.5) AS BIGINT))
+      |   END AS codes
+      |  FROM s),
+      |p AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |   CAST(list_sum(list_transform(range(1, len(c.codes) + 1),
+      |         i -> c.codes[i] * q.codes[i])) AS BIGINT) AS code_dot,
+      |   c.scale AS c_scale, q.scale AS q_scale
+      |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |p2 AS (
+      |  SELECT qid, nid, code_dot,
+      |   CAST(code_dot AS DOUBLE) * c_scale * q_scale AS score
+      |  FROM p)
+      |SELECT qid, rnk, nid, code_dot, score FROM (
+      | SELECT qid, nid, code_dot, score,
+      |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+      | FROM p2) t
+      |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   val q152Sql: String =
     """SELECT qid, rnk, nid, q_label, n_label, sim FROM (
       | SELECT qid, nid, q_label, n_label, sim,

@@ -140,6 +140,29 @@ class RepCdcSpec extends AnyFunSuite with SparkSuite {
     assert(out.toSeq == expected.toSeq)
   }
 
+  test("int8 knn: exact integer code-dot ranking, self excluded") {
+    val dir = stage("i8knn") { d =>
+      // q0 = [1, 0]: codes q=[127,0] scale=1/127. candidates:
+      //  10: [2,0]   codes [127,0]  dot 16129, score 16129/127/127*2 = 2.0
+      //  11: [1,1]   codes [127,127] dot 16129, score ~1.0
+      //  12: [0,3]   codes [0,127]  dot 0
+      Seq(
+        (0L, Array(1.0f, 0.0f), 0),
+        (10L, Array(2.0f, 0.0f), 1),
+        (11L, Array(1.0f, 1.0f), 1),
+        (12L, Array(0.0f, 3.0f), 1))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    }
+    val out = Similarity.q157KnnInt8(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 10L, 16129L), (0L, 2L, 11L, 16129L), (0L, 3L, 12L, 0L)))
+    // 10 and 11 share the integer dot; the SCALE factor separates them
+    val scores = Similarity.q157KnnInt8(spark, dir).collect().map(_.getDouble(4))
+    assert(scores(0) > scores(1) && scores(1) > scores(2))
+  }
+
   test("snapshot diff classifies insert/update/delete and drops unchanged") {
     val dir = stage("cdc") { d =>
       // keys: 3 -> delete (absent from v2), 7 -> insert (absent from
