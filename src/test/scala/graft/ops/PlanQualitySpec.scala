@@ -277,6 +277,56 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q151 repetition filter: no Window sort of the token stream, no cartesian") {
+    val p = plan(TextAnalysis.q151RepetitionFilter(spark, d))
+    // adjacency comes from the flatMap tokenizer, never a per-doc
+    // window (the posexplode+lead draft paid a full token sort-shuffle)
+    assert(!p.contains("Window"), "token-stream Window crept back in")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q154 phrase search: postings equi-joins, broadcast 1-row phrase, no Window") {
+    val p = plan(Retrieval.q154PhraseSearch(spark, d))
+    assert(!p.contains("Window"), "adjacency must come from the tokenizer")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q153 CDC extract is one co-partitioned full-outer join") {
+    val p = plan(MergeOps.q153SnapshotDiff(spark, d))
+    assert(p.contains("FullOuter"), p.take(400))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // both snapshot sides hash on the key; no other shuffle before the
+    // presentation sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(600))
+  }
+
+  test("q155 int8 quantization is scan-local: no join, no hash exchange") {
+    val p = plan(Similarity.q155Int8Quant(spark, d))
+    assert(!p.contains("Join"), "quantization must not join")
+    assert(!p.contains("hashpartitioning("), p.take(600))
+    // the presentation orderBy is the only allowed exchange
+    assert("Exchange \\(".r.findAllIn(p).size <= 1, p.take(600))
+  }
+
+  test("q152/q157 quantized & hard-negative kNN broadcast the query side") {
+    for (df <- Seq(Similarity.q152HardNegatives(spark, d),
+        Similarity.q157KnnInt8(spark, d))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        p.take(400))
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("q156 curriculum positions: no Window, no single-partition exchange") {
+    val p = plan(Curation.q156CurriculumOrder(spark, d))
+    // the whole point: global positions WITHOUT row_number() over a
+    // corpus-wide window collapsed to one partition
+    assert(!p.contains("Window"), "global window crept back in")
+    assert(!p.contains("Exchange SinglePartition"), p.take(600))
+  }
+
   test("q137 SemDeDup policy self-joins on the blocking key, never all-pairs") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
