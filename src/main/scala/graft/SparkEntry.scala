@@ -274,7 +274,9 @@ object SparkEntry {
     // curriculum ordering: exact global positions, no global window
     "q156_curriculum_order" -> (Curation.q156CurriculumOrder _),
     // kNN over the int8-quantized store (exact integer dot ranking)
-    "q157_knn_int8" -> (Similarity.q157KnnInt8 _)
+    "q157_knn_int8" -> (Similarity.q157KnnInt8 _),
+    "q158_bfs_hops" -> (Graph.q158BfsHops _),
+    "q159_triangle_count" -> (Graph.q159Triangles _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -427,6 +429,8 @@ object SparkEntry {
     "q154_phrase_search" -> Retrieval.q154Sql,
     "q155_int8_quant" -> Similarity.q155Sql,
     "q156_curriculum_order" -> Curation.q156Sql,
-    "q157_knn_int8" -> Similarity.q157Sql
+    "q157_knn_int8" -> Similarity.q157Sql,
+    "q158_bfs_hops" -> Graph.q158Sql,
+    "q159_triangle_count" -> Graph.q159Sql
   )
 }

@@ -43,6 +43,21 @@ object Graph {
   private val Damp = 85L // /100
   private[ops] val Iterations = 10
 
+  /** Symmetric co-purchase edge frame with tie strength: (src, dst, c)
+   *  where c = number of distinct orders containing both parts. One
+   *  self-join on the order key plus one hash aggregate — Σ_o
+   *  C(items_o, 2) pairs, bounded by the order-size distribution,
+   *  never parts². Shared by q148 (PageRank ignores c), q158 (BFS over
+   *  the c≥2 strength graph) and q159 (triangles). */
+  private[ops] def coPurchaseStrength(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("c"))
+  }
+
   /** Integer PageRank over a directed edge list (src, dst) — callers
    *  pass a symmetrized frame for undirected graphs. Returns
    *  (node, deg, rank_units, share). */
@@ -92,12 +107,7 @@ object Graph {
    *  pairs self-joined on the order key — Σ_o C(items_o, 2) pairs,
    *  bounded by the order-size distribution, never parts². */
   def q148PageRank(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d).select(col("l_orderkey").as("ok"),
-      col("l_partkey").as("pk")).distinct()
-    val edges = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .distinct()
+    val edges = coPurchaseStrength(s, d).select(col("src"), col("dst"))
     pageRank(edges)
       .select(col("node").as("part_id"), col("deg"), col("rank_units"), col("share"))
   }
@@ -127,4 +137,173 @@ object Graph {
       | it.r * 1.0 / 1000000000000 AS share
       |FROM it JOIN deg d ON it.node = d.src
       |WHERE it.k = 10 ORDER BY part_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q158: multi-source BFS hop distance (frontier iteration)
+  // ---------------------------------------------------------------
+
+  /** Distributed multi-source BFS: minimum hop count from any seed,
+   *  capped at maxHops. The textbook frontier iteration — each round
+   *  is ONE equi-join of the (small) frontier against the checkpointed
+   *  edge frame plus one anti-join against the visited set; work per
+   *  round is O(edges incident to the frontier), total O(E) across all
+   *  rounds, and the loop exits early when a frontier empties (the
+   *  `isEmpty` probe reads one checkpointed partition head, not a full
+   *  scan). At 100 TB the edge frame bucket-partitions on src so the
+   *  per-round join is shuffle-free on the big side; frontiers are
+   *  vertex-sized and broadcast-eligible under AQE.
+   *
+   *  Returns (node, hops) — every node reachable within maxHops, seeds
+   *  at 0. Hop counts are exact integers: no float anywhere, so the
+   *  frame is bit-identical to the oracle's recursive-CTE replay. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    // DISK_ONLY for the data-sized edge frame (the q148 lesson:
+    // memory-resident blocks compete with the join's execution pages)
+    val e = edges.select(col("src"), col("dst"))
+      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+    var dist = seeds.select(col("node"), lit(0L).as("hops"))
+      .distinct().localCheckpoint()
+    var frontier = dist.select(col("node"))
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("hops"))
+        .localCheckpoint() // cut lineage: plan depth stays O(1) per round
+      dist = dist.union(next).localCheckpoint()
+      frontier = next.select(col("node"))
+      h += 1
+    }
+    dist
+  }
+
+  /** q158: hop distance from one brand's catalog over the co-purchase
+   *  STRENGTH graph — only ties backed by ≥2 distinct shared orders
+   *  count as edges (the c≥2 cut turns the dense co-purchase clique
+   *  union into a sparse affinity graph with real multi-hop
+   *  structure). Seeds: graph vertices whose part is Brand#11. */
+  def q158BfsHops(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseStrength(s, d).filter(col("c") >= 2)
+      .select(col("src"), col("dst"))
+    val seedParts = part(s, d).filter(col("p_brand") === "Brand#11")
+      .select(col("p_partkey"))
+    val seeds = e.select(col("src").as("node")).distinct()
+      .join(seedParts, col("node") === col("p_partkey"), "left_semi")
+    bfsHops(e, seeds, maxHops = 6)
+      .select(col("node").as("part_id"), col("hops"))
+      .orderBy(col("part_id"))
+  }
+
+  /** Oracle: the same BFS as a recursive CTE with set (UNION) semantics
+   *  — (node, d) pairs dedup each round, so the recursion is bounded by
+   *  V·maxHops rows, never path-enumerating. */
+  val q158Sql: String =
+    """WITH RECURSIVE
+      |li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ew AS (
+      |  SELECT a.pk AS src, b.pk AS dst, count(*) AS c
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+      |  GROUP BY 1, 2),
+      |e AS (SELECT src, dst FROM ew WHERE c >= 2),
+      |seeds AS (
+      |  SELECT DISTINCT src AS node FROM e
+      |  JOIN part ON p_partkey = src WHERE p_brand = 'Brand#11'),
+      |it AS (
+      |  SELECT node, 0 AS d FROM seeds
+      |  UNION
+      |  SELECT e.dst, it.d + 1 FROM it JOIN e ON it.node = e.src
+      |  WHERE it.d < 6)
+      |SELECT node AS part_id, CAST(min(d) AS BIGINT) AS hops
+      |FROM it GROUP BY node ORDER BY part_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q159: triangle counting + local clustering coefficient
+  // ---------------------------------------------------------------
+
+  /** q159: per-vertex triangle count and local clustering coefficient
+   *  over the full co-purchase graph, by degree-ordered orientation
+   *  (Schank & Wagner '05 / the MapReduce formulation of Suri &
+   *  Vassilvitskii '11): orient each undirected edge from the lower
+   *  (deg, id) endpoint to the higher, build wedges only at the LOW
+   *  vertex — every vertex's oriented out-degree is O(√E) on any
+   *  graph, so wedge count is Σ C(outdeg, 2) = O(E^1.5) worst case and
+   *  near-linear on bounded-arboricity graphs — then close each wedge
+   *  with ONE semi-join back on the oriented edge set. No vertex's
+   *  full neighborhood is ever collected; both the wedge join and the
+   *  closure join are plain shuffles on vertex keys. Clustering
+   *  coefficient = 2·T / (deg·(deg−1)) as a raw division of exact
+   *  longs (bit-identical cross-engine). */
+  def q159Triangles(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseStrength(s, d).select(col("src"), col("dst"))
+      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    deg.select(col("src").as("part_id"), col("deg"))
+      .join(triangleCredits(e, deg), col("part_id") === col("node"), "left")
+      .select(col("part_id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("deg") >= 2,
+          col("triangles") * 2.0 / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)))
+      .orderBy(col("part_id"))
+  }
+
+  /** Per-vertex triangle counts (node, triangles) over a symmetric
+   *  edge frame with its degree frame — the oriented wedge-closure
+   *  core of q159, shared with the fixture spec. */
+  private[ops] def triangleCredits(e: DataFrame, deg: DataFrame): DataFrame = {
+    // oriented edges carry the endpoint ranks so the wedge join can
+    // order its two legs without re-joining degrees
+    val o = e
+      .join(deg.select(col("src").as("u_key"), col("deg").as("du")),
+        col("src") === col("u_key"))
+      .join(deg.select(col("src").as("v_key"), col("deg").as("dv")),
+        col("dst") === col("v_key"))
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("src") < col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"),
+        col("dv"))
+      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+    val wedges = o.as("a").join(o.as("b"),
+        col("a.u") === col("b.u") &&
+          (col("a.dv") < col("b.dv") ||
+            (col("a.dv") === col("b.dv") && col("a.v") < col("b.v"))))
+      .select(col("a.u").as("u"), col("a.v").as("v"), col("b.v").as("w"))
+    // the closing edge (v, w) is oriented exactly v→w because the wedge
+    // ordered its legs by the same (deg, id) rank the orientation used
+    wedges.join(o.select(col("u").as("cv"), col("v").as("cw")),
+        col("v") === col("cv") && col("w") === col("cw"), "left_semi")
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Oracle: enumerate each triangle once as u<v<w by part id (the
+   *  orientation trick is a Spark-side work bound, not a semantic —
+   *  per-vertex counts are orientation-independent). */
+  val q159Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e0 AS (
+      |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src),
+      |tr AS (
+      |  SELECT a.src AS u, a.dst AS v, b.dst AS w
+      |  FROM e0 a
+      |  JOIN e0 b ON b.src = a.dst AND b.dst > a.dst
+      |  JOIN e0 c ON c.src = a.src AND c.dst = b.dst
+      |  WHERE a.src < a.dst),
+      |credits AS (
+      |  SELECT u AS node FROM tr
+      |  UNION ALL SELECT v FROM tr
+      |  UNION ALL SELECT w FROM tr),
+      |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+      |       FROM credits GROUP BY node)
+      |SELECT d.src AS part_id, d.deg,
+      | coalesce(tc.triangles, 0) AS triangles,
+      | CASE WHEN d.deg >= 2
+      |  THEN coalesce(tc.triangles, 0) * 2.0 / (d.deg * (d.deg - 1))
+      |  ELSE 0.0 END AS clustering
+      |FROM deg d LEFT JOIN tc ON d.src = tc.node
+      |ORDER BY part_id""".stripMargin
 }

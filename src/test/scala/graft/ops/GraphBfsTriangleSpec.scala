@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-sized fixtures for q158's frontier BFS and q159's oriented
+  * triangle count (the sf0.01 gate hash-compares both against DuckDB;
+  * these pin the primitives on graphs small enough to verify by eye). */
+class GraphBfsTriangleSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def sym(es: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    es.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+
+  test("bfsHops: path graph distances from one seed, cap respected") {
+    // 1-2-3-4-5-6-7-8 path, seed {1}, cap 4 → nodes 6..8 unreachable
+    val e = sym((1L to 7L).map(i => (i, i + 1))).toDF("src", "dst")
+    val out = Graph.bfsHops(e, Seq(1L).toDF("node"), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("bfsHops: multi-source takes the minimum over seeds") {
+    val e = sym((1L to 7L).map(i => (i, i + 1))).toDF("src", "dst")
+    val out = Graph.bfsHops(e, Seq(1L, 8L).toDF("node"), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 5: 4 hops from 1, 3 hops from 8 → 3
+    assert(out(5L) == 3L && out(4L) == 3L && out(8L) == 0L)
+    assert(out.size == 8) // everything reachable within 4 from one side
+  }
+
+  test("bfsHops: early exit on an exhausted component, no phantom rows") {
+    val e = sym(Seq((1L, 2L), (3L, 4L))).toDF("src", "dst")
+    val out = Graph.bfsHops(e, Seq(1L).toDF("node"), maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("triangle orientation: K4 gives every vertex C(3,2)=3 triangles") {
+    // verify through the public q159 shape by replaying its internals
+    // on a tiny frame: oriented wedge+closure must find all 4 triangles
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)
+    val out = triangleCounts(k4)
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangle orientation: path graph has zero triangles") {
+    assert(triangleCounts(sym(Seq((1L, 2L), (2L, 3L), (3L, 4L)))).isEmpty)
+  }
+
+  test("triangle count is independent of input partitioning") {
+    val g = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L)))
+    assert(triangleCounts(g, parts = 1) == triangleCounts(g, parts = 7))
+    assert(triangleCounts(g) == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+  }
+
+  /** Runs q159's oriented wedge-closure core on an explicit symmetric
+    * edge list (the production query builds its edges from lineitem). */
+  private def triangleCounts(edges: Seq[(Long, Long)], parts: Int = 4): Map[Long, Long] = {
+    import org.apache.spark.sql.functions._
+    val e = edges.toDF("src", "dst").repartition(parts)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    Graph.triangleCredits(e, deg)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+}
