@@ -166,10 +166,7 @@ object Graph {
     var frontier = dist.select(col("node"))
     var h = 1
     while (h <= maxHops && !frontier.isEmpty) {
-      val next = e.join(frontier, e("src") === frontier("node"))
-        .select(col("dst").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
-        .select(col("node"), lit(h.toLong).as("hops"))
+      val next = bfsRound(e, dist, frontier, h)
         .localCheckpoint() // cut lineage: plan depth stays O(1) per round
       dist = dist.union(next).localCheckpoint()
       frontier = next.select(col("node"))
@@ -177,6 +174,17 @@ object Graph {
     }
     dist
   }
+
+  /** One BFS expansion: frontier-incident edges (equi-join on src) →
+   *  distinct targets → anti-join against the visited set. Exposed so
+   *  the plan gate can pin the round's shape (the iterated plan hides
+   *  behind per-round checkpoints). */
+  private[ops] def bfsRound(e: DataFrame, dist: DataFrame,
+      frontier: DataFrame, h: Int): DataFrame =
+    e.join(frontier, e("src") === frontier("node"))
+      .select(col("dst").as("node")).distinct()
+      .join(dist, Seq("node"), "left_anti")
+      .select(col("node"), lit(h.toLong).as("hops"))
 
   /** q158: hop distance from one brand's catalog over the co-purchase
    *  STRENGTH graph — only ties backed by ≥2 distinct shared orders

@@ -327,6 +327,36 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Exchange SinglePartition"), p.take(600))
   }
 
+  test("co-purchase edges (q148/q158/q159) self-join on the order key with map-side partials") {
+    val p = plan(Graph.coPurchaseStrength(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "edge build must stay an equi-join on the order key")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(600))
+  }
+
+  test("q158 BFS round: frontier equi-join + one anti-join, no cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val dist = Seq((1L, 0L)).toDF("node", "hops")
+    val p = plan(Graph.bfsRound(e, dist, dist.select(col("node")), h = 1))
+    assert(p.toLowerCase.contains("leftanti"), p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "BFS expansion must join frontier to edges on src, never all-pairs")
+  }
+
+  test("q159 triangles: wedge + closure are key joins (semi-join closure), no cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+    val e = edges.toDF("src", "dst")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val p = plan(Graph.triangleCredits(e, deg))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "wedge build must equi-join on the low vertex; closure on (v, w)")
+    assert(p.toLowerCase.contains("leftsemi"), p.take(800))
+  }
+
   test("q137 SemDeDup policy self-joins on the blocking key, never all-pairs") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
