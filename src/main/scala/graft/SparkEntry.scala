@@ -276,7 +276,8 @@ object SparkEntry {
     // kNN over the int8-quantized store (exact integer dot ranking)
     "q157_knn_int8" -> (Similarity.q157KnnInt8 _),
     "q158_bfs_hops" -> (Graph.q158BfsHops _),
-    "q159_triangle_count" -> (Graph.q159Triangles _)
+    "q159_triangle_count" -> (Graph.q159Triangles _),
+    "q160_connected_components" -> (Graph.q160Components _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -431,6 +432,7 @@ object SparkEntry {
     "q156_curriculum_order" -> Curation.q156Sql,
     "q157_knn_int8" -> Similarity.q157Sql,
     "q158_bfs_hops" -> Graph.q158Sql,
-    "q159_triangle_count" -> Graph.q159Sql
+    "q159_triangle_count" -> Graph.q159Sql,
+    "q160_connected_components" -> Graph.q160Sql
   )
 }

@@ -230,7 +230,11 @@ object Graph {
   // ---------------------------------------------------------------
 
   /** q159: per-vertex triangle count and local clustering coefficient
-   *  over the full co-purchase graph, by degree-ordered orientation
+   *  over the c≥2 co-purchase strength graph (same cut as q158 — the
+   *  raw co-purchase frame is a union of per-order cliques, so its
+   *  wedge count explodes with order size; the strength cut bounds the
+   *  effective arboricity and is the graph whose clustering actually
+   *  means affinity, not basket size), by degree-ordered orientation
    *  (Schank & Wagner '05 / the MapReduce formulation of Suri &
    *  Vassilvitskii '11): orient each undirected edge from the lower
    *  (deg, id) endpoint to the higher, build wedges only at the LOW
@@ -243,7 +247,8 @@ object Graph {
    *  coefficient = 2·T / (deg·(deg−1)) as a raw division of exact
    *  longs (bit-identical cross-engine). */
   def q159Triangles(s: SparkSession, d: String): DataFrame = {
-    val e = coPurchaseStrength(s, d).select(col("src"), col("dst"))
+    val e = coPurchaseStrength(s, d).filter(col("c") >= 2)
+      .select(col("src"), col("dst"))
       .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     deg.select(col("src").as("part_id"), col("deg"))
@@ -291,9 +296,11 @@ object Graph {
    *  per-vertex counts are orientation-independent). */
   val q159Sql: String =
     """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      |e0 AS (
-      |  SELECT DISTINCT a.pk AS src, b.pk AS dst
-      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+      |ew AS (
+      |  SELECT a.pk AS src, b.pk AS dst, count(*) AS c
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+      |  GROUP BY 1, 2),
+      |e0 AS (SELECT src, dst FROM ew WHERE c >= 2),
       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src),
       |tr AS (
       |  SELECT a.src AS u, a.dst AS v, b.dst AS w
@@ -313,5 +320,97 @@ object Graph {
       |  THEN coalesce(tc.triangles, 0) * 2.0 / (d.deg * (d.deg - 1))
       |  ELSE 0.0 END AS clustering
       |FROM deg d LEFT JOIN tc ON d.src = tc.node
+      |ORDER BY part_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q160: connected components (min-label propagation to fixpoint)
+  // ---------------------------------------------------------------
+
+  /** Distributed connected components by min-label propagation: every
+   *  vertex starts as its own label; each round a vertex takes the min
+   *  over its own and its neighbors' labels — ONE equi-join of labels
+   *  into the checkpointed edge frame plus one hash aggregate (the
+   *  same shuffle pair as a PageRank iteration), converging in
+   *  O(diameter) rounds like q76's cluster propagation. The fixpoint
+   *  probe is a 1-row aggregate: labels only ever decrease, so
+   *  Σlabel (exact decimal — order-free, overflow-free past 10³⁸)
+   *  strictly decreases until converged; no per-node diff join is
+   *  needed. Labels are exact longs (min node id per component), so
+   *  the result is bit-identical to the oracle's closure replay. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    def mass(l: DataFrame): java.math.BigDecimal = {
+      val r = l.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prev = mass(labels)
+    var converged = prev.signum() == 0 // empty graph: nothing to do
+    while (!converged) {
+      val next = ccRound(e, labels).localCheckpoint()
+      val cur = mass(next)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      labels = next
+    }
+    labels
+  }
+
+  /** One propagation round: push labels across edges, take the min of
+   *  incoming and own label per vertex. Exposed for the plan gate. */
+  private[ops] def ccRound(e: DataFrame, labels: DataFrame): DataFrame =
+    e.join(labels, e("src") === labels("node"))
+      .select(col("dst").as("node"), col("label"))
+      .union(labels)
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
+
+  /** q160: component structure of one brand family's affinity subgraph
+   *  — the c≥2 strength graph restricted to parts whose brand starts
+   *  with `Brand#1` (vertex-induced: BOTH endpoints in the family).
+   *  The restriction is the realistic catalog ask ("how does this
+   *  brand family cluster?") and keeps the oracle's transitive-closure
+   *  replay pair-bounded; the Spark primitive itself is unrestricted.
+   *  Returns (part_id, component = min part id, comp_size). */
+  def q160Components(s: SparkSession, d: String): DataFrame = {
+    val fam = part(s, d).filter(col("p_brand").like("Brand#1%"))
+      .select(col("p_partkey"))
+    val e = coPurchaseStrength(s, d).filter(col("c") >= 2)
+      .join(fam, col("src") === col("p_partkey"), "left_semi")
+      .join(fam, col("dst") === col("p_partkey"), "left_semi")
+      .select(col("src"), col("dst"))
+    val cc = connectedComponents(e)
+    val sizes = cc.groupBy(col("label")).agg(count(lit(1)).as("comp_size"))
+    cc.join(sizes, Seq("label"))
+      .select(col("node").as("part_id"), col("label").as("component"),
+        col("comp_size"))
+      .orderBy(col("part_id"))
+  }
+
+  /** Oracle: full transitive closure of the restricted graph with set
+   *  semantics (pairs bounded by Σ|component|², small by the brand
+   *  restriction), then min label + component size. */
+  val q160Sql: String =
+    """WITH RECURSIVE
+      |li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ew AS (
+      |  SELECT a.pk AS src, b.pk AS dst, count(*) AS c
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+      |  GROUP BY 1, 2),
+      |fam AS (SELECT p_partkey FROM part WHERE p_brand LIKE 'Brand#1%'),
+      |e AS (
+      |  SELECT src, dst FROM ew
+      |  WHERE c >= 2 AND src IN (SELECT * FROM fam)
+      |    AND dst IN (SELECT * FROM fam)),
+      |reach(node, m) AS (
+      |  SELECT src, src FROM e
+      |  UNION
+      |  SELECT e.dst, reach.m FROM reach JOIN e ON e.src = reach.node),
+      |cc AS (SELECT node, min(m) AS component FROM reach GROUP BY node),
+      |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS comp_size
+      |       FROM cc GROUP BY component)
+      |SELECT cc.node AS part_id, cc.component, sz.comp_size
+      |FROM cc JOIN sz USING (component)
       |ORDER BY part_id""".stripMargin
 }

@@ -56,6 +56,27 @@ class GraphBfsTriangleSpec extends AnyFunSuite with SparkSuite {
     assert(triangleCounts(g) == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("connectedComponents: labels are the min node id per component") {
+    val e = sym(Seq((5L, 2L), (2L, 9L), (7L, 8L), (11L, 11L))).toDF("src", "dst")
+    val out = Graph.connectedComponents(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(5L -> 2L, 2L -> 2L, 9L -> 2L, 7L -> 7L, 8L -> 7L, 11L -> 11L))
+  }
+
+  test("connectedComponents: long path converges past one round (O(diameter) fixpoint)") {
+    // 16-node path: min label must travel 15 hops, so any
+    // converged-too-early bug shows as a split component
+    val e = sym((1L to 15L).map(i => (i, i + 1))).toDF("src", "dst")
+    val out = Graph.connectedComponents(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 16 && out.values.forall(_ == 1L))
+  }
+
+  test("connectedComponents: empty edge frame yields an empty labeling") {
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.connectedComponents(e).collect().isEmpty)
+  }
+
   /** Runs q159's oriented wedge-closure core on an explicit symmetric
     * edge list (the production query builds its edges from lineitem). */
   private def triangleCounts(edges: Seq[(Long, Long)], parts: Int = 4): Map[Long, Long] = {

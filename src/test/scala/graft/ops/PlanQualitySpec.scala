@@ -345,6 +345,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
       "BFS expansion must join frontier to edges on src, never all-pairs")
   }
 
+  test("q160 CC round: one label equi-join + one min aggregate, no cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 2L)).toDF("node", "label")
+    val p = plan(Graph.ccRound(e, labels))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "label propagation must equi-join on src")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"), p.take(600))
+  }
+
   test("q159 triangles: wedge + closure are key joins (semi-join closure), no cartesian") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, count, lit}
