@@ -277,7 +277,9 @@ object SparkEntry {
     "q157_knn_int8" -> (Similarity.q157KnnInt8 _),
     "q158_bfs_hops" -> (Graph.q158BfsHops _),
     "q159_triangle_count" -> (Graph.q159Triangles _),
-    "q160_connected_components" -> (Graph.q160Components _)
+    "q160_connected_components" -> (Graph.q160Components _),
+    // CUPED variance-reduced A/B readout (pre-period covariate)
+    "q161_cuped" -> (EventOps.q161Cuped _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -433,6 +435,7 @@ object SparkEntry {
     "q157_knn_int8" -> Similarity.q157Sql,
     "q158_bfs_hops" -> Graph.q158Sql,
     "q159_triangle_count" -> Graph.q159Sql,
-    "q160_connected_components" -> Graph.q160Sql
+    "q160_connected_components" -> Graph.q160Sql,
+    "q161_cuped" -> EventOps.q161Sql
   )
 }

@@ -797,4 +797,101 @@ object EventOps {
       | CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM t WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q161: CUPED variance-reduced experiment readout
+  // ------------------------------------------------------------------
+
+  /** q161: CUPED-adjusted A/B metric (Deng, Xu, Kohavi & Walker,
+   *  WSDM'13) over events — per-variant mean purchase revenue in the
+   *  experiment period, variance-reduced by each user's PRE-period
+   *  revenue: adj = ȳ_v − θ·(x̄_v − x̄), θ = cov(X,Y)/var(X). The
+   *  standard trick for shrinking experiment confidence intervals
+   *  without touching the treatment effect (E[adj] = E[y] because θ
+   *  is global and E[x̄_v − x̄] = 0 under randomization).
+   *
+   *  Determinism (the q105 discipline): per-user X/Y are EXACT cent
+   *  sums; the θ moments are decimal(38,0) sums of int64 products
+   *  (x, y ≤ ~10⁸ cents per user → products ≤ 10¹⁶, sums exact past
+   *  any octave), so every double is derived from exact integers
+   *  through the identical closed form — bit-identical cross-engine.
+   *
+   *  Scale: one events scan → per-user hash aggregate (map-side
+   *  partials), then a 1-row moment aggregate and a variant-count
+   *  aggregate over the user frame; the 1-row θ frame broadcasts
+   *  (maxRows = 1, inside the mandatory-hint policy). No window, no
+   *  data-sized join. Variant = user_id % 2 — the deterministic
+   *  stand-in for the assignment column a real experiment logs. */
+  def q161Cuped(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+    val isP = col("event_type") === "purchase"
+    val perUser = events(s, d)
+      .select(col("user_id"),
+        when(isP && col("ts") < cut, cents(col("value"))).otherwise(0L).as("xc"),
+        when(isP && col("ts") >= cut, cents(col("value"))).otherwise(0L).as("yc"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("xc")).as("x"), sum(col("yc")).as("y"))
+    val dec = "decimal(38,0)"
+    val g = perUser.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"))
+      .withColumn("theta",
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+        / (col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")))
+      .withColumn("xbar", col("sx").cast("double") / col("n").cast("double"))
+      .select(col("theta"), col("xbar"))
+    perUser
+      .withColumn("variant", (col("user_id") % 2).cast("long"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("vx"), sum(col("y")).as("vy"))
+      .crossJoin(broadcast(g))
+      .withColumn("mean_y_cents",
+        col("vy").cast("double") / col("n_users").cast("double"))
+      .withColumn("mean_adj_cents",
+        col("vy").cast("double") / col("n_users").cast("double")
+          - col("theta") * (col("vx").cast("double") / col("n_users").cast("double")
+            - col("xbar")))
+      .select(col("variant"), col("n_users"), col("mean_y_cents"),
+        col("mean_adj_cents"), col("theta"))
+      .orderBy(col("variant"))
+  }
+
+  val q161Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |   CAST(sum(CASE WHEN event_type = 'purchase'
+      |                  AND ts < TIMESTAMP '2024-01-16 00:00:00'
+      |            THEN CAST(round("value" * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+      |   CAST(sum(CASE WHEN event_type = 'purchase'
+      |                  AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |            THEN CAST(round("value" * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |g AS (
+      |  SELECT count(*) AS n,
+      |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |   CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+      |   CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy
+      |  FROM pu),
+      |th AS (
+      |  SELECT
+      |   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |     AS theta,
+      |   CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+      |  FROM g)
+      |SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+      | count(*) AS n_users,
+      | CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_y_cents,
+      | CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |   - th.theta * (CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) - th.xbar)
+      |   AS mean_adj_cents,
+      | th.theta
+      |FROM pu, th
+      |GROUP BY 1, th.theta, th.xbar
+      |ORDER BY variant""".stripMargin
 }
