@@ -279,7 +279,9 @@ object SparkEntry {
     "q159_triangle_count" -> (Graph.q159Triangles _),
     "q160_connected_components" -> (Graph.q160Components _),
     // CUPED variance-reduced A/B readout (pre-period covariate)
-    "q161_cuped" -> (EventOps.q161Cuped _)
+    "q161_cuped" -> (EventOps.q161Cuped _),
+    // Snorkel-style weak supervision: LF votes -> weighted revote
+    "q162_weak_labels" -> (Classify.q162WeakLabels _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -436,6 +438,7 @@ object SparkEntry {
     "q158_bfs_hops" -> Graph.q158Sql,
     "q159_triangle_count" -> Graph.q159Sql,
     "q160_connected_components" -> Graph.q160Sql,
-    "q161_cuped" -> EventOps.q161Sql
+    "q161_cuped" -> EventOps.q161Sql,
+    "q162_weak_labels" -> Classify.q162Sql
   )
 }

@@ -103,6 +103,94 @@ object Classify {
   def q145NaiveBayes(s: SparkSession, d: String): DataFrame =
     naiveBayes(documents(s, d), "source")
 
+  // ------------------------------------------------------------------
+  // q162: weak-supervision label model (majority vote → accuracy-
+  // weighted revote)
+  // ------------------------------------------------------------------
+
+  /** q162: programmatic labeling à la Snorkel (Ratner et al.,
+   *  VLDB'17): five deterministic labeling functions vote
+   *  {-1, 0 = abstain, +1} per document; a majority vote bootstraps a
+   *  proxy label; each LF earns an integer reliability weight (its
+   *  agreement count with the majority over its non-abstain votes —
+   *  the one-step, closed-form stand-in for the label model's learned
+   *  accuracies); the final label is the sign of the weight-weighted
+   *  revote. Everything is exact integer arithmetic — votes, weights,
+   *  weighted scores — so there is no float ordering anywhere and the
+   *  frame is bit-identical cross-engine.
+   *
+   *  Scale: one corpus scan computes all five votes as a projection;
+   *  the weights are a 1-row conditional aggregate (broadcast back,
+   *  maxRows = 1); the revote is a second projection. No data-sized
+   *  join, no window. At 100 TB this is two scans of the corpus and
+   *  one 1-row exchange. */
+  def q162WeakLabels(s: SparkSession, d: String): DataFrame = {
+    val sgn = (c: org.apache.spark.sql.Column) =>
+      when(c > 0, 1L).when(c < 0, -1L).otherwise(0L)
+    val votes = documents(s, d).select(
+        col("doc_id"),
+        when(col("text").contains("spark"), 1L).otherwise(0L).as("v1"),
+        when(col("text").contains("stream"), 1L)
+          .when(col("text").contains("batch"), -1L).otherwise(0L).as("v2"),
+        when(col("n_chars") >= 300, 1L).otherwise(-1L).as("v3"),
+        when(col("text").contains("slow"), -1L).otherwise(0L).as("v4"),
+        when(col("text").contains("window") && col("text").contains("agg"), 1L)
+          .otherwise(0L).as("v5"))
+      .withColumn("majority", sgn(col("v1") + col("v2") + col("v3") + col("v4") + col("v5")))
+      .withColumn("n_votes",
+        (col("v1") =!= 0).cast("long") + (col("v2") =!= 0).cast("long")
+          + (col("v3") =!= 0).cast("long") + (col("v4") =!= 0).cast("long")
+          + (col("v5") =!= 0).cast("long"))
+    def agree(v: String) =
+      sum(when(col(v) =!= 0 && col(v) === col("majority"), 1L).otherwise(0L))
+    val weights = votes.agg(
+      agree("v1").as("w1"), agree("v2").as("w2"), agree("v3").as("w3"),
+      agree("v4").as("w4"), agree("v5").as("w5"))
+    votes.crossJoin(broadcast(weights))
+      .withColumn("score",
+        col("v1") * col("w1") + col("v2") * col("w2") + col("v3") * col("w3")
+          + col("v4") * col("w4") + col("v5") * col("w5"))
+      .withColumn("label", sgn(col("score")))
+      .select(col("doc_id"), col("n_votes"), col("majority"),
+        col("score"), col("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q162Sql: String =
+    """WITH v AS (
+      |  SELECT doc_id,
+      |   CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS v1,
+      |   CASE WHEN contains(text, 'stream') THEN 1
+      |        WHEN contains(text, 'batch') THEN -1 ELSE 0 END AS v2,
+      |   CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS v3,
+      |   CASE WHEN contains(text, 'slow') THEN -1 ELSE 0 END AS v4,
+      |   CASE WHEN contains(text, 'window') AND contains(text, 'agg')
+      |        THEN 1 ELSE 0 END AS v5
+      |  FROM documents),
+      |m AS (
+      |  SELECT *,
+      |   CASE WHEN v1+v2+v3+v4+v5 > 0 THEN 1
+      |        WHEN v1+v2+v3+v4+v5 < 0 THEN -1 ELSE 0 END AS majority
+      |  FROM v),
+      |w AS (
+      |  SELECT
+      |   sum(CASE WHEN v1 <> 0 AND v1 = majority THEN 1 ELSE 0 END) AS w1,
+      |   sum(CASE WHEN v2 <> 0 AND v2 = majority THEN 1 ELSE 0 END) AS w2,
+      |   sum(CASE WHEN v3 <> 0 AND v3 = majority THEN 1 ELSE 0 END) AS w3,
+      |   sum(CASE WHEN v4 <> 0 AND v4 = majority THEN 1 ELSE 0 END) AS w4,
+      |   sum(CASE WHEN v5 <> 0 AND v5 = majority THEN 1 ELSE 0 END) AS w5
+      |  FROM m)
+      |SELECT m.doc_id,
+      | CAST((CASE WHEN v1 <> 0 THEN 1 ELSE 0 END) + (CASE WHEN v2 <> 0 THEN 1 ELSE 0 END)
+      |  + (CASE WHEN v3 <> 0 THEN 1 ELSE 0 END) + (CASE WHEN v4 <> 0 THEN 1 ELSE 0 END)
+      |  + (CASE WHEN v5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_votes,
+      | CAST(m.majority AS BIGINT) AS majority,
+      | CAST(v1*w.w1 + v2*w.w2 + v3*w.w3 + v4*w.w4 + v5*w.w5 AS BIGINT) AS score,
+      | CAST(CASE WHEN v1*w.w1 + v2*w.w2 + v3*w.w3 + v4*w.w4 + v5*w.w5 > 0 THEN 1
+      |      WHEN v1*w.w1 + v2*w.w2 + v3*w.w3 + v4*w.w4 + v5*w.w5 < 0 THEN -1
+      |      ELSE 0 END AS BIGINT) AS label
+      |FROM m, w ORDER BY doc_id""".stripMargin
+
   val q145Sql: String =
     """WITH base AS (SELECT doc_id, source AS actual, text FROM documents),
       |toks AS (
