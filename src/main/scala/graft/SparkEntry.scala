@@ -281,7 +281,11 @@ object SparkEntry {
     // CUPED variance-reduced A/B readout (pre-period covariate)
     "q161_cuped" -> (EventOps.q161Cuped _),
     // Snorkel-style weak supervision: LF votes -> weighted revote
-    "q162_weak_labels" -> (Classify.q162WeakLabels _)
+    "q162_weak_labels" -> (Classify.q162WeakLabels _),
+    // two-proportion conversion chi-squared (A/B family with q161)
+    "q163_conversion_test" -> (EventOps.q163ConversionTest _),
+    // Mann-Whitney U rank-sum with midrank ties (A/B family)
+    "q164_mann_whitney" -> (EventOps.q164MannWhitney _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -439,6 +443,8 @@ object SparkEntry {
     "q159_triangle_count" -> Graph.q159Sql,
     "q160_connected_components" -> Graph.q160Sql,
     "q161_cuped" -> EventOps.q161Sql,
-    "q162_weak_labels" -> Classify.q162Sql
+    "q162_weak_labels" -> Classify.q162Sql,
+    "q163_conversion_test" -> EventOps.q163Sql,
+    "q164_mann_whitney" -> EventOps.q164Sql
   )
 }

@@ -894,4 +894,164 @@ object EventOps {
       |FROM pu, th
       |GROUP BY 1, th.theta, th.xbar
       |ORDER BY variant""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q163: two-proportion conversion test (chi-squared)
+  // ------------------------------------------------------------------
+
+  /** q163: the A/B readout next to q161 — per-variant conversion rate
+   *  (user made at least one HIGH-VALUE purchase, value ≥ 120, in the
+   *  experiment period — the plain any-purchase event saturates at
+   *  100% on the provisioned density, degenerating the pooled
+   *  variance) and the pooled two-proportion chi-squared statistic
+   *  z² = (p₀−p₁)² / (p̂(1−p̂)(1/n₀+1/n₁)). All counts are exact longs
+   *  from one scan + one per-user aggregate + one 4-cell conditional
+   *  aggregate; the statistic is a single closed form over the one
+   *  aggregated row (the q105/q161 discipline — doubles only at the
+   *  very end, derived identically in both engines). */
+  def q163ConversionTest(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+    val perUser = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("ts") >= cut
+          && col("value") >= 120.0, 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("variant", (col("user_id") % 2).cast("long"))
+    val cell = perUser.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("c0"),
+      sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("c1"))
+    val dbl = (n: String) => col(n).cast("double")
+    cell
+      .withColumn("rate0", dbl("c0") / dbl("n0"))
+      .withColumn("rate1", dbl("c1") / dbl("n1"))
+      .withColumn("pooled", (dbl("c0") + dbl("c1")) / (dbl("n0") + dbl("n1")))
+      .withColumn("chi2",
+        (col("rate0") - col("rate1")) * (col("rate0") - col("rate1"))
+          / (col("pooled") * (lit(1.0) - col("pooled"))
+            * (lit(1.0) / dbl("n0") + lit(1.0) / dbl("n1"))))
+      .select(col("n0"), col("c0"), col("n1"), col("c1"),
+        col("rate0"), col("rate1"), col("chi2"))
+  }
+
+  val q163Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+      |   max(CASE WHEN event_type = 'purchase'
+      |             AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |             AND "value" >= 120.0
+      |       THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY user_id),
+      |cell AS (
+      |  SELECT
+      |   CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |   CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |   CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS c0,
+      |   CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1
+      |  FROM pu),
+      |r AS (
+      |  SELECT *,
+      |   CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
+      |   CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate1,
+      |   (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+      |     / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS pooled
+      |  FROM cell)
+      |SELECT n0, c0, n1, c1, rate0, rate1,
+      | (rate0 - rate1) * (rate0 - rate1)
+      |   / (pooled * (1.0 - pooled)
+      |     * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS chi2
+      |FROM r""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q164: Mann-Whitney U (rank-sum) test on per-user revenue
+  // ------------------------------------------------------------------
+
+  /** q164: nonparametric variant comparison — the Mann-Whitney U test
+   *  on per-user experiment-period revenue, with midrank tie handling
+   *  and the tie-corrected normal approximation.
+   *
+   *  Exactness: midranks are rationals with denominator 2, so the
+   *  pipeline carries 2·R₁ = Σ_y n1_y·(2·cum_before + n_y + 1) as an
+   *  exact long (for tie group y starting at min-rank s, the midrank
+   *  a satisfies 2a = 2s + n_y − 1); 2·U₁ = 2R₁ − n₁(n₁+1) exact. The
+   *  tie-corrected variance and z-score are one closed form over
+   *  exact sums (Σ(t³−t) as decimal(38,0)).
+   *
+   *  Scale: ranking is NOT a corpus-wide row window — per-user cent
+   *  totals aggregate to per-VALUE counts first (cent values have
+   *  bounded cardinality, the q44/q112 argument), and the cumulative
+   *  count runs over that bounded value-ordered frame. One corpus
+   *  scan, one per-user aggregate, one per-value aggregate, one
+   *  bounded window, one 1-row closed form. */
+  def q164MannWhitney(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+    val perUser = events(s, d)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase" && col("ts") >= cut,
+          cents(col("value"))).otherwise(0L).as("yc"))
+      .groupBy(col("user_id")).agg(sum(col("yc")).as("y"))
+      .withColumn("variant", (col("user_id") % 2).cast("long"))
+    val byValue = perUser.groupBy(col("y")).agg(
+      count(lit(1)).as("t"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("t1"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("y")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byValue
+      .withColumn("cumBefore", coalesce(sum(col("t")).over(w), lit(0L)))
+    val dec = "decimal(38,0)"
+    val g = ranked.agg(
+        sum(col("t")).as("n"),
+        sum(col("t1")).as("n1"),
+        sum(col("t1") * (lit(2L) * col("cumBefore") + col("t") + lit(1L))).as("twoR1"),
+        // cast BEFORE cubing: tie groups (the zero-revenue group is
+        // corpus-sized) overflow int64 past t ~ 2e6 — the round-5
+        // reduce-before-multiply lesson
+        sum(col("t").cast(dec) * col("t") * col("t") - col("t")).as("tieSum"))
+      .withColumn("n0", col("n") - col("n1"))
+      .withColumn("twoU1", col("twoR1") - col("n1") * (col("n1") + lit(1L)))
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    g.withColumn("u1", dbl(col("twoU1")) / lit(2.0))
+      .withColumn("mu", dbl(col("n0")) * dbl(col("n1")) / lit(2.0))
+      .withColumn("varU",
+        dbl(col("n0")) * dbl(col("n1")) / lit(12.0)
+          * (dbl(col("n")) + lit(1.0)
+            - dbl(col("tieSum")) / (dbl(col("n")) * (dbl(col("n")) - lit(1.0)))))
+      .withColumn("z", (col("u1") - col("mu")) / sqrt(col("varU")))
+      .select(col("n0"), col("n1"), col("twoU1"), col("u1"), col("z"))
+  }
+
+  val q164Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+      |   CAST(sum(CASE WHEN event_type = 'purchase'
+      |                  AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |            THEN CAST(round("value" * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |bv AS (
+      |  SELECT y, count(*) AS t,
+      |   CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+      |  FROM pu GROUP BY y),
+      |rk AS (
+      |  SELECT *,
+      |   coalesce(sum(t) OVER (ORDER BY y
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumBefore
+      |  FROM bv),
+      |g AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS n, CAST(sum(t1) AS BIGINT) AS n1,
+      |   CAST(sum(t1 * (2 * cumBefore + t + 1)) AS BIGINT) AS twoR1,
+      |   CAST(sum(CAST(t AS HUGEINT)*t*t - t) AS DECIMAL(38,0)) AS tieSum
+      |  FROM rk),
+      |h AS (
+      |  SELECT n - n1 AS n0, n1, twoR1 - n1 * (n1 + 1) AS twoU1, n, tieSum
+      |  FROM g)
+      |SELECT n0, n1, twoU1,
+      | CAST(twoU1 AS DOUBLE) / 2.0 AS u1,
+      | (CAST(twoU1 AS DOUBLE) / 2.0
+      |    - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 2.0)
+      |  / sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0
+      |     * (CAST(n AS DOUBLE) + 1.0
+      |        - CAST(tieSum AS DOUBLE)
+      |          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) AS z
+      |FROM h""".stripMargin
 }
