@@ -837,11 +837,19 @@ object EventOps {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum((col("x") * col("x")).cast(dec)).as("sxx"),
         sum((col("x") * col("y")).cast(dec)).as("sxy"))
+      // var(X)=0 guard: with no pre-period variation the ratio is 0/0
+      // (NaN) and engines may diverge on IEEE division semantics —
+      // define theta = 0 (no adjustment) identically in both engines.
+      // The denominator double is derived from exact integers the same
+      // way on both sides, so the branch triggers identically.
+      .withColumn("thden",
+        col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
       .withColumn("theta",
-        (col("n").cast("double") * col("sxy").cast("double")
-          - col("sx").cast("double") * col("sy").cast("double"))
-        / (col("n").cast("double") * col("sxx").cast("double")
-          - col("sx").cast("double") * col("sx").cast("double")))
+        when(col("thden") === 0.0, lit(0.0)).otherwise(
+          (col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / col("thden")))
       .withColumn("xbar", col("sx").cast("double") / col("n").cast("double"))
       .select(col("theta"), col("xbar"))
     perUser
@@ -879,9 +887,12 @@ object EventOps {
       |  FROM pu),
       |th AS (
       |  SELECT
+      |   CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0.0 THEN 0.0
+      |   ELSE
       |   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |     AS theta,
+      |   END AS theta,
       |   CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
       |  FROM g)
       |SELECT CAST(user_id % 2 AS BIGINT) AS variant,
@@ -927,10 +938,16 @@ object EventOps {
       .withColumn("rate0", dbl("c0") / dbl("n0"))
       .withColumn("rate1", dbl("c1") / dbl("n1"))
       .withColumn("pooled", (dbl("c0") + dbl("c1")) / (dbl("n0") + dbl("n1")))
+      // degenerate pooled rate (all-convert or none-convert): the
+      // variance term is exactly 0 and the ratio 0/0 — define chi2 = 0
+      // (no evidence of a difference) identically in both engines
+      // instead of relying on the data keeping pooled inside (0,1).
       .withColumn("chi2",
-        (col("rate0") - col("rate1")) * (col("rate0") - col("rate1"))
-          / (col("pooled") * (lit(1.0) - col("pooled"))
-            * (lit(1.0) / dbl("n0") + lit(1.0) / dbl("n1"))))
+        when(col("pooled") === 0.0 || col("pooled") === 1.0, lit(0.0))
+          .otherwise(
+            (col("rate0") - col("rate1")) * (col("rate0") - col("rate1"))
+              / (col("pooled") * (lit(1.0) - col("pooled"))
+                * (lit(1.0) / dbl("n0") + lit(1.0) / dbl("n1")))))
       .select(col("n0"), col("c0"), col("n1"), col("c1"),
         col("rate0"), col("rate1"), col("chi2"))
   }
@@ -958,9 +975,11 @@ object EventOps {
       |     / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS pooled
       |  FROM cell)
       |SELECT n0, c0, n1, c1, rate0, rate1,
+      | CASE WHEN pooled = 0.0 OR pooled = 1.0 THEN 0.0 ELSE
       | (rate0 - rate1) * (rate0 - rate1)
       |   / (pooled * (1.0 - pooled)
-      |     * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS chi2
+      |     * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+      | END AS chi2
       |FROM r""".stripMargin
 
   // ------------------------------------------------------------------
@@ -995,15 +1014,40 @@ object EventOps {
     val byValue = perUser.groupBy(col("y")).agg(
       count(lit(1)).as("t"),
       sum(when(col("variant") === 1, 1L).otherwise(0L)).as("t1"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("y")).rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = byValue
-      .withColumn("cumBefore", coalesce(sum(col("t")).over(w), lit(0L)))
+    // cumBefore (exclusive running count in value order) WITHOUT an
+    // unpartitioned window: per-user revenue SUMS are not a bounded
+    // domain like q44/q112's raw cent values, so `orderBy(y)` with no
+    // partition would sort the whole value frame in one task at large
+    // user counts. The q156 shape instead: range-exchange on y, an
+    // O(P) driver prefix-sum of per-partition t totals, and a narrow
+    // per-partition running sum — same result, no single-task sort.
+    import s.implicits._
+    val parted = byValue
+      .repartitionByRange(col("y")).sortWithinPartitions(col("y"))
+      .localCheckpoint(eager = true)
+    val partTotals = parted.select(spark_partition_id().as("pid"), col("t"))
+      .groupBy(col("pid")).agg(sum(col("t")).as("pt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = parted.rdd.getNumPartitions
+    val offsets = new Array[Long](nParts + 1)
+    (0 until nParts).foreach { p =>
+      offsets(p + 1) = offsets(p) + partTotals.getOrElse(p, 0L) }
+    val bOff = s.sparkContext.broadcast(offsets)
+    val ranked = parted.as[(Long, Long, Long)].mapPartitions { it =>
+      var cum = bOff.value(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (y, t, t1) =>
+        val before = cum; cum += t; (y, t, t1, before) }
+    }.toDF("y", "t", "t1", "cumBefore")
     val dec = "decimal(38,0)"
     val g = ranked.agg(
         sum(col("t")).as("n"),
         sum(col("t1")).as("n1"),
-        sum(col("t1") * (lit(2L) * col("cumBefore") + col("t") + lit(1L))).as("twoR1"),
+        // summand to decimal BEFORE summing (oracle sums in HUGEINT):
+        // at extreme user counts the int64 partial sum could silently
+        // wrap while the oracle stays exact; cast down after, matching
+        // the oracle's post-sum BIGINT cast
+        sum((col("t1") * (lit(2L) * col("cumBefore") + col("t") + lit(1L)))
+          .cast(dec)).cast("long").as("twoR1"),
         // cast BEFORE cubing: tie groups (the zero-revenue group is
         // corpus-sized) overflow int64 past t ~ 2e6 — the round-5
         // reduce-before-multiply lesson

@@ -347,7 +347,13 @@ object Graph {
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
     var prev = mass(labels)
-    var converged = prev.signum() == 0 // empty graph: nothing to do
+    // probe emptiness directly: `mass == 0` conflates "no vertices"
+    // with "labels sum to zero", which would return unconverged labels
+    // for graphs whose node ids are not all non-negative (the
+    // sum-decrease fixpoint below is still fine — min-labels decrease
+    // monotonically regardless of sign, the sum strictly decreases
+    // until converged)
+    var converged = labels.isEmpty // empty graph: nothing to do
     while (!converged) {
       val next = ccRound(e, labels).localCheckpoint()
       val cur = mass(next)

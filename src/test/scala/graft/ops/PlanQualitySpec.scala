@@ -327,6 +327,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Exchange SinglePartition"), p.take(600))
   }
 
+  test("q164 Mann-Whitney: no unpartitioned rank window on the value frame") {
+    val p = plan(EventOps.q164MannWhitney(spark, d))
+    // per-user revenue SUMS are unbounded-domain, so the exclusive
+    // running count must use the q156 range-partition + prefix-sum
+    // shape, never `Window.orderBy(y)` with no partition. (The final
+    // 1-row moment aggregate still exchanges P PARTIAL rows to one
+    // partition — O(P), fine; what must not appear is a Window node,
+    // which would mean the whole value frame sorts in one task.)
+    assert(!p.contains("Window"), "unpartitioned rank window crept back in")
+    assert(p.contains("MapPartitions"), "prefix-sum stamping pass missing:\n" + p.take(600))
+  }
+
   test("co-purchase edges (q148/q158/q159) self-join on the order key with map-side partials") {
     val p = plan(Graph.coPurchaseStrength(spark, d))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
