@@ -48,6 +48,16 @@ object Bench {
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => ok = false; failed ::= name }
       }
+      // storage hygiene between queries: graph/dedup operators
+      // localCheckpoint intermediate frames and then drop the
+      // references — reclamation is ContextCleaner-async and
+      // GC-driven, so without a nudge orphaned blocks pile up across
+      // the 164-query suite and later queries run under storage
+      // pressure the operator itself never created (the streaming
+      // cluster runs lexicographically AFTER the graph family).
+      // Deliberately pinned per-JVM artifacts (keepBestCache,
+      // zorderedLineitem, shingleCache) stay reachable and survive.
+      System.gc()
       name -> (if (ok) best else 0.0)
     }
     failed = failed.distinct

@@ -47,15 +47,24 @@ object ScaleGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-separated table subset — lets a probe
+    // derive ONE table at an extreme octave (e.g. embeddings at
+    // 1000× for the two-level IVF tier) without replicating 600M
+    // lineitem rows it will never read
+    val tables: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    try run(spark, src, out, copies) finally spark.stop()
+    try run(spark, src, out, copies, tables) finally spark.stop()
   }
 
   /** Body with a caller-owned session (testable). */
-  def run(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+  def run(spark: SparkSession, src: String, out: String, copies: Int,
+      tables: Option[Set[String]] = None): Unit = {
+    def wanted(name: String): Boolean = tables.forall(_.contains(name))
 
     def replicate(name: String, keys: Seq[String],
         extra: DataFrame => DataFrame = identity): Unit = {
+      if (!wanted(name)) return
       val base = spark.read.parquet(s"$src/$name.parquet")
       val amplified = base
         .crossJoin(spark.range(copies).select(col("id").as("__copy")))
@@ -69,6 +78,7 @@ object ScaleGen {
     }
 
     def copyAsIs(name: String): Unit = {
+      if (!wanted(name)) return
       spark.read.parquet(s"$src/$name.parquet")
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scalegen] $name (dimension, 1x) -> $out/$name.parquet")

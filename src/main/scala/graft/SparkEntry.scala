@@ -285,7 +285,11 @@ object SparkEntry {
     // two-proportion conversion chi-squared (A/B family with q161)
     "q163_conversion_test" -> (EventOps.q163ConversionTest _),
     // Mann-Whitney U rank-sum with midrank ties (A/B family)
-    "q164_mann_whitney" -> (EventOps.q164MannWhitney _)
+    "q164_mann_whitney" -> (EventOps.q164MannWhitney _),
+    // strength-weighted PageRank (mass flow ∝ co-purchase count)
+    "q165_weighted_pagerank" -> (Graph.q165WeightedPageRank _),
+    // LSH index compaction lifecycle gate (tombstones -> rewrite)
+    "q166_lsh_compaction" -> (Dedup.q166LshCompaction _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -445,6 +449,8 @@ object SparkEntry {
     "q161_cuped" -> EventOps.q161Sql,
     "q162_weak_labels" -> Classify.q162Sql,
     "q163_conversion_test" -> EventOps.q163Sql,
-    "q164_mann_whitney" -> EventOps.q164Sql
+    "q164_mann_whitney" -> EventOps.q164Sql,
+    "q165_weighted_pagerank" -> Graph.q165Sql,
+    "q166_lsh_compaction" -> Dedup.q166Sql
   )
 }

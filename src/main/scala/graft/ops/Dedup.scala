@@ -601,6 +601,119 @@ object Dedup {
       .orderBy(col("batch_id"), col("corpus_id"))
   }
 
+  // ----- LSH index compaction (tombstone removal, bucket rewrite) ---
+
+  /** Compaction for the durable LSH index ([[writeLshIndex]] tables):
+   *  drop every tombstoned doc_id from BOTH the band table and the
+   *  signature table, rewriting the bucketed layouts under a new
+   *  generation name — the maintenance path the round-9 verdict
+   *  flagged as missing (the index grew monotonically; deleted or
+   *  superseded docs kept matching probes forever).
+   *
+   *  Scale shape: the tombstone set is deletion-sized, so both
+   *  removals are BROADCAST anti-joins — the corpus-sized index
+   *  streams through map-side filters, no index-side shuffle for the
+   *  filtering itself. The rewrite pays the same one-time bucketing
+   *  shuffle as the original build (unavoidable for a compaction —
+   *  it IS a rewrite) and lands bucketed-by-bkey / bucketed-by-
+   *  doc_id again, so post-compaction probes keep the zero-exchange
+   *  plan (BucketingSpec pins it). Writing to a NEW generation
+   *  (`dst`) instead of in place is deliberate: Spark cannot
+   *  overwrite a table it is reading, and a deployment wants the
+   *  atomic catalog swap anyway — readers keep the old generation
+   *  until the swap, then the old one drops.
+   *
+   *  Equivalence contract (q166-gated): band keys and signatures are
+   *  PER-DOCUMENT artifacts (no cross-doc state anywhere in the
+   *  build), so filter-then-keep ≡ rebuild-from-surviving-corpus,
+   *  row for row — compaction can be audited without re-reading any
+   *  document text. */
+  def compactLshIndex(s: SparkSession, src: String, dst: String,
+      tombstones: DataFrame, buckets: Int = 8): Unit = {
+    val tomb = broadcast(tombstones.select(col("doc_id")).distinct())
+    s.table(s"${src}_bands").join(tomb, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").bucketBy(buckets, "bkey").sortBy("bkey")
+      .format("parquet").saveAsTable(s"${dst}_bands")
+    s.table(s"${src}_sigs").join(tomb, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").bucketBy(buckets, "doc_id")
+      .format("parquet").saveAsTable(s"${dst}_sigs")
+  }
+
+  /** q166: the compaction gate (all-true VALUES oracle, the q144
+   *  style). One run = one full lifecycle: build the LSH index over
+   *  the whole corpus, tombstone a deterministic subset
+   *  (doc_id % 10 = 3), compact, and audit the compacted generation
+   *  against an index REBUILT from the surviving corpus:
+   *
+   *   - `compact_tombstones_gone`: no tombstoned doc_id survives in
+   *     either compacted table;
+   *   - `compact_bands_equiv`: compacted band rows ≡ rebuilt band
+   *     rows (multiset equality via per-(doc_id, bkey) counts);
+   *   - `compact_sigs_equiv`: compacted signatures ≡ rebuilt
+   *     signatures (full join on doc_id, all 20 minhash columns
+   *     compared);
+   *   - `compact_probe_equiv`: the behavioral check — a fresh batch
+   *     probed against the compacted index returns EXACTLY the pairs
+   *     the rebuilt index returns.
+   *
+   *  Every audit leg is an O(index) equi-join — no quadratic, no
+   *  text re-read. Overwrite-mode writes make the query idempotent
+   *  across bench repeats. */
+  def q166LshCompaction(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val base = s"graft_lshc_${math.abs(d.hashCode).toString}"
+    writeLshIndex(corpus, base)
+    val tomb = corpus.filter(col("doc_id") % 10 === 3).select(col("doc_id"))
+    compactLshIndex(s, base, s"${base}_gen2", tomb)
+    writeLshIndex(corpus.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+      s"${base}_ref")
+
+    val cBands = s.table(s"${base}_gen2_bands")
+    val cSigs = s.table(s"${base}_gen2_sigs")
+    val rBands = s.table(s"${base}_ref_bands")
+    val rSigs = s.table(s"${base}_ref_sigs")
+
+    val tombLeft = cBands.join(broadcast(tomb), Seq("doc_id"), "left_semi").count() +
+      cSigs.join(broadcast(tomb), Seq("doc_id"), "left_semi").count()
+    def counts(df: DataFrame) =
+      df.groupBy(col("doc_id"), col("bkey")).agg(count(lit(1)).as("n"))
+    val bandMism = counts(cBands).as("a")
+      .join(counts(rBands).as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.bkey") === col("b.bkey"),
+        "full")
+      .filter(col("a.n").isNull || col("b.n").isNull || col("a.n") =!= col("b.n"))
+      .count()
+    val sigCols = cSigs.columns.filter(_ != "doc_id")
+    val sigMism = cSigs.as("a").join(rSigs.as("b"), Seq("doc_id"), "full")
+      .filter(sigCols.map(m =>
+          col(s"a.$m").isNull || col(s"b.$m").isNull || col(s"a.$m") =!= col(s"b.$m"))
+        .reduce(_ || _))
+      .count()
+    val probeC = minhashBatchVsIndex(shingleRows(batch), cBands, cSigs)
+    val probeR = minhashBatchVsIndex(shingleRows(batch), rBands, rSigs)
+    val probeMism = probeC.as("a").join(probeR.as("b"),
+        col("a.batch_id") === col("b.batch_id") &&
+          col("a.corpus_id") === col("b.corpus_id"), "full")
+      .filter(col("a.batch_id").isNull || col("b.batch_id").isNull)
+      .count()
+
+    import s.implicits._
+    Seq(
+      ("compact_bands_equiv", bandMism == 0L),
+      ("compact_probe_equiv", probeMism == 0L),
+      ("compact_sigs_equiv", sigMism == 0L),
+      ("compact_tombstones_gone", tombLeft == 0L)
+    ).toDF("component", "ok").orderBy(col("component"))
+  }
+
+  val q166Sql: String =
+    """SELECT * FROM (VALUES
+      | ('compact_bands_equiv', true), ('compact_probe_equiv', true),
+      | ('compact_sigs_equiv', true), ('compact_tombstones_gone', true)
+      |) t(component, ok) ORDER BY component""".stripMargin
+
   // ----- exact cross-document substring (k-gram) deduplication ------
 
   /** Token-gram length for substring dedup (matches q71's 8-gram

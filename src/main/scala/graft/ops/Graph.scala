@@ -139,6 +139,97 @@ object Graph {
       |WHERE it.k = 10 ORDER BY part_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q165: WEIGHTED PageRank — mass flows ∝ edge strength
+  // ---------------------------------------------------------------
+
+  /** Integer PageRank with edge-strength-proportional mass flow over
+   *  a (src, dst, c) frame: each vertex pushes r·85·c div (100·Σc)
+   *  along every out-edge, so a part co-purchased with another in 50
+   *  orders pulls 50× the mass of a one-order tie — the centrality
+   *  signal q148 deliberately discards (`coPurchaseStrength` computes
+   *  `c`, q148 drops it). Same shuffle pair per iteration as
+   *  [[pageRank]] (ranks⋈edges on src + dst hash agg over the
+   *  once-checkpointed DISK_ONLY edge frame) plus the weighted-degree
+   *  aggregate (Σc per src) the suite otherwise lacks.
+   *
+   *  Exactness: all-integer like q148 — floor per edge, order-free
+   *  long sums, so 10 iterations are bit-identical to the oracle's
+   *  recursive-CTE replay. Overflow: r ≤ M (floors only lose mass),
+   *  so the per-edge product r·85·c ≤ 8.5·10¹³·c stays in int64 for
+   *  c < 10⁵ — far above any co-purchase multiplicity (ScaleGen
+   *  copies shift into disjoint key spaces, leaving c unchanged at
+   *  every octave); a corpus that exceeded it would pre-scale c by
+   *  its GCD. Returns (node, wdeg, rank_units, share). */
+  def weightedPageRank(edges: DataFrame,
+      iterations: Int = Iterations): DataFrame = {
+    val wdeg = edges.groupBy(col("src")).agg(sum(col("c")).as("wdeg"))
+    val e = edges.join(wdeg, "src")
+      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+    val n = e.select(col("src")).distinct().count()
+    if (n == 0)
+      return e.select(col("src").as("node"), lit(0L).as("wdeg"),
+        lit(0L).as("rank_units"), lit(0.0).as("share"))
+    val tele = (M * (100L - Damp)) / (100L * n)
+    var ranks = e.select(col("src")).distinct()
+      .select(col("src").as("node"), lit(M / n).as("r"))
+    var i = 0
+    while (i < iterations) {
+      // cut lineage each round (the q148 shape)
+      ranks = weightedRankRound(e, ranks, tele).localCheckpoint()
+      i += 1
+    }
+    ranks.join(e.select(col("src"), col("wdeg")).distinct(),
+        col("node") === col("src"))
+      .select(col("node"), col("wdeg"), col("r").as("rank_units"),
+        (col("r") / (M * 1.0)).as("share"))
+      .orderBy(col("node"))
+  }
+
+  /** One weighted mass-push round: ranks equi-join the checkpointed
+   *  (src, dst, c, wdeg) edge frame on src, floor'd c-proportional
+   *  contributions hash-aggregate on dst. Exposed for the plan gate. */
+  private[ops] def weightedRankRound(e: DataFrame, ranks: DataFrame,
+      tele: Long): DataFrame =
+    e.join(ranks, col("src") === col("node"))
+      .select(col("dst"), expr(s"r * $Damp * c div (100 * wdeg)").as("contrib"))
+      .groupBy(col("dst"))
+      .agg((sum(col("contrib")) + lit(tele)).as("r"))
+      .select(col("dst").as("node"), col("r"))
+
+  /** q165: strength-weighted PageRank over the co-purchase graph —
+   *  the full (src, dst, c) frame q148 truncates. */
+  def q165WeightedPageRank(s: SparkSession, d: String): DataFrame =
+    weightedPageRank(coPurchaseStrength(s, d))
+      .select(col("node").as("part_id"), col("wdeg"), col("rank_units"),
+        col("share"))
+
+  /** Oracle: the identical weighted integer iteration as a recursive
+   *  CTE (the q148 replay with c-proportional contributions). */
+  val q165Sql: String =
+    """WITH RECURSIVE
+      |li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ew AS (
+      |  SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS c
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+      |  GROUP BY 1, 2),
+      |wd AS (SELECT src, CAST(sum(c) AS BIGINT) AS wdeg FROM ew GROUP BY src),
+      |e AS (SELECT ew.src, ew.dst, ew.c, d.wdeg FROM ew JOIN wd d USING (src)),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wd),
+      |it(k, node, r) AS (
+      |  SELECT 0, src, CAST(1000000000000 // n.n AS BIGINT) FROM wd, n
+      |  UNION ALL
+      |  SELECT it.k + 1, e.dst,
+      |   CAST(1000000000000 * 15 // (100 * min(n.n))
+      |        + sum(it.r * 85 * e.c // (100 * e.wdeg)) AS BIGINT)
+      |  FROM it JOIN e ON it.node = e.src CROSS JOIN n
+      |  WHERE it.k < 10
+      |  GROUP BY it.k + 1, e.dst)
+      |SELECT it.node AS part_id, d.wdeg, it.r AS rank_units,
+      | it.r * 1.0 / 1000000000000 AS share
+      |FROM it JOIN wd d ON it.node = d.src
+      |WHERE it.k = 10 ORDER BY part_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q158: multi-source BFS hop distance (frontier iteration)
   // ---------------------------------------------------------------
 

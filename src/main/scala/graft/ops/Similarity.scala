@@ -102,7 +102,7 @@ object Similarity {
   private val IvfCells = 16
   private val IvfProbes = 6
 
-  private val KMeansSample = 2048
+  private[ops] val KMeansSample = 2048
   private val KMeansIters = 12
 
   /** The fitted codebook is a MODEL ARTIFACT, not query state: for a
@@ -130,13 +130,15 @@ object Similarity {
    *  per-block population — and with it any block-local quadratic —
    *  stays constant). ~[[ScaledCellPop]] vectors per cell, floor
    *  [[IvfCells]] (below which the fixed q37 codebook is already
-   *  right-sized), cap = the k-means sample size (a centroid can't
-   *  be meaningfully fit past one per sample point). At the cap the
-   *  per-cell population resumes linear growth — a real deployment
-   *  raises the sample alongside the corpus (it is one TakeOrdered). */
+   *  right-sized). UNCAPPED above that: a single driver-fit codebook
+   *  can only reach [[KMeansSample]] cells (one centroid per sample
+   *  point), so [[withCell]] switches to the two-level coarse×fine
+   *  fit past that — per-cell population stays ~[[ScaledCellPop]] at
+   *  every corpus size instead of resuming linear growth at ~1M
+   *  vectors (the round-9 ceiling). */
   private[graft] val ScaledCellPop = 500L
   private[graft] def scaledCellCount(n: Long): Int =
-    math.max(IvfCells, math.min(KMeansSample.toLong, n / ScaledCellPop).toInt)
+    math.max(IvfCells, math.min(Int.MaxValue.toLong, n / ScaledCellPop).toInt)
 
   private def dotd(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
@@ -162,6 +164,15 @@ object Similarity {
     val sample: Array[Array[Double]] = e.sort(col("vec_id")).limit(KMeansSample)
       .collect()
       .map(r => unit(r.getSeq[Float](1).map(_.toDouble).toArray))
+    lloyd(sample, k)
+  }
+
+  /** The pure seeded Lloyd core over an already-collected UNIT-vector
+   *  sample — deterministic in (sample order, k) alone, so it runs
+   *  identically on the driver (the flat codebook fit) and inside an
+   *  executor task (the per-coarse-cell fine fits of the two-level
+   *  path, where each cell's sample is its smallest vec_ids). */
+  private[ops] def lloyd(sample: Array[Array[Double]], k: Int): Array[Array[Double]] = {
     if (sample.isEmpty) return Array.empty
     val kk = math.min(k, sample.length)
     val dim = sample.head.length
@@ -236,11 +247,99 @@ object Similarity {
   private[ops] def withCell(s: SparkSession, d: String, k: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    if (k > KMeansSample) return twoLevelWithCell(s, e, k)
     val cb = if (k <= 0) codebook(e, d) else codebookK(e, d, k)
     val cents: Array[(Int, Seq[Double])] =
       cb.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
     require(cents.nonEmpty, s"$d: empty corpus, nothing to lay out")
     e.withColumn("cell", cellAssign(cents))
+  }
+
+  /** TWO-LEVEL (coarse×fine) cell assignment — the scale tier past
+   *  the driver-fit ceiling: one codebook can only hold
+   *  [[KMeansSample]] centroids (one per sample point), so past ~1M
+   *  vectors (k = n/[[ScaledCellPop]] > sample) the flat blocking's
+   *  per-cell population would resume linear growth and the
+   *  within-cell quadratic would return (the round-9 verdict's one
+   *  design-scale flag). Split k = k1·k2 (k1 ≤ sample):
+   *
+   *   1. COARSE: a k1-codebook driver-fit exactly as the flat tier
+   *      ([[fitCodebook]] — bounded sample, seeded, memo-free here
+   *      because the pass below is the only consumer), assigned via
+   *      the same [[cellAssign]] literal projection.
+   *   2. FINE: per coarse cell, a k2-sub-codebook fit DISTRIBUTED —
+   *      shuffle by coarse cell, sort within partitions by
+   *      (ccell, vec_id), then one streaming mapPartitions pass per
+   *      cell: buffer the cell's first [[KMeansSample]] rows (its
+   *      smallest vec_ids — the deterministic sample, independent of
+   *      partition count), [[lloyd]]-fit locally, assign the buffer
+   *      and stream the remainder. Task memory is O(sample·dim) per
+   *      cell regardless of cell population.
+   *
+   *  Cell id = ccell·k2 + fine ∈ [0, k1·k2). Assignment cost is
+   *  n·(k1 + k2) dots — the hierarchical win over the flat n·k — and
+   *  the fit is fused into the single layout pass (no extra corpus
+   *  scan; the durable partitioned write IS the reusable artifact).
+   *  Determinism: coarse fit seeded on a sorted sample; per-cell row
+   *  order pinned by the sort; [[lloyd]] is a pure function of
+   *  (sample order, k2) — so layouts are identical across runs,
+   *  JVMs, and partition counts (spec-pinned). Ceiling of THIS tier:
+   *  k1·k2 ≤ sample² ≈ 4.2M cells ≈ 2·10⁹ vectors at 500/cell; a
+   *  third level would follow the same shape. */
+  private[ops] def twoLevelWithCell(s: SparkSession, e: DataFrame,
+      k: Int): DataFrame = {
+    import s.implicits._
+    val k2 = (k + KMeansSample - 1) / KMeansSample
+    val k1 = (k + k2 - 1) / k2
+    val coarse = fitCodebook(e, k1)
+    require(coarse.nonEmpty, "empty corpus, nothing to lay out")
+    val cents: Array[(Int, Seq[Double])] =
+      coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    val sampleCap = KMeansSample
+    e.withColumn("ccell", cellAssign(cents))
+      .select(col("vec_id"), col("v"), col("ccell"))
+      .repartition(col("ccell"))
+      .sortWithinPartitions(col("ccell"), col("vec_id"))
+      .as[(Long, Seq[Float], Int)]
+      .mapPartitions { rows =>
+        val b = rows.buffered
+        // cells are contiguous after the sort; process one cell per
+        // outer step, streaming rows past the fit sample
+        val perCell = new Iterator[Iterator[(Long, Seq[Float], Int)]] {
+          def hasNext: Boolean = b.hasNext
+          def next(): Iterator[(Long, Seq[Float], Int)] = {
+            val cc = b.head._3
+            val buf = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Seq[Float])]
+            while (b.hasNext && b.head._3 == cc && buf.length < sampleCap) {
+              val r = b.next(); buf += ((r._1, r._2))
+            }
+            val fine = lloyd(
+              buf.map(t => unit(t._2.map(_.toDouble).toArray)).toArray, k2)
+            def assign(v: Seq[Float]): Int = {
+              val vd = v.map(_.toDouble).toArray
+              var best = 0; var bestDot = dotd(vd, fine(0)); var c = 1
+              // `>=`: ties to the LARGER fine id, matching
+              // cellAssign's greatest(struct(csim, cid)) order
+              while (c < fine.length) {
+                val dd = dotd(vd, fine(c))
+                if (dd >= bestDot) { best = c; bestDot = dd }
+                c += 1
+              }
+              best
+            }
+            val rest = new Iterator[(Long, Seq[Float])] {
+              def hasNext: Boolean = b.hasNext && b.head._3 == cc
+              def next(): (Long, Seq[Float]) = { val r = b.next(); (r._1, r._2) }
+            }
+            (buf.iterator ++ rest).map { case (id, v) =>
+              (id, v, cc * k2 + assign(v))
+            }
+          }
+        }
+        perCell.flatten
+      }
+      .toDF("vec_id", "v", "cell")
   }
 
   /** THE cell-assignment expression over the vector column `v` —

@@ -97,6 +97,56 @@ class BucketingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("compacted LSH generation: probe keeps the zero-exchange plan, tombstoned docs never match") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val d = "/root/testdata/sf0.01"
+    val loc = Files.createTempDirectory("graftlshcomp")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_lc LOCATION '$loc'")
+    try {
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val corpus = docs.filter(col("doc_id") < 400)
+      Dedup.writeLshIndex(corpus, "graft_lc.idx")
+      val tomb = corpus.filter(col("doc_id") % 10 === 3).select(col("doc_id"))
+      Dedup.compactLshIndex(spark, "graft_lc.idx", "graft_lc.idx2", tomb)
+      val batch = docs.filter(col("doc_id") >= 400)
+
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val out = Dedup.incrementalMinhashIndexed(spark, batch, "graft_lc.idx2")
+        // the rewrite must land bucketed again: the bkey probe's index
+        // side is a bucketed scan with no Exchange above it
+        val probe = out.queryExecution.executedPlan
+          .collect { case j: SortMergeJoinExec => j }
+          .filter(_.leftKeys.exists(_.toString.contains("bkey")))
+        assert(probe.nonEmpty, out.queryExecution.executedPlan.toString.take(800))
+        val idxSide = probe.head.right
+        assert(idxSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          "compacted index side shuffles:\n" + idxSide.toString.take(600))
+        val scan = idxSide.collect { case sc: FileSourceScanExec => sc }
+        assert(scan.nonEmpty && scan.head.relation.bucketSpec.isDefined,
+          "compacted index side is not a bucketed scan")
+
+        // behavioral: the compacted probe = pre-compaction probe minus
+        // every pair whose corpus member was tombstoned
+        val got = out.orderBy(col("batch_id"), col("corpus_id")).collect().toSeq
+        val pre = Dedup.incrementalMinhashIndexed(spark, batch, "graft_lc.idx")
+        val tombIds = tomb.collect().map(_.getLong(0)).toSet
+        val expected = pre.filter(!col("corpus_id").isInCollection(tombIds))
+          .orderBy(col("batch_id"), col("corpus_id")).collect().toSeq
+        assert(got == expected && got.nonEmpty)
+        assert(got.forall(r => !tombIds.contains(r.getLong(1))))
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS graft_lc CASCADE")
+    }
+  }
+
   test("durable fp index: anti-join runs with no shuffle on the index side, q80-identical") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

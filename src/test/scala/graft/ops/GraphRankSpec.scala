@@ -46,6 +46,52 @@ class GraphRankSpec extends AnyFunSuite with SparkSuite {
     assert(out == replay(star, Graph.Iterations))
   }
 
+  /** Independent replay of the WEIGHTED integer iteration. */
+  private def replayW(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+    val wdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val n = wdeg.size.toLong
+    val tele = (M * 15L) / (100L * n)
+    var r: Map[Long, Long] = wdeg.keys.map(_ -> M / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, c) => (r(src) * 85L * c) / (100L * wdeg(src)) }.sum
+      }
+      r = wdeg.keys.map(k => k -> (tele + in.getOrElse(k, 0L))).toMap
+    }
+    r
+  }
+
+  test("weightedPageRank matches an independent integer replay exactly") {
+    // triangle with one heavy edge pair: 1-2 carries 10x the strength
+    val edges: Seq[(Long, Long, Long)] = Seq(
+      (1L, 2L, 10L), (2L, 1L, 10L), (2L, 3L, 1L), (3L, 2L, 1L),
+      (1L, 3L, 1L), (3L, 1L, 1L))
+    val out = Graph.weightedPageRank(edges.toDF("src", "dst", "c"),
+        Graph.Iterations)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == replayW(edges, Graph.Iterations))
+  }
+
+  test("weighted: heavy-tie partner outranks the light one; uniform c degenerates to unweighted") {
+    val edges: Seq[(Long, Long, Long)] = Seq(
+      (1L, 2L, 10L), (2L, 1L, 10L), (1L, 3L, 1L), (3L, 1L, 1L))
+    val out = Graph.weightedPageRank(edges.toDF("src", "dst", "c"),
+        Graph.Iterations)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // vertex 2 receives 10/11 of vertex 1's pushed mass, vertex 3 only
+    // 1/11 — strength must translate to rank
+    assert(out(2L) > out(3L))
+    // with every c equal the weighted iteration IS the unweighted one
+    // (r*85*c div (100*c*deg') == r*85 div (100*deg) when wdeg = c*deg
+    // divides evenly; use c=1 so the floors align exactly)
+    val uni = pathEdges.map { case (s, t) => (s, t, 1L) }
+    val w = Graph.weightedPageRank(uni.toDF("src", "dst", "c"), Graph.Iterations)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val u = Graph.pageRank(pathEdges.toDF("src", "dst"), Graph.Iterations)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w == u)
+  }
+
   test("result is independent of input partitioning and conserves bounded mass") {
     val df = pathEdges.toDF("src", "dst")
     val a = Graph.pageRank(df.repartition(1), Graph.Iterations).collect()

@@ -346,6 +346,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(600))
   }
 
+  test("q165 weighted rank iteration: ranks equi-join edges on src + dst hash agg, no cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = Seq((1L, 2L, 3L, 3L), (2L, 1L, 3L, 3L)).toDF("src", "dst", "c", "wdeg")
+    val ranks = Seq((1L, 100L), (2L, 100L)).toDF("node", "r")
+    val p = plan(Graph.weightedRankRound(e, ranks, tele = 1L))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "weighted mass push must equi-join on src, never all-pairs")
+    assert(p.contains("HashAggregate"), p.take(600))
+  }
+
   test("q158 BFS round: frontier equi-join + one anti-join, no cartesian") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

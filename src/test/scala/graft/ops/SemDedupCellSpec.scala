@@ -53,12 +53,53 @@ class SemDedupCellSpec extends AnyFunSuite with SparkSuite {
     assert(blocked(2L) == 1L && blocked(4L) == 3L && blocked(2002L) == 1L)
   }
 
-  test("scaledCellCount: floor at the fixed codebook, ~500/cell, capped at the fit sample") {
+  test("scaledCellCount: floor at the fixed codebook, ~500/cell, uncapped above") {
     assert(Similarity.scaledCellCount(500) == 16)   // small corpus: floor
     assert(Similarity.scaledCellCount(8000) == 16)  // 16 × 500 boundary
     assert(Similarity.scaledCellCount(20000) == 40) // grows with corpus
     assert(Similarity.scaledCellCount(200000) == 400)
-    assert(Similarity.scaledCellCount(5000000) == 2048) // sample-size cap
+    // past the driver-fit ceiling the count keeps scaling (the
+    // two-level tier serves it — round-9's 2048 cap is gone)
+    assert(Similarity.scaledCellCount(5000000) == 10000)
+    assert(Similarity.scaledCellCount(1000000000L) == 2000000)
+  }
+
+  test("two-level cells: complete, in-range, deterministic across partition counts") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val n = e.count()
+    // force the two-level tier (k > KMeansSample) on the small corpus
+    val k = 3000
+    val a = Similarity.twoLevelWithCell(spark, e, k)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a.size == n, "every vector assigned exactly once")
+    assert(a.values.forall(c => c >= 0 && c < k + Similarity.KMeansSample),
+      "cells within the k1*k2 range")
+    // determinism must not depend on the physical partitioning: the
+    // per-cell fit sample is pinned by the (ccell, vec_id) sort
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = Similarity.twoLevelWithCell(spark, e.repartition(3), k)
+        .select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(a == b, "two-level layout must be partitioning-independent")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("two-level policy drops stay a subset of the unblocked truth") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val layout = Similarity.twoLevelWithCell(spark, e, 3000)
+      .select(col("vec_id"), col("cell"), col("v"))
+    val blocked = drops(Dedup.semDedupCappedPolicy(layout, 0.45))
+    val unblocked = drops(Dedup.semDedupCappedPolicy(
+      layout.withColumn("cell", lit(0)), 0.45))
+    assert(blocked.keySet.subsetOf(unblocked.keySet))
+    blocked.foreach { case (v, kpr) => assert(kpr < v) }
   }
 
   test("semDedupScaled: one policy row per vector, drops keep earlier keepers (sf0.001)") {
