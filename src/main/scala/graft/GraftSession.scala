@@ -14,6 +14,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // pid-keyed warehouse: managed tables (the durable index
+      // generations of q80/q96/q166) must not land in the repo cwd
+      // nor collide when two graft JVMs overlap on one machine
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft_warehouse_" +
+          s"${ProcessHandle.current().pid()}")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -289,7 +289,13 @@ object SparkEntry {
     // strength-weighted PageRank (mass flow ∝ co-purchase count)
     "q165_weighted_pagerank" -> (Graph.q165WeightedPageRank _),
     // LSH index compaction lifecycle gate (tombstones -> rewrite)
-    "q166_lsh_compaction" -> (Dedup.q166LshCompaction _)
+    "q166_lsh_compaction" -> (Dedup.q166LshCompaction _),
+    // Welch's unequal-variance t-test (A/B family with q161/163/164)
+    "q167_welch_ttest" -> (EventOps.q167WelchTTest _),
+    // bounded-round 3-core peel with per-row convergence certificate
+    "q168_kcore" -> (Graph.q168KCore _),
+    // degree assortativity (Pearson over edge endpoint degrees)
+    "q169_assortativity" -> (Graph.q169Assortativity _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -451,6 +457,9 @@ object SparkEntry {
     "q163_conversion_test" -> EventOps.q163Sql,
     "q164_mann_whitney" -> EventOps.q164Sql,
     "q165_weighted_pagerank" -> Graph.q165Sql,
-    "q166_lsh_compaction" -> Dedup.q166Sql
+    "q166_lsh_compaction" -> Dedup.q166Sql,
+    "q167_welch_ttest" -> EventOps.q167Sql,
+    "q168_kcore" -> Graph.q168Sql,
+    "q169_assortativity" -> Graph.q169Sql
   )
 }

@@ -1098,4 +1098,113 @@ object EventOps {
       |        - CAST(tieSum AS DOUBLE)
       |          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) AS z
       |FROM h""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q167: Welch's t-test on per-user revenue (unequal variances)
+  // ------------------------------------------------------------------
+
+  /** q167: the parametric partner of q164 — Welch's unequal-variance
+   *  t-test on per-user experiment-period revenue, with the
+   *  Welch–Satterthwaite degrees of freedom. Completes the A/B
+   *  readout family: q161 (variance reduction), q163 (proportions),
+   *  q164 (rank-sum), q167 (means under unequal variances — the
+   *  default test real experimentation platforms report).
+   *
+   *  Determinism (the q105/q161 discipline): per-variant moments are
+   *  exact — n as long, Σy as long, Σy² as decimal(38,0) sums of
+   *  int64 squares (y ≤ ~10⁸ cents → y² ≤ 10¹⁶, exact past any
+   *  octave) — and every double (mean, variance, t, df) is ONE
+   *  closed form over those integers, evaluated identically in both
+   *  engines. Guards, identical both sides: pooled standard error
+   *  exactly 0 (both variances zero) → t = 0, df = 0 — no 0/0
+   *  divergence on a degenerate corpus.
+   *
+   *  Scale: one events scan → per-user cents aggregate (map-side
+   *  partials) → one 2-row conditional moment aggregate → a 1-row
+   *  closed form. No window, no join, nothing data-sized past the
+   *  first aggregate. */
+  def q167WelchTTest(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+    val perUser = events(s, d)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase" && col("ts") >= cut,
+          cents(col("value"))).otherwise(0L).as("yc"))
+      .groupBy(col("user_id")).agg(sum(col("yc")).as("y"))
+      .withColumn("variant", (col("user_id") % 2).cast("long"))
+    val dec = "decimal(38,0)"
+    val m = perUser.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("variant") === 0, col("y")).otherwise(0L)).as("sy0"),
+      sum(when(col("variant") === 1, col("y")).otherwise(0L)).as("sy1"),
+      sum(when(col("variant") === 0, (col("y") * col("y")).cast(dec))
+        .otherwise(lit(0).cast(dec))).as("syy0"),
+      sum(when(col("variant") === 1, (col("y") * col("y")).cast(dec))
+        .otherwise(lit(0).cast(dec))).as("syy1"))
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    m.withColumn("mean0", dbl(col("sy0")) / dbl(col("n0")))
+      .withColumn("mean1", dbl(col("sy1")) / dbl(col("n1")))
+      .withColumn("var0",
+        (dbl(col("n0")) * dbl(col("syy0")) - dbl(col("sy0")) * dbl(col("sy0")))
+          / (dbl(col("n0")) * (dbl(col("n0")) - lit(1.0))))
+      .withColumn("var1",
+        (dbl(col("n1")) * dbl(col("syy1")) - dbl(col("sy1")) * dbl(col("sy1")))
+          / (dbl(col("n1")) * (dbl(col("n1")) - lit(1.0))))
+      .withColumn("se0", col("var0") / dbl(col("n0")))
+      .withColumn("se1", col("var1") / dbl(col("n1")))
+      .withColumn("se2", col("se0") + col("se1"))
+      .withColumn("t",
+        when(col("se2") === 0.0, lit(0.0))
+          .otherwise((col("mean1") - col("mean0")) / sqrt(col("se2"))))
+      .withColumn("df",
+        when(col("se2") === 0.0, lit(0.0))
+          .otherwise(col("se2") * col("se2")
+            / (col("se0") * col("se0") / (dbl(col("n0")) - lit(1.0))
+              + col("se1") * col("se1") / (dbl(col("n1")) - lit(1.0)))))
+      .select(col("n0"), col("n1"), col("mean0"), col("mean1"),
+        col("var0"), col("var1"), col("t"), col("df"))
+  }
+
+  val q167Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+      |   CAST(sum(CASE WHEN event_type = 'purchase'
+      |                  AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |            THEN CAST(round("value" * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT
+      |   CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |   CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |   CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+      |   CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+      |   CAST(sum(CASE WHEN variant = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+      |        AS DECIMAL(38,0)) AS syy0,
+      |   CAST(sum(CASE WHEN variant = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+      |        AS DECIMAL(38,0)) AS syy1
+      |  FROM pu),
+      |v AS (
+      |  SELECT *,
+      |   CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0,
+      |   CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+      |   (CAST(n0 AS DOUBLE) * CAST(syy0 AS DOUBLE)
+      |      - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE))
+      |     / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0)) AS var0,
+      |   (CAST(n1 AS DOUBLE) * CAST(syy1 AS DOUBLE)
+      |      - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+      |     / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS var1
+      |  FROM m),
+      |w AS (
+      |  SELECT *,
+      |   var0 / CAST(n0 AS DOUBLE) AS se0,
+      |   var1 / CAST(n1 AS DOUBLE) AS se1,
+      |   var0 / CAST(n0 AS DOUBLE) + var1 / CAST(n1 AS DOUBLE) AS se2
+      |  FROM v)
+      |SELECT n0, n1, mean0, mean1, var0, var1,
+      | CASE WHEN se2 = 0.0 THEN 0.0
+      |      ELSE (mean1 - mean0) / sqrt(se2) END AS t,
+      | CASE WHEN se2 = 0.0 THEN 0.0
+      |      ELSE se2 * se2 / (se0 * se0 / (CAST(n0 AS DOUBLE) - 1.0)
+      |                       + se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)) END AS df
+      |FROM w""".stripMargin
 }

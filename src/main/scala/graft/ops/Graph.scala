@@ -414,6 +414,178 @@ object Graph {
       |ORDER BY part_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q168: k-core peel (bounded-round degeneracy pruning)
+  // ---------------------------------------------------------------
+
+  /** Bounded-round k-core peel: iteratively remove every vertex whose
+   *  degree WITHIN the surviving subgraph is < k — the classic
+   *  degeneracy pruning a graph-curation pipeline runs to strip
+   *  low-engagement fringe before community/centrality analysis.
+   *  Exactly `rounds` peeling passes run (not peel-to-fixpoint):
+   *  bounded rounds are what makes the oracle an UNROLLED CTE chain
+   *  replaying the identical iteration, and once the peel has
+   *  converged further rounds are idempotent, so on any corpus that
+   *  converges within the bound the result IS the true k-core — the
+   *  `is_stable` output column (final in-core degree ≥ k, computed
+   *  identically in both engines) certifies convergence row by row
+   *  instead of leaving it an assumption.
+   *
+   *  Shape per round: two semi-joins of the checkpointed DISK_ONLY
+   *  edge frame against the (vertex-sized, broadcast-eligible)
+   *  survivor set + one degree hash-aggregate — the q148/q160 shuffle
+   *  pair; survivor frames localCheckpoint each round to keep the
+   *  plan O(1) deep. Work per round is O(surviving edges), total
+   *  O(rounds·E); all counts exact integers. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+    var surv = e.select(col("src").as("node")).distinct().localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      surv = aliveEdges(e, surv)
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("node"))
+        .localCheckpoint()
+      r += 1
+    }
+    aliveEdges(e, surv)
+      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"),
+        (col("core_deg") >= k).as("is_stable"))
+  }
+
+  /** Edges with BOTH endpoints in the survivor set — two semi-joins,
+   *  exposed for the plan gate. */
+  private[ops] def aliveEdges(e: DataFrame, surv: DataFrame): DataFrame =
+    e.join(surv.select(col("node").as("__s1")), col("src") === col("__s1"), "left_semi")
+      .join(surv.select(col("node").as("__s2")), col("dst") === col("__s2"), "left_semi")
+
+  private[ops] val KCoreK = 3
+  // 12 rounds: measured convergence at sf0.01 (935 survivors, zero
+  // unstable; 8 rounds left 4 mid-peel) — sf0.1's sparser c≥2 graph
+  // peels to an EMPTY 3-core, and ScaleGen octaves are key-disjoint
+  // copies of their base graph, so convergence transfers to octaves
+  // verbatim. If a corpus ever reports is_stable=false rows, raise
+  // the bound — the certificate makes under-iteration visible, never
+  // silent.
+  private[ops] val KCoreRounds = 12
+
+  /** q168: the 3-core of the c≥2 co-purchase strength graph after 8
+   *  peeling rounds — (part_id, core_deg, is_stable). */
+  def q168KCore(s: SparkSession, d: String): DataFrame =
+    kCorePeel(coPurchaseStrength(s, d).filter(col("c") >= 2), KCoreK, KCoreRounds)
+      .select(col("node").as("part_id"), col("core_deg"), col("is_stable"))
+      .orderBy(col("part_id"))
+
+  /** Oracle: the identical peel UNROLLED as a CTE chain — round i+1
+   *  keeps exactly the vertices with ≥ k surviving-subgraph neighbors
+   *  at round i (generated for the fixed round count, so both engines
+   *  run the same number of passes by construction). */
+  val q168Sql: String = {
+    // MATERIALIZED is load-bearing: each round references its
+    // predecessor twice (both endpoints), and DuckDB inlines CTEs per
+    // reference by default — the un-hinted chain re-evaluates
+    // exponentially (measured: >2 min vs 0.8 s at sf0.01)
+    val rounds = (0 until KCoreRounds).map { i =>
+      s"""s${i + 1} AS MATERIALIZED (
+         |  SELECT src AS node FROM e0
+         |  WHERE src IN (SELECT node FROM s$i)
+         |    AND dst IN (SELECT node FROM s$i)
+         |  GROUP BY src HAVING count(*) >= $KCoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |ew AS MATERIALIZED (
+       |  SELECT a.pk AS src, b.pk AS dst, count(*) AS c
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+       |  GROUP BY 1, 2),
+       |e0 AS MATERIALIZED (SELECT src, dst FROM ew WHERE c >= 2),
+       |s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e0),
+       |$rounds,
+       |fin AS (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg FROM e0
+       |  WHERE src IN (SELECT node FROM s$KCoreRounds)
+       |    AND dst IN (SELECT node FROM s$KCoreRounds)
+       |  GROUP BY src)
+       |SELECT node AS part_id, core_deg, core_deg >= $KCoreK AS is_stable
+       |FROM fin ORDER BY part_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q169: degree assortativity (Pearson over edge endpoint degrees)
+  // ---------------------------------------------------------------
+
+  /** q169: the degree-assortativity coefficient of the c≥2
+   *  co-purchase graph — Pearson correlation of (deg(src), deg(dst))
+   *  over the DIRECTED symmetric edge list (Newman 2002), the one-
+   *  number answer to "do popular parts co-purchase with popular
+   *  parts?". The edge list is symmetric, so the x and y marginals
+   *  coincide (Σx = Σy, Σx² = Σy²) and the coefficient reduces to
+   *  r = (E·Σxy − (Σx)²) / (E·Σx² − (Σx)²) — both engines evaluate
+   *  that same reduced form.
+   *
+   *  Determinism: Σx, Σx², Σxy accumulate in decimal(38,0) (exact at
+   *  any octave) and cast down to int64 for output (bounded by
+   *  E·deg² ≤ 10¹⁶ through the 100× octave — ScaleGen copies are
+   *  key-disjoint, so degrees never grow with copies); r is one
+   *  closed form over those integers, zero-denominator guarded to 0
+   *  (a degree-regular graph has no degree variance to correlate).
+   *
+   *  Scale: edge build + two degree joins + ONE moment aggregate —
+   *  everything linear in E, no window, nothing collected. */
+  def q169Assortativity(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseStrength(s, d).filter(col("c") >= 2)
+      .select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val dec = "decimal(38,0)"
+    val ed = e
+      .join(deg.select(col("src").as("u_key"), col("deg").as("x")),
+        col("src") === col("u_key"))
+      .join(deg.select(col("src").as("v_key"), col("deg").as("y")),
+        col("dst") === col("v_key"))
+    val m = ed.agg(
+      count(lit(1)).as("n_edges"),
+      sum(col("x").cast(dec)).cast("long").as("sx"),
+      sum((col("x") * col("x")).cast(dec)).cast("long").as("sxx"),
+      sum((col("x") * col("y")).cast(dec)).cast("long").as("sxy"))
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    m.withColumn("den",
+        dbl(col("n_edges")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+      .withColumn("assortativity",
+        when(col("den") === 0.0, lit(0.0))
+          .otherwise((dbl(col("n_edges")) * dbl(col("sxy"))
+            - dbl(col("sx")) * dbl(col("sx"))) / col("den")))
+      .select(col("n_edges"), col("sx"), col("sxx"), col("sxy"),
+        col("assortativity"))
+  }
+
+  val q169Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ew AS (
+      |  SELECT a.pk AS src, b.pk AS dst, count(*) AS c
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+      |  GROUP BY 1, 2),
+      |e0 AS (SELECT src, dst FROM ew WHERE c >= 2),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src),
+      |ed AS (
+      |  SELECT d1.deg AS x, d2.deg AS y
+      |  FROM e0 JOIN deg d1 ON e0.src = d1.src JOIN deg d2 ON e0.dst = d2.src),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+      |   CAST(CAST(sum(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS BIGINT) AS sx,
+      |   CAST(CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS BIGINT) AS sxx,
+      |   CAST(CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS BIGINT) AS sxy
+      |  FROM ed)
+      |SELECT n_edges, sx, sxx, sxy,
+      | CASE WHEN (CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0.0 THEN 0.0
+      | ELSE (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      / (CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS assortativity
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------
   // q160: connected components (min-label propagation to fixpoint)
   // ---------------------------------------------------------------
 

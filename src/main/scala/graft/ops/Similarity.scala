@@ -102,7 +102,7 @@ object Similarity {
   private val IvfCells = 16
   private val IvfProbes = 6
 
-  private[ops] val KMeansSample = 2048
+  private[graft] val KMeansSample = 2048
   private val KMeansIters = 12
 
   /** The fitted codebook is a MODEL ARTIFACT, not query state: for a

@@ -357,6 +357,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("HashAggregate"), p.take(600))
   }
 
+  test("q168 k-core round: two survivor semi-joins + degree agg, no cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val surv = Seq(1L, 2L).toDF("node")
+    val p = plan(Graph.aliveEdges(e, surv))
+    assert(p.toLowerCase.contains("leftsemi"), p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "survivor restriction must be key semi-joins, never all-pairs")
+  }
+
   test("q158 BFS round: frontier equi-join + one anti-join, no cartesian") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
