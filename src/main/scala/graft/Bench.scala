@@ -58,6 +58,15 @@ object Bench {
       // Deliberately pinned per-JVM artifacts (keepBestCache,
       // zorderedLineitem, shingleCache) stay reachable and survive.
       System.gc()
+      // per-query progress on stderr (stdout stays the single JSON
+      // line): when a long suite run dies mid-flight — the r10 100×
+      // OOM killed the JVM with zero attribution — the last line
+      // names the query that was running, and the free-heap figure
+      // shows whether pressure was accumulating across the suite
+      val rt = Runtime.getRuntime
+      val headroom = rt.maxMemory() - rt.totalMemory() + rt.freeMemory()
+      System.err.println(f"[bench] $name%s ${if (ok) best else -1.0}%.3f s " +
+        f"heap_headroom=${headroom / (1 << 20)}%d MiB")
       name -> (if (ok) best else 0.0)
     }
     failed = failed.distinct
