@@ -295,7 +295,23 @@ object SparkEntry {
     // bounded-round 3-core peel with per-row convergence certificate
     "q168_kcore" -> (Graph.q168KCore _),
     // degree assortativity (Pearson over edge endpoint degrees)
-    "q169_assortativity" -> (Graph.q169Assortativity _)
+    "q169_assortativity" -> (Graph.q169Assortativity _),
+    // link prediction: common-neighbor / Jaccard / resource-allocation
+    "q170_link_predict" -> (Graph.q170LinkPredict _),
+    // cheapest weighted path from a brand seed set (bounded Bellman-Ford)
+    "q171_cheapest_path" -> (Graph.q171CheapestPath _),
+    // perceptual-hash image dedup (real decode -> dHash -> Hamming bands)
+    "q172_phash_dedup" -> (Multimodal.q172PhashDedup _),
+    // Kaplan-Meier time-to-first-error survival curve (right-censored)
+    "q173_kaplan_meier" -> (EventOps.q173KaplanMeier _),
+    // Benjamini-Hochberg FDR over per-segment conversion chi-squared
+    "q174_bh_fdr" -> (EventOps.q174BhFdr _),
+    // Wald SPRT hourly conversion monitor (sequential decision curve)
+    "q175_sprt_monitor" -> (EventOps.q175SprtMonitor _),
+    // bipartite HITS: customer hubs -> part authorities
+    "q176_hits" -> (Graph.q176Hits _),
+    // Newman-Girvan modularity of the brand partition
+    "q177_modularity" -> (Graph.q177Modularity _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -460,6 +476,14 @@ object SparkEntry {
     "q166_lsh_compaction" -> Dedup.q166Sql,
     "q167_welch_ttest" -> EventOps.q167Sql,
     "q168_kcore" -> Graph.q168Sql,
-    "q169_assortativity" -> Graph.q169Sql
+    "q169_assortativity" -> Graph.q169Sql,
+    "q170_link_predict" -> Graph.q170Sql,
+    "q171_cheapest_path" -> Graph.q171Sql,
+    "q172_phash_dedup" -> Multimodal.q172Sql,
+    "q173_kaplan_meier" -> EventOps.q173Sql,
+    "q174_bh_fdr" -> EventOps.q174Sql,
+    "q175_sprt_monitor" -> EventOps.q175Sql,
+    "q176_hits" -> Graph.q176Sql,
+    "q177_modularity" -> Graph.q177Sql
   )
 }

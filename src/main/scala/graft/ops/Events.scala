@@ -1207,4 +1207,365 @@ object EventOps {
       |      ELSE se2 * se2 / (se0 * se0 / (CAST(n0 AS DOUBLE) - 1.0)
       |                       + se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)) END AS df
       |FROM w""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q173: Kaplan-Meier survival (time to first error, right-censored)
+  // ------------------------------------------------------------------
+
+  /** q173: the Kaplan-Meier product-limit estimator over the events
+   *  table — survival = "how long until a user first hits an `error`
+   *  event", right-censored at the user's last observed event when no
+   *  error occurred. The standard reliability readout (Kaplan & Meier
+   *  1958) an experimentation or SRE pipeline reports.
+   *
+   *  Determinism: durations floor to whole HOURS (exact integer div
+   *  of micros), so the life table is a ≤721-row bounded-domain frame
+   *  (the events corpus spans 30 days at every octave — ScaleGen
+   *  replicates users, not time); d/c/n_risk are exact long counts.
+   *  The cumulative product S(t) = Π (1−dᵢ/nᵢ) is carried as
+   *  exp(Σ ln((nᵢ−dᵢ)/nᵢ)) over a window ORDERED BY t — both engines
+   *  sum the SAME doubles in the SAME sequential order, so the sum
+   *  (and its exp) is reproducible; each ln argument is ONE division
+   *  of exact integers. n=d can only happen at the final row (later
+   *  rows would contribute to n otherwise); guarded to survival=0
+   *  identically in both engines rather than relying on ln(0)/exp
+   *  semantics agreeing.
+   *
+   *  Scale: one events scan → per-user (first ts, first error, last
+   *  ts) aggregate → hour-bucket aggregate; the windows run on the
+   *  bounded life table, never on data-sized frames. */
+  def q173KaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val perUser = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(unix_micros(col("ts"))).as("t_first"),
+        min(when(col("event_type") === "error", unix_micros(col("ts"))))
+          .as("t_err"),
+        max(unix_micros(col("ts"))).as("t_last"))
+      .select(
+        expr("(coalesce(t_err, t_last) - t_first) div 3600000000L")
+          .as("t_hours"),
+        when(col("t_err").isNotNull, 1L).otherwise(0L).as("ev"))
+    kmLifeTable(perUser).orderBy(col("t_hours"))
+  }
+
+  /** The product-limit life table over a (t_hours, ev) duration frame
+   *  — exposed so the spec can pin the estimator on textbook
+   *  fixtures. Returns (t_hours, n_risk, n_events, n_censored,
+   *  hazard, survival), one row per distinct duration. */
+  def kmLifeTable(durations: DataFrame): DataFrame = {
+    val g = durations.groupBy(col("t_hours"))
+      .agg(sum(col("ev")).as("d_events"),
+        sum(lit(1L) - col("ev")).as("c_events"))
+    val ord = Window.orderBy(col("t_hours"))
+    val upToPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val upToCur = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    g.withColumn("n_risk",
+        sum(col("d_events") + col("c_events")).over(all)
+          - coalesce(sum(col("d_events") + col("c_events")).over(upToPrev),
+            lit(0L)))
+      .withColumn("lnf",
+        when(col("n_risk") > col("d_events"),
+          log(dbl(col("n_risk") - col("d_events")) / dbl(col("n_risk"))))
+          .otherwise(lit(0.0)))
+      .select(col("t_hours"),
+        col("n_risk"),
+        col("d_events").as("n_events"),
+        col("c_events").as("n_censored"),
+        (dbl(col("d_events")) / dbl(col("n_risk"))).as("hazard"),
+        when(col("n_risk") === col("d_events"), lit(0.0))
+          .otherwise(exp(sum(col("lnf")).over(upToCur))).as("survival"))
+  }
+
+  val q173Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |   min(epoch_us(ts)) AS t_first,
+      |   min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS t_err,
+      |   max(epoch_us(ts)) AS t_last
+      |  FROM events GROUP BY user_id),
+      |du AS (
+      |  SELECT CAST((coalesce(t_err, t_last) - t_first) // 3600000000 AS BIGINT)
+      |    AS t_hours,
+      |   CASE WHEN t_err IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM pu),
+      |g AS (
+      |  SELECT t_hours, CAST(sum(ev) AS BIGINT) AS d_events,
+      |   CAST(sum(1 - ev) AS BIGINT) AS c_events
+      |  FROM du GROUP BY t_hours),
+      |r AS (
+      |  SELECT t_hours, d_events, c_events,
+      |   CAST(sum(d_events + c_events) OVER ()
+      |     - coalesce(sum(d_events + c_events) OVER (
+      |         ORDER BY t_hours ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |       0) AS BIGINT) AS n_risk
+      |  FROM g),
+      |k AS (
+      |  SELECT *,
+      |   CASE WHEN n_risk > d_events
+      |        THEN ln(CAST(n_risk - d_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      |        ELSE 0.0 END AS lnf
+      |  FROM r)
+      |SELECT t_hours, n_risk, d_events AS n_events, c_events AS n_censored,
+      | CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hazard,
+      | CASE WHEN n_risk = d_events THEN 0.0
+      |      ELSE exp(sum(lnf) OVER (
+      |        ORDER BY t_hours ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      | END AS survival
+      |FROM k ORDER BY t_hours""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q174: Benjamini-Hochberg FDR over per-segment conversion tests
+  // ------------------------------------------------------------------
+
+  /** q174: the multiple-comparisons layer real experimentation
+   *  platforms put on top of per-metric tests — the q163
+   *  two-proportion chi-squared run independently in 16 user
+   *  segments, p-values from the chi²(1) tail, then Benjamini &
+   *  Hochberg (1995) step-up FDR control at α = 0.10: rank the
+   *  p-values, find the largest rank with p ≤ α·rank/m, flag
+   *  everything at or below it, and report the monotone adjusted
+   *  p-value min_{j≥i}(p⁽ʲ⁾·m/j).
+   *
+   *  Determinism: per-segment cells are exact longs (one scan → one
+   *  per-user agg → one 16-row conditional agg); chi² is the q163
+   *  closed form with the same pooled∈{0,1} guard. The chi²(1) upper
+   *  tail is 2·Q(√chi²) with Q the Abramowitz-Stegun 26.2.17
+   *  polynomial — evaluated with the IDENTICAL Horner association in
+   *  both engines, so the only cross-engine exposure is last-ulp
+   *  exp/sqrt variance (orders below the 1e-9 hash granularity; the
+   *  suite's ln/sqrt precedent). Ranks order by (p, segment) so ties
+   *  can never leave ordering to the engine. All windows run over
+   *  exactly 16 rows — segment count is fixed by the operator, not
+   *  the corpus. */
+  def q174BhFdr(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+    val alpha = 0.10
+    val perUser = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("ts") >= cut
+          && col("value") >= 120.0, 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("segment", (col("user_id") % 16).cast("long"))
+      .withColumn("variant", expr("(user_id div 16) % 2").cast("long"))
+    val cell = perUser.groupBy(col("segment")).agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("c0"),
+      sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("c1"))
+    val dbl = (n: String) => col(n).cast("double")
+    val withChi = cell
+      .withColumn("rate0", dbl("c0") / dbl("n0"))
+      .withColumn("rate1", dbl("c1") / dbl("n1"))
+      .withColumn("pooled", (dbl("c0") + dbl("c1")) / (dbl("n0") + dbl("n1")))
+      .withColumn("chi2",
+        when(col("pooled") === 0.0 || col("pooled") === 1.0, lit(0.0))
+          .otherwise(
+            (col("rate0") - col("rate1")) * (col("rate0") - col("rate1"))
+              / (col("pooled") * (lit(1.0) - col("pooled"))
+                * (lit(1.0) / dbl("n0") + lit(1.0) / dbl("n1")))))
+      .withColumn("zv", sqrt(col("chi2")))
+      // A&S 26.2.17 normal upper tail, Horner form — keep this
+      // association IDENTICAL to the SQL text below
+      .withColumn("tv", lit(1.0) / (lit(1.0) + lit(0.2316419) * col("zv")))
+      .withColumn("p", least(lit(1.0),
+        lit(2.0) * (lit(0.3989422804014327)
+          * exp(lit(-0.5) * col("zv") * col("zv")))
+          * (col("tv") * (lit(0.319381530) + col("tv") * (lit(-0.356563782)
+            + col("tv") * (lit(1.781477937) + col("tv") * (lit(-1.821255978)
+              + col("tv") * lit(1.330274429))))))))
+    bhStepUp(withChi, alpha)
+      .select(col("segment"), col("n0"), col("c0"), col("n1"), col("c1"),
+        col("chi2"), col("p"), col("rank"), col("p_adj"),
+        col("is_discovery"))
+      .orderBy(col("segment"))
+  }
+
+  /** Benjamini-Hochberg step-up over a (segment, p, ...) frame —
+   *  exposed so the spec can pin the rank/threshold/adjustment logic
+   *  on hand-built p-vectors. Adds (rank, p_adj, is_discovery);
+   *  ranks tie-break on segment so ordering never depends on the
+   *  engine. All windows run over the test frame, whose row count is
+   *  the number of TESTS (fixed by the operator), not the corpus. */
+  def bhStepUp(tests: DataFrame, alpha: Double): DataFrame = {
+    val dbl = (n: String) => col(n).cast("double")
+    val ord = Window.orderBy(col("p"), col("segment"))
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = tests
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("m", count(lit(1)).over(all))
+    val tail = Window.orderBy(col("rank"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked
+      .withColumn("p_adj", least(lit(1.0),
+        min(col("p") * dbl("m") / dbl("rank")).over(tail)))
+      .withColumn("disc_rank",
+        max(when(col("p") <= lit(alpha) * dbl("rank") / dbl("m"), col("rank"))
+          .otherwise(0L)).over(all))
+      .withColumn("is_discovery", col("rank") <= col("disc_rank"))
+      .drop("m", "disc_rank")
+  }
+
+  val q174Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id, CAST(user_id % 16 AS BIGINT) AS segment,
+      |   CAST((user_id // 16) % 2 AS BIGINT) AS variant,
+      |   max(CASE WHEN event_type = 'purchase'
+      |             AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |             AND "value" >= 120.0
+      |       THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY user_id),
+      |cell AS (
+      |  SELECT segment,
+      |   CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |   CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |   CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS c0,
+      |   CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1
+      |  FROM pu GROUP BY segment),
+      |x AS (
+      |  SELECT *,
+      |   CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
+      |   CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate1,
+      |   (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+      |     / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS pooled
+      |  FROM cell),
+      |ch AS (
+      |  SELECT *,
+      |   CASE WHEN pooled = 0.0 OR pooled = 1.0 THEN 0.0
+      |        ELSE (rate0 - rate1) * (rate0 - rate1)
+      |          / (pooled * (1.0 - pooled)
+      |            * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+      |   END AS chi2
+      |  FROM x),
+      |zz AS (SELECT *, sqrt(chi2) AS zv FROM ch),
+      |tt AS (SELECT *, 1.0 / (1.0 + 0.2316419 * zv) AS tv FROM zz),
+      |pp AS (
+      |  SELECT *, least(1.0,
+      |   2.0 * (0.3989422804014327 * exp(-0.5 * zv * zv))
+      |   * (tv * (0.319381530 + tv * (-0.356563782
+      |     + tv * (1.781477937 + tv * (-1.821255978
+      |       + tv * 1.330274429)))))) AS p
+      |  FROM tt),
+      |rk AS (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY p, segment) AS BIGINT) AS rank,
+      |   CAST(count(*) OVER () AS BIGINT) AS m
+      |  FROM pp),
+      |adj AS (
+      |  SELECT *,
+      |   least(1.0, min(p * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE)) OVER (
+      |     ORDER BY rank ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |     AS p_adj,
+      |   max(CASE WHEN p <= 0.10 * CAST(rank AS DOUBLE) / CAST(m AS DOUBLE)
+      |            THEN rank ELSE 0 END) OVER () AS disc_rank
+      |  FROM rk)
+      |SELECT segment, n0, c0, n1, c1, chi2, p, rank, p_adj,
+      | rank <= disc_rank AS is_discovery
+      |FROM adj ORDER BY segment""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q175: SPRT conversion monitor (Wald sequential test by hour)
+  // ------------------------------------------------------------------
+
+  /** q175: Wald's sequential probability ratio test as an hourly
+   *  monitoring curve — the "peek as the data arrives without
+   *  inflating error rates" readout real experimentation platforms
+   *  run instead of a fixed-horizon test. H₀: conversion p₀ = 0.05
+   *  vs H₁: p₁ = 0.07, α = β = 0.05; each treatment-arm user enters
+   *  at the hour of their first post-cutover event, and after each
+   *  hour the curve reports the cumulative log-likelihood ratio and
+   *  the Wald decision (accept_h1 / accept_h0 / continue).
+   *
+   *  Determinism at ANY scale: because the hypotheses are fixed, the
+   *  per-observation LLR increments are CONSTANTS — so the cumulative
+   *  LLR is just convs·k₁ + (obs−convs)·k₀ with k₁ = ln(p₁/p₀) and
+   *  k₀ = ln((1−p₁)/(1−p₀)) EMBEDDED AS EXACT DOUBLE LITERALS
+   *  (identical bits in the Scala source and the SQL text — no ln is
+   *  ever evaluated at runtime, so there is no cross-engine libm
+   *  exposure and no float accumulation: two products and one sum of
+   *  identical doubles per row, bit-identical at any octave). Counts
+   *  are exact longs; the decision is a comparison of those
+   *  bit-identical doubles against literal thresholds ±ln(19).
+   *
+   *  Scale: one events scan → per-user (entry hour, converted)
+   *  aggregate → hour-bucket aggregate; the cumulative window runs on
+   *  the ≤721-row bounded life table of hours (the corpus spans 30
+   *  days at every octave), never on a data-sized frame. */
+  def q175SprtMonitor(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+    val cutMicros = 1705363200000000L // 2024-01-16T00:00:00Z in micros
+    val k1 = 0.336472236621213        // ln(0.07/0.05)
+    val k0 = -0.02127739844728485     // ln(0.93/0.95)
+    val waldA = 2.9444389791664403    // ln(0.95/0.05)
+    val perUser = events(s, d)
+      .filter(col("ts") >= cut && col("user_id") % 2 === 1)
+      .groupBy(col("user_id"))
+      .agg(
+        min(unix_micros(col("ts"))).as("t_entry"),
+        max(when(col("event_type") === "purchase"
+          && col("value") >= 120.0, 1L).otherwise(0L)).as("converted"))
+      .select(expr(s"(t_entry - ${cutMicros}L) div 3600000000L").as("h"),
+        col("converted"))
+    sprtCurve(perUser, k1, k0, waldA).orderBy(col("h"))
+  }
+
+  /** The hourly SPRT accumulation over an (h, converted) entry frame
+   *  — exposed so the spec can pin the curve on hand-built cohorts.
+   *  Returns (h, n_obs, n_conv, llr, decision). */
+  def sprtCurve(entries: DataFrame, k1: Double, k0: Double,
+      waldA: Double): DataFrame = {
+    val byHour = entries.groupBy(col("h"))
+      .agg(count(lit(1)).as("adds"), sum(col("converted")).as("convs"))
+    val upToCur = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    byHour
+      .withColumn("n_obs", sum(col("adds")).over(upToCur))
+      .withColumn("n_conv", sum(col("convs")).over(upToCur))
+      .withColumn("llr",
+        dbl(col("n_conv")) * lit(k1)
+          + dbl(col("n_obs") - col("n_conv")) * lit(k0))
+      .select(col("h"), col("n_obs"), col("n_conv"), col("llr"),
+        when(col("llr") >= lit(waldA), lit("accept_h1"))
+          .when(col("llr") <= lit(-waldA), lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+  }
+
+  val q175Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |   min(epoch_us(ts)) AS t_entry,
+      |   max(CASE WHEN event_type = 'purchase' AND "value" >= 120.0
+      |       THEN 1 ELSE 0 END) AS converted
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND user_id % 2 = 1
+      |  GROUP BY user_id),
+      |hh AS (
+      |  SELECT CAST((t_entry - 1705363200000000) // 3600000000 AS BIGINT) AS h,
+      |   converted
+      |  FROM pu),
+      |g AS (
+      |  SELECT h, CAST(count(*) AS BIGINT) AS adds,
+      |   CAST(sum(converted) AS BIGINT) AS convs
+      |  FROM hh GROUP BY h),
+      |c AS (
+      |  SELECT h,
+      |   CAST(sum(adds) OVER (ORDER BY h
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_obs,
+      |   CAST(sum(convs) OVER (ORDER BY h
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_conv
+      |  FROM g),
+      |l AS (
+      |  SELECT *,
+      |   CAST(n_conv AS DOUBLE) * 0.336472236621213
+      |     + CAST(n_obs - n_conv AS DOUBLE) * -0.02127739844728485 AS llr
+      |  FROM c)
+      |SELECT h, n_obs, n_conv, llr,
+      | CASE WHEN llr >= 2.9444389791664403 THEN 'accept_h1'
+      |      WHEN llr <= -2.9444389791664403 THEN 'accept_h0'
+      |      ELSE 'continue' END AS decision
+      |FROM l ORDER BY h""".stripMargin
 }

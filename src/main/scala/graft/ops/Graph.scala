@@ -586,6 +586,377 @@ object Graph {
       |FROM m""".stripMargin
 
   // ---------------------------------------------------------------
+  // q170: link prediction (common neighbors / Jaccard / resource
+  // allocation)
+  // ---------------------------------------------------------------
+
+  /** q170: link-prediction scores for NON-adjacent part pairs of the
+   *  c≥2 co-purchase graph — the "customers who bought both X and W
+   *  may want V" candidates a recommendation pipeline ranks. For each
+   *  unordered pair (u < v) that shares ≥ 2 common neighbors and is
+   *  NOT already an edge:
+   *    - cn = |Γ(u) ∩ Γ(v)| — exact count of shared neighbors;
+   *    - jaccard = cn / (deg(u) + deg(v) − cn) — ONE division of
+   *      exact integers, bit-identical cross-engine;
+   *    - ra_units = Σ_w 10⁹ div deg(w) over the shared neighbors
+   *      (Zhou et al. 2009's resource-allocation index as a scaled
+   *      INTEGER: per-neighbor terms are exact integer divisions and
+   *      the sum is order-free — the cross-engine float-sum-order
+   *      trap never opens; Adamic-Adar's 1/ln(deg) would not survive
+   *      the two engines' differing log ulps).
+   *
+   *  Candidate generation is wedge enumeration (the q159 bound): one
+   *  self-join of the checkpointed edge frame on the middle vertex +
+   *  one hash aggregate — Σ_w deg(w)² wedges, never |V|² pairs; u<v
+   *  halves the frame and the existing-edge anti-join runs AFTER
+   *  aggregation, against the (candidate-sized, far smaller) pair
+   *  frame. At 100 TB the edge frame bucket-partitions on the wedge
+   *  key so the self-join is co-located; the deg frame is
+   *  vertex-sized and broadcast-eligible. */
+  def q170LinkPredict(s: SparkSession, d: String): DataFrame =
+    linkPredict(coPurchaseStrength(s, d).filter(col("c") >= 2)
+      .select(col("src"), col("dst")))
+      .orderBy(col("u"), col("v"))
+
+  /** Core scorer over a symmetric (src, dst) edge frame — exposed so
+   *  the spec can pin the wedge/anti-join/score math on hand-sized
+   *  graphs. Returns (u, v, cn, deg_u, deg_v, jaccard, ra_units). */
+  def linkPredict(edges: DataFrame, minCn: Int = 2): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val mid = e.select(col("src").as("w"), col("dst").as("u"))
+      .join(deg.select(col("src").as("w"), col("deg").as("wdeg")), "w")
+    val wedges = mid.join(e.select(col("src").as("w2"), col("dst").as("v")),
+      col("w") === col("w2") && col("u") < col("v"))
+    val cand = wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000000L div wdeg")).as("ra_units"))
+      .filter(col("cn") >= minCn)
+      .join(e.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+    cand
+      .join(deg.select(col("src").as("u"), col("deg").as("deg_u")), "u")
+      .join(deg.select(col("src").as("v"), col("deg").as("deg_v")), "v")
+      .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
+        (col("cn").cast("double")
+          / (col("deg_u") + col("deg_v") - col("cn")).cast("double"))
+          .as("jaccard"),
+        col("ra_units"))
+  }
+
+  val q170Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ew AS (
+      |  SELECT a.pk AS src, b.pk AS dst, count(*) AS c
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+      |  GROUP BY 1, 2),
+      |e AS MATERIALIZED (SELECT src, dst FROM ew WHERE c >= 2),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+      |w AS (
+      |  SELECT a.dst AS u, b.dst AS v, d.deg AS wdeg
+      |  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+      |  JOIN deg d ON d.src = a.src),
+      |cand AS (
+      |  SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+      |   CAST(sum(1000000000 // wdeg) AS BIGINT) AS ra_units
+      |  FROM w GROUP BY u, v HAVING count(*) >= 2),
+      |nc AS (
+      |  SELECT cand.* FROM cand
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM e WHERE e.src = cand.u AND e.dst = cand.v))
+      |SELECT u, v, cn, d1.deg AS deg_u, d2.deg AS deg_v,
+      | CAST(cn AS DOUBLE) / CAST(d1.deg + d2.deg - cn AS DOUBLE) AS jaccard,
+      | ra_units
+      |FROM nc JOIN deg d1 ON d1.src = nc.u JOIN deg d2 ON d2.src = nc.v
+      |ORDER BY u, v""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q171: cheapest-path cost (bounded Bellman-Ford relaxation)
+  // ---------------------------------------------------------------
+
+  private[ops] val BfRounds = 6
+
+  /** Bounded Bellman-Ford: minimum path cost from a seed set over a
+   *  weighted edge frame, exactly `rounds` relaxation rounds (the
+   *  q158 BFS generalized from hop counts to additive edge costs —
+   *  after round k every cheapest path of ≤ k edges is final, the
+   *  same guarantee BFS gives for hops). Integer-exact: costs are
+   *  long sums of long weights, min is order-free, so the frame is
+   *  bit-identical to the oracle's unrolled replay.
+   *
+   *  Shape per round: ONE dist⋈edges equi-join on the frontier key +
+   *  one min hash-aggregate over (previous dist ∪ relaxed) — the
+   *  PageRank shuffle pair with min in place of sum; the weighted
+   *  edge frame is checkpointed DISK_ONLY once, per-round frames
+   *  localCheckpoint to keep the plan O(1) deep. At 100 TB the edge
+   *  frame bucket-partitions on src, making the per-round join
+   *  shuffle-free on the big side. */
+  def cheapestPaths(edges: DataFrame, seeds: DataFrame,
+      rounds: Int = BfRounds): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+    var dist = seeds.select(col("node"), lit(0L).as("dcost")).distinct()
+    var i = 0
+    while (i < rounds) {
+      dist = relaxRound(e, dist).localCheckpoint()
+      i += 1
+    }
+    dist
+  }
+
+  /** One Bellman-Ford relaxation: dist equi-joins the edge frame on
+   *  src, relaxed costs union the previous frame, min hash-aggregates
+   *  per node. Exposed for the plan gate. */
+  private[ops] def relaxRound(e: DataFrame, dist: DataFrame): DataFrame = {
+    val relaxed = dist.join(e, col("node") === col("src"))
+      .select(col("dst").as("node"), (col("dcost") + col("w")).as("dcost"))
+    dist.unionByName(relaxed)
+      .groupBy(col("node")).agg(min(col("dcost")).as("dcost"))
+  }
+
+  /** q171: cheapest co-purchase path cost from one brand's catalog —
+   *  edge cost 1000 div c (strong ties are cheap), so the result
+   *  ranks every part by how tightly the co-purchase structure links
+   *  it back to the brand. Seeds at 0. */
+  def q171CheapestPath(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseStrength(s, d).filter(col("c") >= 2)
+      .select(col("src"), col("dst"), expr("1000L div c").as("w"))
+    val seeds = e.select(col("src").as("node")).distinct()
+      .join(part(s, d).filter(col("p_brand") === "Brand#11")
+        .select(col("p_partkey")),
+        col("node") === col("p_partkey"), "left_semi")
+    cheapestPaths(e, seeds)
+      .select(col("node").as("part_id"), col("dcost").as("cost_units"))
+      .orderBy(col("part_id"))
+  }
+
+  /** Oracle: the identical relaxation UNROLLED as a MATERIALIZED CTE
+   *  chain (the q168 device — both engines run exactly BfRounds
+   *  rounds, and DuckDB must not re-inline the doubly-referenced
+   *  round frames). */
+  val q171Sql: String = {
+    val rounds = (0 until BfRounds).map { i =>
+      s"""d${i + 1} AS MATERIALIZED (
+         |  SELECT node, CAST(min(dcost) AS BIGINT) AS dcost FROM (
+         |    SELECT node, dcost FROM d$i
+         |    UNION ALL
+         |    SELECT e.dst AS node, d$i.dcost + e.w AS dcost
+         |    FROM d$i JOIN e ON d$i.node = e.src) t
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |ew AS (
+       |  SELECT a.pk AS src, b.pk AS dst, count(*) AS c
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+       |  GROUP BY 1, 2),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst, CAST(1000 // c AS BIGINT) AS w FROM ew WHERE c >= 2),
+       |seeds AS (
+       |  SELECT DISTINCT src AS node FROM e
+       |  JOIN part ON p_partkey = src WHERE p_brand = 'Brand#11'),
+       |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dcost FROM seeds),
+       |$rounds
+       |SELECT node AS part_id, dcost AS cost_units
+       |FROM d$BfRounds ORDER BY part_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q176: bipartite HITS (customer hubs → part authorities)
+  // ---------------------------------------------------------------
+
+  /** HITS mass scale — 10⁶ units, deliberately smaller than
+   *  PageRank's 10¹² so every intermediate stays long-safe WITHOUT
+   *  decimals: pre-scale sums are ≤ maxDeg·HitsM and the rescale
+   *  product is ≤ maxDeg·HitsM² ≈ 10⁶·10¹² = 10¹⁸ < 2⁶³ even at a
+   *  10⁶-buyer part. */
+  private[ops] val HitsM = 1000000L
+  private[ops] val HitsRounds = 4
+
+  /** q176: Kleinberg's HITS on the customer→part purchase bipartite
+   *  graph — hubs are customers (good hubs buy authoritative parts),
+   *  authorities are parts (authoritative parts are bought by good
+   *  hubs); the catalog-authority signal a marketplace ranks with.
+   *  On a bipartite graph HITS is exactly the alternating two-sided
+   *  iteration (authority = Σ hub over buyers, hub = Σ authority over
+   *  bought parts), which the symmetric co-purchase residents (q148/
+   *  q165) cannot express.
+   *
+   *  Integer-exact (the q148 discipline, two-sided): start every hub
+   *  at HitsM units; each half-round is one equi-join + one long-sum
+   *  hash aggregate, then an INTEGER renormalization
+   *  v·HitsM div Σv — floor-exact, order-free sums, so 4 rounds are
+   *  bit-identical to the oracle's unrolled replay. No doubles exist
+   *  anywhere; the output `share` is ONE final division.
+   *
+   *  Scale: the edge frame (distinct customer→part purchase pairs) is
+   *  data-sized — checkpointed DISK_ONLY once, reused by all 8
+   *  half-rounds; score frames are vertex-sized. At 100 TB the edge
+   *  frame bucket-partitions on each join key exactly like the
+   *  PageRank resident. */
+  def q176Hits(s: SparkSession, d: String): DataFrame = {
+    val e = orders(s, d).select(col("o_orderkey").as("ok"),
+        col("o_custkey").as("cust"))
+      .join(lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("part")), "ok")
+      .select(col("cust"), col("part")).distinct()
+      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+    val auths = hitsAuthorities(e, HitsRounds)
+    val nBuyers = e.groupBy(col("part")).agg(count(lit(1)).as("n_buyers"))
+    auths.join(nBuyers, "part")
+      .select(col("part").as("part_id"), col("n_buyers"),
+        col("v").as("auth_units"),
+        (col("v") / (HitsM * 1.0)).as("share"))
+      .orderBy(col("part_id"))
+  }
+
+  /** The alternating integer iteration over a (cust, part) edge frame
+   *  — exposed so the spec can replay rounds by hand. Returns the
+   *  authority frame (part, v). */
+  private[ops] def hitsAuthorities(e: DataFrame, rounds: Int): DataFrame = {
+    var hubs = e.select(col("cust")).distinct()
+      .select(col("cust"), lit(HitsM).as("h"))
+    var auths: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      auths = rescale(
+        e.join(hubs, "cust").groupBy(col("part"))
+          .agg(sum(col("h")).as("v")), "part")
+        .localCheckpoint()
+      hubs = rescale(
+        e.join(auths.select(col("part"), col("v")), "part")
+          .groupBy(col("cust")).agg(sum(col("v")).as("v")), "cust")
+        .select(col("cust"), col("v").as("h"))
+        .localCheckpoint()
+      r += 1
+    }
+    auths
+  }
+
+  /** Integer renormalization to HitsM total units: v·HitsM div Σv.
+   *  The 1-row sum broadcasts; nothing collects. */
+  private def rescale(scores: DataFrame, key: String): DataFrame = {
+    val total = scores.agg(sum(col("v")).as("tot"))
+    scores.crossJoin(broadcast(total))
+      .select(col(key), expr(s"v * ${HitsM}L div tot").as("v"))
+  }
+
+  /** Oracle: the identical alternating integer iteration unrolled as
+   *  a MATERIALIZED CTE chain (4 rounds × 2 sides). */
+  val q176Sql: String = {
+    val rounds = (0 until HitsRounds).map { i =>
+      val prevH = if (i == 0) "h0" else s"h$i"
+      s"""a${i + 1}r AS MATERIALIZED (
+         |  SELECT e.part, CAST(sum(p.h) AS BIGINT) AS v
+         |  FROM e JOIN $prevH p ON e.cust = p.cust GROUP BY e.part),
+         |a${i + 1} AS MATERIALIZED (
+         |  SELECT part, CAST(v * 1000000 // (SELECT sum(v) FROM a${i + 1}r)
+         |    AS BIGINT) AS v
+         |  FROM a${i + 1}r),
+         |h${i + 1}r AS MATERIALIZED (
+         |  SELECT e.cust, CAST(sum(a.v) AS BIGINT) AS v
+         |  FROM e JOIN a${i + 1} a ON e.part = a.part GROUP BY e.cust),
+         |h${i + 1} AS MATERIALIZED (
+         |  SELECT cust, CAST(v * 1000000 // (SELECT sum(v) FROM h${i + 1}r)
+         |    AS BIGINT) AS h
+         |  FROM h${i + 1}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |h0 AS MATERIALIZED (
+       |  SELECT DISTINCT cust, CAST(1000000 AS BIGINT) AS h FROM e),
+       |$rounds,
+       |nb AS (SELECT part, CAST(count(*) AS BIGINT) AS n_buyers
+       |       FROM e GROUP BY part)
+       |SELECT a.part AS part_id, nb.n_buyers, a.v AS auth_units,
+       | CAST(a.v AS DOUBLE) / 1000000.0 AS share
+       |FROM a$HitsRounds a JOIN nb ON a.part = nb.part
+       |ORDER BY part_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q177: modularity of the brand partition
+  // ---------------------------------------------------------------
+
+  /** q177: Newman-Girvan modularity of the BRAND partition of the
+   *  c≥2 co-purchase graph — "do same-brand parts co-purchase more
+   *  than a degree-preserving random graph predicts?", the companion
+   *  number to q169's degree assortativity (that one correlates
+   *  degrees; this one scores an exogenous community labeling).
+   *  Q = Σ_c (e_c/m − (d_c/2m)²) over communities c, with m directed
+   *  edge endpoints... computed here over the directed symmetric edge
+   *  list (every undirected edge counted twice, the standard
+   *  convention), which reduces to ONE exact integer ratio:
+   *
+   *    Q = (2E·Σ_c in_c − Σ_c d_c²) / (2E)²
+   *
+   *  where 2E = directed edge count, in_c = directed within-community
+   *  edges, d_c = Σ degrees of community c. Both engines evaluate the
+   *  identical closed form: all moments are exact longs (bounded by
+   *  (2E)² ≤ 4·10¹⁶ through the 100× octave — ScaleGen octaves are
+   *  key-disjoint copies, so 2E grows linearly and the bound holds to
+   *  ~10⁹ directed edges), and Q is one division.
+   *
+   *  Scale: edge build + one broadcast-sized brand join per endpoint
+   *  + two bounded aggregates (per brand, then 1 row). Nothing
+   *  quadratic, nothing collected. */
+  def q177Modularity(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseStrength(s, d).filter(col("c") >= 2)
+      .select(col("src"), col("dst"))
+    val brand = part(s, d).select(col("p_partkey").as("pid"),
+      col("p_brand").as("brand"))
+    labeledModularity(e
+      .join(brand.select(col("pid").as("src"), col("brand").as("b_src")), "src")
+      .join(brand.select(col("pid").as("dst"), col("brand").as("b_dst")), "dst"))
+  }
+
+  /** Modularity of a labeled directed-symmetric edge frame
+   *  (b_src, b_dst) — exposed so the spec can pin the closed form on
+   *  a two-community textbook fixture. Returns ONE row
+   *  (two_e, in_total, deg_sq, modularity). */
+  private[ops] def labeledModularity(lab: DataFrame): DataFrame = {
+    val perBrand = lab.groupBy(col("b_src").as("brand"))
+      .agg(count(lit(1)).as("deg_sum"),
+        sum(when(col("b_src") === col("b_dst"), 1L).otherwise(0L)).as("in_edges"))
+    val m = perBrand.agg(
+      sum(col("deg_sum")).as("two_e"),
+      sum(col("in_edges")).as("in_total"),
+      sum(col("deg_sum") * col("deg_sum")).as("deg_sq"))
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    m.select(col("two_e"), col("in_total"), col("deg_sq"),
+      ((dbl(col("two_e")) * dbl(col("in_total")) - dbl(col("deg_sq")))
+        / (dbl(col("two_e")) * dbl(col("two_e")))).as("modularity"))
+  }
+
+  val q177Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ew AS (
+      |  SELECT a.pk AS src, b.pk AS dst, count(*) AS c
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+      |  GROUP BY 1, 2),
+      |e0 AS (SELECT src, dst FROM ew WHERE c >= 2),
+      |lab AS (
+      |  SELECT ps.p_brand AS b_src, pd.p_brand AS b_dst
+      |  FROM e0 JOIN part ps ON e0.src = ps.p_partkey
+      |          JOIN part pd ON e0.dst = pd.p_partkey),
+      |pb AS (
+      |  SELECT b_src AS brand, CAST(count(*) AS BIGINT) AS deg_sum,
+      |   CAST(sum(CASE WHEN b_src = b_dst THEN 1 ELSE 0 END) AS BIGINT)
+      |     AS in_edges
+      |  FROM lab GROUP BY b_src),
+      |m AS (
+      |  SELECT CAST(sum(deg_sum) AS BIGINT) AS two_e,
+      |   CAST(sum(in_edges) AS BIGINT) AS in_total,
+      |   CAST(sum(deg_sum * deg_sum) AS BIGINT) AS deg_sq
+      |  FROM pb)
+      |SELECT two_e, in_total, deg_sq,
+      | (CAST(two_e AS DOUBLE) * CAST(in_total AS DOUBLE)
+      |    - CAST(deg_sq AS DOUBLE))
+      |   / (CAST(two_e AS DOUBLE) * CAST(two_e AS DOUBLE)) AS modularity
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------
   // q160: connected components (min-label propagation to fixpoint)
   // ---------------------------------------------------------------
 

@@ -609,4 +609,219 @@ object Multimodal {
       | CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_ch1,
       | CAST(max(abs(v)) AS BIGINT) AS peak
       |FROM samp GROUP BY id, nc, sr, n ORDER BY audio_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q172: perceptual-hash image dedup (block dHash + Hamming bands)
+  // ---------------------------------------------------------------
+
+  /** 56-bit block-difference perceptual hash of a decoded image — the
+   *  dHash family (block-mean variant): partition the raster into an
+   *  8×8 grid by EXACT integer bucketing (bx = x·8 div w), take
+   *  integer gray block sums (gray = (r+g+b) div 3), and set bit
+   *  k = by·7 + bx when the mean of block (bx+1, by) exceeds the mean
+   *  of (bx, by) — compared via cross-multiplication
+   *  (sum·n vs sum·n), so no division and no float ever exists. 56
+   *  bits (8 rows × 7 adjacent-column comparisons) rather than the
+   *  classic 64 keeps the hash and every oracle-side power of two
+   *  inside int64. Brightness-shift invariant by construction: a
+   *  uniform +k on every pixel cancels in the cross-multiplied
+   *  comparison, which is exactly the robustness property a
+   *  perceptual dedup needs. */
+  private[ops] def phash56(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = Array.ofDim[Long](8, 8)
+    val cnts = Array.ofDim[Long](8, 8)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 8 / w
+        val p = img.getRGB(x, y)
+        sums(by)(bx) += (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+        cnts(by)(bx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var byi = 0
+    while (byi < 8) {
+      var bxi = 0
+      while (bxi < 7) {
+        if (sums(byi)(bxi + 1) * cnts(byi)(bxi) >
+            sums(byi)(bxi) * cnts(byi)(bxi + 1))
+          hash |= 1L << (byi * 7 + bxi)
+        bxi += 1
+      }
+      byi += 1
+    }
+    hash
+  }
+
+  /** Near-duplicate variant of a fixture image: every channel of
+   *  every EVEN row bumped by +1 (clipped at 255) — a deterministic
+   *  stand-in for the re-encode/brightness drift that makes real
+   *  image corpora full of perceptual (not byte-level) duplicates.
+   *  Half-row bumps shift block means by ~+0.5, flipping only the
+   *  comparisons that were nearly tied, so base/variant Hamming
+   *  distances land small but nonzero — exactly the regime a banded
+   *  near-dup join has to resolve. */
+  private[ops] def renderVariant(baseId: Long): BufferedImage = {
+    val img = ImagePixels.render(baseId)
+    var y = 0
+    while (y < img.getHeight) {
+      if (y % 2 == 0) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          val r = math.min(255, ((p >> 16) & 0xFF) + 1)
+          val g = math.min(255, ((p >> 8) & 0xFF) + 1)
+          val b = math.min(255, (p & 0xFF) + 1)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Variant ids live at base+100 — same PNG/BMP parity as their
+   *  base, so both family members exercise the same codec. */
+  private[ops] val VariantOff = 100L
+
+  /** Write the dedup fixture corpus: each base image (doc_id < 60)
+   *  plus its near-duplicate variant at doc_id+100. Idempotent. */
+  private[ops] def ensureDedupFixtures(s: SparkSession, d: String): String = {
+    val dir = java.nio.file.Paths.get(InferOps.tmpPath("imgdedup", d))
+    val ids = documents(s, d).filter(col("doc_id") < 60)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val expected = ids.flatMap { id =>
+      Seq(s"img_$id.${fixtureFormat(id)}",
+        s"img_${id + VariantOff}.${fixtureFormat(id + VariantOff)}")
+    }.toSet
+    val have: Set[String] =
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val st = java.nio.file.Files.list(dir)
+        try st.iterator().asScala.map(_.getFileName.toString).toSet
+        finally st.close()
+      } else Set.empty
+    if (have != expected) {
+      java.nio.file.Files.createDirectories(dir)
+      have.diff(expected).foreach(n => java.nio.file.Files.delete(dir.resolve(n)))
+      ids.foreach { id =>
+        javax.imageio.ImageIO.write(ImagePixels.render(id), fixtureFormat(id),
+          dir.resolve(s"img_$id.${fixtureFormat(id)}").toFile)
+        val vid = id + VariantOff
+        javax.imageio.ImageIO.write(renderVariant(id), fixtureFormat(vid),
+          dir.resolve(s"img_$vid.${fixtureFormat(vid)}").toFile)
+      }
+    }
+    dir.toString
+  }
+
+  final case class PhashRow(doc_id: Long, phash: Long)
+
+  private[ops] val PhashBands = 4
+  private[ops] val PhashBandBits = 14
+  private[ops] val PhashHammingMax = 3
+
+  /** q172: perceptual near-duplicate image pairs — real decode →
+   *  [[phash56]] per payload → Manku banding (4 bands × 14 bits:
+   *  Hamming ≤ 3 differing bits leave ≥ 1 band untouched by
+   *  pigeonhole, so the band self-join finds EVERY qualifying pair —
+   *  the q24 SimHash guarantee transplanted to images) → exact
+   *  `bit_count(xor)` distance on the banded candidates only.
+   *
+   *  Scale shape: decode + hash are embarrassingly parallel over the
+   *  binaryFile scan (one codec handle per partition); the join runs
+   *  on (band_idx, band_val) — candidates ∝ real near-duplicates,
+   *  never corpus² — and the final distance filter touches only
+   *  candidate pairs. The DuckDB oracle recomputes every hash from
+   *  the closed-form pixel functions (it never sees image bytes) and
+   *  brute-forces all pairs, so it cross-checks the decoder, the
+   *  hash, AND the banding's no-miss guarantee at once. */
+  def q172PhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = ensureDedupFixtures(s, d)
+    val hashes = s.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "img_(\\d+)\\.", 1).cast("long")
+        .as("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val dec = new ImageDecoder
+        it.map { case (id, bytes) => PhashRow(id, phash56(dec.decode(bytes)._2)) }
+      }
+      .toDF()
+    bandPairs(hashes).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Banded near-dup join over a (doc_id, phash) frame — exposed for
+   *  the plan gate (the band self-join must stay an equi-join on
+   *  (band_idx, band_val), never all-pairs). */
+  private[ops] def bandPairs(hashes: DataFrame): DataFrame = {
+    val banded = hashes
+      .withColumn("band_idx",
+        explode(array((0 until PhashBands).map(i => lit(i)): _*)))
+      .withColumn("band_val",
+        expr(s"shiftright(phash, band_idx * $PhashBandBits) & ${(1 << PhashBandBits) - 1}"))
+    val cand = banded.select(col("band_idx"), col("band_val"),
+        col("doc_id").as("doc_a"), col("phash").as("phash_a"))
+      .join(banded.select(col("band_idx"), col("band_val"),
+        col("doc_id").as("doc_b"), col("phash").as("phash_b")),
+        Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("phash_a"), col("doc_b"), col("phash_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        expr("cast(bit_count(phash_a ^ phash_b) as bigint)"))
+      .filter(col("hamming") <= PhashHammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Oracle: hashes from the closed form, brute-force all pairs. */
+  val q172Sql: String =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+      |imgs AS (
+      |  SELECT doc_id AS img, doc_id AS base, 0 AS bump FROM ids
+      |  UNION ALL
+      |  SELECT doc_id + 100 AS img, doc_id AS base, 1 AS bump FROM ids),
+      |dim AS (
+      |  SELECT img, base, bump, 16 + base % 17 AS w, 16 + (base * 7) % 13 AS h
+      |  FROM imgs),
+      |px AS (
+      |  SELECT img, (x * 8) // w AS bx, (y * 8) // h AS by,
+      |   (CASE WHEN bump = 1 AND y % 2 = 0
+      |         THEN least(255, (x * 31 + y * 17 + base) % 256 + 1)
+      |         ELSE (x * 31 + y * 17 + base) % 256 END
+      |    + CASE WHEN bump = 1 AND y % 2 = 0
+      |           THEN least(255, (x * 13 + y * 29 + base * 3) % 256 + 1)
+      |           ELSE (x * 13 + y * 29 + base * 3) % 256 END
+      |    + CASE WHEN bump = 1 AND y % 2 = 0
+      |           THEN least(255, (x * 7 + y * 11 + base * 5) % 256 + 1)
+      |           ELSE (x * 7 + y * 11 + base * 5) % 256 END) // 3 AS gray
+      |  FROM dim,
+      |   LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) gx,
+      |   LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) gy),
+      |blk AS (
+      |  SELECT img, bx, by, CAST(sum(gray) AS BIGINT) AS s,
+      |   CAST(count(*) AS BIGINT) AS n
+      |  FROM px GROUP BY img, bx, by),
+      |bits AS (
+      |  SELECT a.img, a.by * 7 + a.bx AS k,
+      |   CASE WHEN b.s * a.n > a.s * b.n THEN 1 ELSE 0 END AS bit
+      |  FROM blk a JOIN blk b ON a.img = b.img AND a.by = b.by
+      |   AND b.bx = a.bx + 1),
+      |hs AS (
+      |  SELECT img, CAST(sum(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS phash
+      |  FROM bits GROUP BY img),
+      |pairs AS (
+      |  SELECT h1.img AS doc_a, h2.img AS doc_b,
+      |   CAST(bit_count(xor(h1.phash, h2.phash)) AS BIGINT) AS hamming
+      |  FROM hs h1 JOIN hs h2 ON h1.img < h2.img)
+      |SELECT doc_a, doc_b, hamming FROM pairs
+      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -368,6 +368,35 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
       "survivor restriction must be key semi-joins, never all-pairs")
   }
 
+  test("q170 link prediction: wedge equi-join + anti-join, no cartesian") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val p = plan(Graph.linkPredict(e, minCn = 1))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "wedge enumeration must equi-join on the middle vertex, never all-pairs")
+    assert(p.toLowerCase.contains("leftanti"),
+      "existing-edge exclusion must be an anti-join:\n" + p.take(600))
+    assert(p.contains("HashAggregate"), p.take(600))
+  }
+
+  test("q171 relaxation round: dist equi-joins edges on src + min hash agg") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, 5L), (2L, 1L, 5L)).toDF("src", "dst", "w")
+    val dist = Seq((1L, 0L)).toDF("node", "dcost")
+    val p = plan(Graph.relaxRound(e, dist))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "relaxation must join dist to edges on src, never all-pairs")
+    assert(p.contains("HashAggregate"), p.take(600))
+  }
+
+  test("q172 band pairs: equi-join on (band_idx, band_val), no cartesian") {
+    import spark.implicits._
+    val hs = Seq((1L, 7L), (2L, 7L)).toDF("doc_id", "phash")
+    val p = plan(Multimodal.bandPairs(hs))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay a band equi-join, never all-pairs")
+  }
+
   test("q158 BFS round: frontier equi-join + one anti-join, no cartesian") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
