@@ -765,12 +765,16 @@ object Graph {
   // q176: bipartite HITS (customer hubs → part authorities)
   // ---------------------------------------------------------------
 
-  /** HITS mass scale — 10⁶ units, deliberately smaller than
-   *  PageRank's 10¹² so every intermediate stays long-safe WITHOUT
-   *  decimals: pre-scale sums are ≤ maxDeg·HitsM and the rescale
-   *  product is ≤ maxDeg·HitsM² ≈ 10⁶·10¹² = 10¹⁸ < 2⁶³ even at a
-   *  10⁶-buyer part. */
-  private[ops] val HitsM = 1000000L
+  /** HITS mass scale — 10¹² units like PageRank's: the scale must
+   *  EXCEED the vertex count by a wide margin or the integer
+   *  renormalization floors a vertex's share to zero (a 10⁶-unit
+   *  first cut did exactly that at the 100× octave's 2·10⁷ parts —
+   *  every authority floored to 0 and the next round divided by a
+   *  zero total). The rescale product v·M can reach ~10²⁵, past
+   *  int64, so the raw sums and the renormalization ride
+   *  decimal(38,0)/HUGEINT (exact, ≤31 digits) and only the SCALED
+   *  values (≤ M) come back as longs. */
+  private[ops] val HitsM = 1000000000000L
   private[ops] val HitsRounds = 4
 
   /** q176: Kleinberg's HITS on the customer→part purchase bipartite
@@ -814,18 +818,21 @@ object Graph {
    *  — exposed so the spec can replay rounds by hand. Returns the
    *  authority frame (part, v). */
   private[ops] def hitsAuthorities(e: DataFrame, rounds: Int): DataFrame = {
+    val dec = "decimal(38,0)"
     var hubs = e.select(col("cust")).distinct()
       .select(col("cust"), lit(HitsM).as("h"))
     var auths: DataFrame = null
     var r = 0
     while (r < rounds) {
+      // raw sums ride decimal(38,0): a 10⁷-buyer vertex at 10¹² units
+      // per hub would overflow an int64 sum
       auths = rescale(
         e.join(hubs, "cust").groupBy(col("part"))
-          .agg(sum(col("h")).as("v")), "part")
+          .agg(sum(col("h").cast(dec)).as("v")), "part")
         .localCheckpoint()
       hubs = rescale(
         e.join(auths.select(col("part"), col("v")), "part")
-          .groupBy(col("cust")).agg(sum(col("v")).as("v")), "cust")
+          .groupBy(col("cust")).agg(sum(col("v").cast(dec)).as("v")), "cust")
         .select(col("cust"), col("v").as("h"))
         .localCheckpoint()
       r += 1
@@ -833,31 +840,33 @@ object Graph {
     auths
   }
 
-  /** Integer renormalization to HitsM total units: v·HitsM div Σv.
-   *  The 1-row sum broadcasts; nothing collects. */
+  /** Integer renormalization to HitsM total units: v·HitsM div Σv,
+   *  carried in decimal(38,0) (the product reaches ~10²⁵). The 1-row
+   *  sum broadcasts; nothing collects. */
   private def rescale(scores: DataFrame, key: String): DataFrame = {
-    val total = scores.agg(sum(col("v")).as("tot"))
+    val total = scores.agg(sum(col("v").cast("decimal(38,0)")).as("tot"))
     scores.crossJoin(broadcast(total))
-      .select(col(key), expr(s"v * ${HitsM}L div tot").as("v"))
+      .select(col(key),
+        expr(s"cast(cast(v as decimal(38,0)) * ${HitsM}L div tot as bigint)")
+          .as("v"))
   }
 
   /** Oracle: the identical alternating integer iteration unrolled as
    *  a MATERIALIZED CTE chain (4 rounds × 2 sides). */
   val q176Sql: String = {
     val rounds = (0 until HitsRounds).map { i =>
-      val prevH = if (i == 0) "h0" else s"h$i"
       s"""a${i + 1}r AS MATERIALIZED (
-         |  SELECT e.part, CAST(sum(p.h) AS BIGINT) AS v
-         |  FROM e JOIN $prevH p ON e.cust = p.cust GROUP BY e.part),
+         |  SELECT e.part, sum(CAST(p.h AS HUGEINT)) AS v
+         |  FROM e JOIN h$i p ON e.cust = p.cust GROUP BY e.part),
          |a${i + 1} AS MATERIALIZED (
-         |  SELECT part, CAST(v * 1000000 // (SELECT sum(v) FROM a${i + 1}r)
+         |  SELECT part, CAST(v * $HitsM // (SELECT sum(v) FROM a${i + 1}r)
          |    AS BIGINT) AS v
          |  FROM a${i + 1}r),
          |h${i + 1}r AS MATERIALIZED (
-         |  SELECT e.cust, CAST(sum(a.v) AS BIGINT) AS v
+         |  SELECT e.cust, sum(CAST(a.v AS HUGEINT)) AS v
          |  FROM e JOIN a${i + 1} a ON e.part = a.part GROUP BY e.cust),
          |h${i + 1} AS MATERIALIZED (
-         |  SELECT cust, CAST(v * 1000000 // (SELECT sum(v) FROM h${i + 1}r)
+         |  SELECT cust, CAST(v * $HitsM // (SELECT sum(v) FROM h${i + 1}r)
          |    AS BIGINT) AS h
          |  FROM h${i + 1}r)""".stripMargin
     }.mkString(",\n")
@@ -865,12 +874,12 @@ object Graph {
        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
        |h0 AS MATERIALIZED (
-       |  SELECT DISTINCT cust, CAST(1000000 AS BIGINT) AS h FROM e),
+       |  SELECT DISTINCT cust, CAST($HitsM AS BIGINT) AS h FROM e),
        |$rounds,
        |nb AS (SELECT part, CAST(count(*) AS BIGINT) AS n_buyers
        |       FROM e GROUP BY part)
        |SELECT a.part AS part_id, nb.n_buyers, a.v AS auth_units,
-       | CAST(a.v AS DOUBLE) / 1000000.0 AS share
+       | CAST(a.v AS DOUBLE) / $HitsM.0 AS share
        |FROM a$HitsRounds a JOIN nb ON a.part = nb.part
        |ORDER BY part_id""".stripMargin
   }

@@ -211,12 +211,12 @@ class LinkPathSurvivalSpec extends AnyFunSuite with SparkSuite {
 
   test("hitsAuthorities: one hand-replayed round on a tiny bipartite graph") {
     // c1 buys {p1, p2}, c2 buys {p2}:
-    // a1 raw: p1 = 1e6, p2 = 2e6; Σ = 3e6
-    // a1 scaled: p1 = 1e6·1e6 div 3e6 = 333333, p2 = 666666
+    // a1 raw: p1 = M, p2 = 2M; Σ = 3M
+    // a1 scaled: p1 = M·M div 3M = 333333333333, p2 = 666666666666
     val e = Seq((1L, 1L), (1L, 2L), (2L, 2L)).toDF("cust", "part")
     val out = Graph.hitsAuthorities(e, rounds = 1).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == Map(1L -> 333333L, 2L -> 666666L))
+    assert(out == Map(1L -> 333333333333L, 2L -> 666666666666L))
   }
 
   test("hitsAuthorities: mass stays ~HitsM and ordering favors the hub-covered part") {
@@ -225,7 +225,7 @@ class LinkPathSurvivalSpec extends AnyFunSuite with SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // integer floor loses at most (#parts) units per rescale
     val tot = out.values.sum
-    assert(tot <= 1000000L && tot >= 1000000L - 8L, s"mass drifted: $tot")
+    assert(tot <= Graph.HitsM && tot >= Graph.HitsM - 8L, s"mass drifted: $tot")
     assert(out(2L) > out(1L), "the 3-buyer part must out-rank the 1-buyer part")
   }
 }
