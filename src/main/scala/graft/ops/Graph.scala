@@ -71,8 +71,14 @@ object Graph {
     // memory and OOM'd a 16g heap at 100×; serialized-on-disk blocks
     // cost one read per iteration and leave the unified pool to the
     // aggregate. The vertex-sized ranks below stay memory-resident.
-    val e = edges.join(deg, "src")
-      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+    // persist, NOT localCheckpoint: a checkpointed frame degrades to
+    // Scan ExistingRDD and LOSES its partitioning/ordering (measured,
+    // tools/CkptShapeProbe), so every iteration's SMJ re-exchanged and
+    // re-sorted all ~10⁸ edge rows; the build join above already
+    // leaves the frame hash-partitioned AND sorted by src, and
+    // InMemoryRelation RETAINS both — each round now exchanges/sorts
+    // only the vertex-sized ranks side.
+    val e = edges.join(deg, "src").persist(StorageLevel.DISK_ONLY)
     val n = e.select(col("src")).distinct().count()
     if (n == 0)
       return e.select(col("src").as("node"), lit(0L).as("deg"),
@@ -163,8 +169,9 @@ object Graph {
   def weightedPageRank(edges: DataFrame,
       iterations: Int = Iterations): DataFrame = {
     val wdeg = edges.groupBy(col("src")).agg(sum(col("c")).as("wdeg"))
-    val e = edges.join(wdeg, "src")
-      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+    // persist, not localCheckpoint — keeps the build join's src
+    // partitioning/ordering for all 10 rounds (see pageRank above)
+    val e = edges.join(wdeg, "src").persist(StorageLevel.DISK_ONLY)
     val n = e.select(col("src")).distinct().count()
     if (n == 0)
       return e.select(col("src").as("node"), lit(0L).as("wdeg"),
