@@ -701,8 +701,11 @@ object Graph {
    *  shuffle-free on the big side. */
   def cheapestPaths(edges: DataFrame, seeds: DataFrame,
       rounds: Int = BfRounds): DataFrame = {
+    // pre-partition + sort by src, persist (not checkpoint) so all 6
+    // relaxation rounds reuse the layout — see connectedComponents
     val e = edges.select(col("src"), col("dst"), col("w"))
-      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .persist(StorageLevel.DISK_ONLY)
     var dist = seeds.select(col("node"), lit(0L).as("dcost")).distinct()
     var i = 0
     while (i < rounds) {
@@ -988,8 +991,13 @@ object Graph {
    *  needed. Labels are exact longs (min node id per component), so
    *  the result is bit-identical to the oracle's closure replay. */
   def connectedComponents(edges: DataFrame): DataFrame = {
+    // pre-partition + sort by the round join key, then persist — a
+    // checkpoint would forget both (tools/CkptShapeProbe) and every
+    // propagation round would re-exchange and re-sort the edge frame
+    // inside its SMJ against the vertex-sized label frame
     val e = edges.select(col("src"), col("dst"))
-      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .persist(StorageLevel.DISK_ONLY)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     def mass(l: DataFrame): java.math.BigDecimal = {
