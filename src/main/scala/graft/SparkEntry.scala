@@ -311,7 +311,9 @@ object SparkEntry {
     // bipartite HITS: customer hubs -> part authorities
     "q176_hits" -> (Graph.q176Hits _),
     // Newman-Girvan modularity of the brand partition
-    "q177_modularity" -> (Graph.q177Modularity _)
+    "q177_modularity" -> (Graph.q177Modularity _),
+    // Fellegi-Sunter log-odds match weights over the q122 candidates
+    "q178_fellegi_sunter" -> (Audit.q178FellegiSunter _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -484,6 +486,7 @@ object SparkEntry {
     "q174_bh_fdr" -> EventOps.q174Sql,
     "q175_sprt_monitor" -> EventOps.q175Sql,
     "q176_hits" -> Graph.q176Sql,
-    "q177_modularity" -> Graph.q177Sql
+    "q177_modularity" -> Graph.q177Sql,
+    "q178_fellegi_sunter" -> Audit.q178Sql
   )
 }

@@ -287,6 +287,124 @@ object Audit {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // q178: Fellegi-Sunter match weights over the q122 candidates
+  // ---------------------------------------------------------------
+
+  /** q178: the classification layer a record-linkage pipeline puts on
+   *  top of q122's candidate generation — Fellegi & Sunter (1969)
+   *  log-odds evidence weights. Each candidate pair (same 3-segment
+   *  pigeonhole blocking, edit distance ≤ 2) gets an agreement
+   *  pattern over two fields: name-key agreement level (exact dist 0
+   *  vs near 1–2) and account-balance sign agreement; each pattern
+   *  cell contributes its ln(m/u) weight, the pair score is the sum,
+   *  and Fellegi-Sunter thresholds classify match / review /
+   *  non-match. Output is the bounded PATTERN TABLE (≤4 rows): the
+   *  per-pattern pair mass, score, and decision — what a linkage
+   *  operator reviews and tunes.
+   *
+   *  Determinism (the q175 device): the m/u parameters are fixed, so
+   *  every weight is a CONSTANT embedded as the identical double
+   *  literal in both engines — a score is a sum of two such literals
+   *  selected by exact integer predicates, bit-identical at any
+   *  octave; pair masses are exact long sums of key-multiplicity
+   *  products. Thresholds: match ≥ ln 100, non-match < 0.
+   *
+   *  Scale: inherits q122's blocking bound (block key cardinality
+   *  grows with the registry, blocks stay bounded); the added field
+   *  columns ride the same candidate frame; the pattern aggregate is
+   *  4 rows. */
+  def q178FellegiSunter(s: SparkSession, d: String): DataFrame = {
+    val tau = 2
+    val segLen = 3
+    val segStarts = Seq(1, 4, 7)
+    val wNameExact = 6.802394763324311   // ln(0.9/0.001)
+    val wNameNear = 2.1972245773362196   // ln(0.09/0.01)
+    val wBalAgree = 0.1823215567939546   // ln(0.6/0.5)
+    val wBalDisagree = -0.2231435513142097 // ln(0.4/0.5)
+    val upper = 4.605170185988092        // ln(100)
+    val c = customer(s, d).select(
+        col("c_nationkey").as("nationkey"),
+        expr("substring(c_name, 10, 9)").as("ckey"),
+        when(col("c_acctbal") >= 0, 1L).otherwise(0L).as("cpos"))
+      .groupBy(col("nationkey"), col("ckey"), col("cpos"))
+      .agg(count(lit(1)).as("wc"))
+    val sup = supplier(s, d).select(
+        col("s_nationkey").as("nationkey"),
+        expr("substring(s_name, 10, 9)").as("skey"),
+        when(col("s_acctbal") >= 0, 1L).otherwise(0L).as("spos"))
+      .groupBy(col("nationkey"), col("skey"), col("spos"))
+      .agg(count(lit(1)).as("ws"))
+    val cSeg = c.select(col("nationkey"), col("ckey"), col("cpos"), col("wc"),
+      explode(array(segStarts.zipWithIndex.map { case (st, i) =>
+        struct(lit(i).as("i"), expr(s"substring(ckey, $st, $segLen)").as("g"))
+      }: _*)).as("sg"))
+      .select(col("nationkey"), col("ckey"), col("cpos"), col("wc"),
+        col("sg.i").as("i"), col("sg.g").as("g"))
+    val sSeg = sup.select(col("nationkey"), col("skey"), col("spos"), col("ws"),
+      explode(array((for {
+        (st, i) <- segStarts.zipWithIndex
+        delta <- -tau to tau
+        p = st + delta if p >= 1
+      } yield struct(lit(i).as("i"),
+        expr(s"substring(skey, $p, $segLen)").as("g"))): _*)).as("sg"))
+      .select(col("nationkey"), col("skey"), col("spos"), col("ws"),
+        col("sg.i").as("i"), col("sg.g").as("g"))
+      .distinct()
+    val cand = cSeg.join(sSeg, Seq("nationkey", "i", "g"))
+      .select(col("nationkey"), col("ckey"), col("cpos"), col("wc"),
+        col("skey"), col("spos"), col("ws"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("ckey"), col("skey")))
+      .filter(col("dist") <= tau)
+    cand
+      .withColumn("name_exact", (col("dist") === 0).cast("long"))
+      .withColumn("bal_agree", (col("cpos") === col("spos")).cast("long"))
+      .withColumn("score",
+        when(col("name_exact") === 1L, lit(wNameExact)).otherwise(lit(wNameNear))
+          + when(col("bal_agree") === 1L, lit(wBalAgree))
+            .otherwise(lit(wBalDisagree)))
+      .groupBy(col("name_exact"), col("bal_agree"), col("score"))
+      .agg(sum(col("wc") * col("ws")).as("n_pairs"))
+      .select(col("name_exact"), col("bal_agree"), col("n_pairs"), col("score"),
+        when(col("score") >= upper, lit("match"))
+          .when(col("score") < 0.0, lit("nonmatch"))
+          .otherwise(lit("review")).as("decision"))
+      .orderBy(col("name_exact"), col("bal_agree"))
+  }
+
+  /** Oracle: plain blocked cross-join (nationkey) + levenshtein, the
+   *  same literal weights, the same pattern aggregate. */
+  val q178Sql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey AS nationkey, substr(c_name, 10, 9) AS ckey,
+      |   CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS cpos
+      |  FROM customer),
+      |s AS (
+      |  SELECT s_nationkey AS nationkey, substr(s_name, 10, 9) AS skey,
+      |   CASE WHEN s_acctbal >= 0 THEN 1 ELSE 0 END AS spos
+      |  FROM supplier),
+      |p AS (
+      |  SELECT CASE WHEN levenshtein(ckey, skey) = 0 THEN 1 ELSE 0 END
+      |    AS name_exact,
+      |   CASE WHEN cpos = spos THEN 1 ELSE 0 END AS bal_agree
+      |  FROM c JOIN s USING (nationkey)
+      |  WHERE levenshtein(ckey, skey) <= 2),
+      |w AS (
+      |  SELECT name_exact, bal_agree,
+      |   (CASE WHEN name_exact = 1 THEN CAST(6.802394763324311 AS DOUBLE)
+      |         ELSE CAST(2.1972245773362196 AS DOUBLE) END
+      |    + CASE WHEN bal_agree = 1 THEN CAST(0.1823215567939546 AS DOUBLE)
+      |           ELSE CAST(-0.2231435513142097 AS DOUBLE) END) AS score,
+      |   CAST(count(*) AS BIGINT) AS n_pairs
+      |  FROM p GROUP BY 1, 2)
+      |SELECT CAST(name_exact AS BIGINT) AS name_exact,
+      | CAST(bal_agree AS BIGINT) AS bal_agree, n_pairs, score,
+      | CASE WHEN score >= 4.605170185988092 THEN 'match'
+      |      WHEN score < 0.0 THEN 'nonmatch'
+      |      ELSE 'review' END AS decision
+      |FROM w ORDER BY name_exact, bal_agree""".stripMargin
+
+  // ---------------------------------------------------------------
   // q123: source-balance audit (Gini / HHI / entropy of token share)
   // ---------------------------------------------------------------
 
