@@ -7,6 +7,14 @@ import org.apache.spark.sql.SparkSession
   * describe the correctness run. */
 object GraftSession {
   def local(cpus: String): SparkSession = {
+    // pid-keyed warehouse: managed tables (the durable index
+    // generations of q80/q96/q166) must not land in the repo cwd
+    // nor collide when two graft JVMs overlap on one machine; the
+    // dir is registered for exit-time deletion so long bench
+    // campaigns don't accumulate orphaned corpus-sized warehouses
+    val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse_" +
+      s"${ProcessHandle.current().pid()}"
+    graft.ops.InferOps.registerScratch(warehouse)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,12 +22,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // pid-keyed warehouse: managed tables (the durable index
-      // generations of q80/q96/q166) must not land in the repo cwd
-      // nor collide when two graft JVMs overlap on one machine
-      .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft_warehouse_" +
-          s"${ProcessHandle.current().pid()}")
+      .config("spark.sql.warehouse.dir", warehouse)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

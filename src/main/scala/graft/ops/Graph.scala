@@ -42,6 +42,9 @@ object Graph {
   private val M = 1000000000000L
   private val Damp = 85L // /100
   private[ops] val Iterations = 10
+  // largest edge strength c for which the weighted mass-push product
+  // r*Damp*c (r <= M) stays inside int64 — checked at q165 runtime
+  private[ops] val MaxSafeEdgeStrength = Long.MaxValue / (M * Damp)
 
   /** Symmetric co-purchase edge frame with tie strength: (src, dst, c)
    *  where c = number of distinct orders containing both parts. One
@@ -155,27 +158,42 @@ object Graph {
    *  signal q148 deliberately discards (`coPurchaseStrength` computes
    *  `c`, q148 drops it). Same shuffle pair per iteration as
    *  [[pageRank]] (ranks⋈edges on src + dst hash agg over the
-   *  once-checkpointed DISK_ONLY edge frame) plus the weighted-degree
-   *  aggregate (Σc per src) the suite otherwise lacks.
+   *  once-persisted DISK_ONLY edge frame — persist, not checkpoint,
+   *  keeps the build join's src partitioning, see CkptShapeProbe)
+   *  plus the weighted-degree aggregate (Σc per src) the suite
+   *  otherwise lacks.
    *
    *  Exactness: all-integer like q148 — floor per edge, order-free
    *  long sums, so 10 iterations are bit-identical to the oracle's
    *  recursive-CTE replay. Overflow: r ≤ M (floors only lose mass),
-   *  so the per-edge product r·85·c ≤ 8.5·10¹³·c stays in int64 for
-   *  c < 10⁵ — far above any co-purchase multiplicity (ScaleGen
-   *  copies shift into disjoint key spaces, leaving c unchanged at
-   *  every octave); a corpus that exceeded it would pre-scale c by
-   *  its GCD. Returns (node, wdeg, rank_units, share). */
+   *  so the per-edge product r·85·c ≤ 8.5·10¹³·c stays in int64 only
+   *  for c ≤ MaxSafeEdgeStrength ≈ 1.08·10⁵ — far above any
+   *  co-purchase multiplicity (ScaleGen copies shift into disjoint
+   *  key spaces, leaving c unchanged at every octave). The bound is
+   *  CHECKED at runtime (one extra column in the aggregate that
+   *  already materializes the persisted frame): a corpus past it
+   *  fails loudly with a pre-scale-by-GCD hint instead of silently
+   *  wrapping in non-ANSI mode while the int128 oracle stays exact.
+   *  Returns (node, wdeg, rank_units, share). */
   def weightedPageRank(edges: DataFrame,
       iterations: Int = Iterations): DataFrame = {
     val wdeg = edges.groupBy(col("src")).agg(sum(col("c")).as("wdeg"))
     // persist, not localCheckpoint — keeps the build join's src
     // partitioning/ordering for all 10 rounds (see pageRank above)
     val e = edges.join(wdeg, "src").persist(StorageLevel.DISK_ONLY)
-    val n = e.select(col("src")).distinct().count()
+    // one aggregate materializes the persisted frame AND checks the
+    // int64 overflow bound on the per-edge product r*Damp*c (r <= M)
+    val head = e.agg(countDistinct(col("src")), max(col("c"))).head()
+    val n = head.getLong(0)
     if (n == 0)
       return e.select(col("src").as("node"), lit(0L).as("wdeg"),
         lit(0L).as("rank_units"), lit(0.0).as("share"))
+    val maxC = head.getLong(1)
+    require(maxC <= MaxSafeEdgeStrength,
+      s"weightedPageRank: max edge strength $maxC exceeds the int64-safe " +
+        s"bound $MaxSafeEdgeStrength for the per-edge product r*$Damp*c " +
+        "(r can reach the 1e12 mass scale); pre-scale c by its GCD or " +
+        "carry contributions in decimal(38,0)")
     val tele = (M * (100L - Damp)) / (100L * n)
     var ranks = e.select(col("src")).distinct()
       .select(col("src").as("node"), lit(M / n).as("r"))
@@ -478,8 +496,9 @@ object Graph {
   // silent.
   private[ops] val KCoreRounds = 12
 
-  /** q168: the 3-core of the c≥2 co-purchase strength graph after 8
-   *  peeling rounds — (part_id, core_deg, is_stable). */
+  /** q168: the 3-core of the c≥2 co-purchase strength graph after
+   *  `KCoreRounds` (12) peeling rounds — (part_id, core_deg,
+   *  is_stable). */
   def q168KCore(s: SparkSession, d: String): DataFrame =
     kCorePeel(coPurchaseStrength(s, d).filter(col("c") >= 2), KCoreK, KCoreRounds)
       .select(col("node").as("part_id"), col("core_deg"), col("is_stable"))

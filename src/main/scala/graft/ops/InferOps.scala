@@ -31,6 +31,16 @@ object InferOps {
   private lazy val cleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => cleanupScratch()))
 
+  /** Register an externally-created scratch directory (e.g. the
+    * pid-keyed warehouse from [[graft.GraftSession]]) for the same
+    * exit-time cleanup `tmpPath` paths get — without it every graft
+    * JVM leaks its managed-table generations (q80/q96/q166 indexes
+    * can be corpus-sized) into java.io.tmpdir. */
+  private[graft] def registerScratch(p: String): Unit = {
+    cleanupHook
+    cleanupPaths.add(p)
+  }
+
   /** Delete every registered scratch path, best-effort. Verify/Bench
     * call this explicitly before stopping Spark — the shutdown-hook
     * fallback races other hooks (Hadoop's shutdown manager can halt
@@ -67,7 +77,19 @@ object InferOps {
   def q32SchemaInfer(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = lineitem(s, d)
-    val raw = li.select(li.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
+    // Deterministic sample: the 20k smallest-(orderkey, linenumber)
+    // rows — the fitCodebook discipline (Similarity.scala). sort+limit
+    // is TakeOrdered (per-partition top-k heaps, no global sort), so
+    // the sample is O(scan) at any corpus size AND identical across
+    // octaves: ScaleGen copies shift into strictly higher key spaces,
+    // so the smallest 20k keys are always the base corpus's — the
+    // golden below is octave-stable, unlike the previous whole-corpus
+    // min/max whose int tiers widened with shifted keys. The monoid
+    // fold over the sample stays the distributed inferFull path.
+    val sample = li.sort(col("l_orderkey"), col("l_linenumber"))
+      .limit(SchemaInfer.DefaultSampleSize)
+    val raw = sample.select(
+      li.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
     val defs = SchemaInfer.inferFull(raw)
     defs.map(c => (c.name, c.settledType, c.ddlType, c.nullable))
       .toDF("col_name", "inferred_type", "ddl_type", "is_nullable")
