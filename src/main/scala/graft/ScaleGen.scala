@@ -43,6 +43,37 @@ object ScaleGen {
    *  Exposed so specs reference the same constant they partition by. */
   private[graft] val Off = 10_000_000_000L
 
+  /** Graph seed pack (round 11): sf0.1's natural c≥2 co-purchase
+   *  graph has an EMPTY 3-core and no surviving cn≥2 wedge pair, so
+   *  the q168/q170 octave gates were exactly-empty at 10×/100× —
+   *  agreement-on-empty is not evidence the operators are right at
+   *  scale. Every derivation therefore appends a tiny deterministic
+   *  structure (6 orders / 24 lineitem rows, invariant in `copies`)
+   *  in a reserved order-key space above every shifted copy:
+   *   - a 6-part clique: two identical orders over parts 1–6 → all
+   *     15 pairs at c=2, in-clique degree 5 → a non-empty 3-core at
+   *     any octave;
+   *   - two duplicated wedges ({11,23,31}×2 and {197,23,31}×2):
+   *     parts 11 and 197 share common neighbors {23,31} without ever
+   *     co-occurring (verified: no natural c≥2 edge among these
+   *     parts at sf0.01 or sf0.1) → a non-empty link-prediction
+   *     candidate at any octave.
+   *  Matching orders rows (custkey 1) keep referential integrity.
+   *  Both engines read the same seeded parquet and every oracle
+   *  recomputes over it, so the gates become POPULATED, not biased. */
+  private[graft] val SeedLineitemRows = 24L
+  private[graft] val SeedOrderRows = 6L
+  private[graft] def seedOrders(copies: Int): Seq[(Long, Seq[Long])] = {
+    val okBase = copies.toLong * Off
+    Seq(
+      (okBase + 1) -> Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      (okBase + 2) -> Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      (okBase + 3) -> Seq(11L, 23L, 31L),
+      (okBase + 4) -> Seq(11L, 23L, 31L),
+      (okBase + 5) -> Seq(197L, 23L, 31L),
+      (okBase + 6) -> Seq(197L, 23L, 31L))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
@@ -106,6 +137,7 @@ object ScaleGen {
       case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
       case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     }
+    appendGraphSeed(spark, out, copies, wanted)
     replicate("documents", Seq("doc_id"), df => df
       .withColumn("text", when(col("__copy") === 0, col("text"))
         .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
@@ -125,5 +157,36 @@ object ScaleGen {
       // int-safe for any label < 1000 and any copies < 2^21
       .withColumn("label",
         (col("label") + col("__copy") * lit(1000)).cast("int")))
+  }
+
+  /** Append the [[seedOrders]] graph pack to the derived lineitem and
+   *  orders dirs (column order and types matched to the provisioned
+   *  parquet exactly — DuckDB's multi-file reader requires it). */
+  private def appendGraphSeed(spark: SparkSession, out: String, copies: Int,
+      wanted: String => Boolean): Unit = {
+    import spark.implicits._
+    val pack = seedOrders(copies)
+    if (wanted("lineitem")) {
+      val rows = for { (ok, parts) <- pack; (pk, i) <- parts.zipWithIndex }
+        yield (ok, pk, 1L, i + 1, 1.0, 100.0, 0.0, 0.0, "N", "O")
+      rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus")
+        .withColumn("l_shipdate", lit("1996-06-01 00:00:00").cast("timestamp"))
+        .coalesce(1)
+        .write.mode("append").parquet(s"$out/lineitem.parquet")
+      println(s"[scalegen] lineitem += ${SeedLineitemRows} graph-seed rows")
+    }
+    if (wanted("orders")) {
+      pack.map { case (ok, parts) => (ok, 1L, "O", 100.0 * parts.length, "3-MEDIUM") }
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+        .withColumn("o_orderdate", lit("1996-06-01 00:00:00").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        .coalesce(1)
+        .write.mode("append").parquet(s"$out/orders.parquet")
+      println(s"[scalegen] orders += ${SeedOrderRows} graph-seed rows")
+    }
   }
 }

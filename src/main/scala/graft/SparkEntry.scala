@@ -313,7 +313,11 @@ object SparkEntry {
     // Newman-Girvan modularity of the brand partition
     "q177_modularity" -> (Graph.q177Modularity _),
     // Fellegi-Sunter log-odds match weights over the q122 candidates
-    "q178_fellegi_sunter" -> (Audit.q178FellegiSunter _)
+    "q178_fellegi_sunter" -> (Audit.q178FellegiSunter _),
+    // stream-maintained banded LSH index ≡ batch-built (q63 discipline)
+    "q179_stream_lsh_index" -> (Dedup.q179StreamLshIndex _),
+    // end-to-end entity resolution: FS threshold → CC → canonical record
+    "q180_entity_rollup" -> (Audit.q180EntityRollup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -487,6 +491,8 @@ object SparkEntry {
     "q175_sprt_monitor" -> EventOps.q175Sql,
     "q176_hits" -> Graph.q176Sql,
     "q177_modularity" -> Graph.q177Sql,
-    "q178_fellegi_sunter" -> Audit.q178Sql
+    "q178_fellegi_sunter" -> Audit.q178Sql,
+    "q179_stream_lsh_index" -> Dedup.q179Sql,
+    "q180_entity_rollup" -> Audit.q180Sql
   )
 }

@@ -313,64 +313,92 @@ object Audit {
    *  grows with the registry, blocks stay bounded); the added field
    *  columns ride the same candidate frame; the pattern aggregate is
    *  4 rows. */
-  def q178FellegiSunter(s: SparkSession, d: String): DataFrame = {
+  // Fellegi-Sunter log-odds weights shared by q178 (the pattern
+  // table) and q180 (the end-to-end entity rollup). Fixed m/u
+  // parameters make every weight a CONSTANT embedded as the
+  // identical double literal in both engines (the q175 device).
+  private val WNameExact = 6.802394763324311     // ln(0.9/0.001)
+  private val WNameNear = 2.1972245773362196     // ln(0.09/0.01)
+  private val WBalAgree = 0.1823215567939546     // ln(0.6/0.5)
+  private val WBalDisagree = -0.2231435513142097 // ln(0.4/0.5)
+  private val FsUpper = 4.605170185988092        // ln(100)
+  /** q180 link threshold: evidence of at least 2 nats — keeps
+   *  exact-name pairs regardless of balance AND near-name pairs only
+   *  when the balance sign corroborates, which is what makes the
+   *  resulting clusters a thresholding DECISION rather than "every
+   *  candidate". */
+  private val FsLink = 2.0
+
+  /** A registry collapsed to DISTINCT (nationkey, key) vertices with
+   *  multiplicity and per-key balance — the weight-collapse prune
+   *  shared by q122/q178/q180 (duplicate entity names multiply
+   *  counts, never join rows). `max(bal)` is exact: the 9-digit key
+   *  is unique per base registry row and ScaleGen copies replicate
+   *  the row verbatim (only the surrogate key shifts), so every
+   *  record of a key carries the same balance. */
+  private def collapsedRegistry(df: DataFrame, nk: String, nameCol: String,
+      balCol: String): DataFrame =
+    df.select(col(nk).as("nationkey"),
+        expr(s"substring($nameCol, 10, 9)").as("k"), col(balCol).as("bal"))
+      .groupBy(col("nationkey"), col("k"))
+      .agg(max(col("bal")).as("bal"), count(lit(1)).as("w"))
+
+  /** FS-scored candidate pairs shared by q178/q180: q122's 3-segment
+   *  pigeonhole blocking + edit-distance ≤ 2 verification over the
+   *  weight-collapsed registries, each pair annotated with its
+   *  agreement pattern and Fellegi-Sunter score. Columns:
+   *  (nationkey, ckey, cbal, wc, skey, sbal, ws, dist, name_exact,
+   *  bal_agree, score). */
+  private def fsScoredCandidates(s: SparkSession, d: String): DataFrame = {
     val tau = 2
     val segLen = 3
     val segStarts = Seq(1, 4, 7)
-    val wNameExact = 6.802394763324311   // ln(0.9/0.001)
-    val wNameNear = 2.1972245773362196   // ln(0.09/0.01)
-    val wBalAgree = 0.1823215567939546   // ln(0.6/0.5)
-    val wBalDisagree = -0.2231435513142097 // ln(0.4/0.5)
-    val upper = 4.605170185988092        // ln(100)
-    val c = customer(s, d).select(
-        col("c_nationkey").as("nationkey"),
-        expr("substring(c_name, 10, 9)").as("ckey"),
-        when(col("c_acctbal") >= 0, 1L).otherwise(0L).as("cpos"))
-      .groupBy(col("nationkey"), col("ckey"), col("cpos"))
-      .agg(count(lit(1)).as("wc"))
-    val sup = supplier(s, d).select(
-        col("s_nationkey").as("nationkey"),
-        expr("substring(s_name, 10, 9)").as("skey"),
-        when(col("s_acctbal") >= 0, 1L).otherwise(0L).as("spos"))
-      .groupBy(col("nationkey"), col("skey"), col("spos"))
-      .agg(count(lit(1)).as("ws"))
-    val cSeg = c.select(col("nationkey"), col("ckey"), col("cpos"), col("wc"),
+    val c = collapsedRegistry(customer(s, d), "c_nationkey", "c_name", "c_acctbal")
+      .select(col("nationkey"), col("k").as("ckey"), col("bal").as("cbal"),
+        col("w").as("wc"))
+    val sup = collapsedRegistry(supplier(s, d), "s_nationkey", "s_name", "s_acctbal")
+      .select(col("nationkey"), col("k").as("skey"), col("bal").as("sbal"),
+        col("w").as("ws"))
+    val cSeg = c.select(col("nationkey"), col("ckey"), col("cbal"), col("wc"),
       explode(array(segStarts.zipWithIndex.map { case (st, i) =>
         struct(lit(i).as("i"), expr(s"substring(ckey, $st, $segLen)").as("g"))
       }: _*)).as("sg"))
-      .select(col("nationkey"), col("ckey"), col("cpos"), col("wc"),
+      .select(col("nationkey"), col("ckey"), col("cbal"), col("wc"),
         col("sg.i").as("i"), col("sg.g").as("g"))
-    val sSeg = sup.select(col("nationkey"), col("skey"), col("spos"), col("ws"),
+    val sSeg = sup.select(col("nationkey"), col("skey"), col("sbal"), col("ws"),
       explode(array((for {
         (st, i) <- segStarts.zipWithIndex
         delta <- -tau to tau
         p = st + delta if p >= 1
       } yield struct(lit(i).as("i"),
         expr(s"substring(skey, $p, $segLen)").as("g"))): _*)).as("sg"))
-      .select(col("nationkey"), col("skey"), col("spos"), col("ws"),
+      .select(col("nationkey"), col("skey"), col("sbal"), col("ws"),
         col("sg.i").as("i"), col("sg.g").as("g"))
-      .distinct()
-    val cand = cSeg.join(sSeg, Seq("nationkey", "i", "g"))
-      .select(col("nationkey"), col("ckey"), col("cpos"), col("wc"),
-        col("skey"), col("spos"), col("ws"))
-      .distinct()
+      .distinct() // repeated digits can emit one (i, g) from several shifts
+    cSeg.join(sSeg, Seq("nationkey", "i", "g"))
+      .select(col("nationkey"), col("ckey"), col("cbal"), col("wc"),
+        col("skey"), col("sbal"), col("ws"))
+      .distinct() // one candidate per key pair, however many segments matched
       .withColumn("dist", levenshtein(col("ckey"), col("skey")))
       .filter(col("dist") <= tau)
-    cand
       .withColumn("name_exact", (col("dist") === 0).cast("long"))
-      .withColumn("bal_agree", (col("cpos") === col("spos")).cast("long"))
+      .withColumn("bal_agree",
+        ((col("cbal") >= 0) === (col("sbal") >= 0)).cast("long"))
       .withColumn("score",
-        when(col("name_exact") === 1L, lit(wNameExact)).otherwise(lit(wNameNear))
-          + when(col("bal_agree") === 1L, lit(wBalAgree))
-            .otherwise(lit(wBalDisagree)))
+        when(col("name_exact") === 1L, lit(WNameExact)).otherwise(lit(WNameNear))
+          + when(col("bal_agree") === 1L, lit(WBalAgree))
+            .otherwise(lit(WBalDisagree)))
+  }
+
+  def q178FellegiSunter(s: SparkSession, d: String): DataFrame =
+    fsScoredCandidates(s, d)
       .groupBy(col("name_exact"), col("bal_agree"), col("score"))
       .agg(sum(col("wc") * col("ws")).as("n_pairs"))
       .select(col("name_exact"), col("bal_agree"), col("n_pairs"), col("score"),
-        when(col("score") >= upper, lit("match"))
+        when(col("score") >= FsUpper, lit("match"))
           .when(col("score") < 0.0, lit("nonmatch"))
           .otherwise(lit("review")).as("decision"))
       .orderBy(col("name_exact"), col("bal_agree"))
-  }
 
   /** Oracle: plain blocked cross-join (nationkey) + levenshtein, the
    *  same literal weights, the same pattern aggregate. */
@@ -403,6 +431,137 @@ object Audit {
       |      WHEN score < 0.0 THEN 'nonmatch'
       |      ELSE 'review' END AS decision
       |FROM w ORDER BY name_exact, bal_agree""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q180: end-to-end entity resolution — FS threshold → clusters →
+  // canonical records
+  // ---------------------------------------------------------------
+
+  /** q180: the complete record-linkage pipeline in one pass — what
+   *  q122 (blocked candidates), q178 (Fellegi-Sunter scoring), q76
+   *  (connected components), and q94 (keep-best canonicalization)
+   *  each prove in isolation, composed end-to-end: threshold the FS
+   *  score at [[FsLink]], cluster the surviving customer↔supplier
+   *  links into entities, and emit one row per entity with its
+   *  canonical record.
+   *
+   *  Vertex encoding: the 9-digit key string is numeric and unique
+   *  per registry, so customer key k becomes vertex 2k and supplier
+   *  key k becomes 2k+1 — disjoint integer id spaces, min-label
+   *  cluster ids deterministic, no string vertices in the CC rounds.
+   *
+   *  Canonical record = the member with the greatest balance, ties
+   *  to the smallest vertex id (q94's keep-best discipline; balance
+   *  doubles come off the same parquet bytes in both engines, so the
+   *  ordering is exact). Entity counts are multiplicity sums from
+   *  the weight-collapsed registries, so replicated registrations
+   *  scale the counts without adding vertices — which is also why
+   *  the component STRUCTURE is octave-invariant under ScaleGen
+   *  (copies collide on the key, only multiplicities grow).
+   *
+   *  Scale shape: candidates ride q122's PassJoin blocking (block
+   *  key cardinality grows with the registry), the cluster step is
+   *  [[Curation.connectedComponents]] over link-sized edges (min-
+   *  label propagation, vertex-sized frames per round), the member
+   *  join is key-equi, and the canonical window partitions by
+   *  entity — nothing unpartitioned, nothing quadratic. */
+  def q180EntityRollup(s: SparkSession, d: String): DataFrame = {
+    val cand = fsScoredCandidates(s, d).filter(col("score") >= FsLink)
+    val edges = cand.select(
+        (col("ckey").cast("long") * 2).as("doc_a"),
+        (col("skey").cast("long") * 2 + 1).as("doc_b"))
+      .distinct()
+    val labels = Curation.connectedComponents(edges)
+    val cm = collapsedRegistry(customer(s, d), "c_nationkey", "c_name",
+        "c_acctbal")
+      .select((col("k").cast("long") * 2).as("vid"),
+        lit("customer").as("registry"), col("k").as("entity_key"),
+        col("bal"), col("w"))
+    val sm = collapsedRegistry(supplier(s, d), "s_nationkey", "s_name",
+        "s_acctbal")
+      .select((col("k").cast("long") * 2 + 1).as("vid"),
+        lit("supplier").as("registry"), col("k").as("entity_key"),
+        col("bal"), col("w"))
+    val mem = cm.unionByName(sm)
+      .join(labels, col("vid") === col("id"))
+      .select(col("label").as("entity_id"), col("vid"), col("registry"),
+        col("entity_key"), col("bal"), col("w"))
+    val agg = mem.groupBy(col("entity_id")).agg(
+      sum(col("w")).as("n_records"),
+      sum(when(col("registry") === "customer", col("w")).otherwise(0L))
+        .as("n_customers"),
+      sum(when(col("registry") === "supplier", col("w")).otherwise(0L))
+        .as("n_suppliers"))
+    val canon = mem
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("entity_id"))
+          .orderBy(col("bal").desc, col("vid"))))
+      .filter(col("rn") === 1)
+      .select(col("entity_id"), col("registry").as("canon_registry"),
+        col("entity_key").as("canon_key"), col("bal").as("canon_acctbal"))
+    agg.join(canon, "entity_id").orderBy(col("entity_id"))
+  }
+
+  /** Oracle: plain blocked cross-join + levenshtein with the same
+   *  literal weights, recursive-CTE reachability over the
+   *  thresholded pairs, the same min-label clusters and keep-best
+   *  window. Weight literals CAST AS DOUBLE (the q178 lesson: DuckDB
+   *  evaluates all-literal CASEs in exact DECIMAL otherwise). */
+  val q180Sql: String =
+    s"""WITH RECURSIVE
+      |c AS (
+      |  SELECT c_nationkey AS nationkey, substr(c_name, 10, 9) AS ck,
+      |   max(c_acctbal) AS bal, CAST(count(*) AS BIGINT) AS w
+      |  FROM customer GROUP BY 1, 2),
+      |s AS (
+      |  SELECT s_nationkey AS nationkey, substr(s_name, 10, 9) AS sk,
+      |   max(s_acctbal) AS bal, CAST(count(*) AS BIGINT) AS w
+      |  FROM supplier GROUP BY 1, 2),
+      |p AS (
+      |  SELECT c.ck, s.sk,
+      |   (CASE WHEN levenshtein(c.ck, s.sk) = 0
+      |         THEN CAST($WNameExact AS DOUBLE)
+      |         ELSE CAST($WNameNear AS DOUBLE) END
+      |    + CASE WHEN (c.bal >= 0) = (s.bal >= 0)
+      |           THEN CAST($WBalAgree AS DOUBLE)
+      |           ELSE CAST($WBalDisagree AS DOUBLE) END) AS score
+      |  FROM c JOIN s ON c.nationkey = s.nationkey
+      |  WHERE levenshtein(c.ck, s.sk) <= 2),
+      |e AS (
+      |  SELECT DISTINCT 2*CAST(ck AS BIGINT) AS a, 2*CAST(sk AS BIGINT)+1 AS b
+      |  FROM p WHERE score >= CAST($FsLink AS DOUBLE)),
+      |edges AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      |reach(id, r) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e2.b, reach.r FROM reach JOIN edges e2 ON e2.a = reach.id),
+      |labels AS (SELECT id, min(r) AS entity_id FROM reach GROUP BY id),
+      |m AS (
+      |  SELECT l.entity_id, v.vid, v.registry, v.entity_key, v.bal, v.w
+      |  FROM labels l JOIN (
+      |    SELECT 2*CAST(ck AS BIGINT) AS vid, 'customer' AS registry,
+      |     ck AS entity_key, bal, w FROM c
+      |    UNION ALL
+      |    SELECT 2*CAST(sk AS BIGINT)+1, 'supplier', sk, bal, w FROM s) v
+      |  ON v.vid = l.id),
+      |agg AS (
+      |  SELECT entity_id, CAST(sum(w) AS BIGINT) AS n_records,
+      |   CAST(sum(CASE WHEN registry = 'customer' THEN w ELSE 0 END) AS BIGINT)
+      |     AS n_customers,
+      |   CAST(sum(CASE WHEN registry = 'supplier' THEN w ELSE 0 END) AS BIGINT)
+      |     AS n_suppliers
+      |  FROM m GROUP BY 1),
+      |canon AS (
+      |  SELECT entity_id, registry AS canon_registry,
+      |   entity_key AS canon_key, bal AS canon_acctbal
+      |  FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY entity_id ORDER BY bal DESC, vid) AS rn
+      |    FROM m) t WHERE rn = 1)
+      |SELECT agg.entity_id, n_records, n_customers, n_suppliers,
+      | canon_registry, canon_key, canon_acctbal
+      |FROM agg JOIN canon ON agg.entity_id = canon.entity_id
+      |ORDER BY agg.entity_id""".stripMargin
 
   // ---------------------------------------------------------------
   // q123: source-balance audit (Gini / HHI / entropy of token share)

@@ -557,6 +557,26 @@ object Dedup {
       .format("parquet").saveAsTable(s"${table}_sigs")
   }
 
+  /** Per-batch incremental APPEND to a [[writeLshIndex]] index —
+   *  O(batch) maintenance for continuous ingestion: the batch's band
+   *  rows and signatures append into the existing bucketed tables
+   *  (Spark validates the bucket spec matches, so probes keep the
+   *  zero-exchange plan; each append adds one file per touched
+   *  bucket, and the small-file buildup is exactly what
+   *  [[compactLshIndex]]'s generation rewrite absorbs). Band keys and
+   *  signatures are PER-DOCUMENT artifacts, so a union of per-batch
+   *  appends is row-identical to one whole-corpus build — the
+   *  equivalence q179 gates. Creates the tables on first append. */
+  def appendLshIndex(batch: DataFrame, table: String, buckets: Int = 8): Unit = {
+    val sig = minhashSignatures(shingleRows(batch))
+    mkBanded(sig)
+      .select(col("doc_id"), xxhash64(col("band"), col("key")).as("bkey"))
+      .write.mode("append").bucketBy(buckets, "bkey").sortBy("bkey")
+      .format("parquet").saveAsTable(s"${table}_bands")
+    sig.write.mode("append").bucketBy(buckets, "doc_id")
+      .format("parquet").saveAsTable(s"${table}_sigs")
+  }
+
   /** Batch-vs-index fuzzy dedup: the batch's band keys probe the
    *  index band table (equi-join on the fused key — shuffles only
    *  batch-sized data when the index is bucketed), candidates are
@@ -670,10 +690,26 @@ object Dedup {
     writeLshIndex(corpus.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
       s"${base}_ref")
 
-    val cBands = s.table(s"${base}_gen2_bands")
-    val cSigs = s.table(s"${base}_gen2_sigs")
-    val rBands = s.table(s"${base}_ref_bands")
-    val rSigs = s.table(s"${base}_ref_sigs")
+    import s.implicits._
+    auditLshIndexEquiv(s, s"${base}_gen2", s"${base}_ref", tomb,
+        shingleRows(batch))
+      .map { case (leg, ok) => (s"compact_$leg", ok) }
+      .toDF("component", "ok").orderBy(col("component"))
+  }
+
+  /** The four index-equivalence audit legs shared by q166 (batch
+   *  compaction) and q179 (stream-maintained index): tombstones gone
+   *  from both tables, band rows multiset-equal, signatures
+   *  row-equal, and a fresh probe batch behaviorally identical.
+   *  Every leg is an O(index) equi-join — no quadratic, no text
+   *  re-read. Returns (leg, ok) pairs; callers prefix the leg
+   *  names. */
+  private def auditLshIndexEquiv(s: SparkSession, candBase: String,
+      refBase: String, tomb: DataFrame, probeSh: DataFrame): Seq[(String, Boolean)] = {
+    val cBands = s.table(s"${candBase}_bands")
+    val cSigs = s.table(s"${candBase}_sigs")
+    val rBands = s.table(s"${refBase}_bands")
+    val rSigs = s.table(s"${refBase}_sigs")
 
     val tombLeft = cBands.join(broadcast(tomb), Seq("doc_id"), "left_semi").count() +
       cSigs.join(broadcast(tomb), Seq("doc_id"), "left_semi").count()
@@ -691,27 +727,94 @@ object Dedup {
           col(s"a.$m").isNull || col(s"b.$m").isNull || col(s"a.$m") =!= col(s"b.$m"))
         .reduce(_ || _))
       .count()
-    val probeC = minhashBatchVsIndex(shingleRows(batch), cBands, cSigs)
-    val probeR = minhashBatchVsIndex(shingleRows(batch), rBands, rSigs)
+    val probeC = minhashBatchVsIndex(probeSh, cBands, cSigs)
+    val probeR = minhashBatchVsIndex(probeSh, rBands, rSigs)
     val probeMism = probeC.as("a").join(probeR.as("b"),
         col("a.batch_id") === col("b.batch_id") &&
           col("a.corpus_id") === col("b.corpus_id"), "full")
       .filter(col("a.batch_id").isNull || col("b.batch_id").isNull)
       .count()
-
-    import s.implicits._
     Seq(
-      ("compact_bands_equiv", bandMism == 0L),
-      ("compact_probe_equiv", probeMism == 0L),
-      ("compact_sigs_equiv", sigMism == 0L),
-      ("compact_tombstones_gone", tombLeft == 0L)
-    ).toDF("component", "ok").orderBy(col("component"))
+      ("bands_equiv", bandMism == 0L),
+      ("probe_equiv", probeMism == 0L),
+      ("sigs_equiv", sigMism == 0L),
+      ("tombstones_gone", tombLeft == 0L))
   }
 
   val q166Sql: String =
     """SELECT * FROM (VALUES
       | ('compact_bands_equiv', true), ('compact_probe_equiv', true),
       | ('compact_sigs_equiv', true), ('compact_tombstones_gone', true)
+      |) t(component, ok) ORDER BY component""".stripMargin
+
+  // ----- stream-maintained LSH index (q179) -------------------------
+
+  /** q179: the banded-MinHash index maintained from a LIVE STREAM —
+   *  the round-10 verdict's missing leg of the continuous-ingestion
+   *  story (q63 maintains the EXACT-fingerprint index from a stream;
+   *  the fuzzy index was batch-append only). One run is one full
+   *  lifecycle, the q63 discipline applied to the fuzzy index:
+   *
+   *   1. the corpus is staged as 3 files and streamed with
+   *      maxFilesPerTrigger=1, so a genuine multi-batch foreachBatch
+   *      chain (the q87 device) appends each micro-batch's band rows
+   *      and signatures into the durable bucketed tables via
+   *      [[appendLshIndex]] — per-batch cost O(batch), never
+   *      O(corpus);
+   *   2. tombstones (CDC deletes arriving after ingestion;
+   *      doc_id % 10 = 7) are compacted away with
+   *      [[compactLshIndex]]'s generation rewrite;
+   *   3. the compacted stream-built generation is audited against an
+   *      index BUILT IN ONE BATCH from the surviving corpus — band
+   *      multiset equality, signature equality, tombstone absence,
+   *      and behavioral probe equivalence ([[auditLshIndexEquiv]],
+   *      the q166 legs), plus the batch-count check proving the
+   *      stream really split.
+   *
+   *  Equivalence holds by construction (band keys and signatures are
+   *  per-document artifacts; every doc lands in exactly one
+   *  micro-batch), which is exactly what makes it a GATE: any
+   *  cross-document state accidentally introduced into the index
+   *  build breaks stream/batch parity here first. DROPs + overwrite
+   *  staging keep the query idempotent across bench repeats (appends
+   *  would otherwise accumulate). */
+  def q179StreamLshIndex(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val stage = InferOps.tmpPath("slsh_src", d)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
+      docs.repartition(3).write.mode("overwrite").parquet(stage)
+    val base = s"graft_slsh_${math.abs(d.hashCode).toString}"
+    Seq(s"${base}_bands", s"${base}_sigs",
+        s"${base}_gen2_bands", s"${base}_gen2_sigs",
+        s"${base}_ref_bands", s"${base}_ref_sigs")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      nBatches.incrementAndGet()
+      appendLshIndex(batch, base)
+      ()
+    }.trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val tomb = docs.filter(col("doc_id") % 10 === 7).select(col("doc_id"))
+    compactLshIndex(s, base, s"${base}_gen2", tomb)
+    writeLshIndex(docs.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+      s"${base}_ref")
+    import s.implicits._
+    (auditLshIndexEquiv(s, s"${base}_gen2", s"${base}_ref", tomb,
+        shingleRows(docs.filter(col("doc_id") >= 450)))
+      .map { case (leg, ok) => (s"stream_$leg", ok) } :+
+      (("stream_saw_batches", nBatches.get() == 3)))
+      .toDF("component", "ok").orderBy(col("component"))
+  }
+
+  val q179Sql: String =
+    """SELECT * FROM (VALUES
+      | ('stream_bands_equiv', true), ('stream_probe_equiv', true),
+      | ('stream_saw_batches', true), ('stream_sigs_equiv', true),
+      | ('stream_tombstones_gone', true)
       |) t(component, ok) ORDER BY component""".stripMargin
 
   // ----- exact cross-document substring (k-gram) deduplication ------

@@ -16,12 +16,22 @@ class ScaleGenSpec extends AnyFunSuite with SparkSuite {
     // dimensions stay 1×, facts amplify exactly copies×
     assert(tbl("region").count() == 5 && tbl("nation").count() == 25)
     val li0 = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").count()
-    assert(tbl("lineitem").count() == 2 * li0)
+    assert(tbl("lineitem").count() == 2 * li0 + ScaleGen.SeedLineitemRows)
 
     // referential consistency: every copy-1 lineitem joins a copy-1
     // order under the shifted keys — join selectivity is unchanged
+    // (the graph-seed rows carry their own matching orders)
     val joined = tbl("lineitem").join(tbl("orders"), col("l_orderkey") === col("o_orderkey"))
     assert(joined.count() == tbl("lineitem").count())
+
+    // the graph seed pack populates the octave gates: a 3-core with
+    // at least the 6-part clique, and the {11,197} wedge pair
+    val core = graft.ops.Graph.q168KCore(spark, out)
+    assert(core.filter(col("part_id").between(1, 6)).count() == 6,
+      "seeded clique missing from the 3-core")
+    val lp = graft.ops.Graph.q170LinkPredict(spark, out)
+    assert(lp.filter(col("u") === 11 && col("v") === 197).count() == 1,
+      "seeded wedge pair missing from link prediction")
 
     // copy-0 documents byte-identical to source; copy-1 token-suffixed
     // (no shingle collisions across copies) with recomputed n_chars

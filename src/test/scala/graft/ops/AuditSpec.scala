@@ -111,6 +111,48 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
     assert(out(2) == ((1L, 1L, 0L)), s"block 2: ${out(2)}")
   }
 
+  test("q180 entity rollup: thresholding, chaining, multiplicities, keep-best canonical") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def reg(prefix: String, rows: Seq[(Int, String, Double)]) = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.map { case (n, k, bal) =>
+        Row(n, s"$prefix#$k", bal): Row
+      }.asJava),
+      StructType(Seq(
+        StructField(s"${prefix.head.toLower}_nationkey", IntegerType),
+        StructField(s"${prefix.head.toLower}_name", StringType),
+        StructField(s"${prefix.head.toLower}_acctbal", DoubleType))))
+    val cDf = reg("Customer", Seq(
+      (1, "000000100", 50.0), (1, "000000100", 50.0), // duplicate: weight 2
+      (1, "000000200", -10.0), // its near pairs all balance-disagree → dropped
+      (2, "000000300", -5.0))) // exact-name despite balance disagreement
+    val sDf = reg("Supplier", Seq(
+      (1, "000000100", 20.0),  // exact → links regardless of balance
+      (1, "000000101", 70.0),  // dist 1, balance agrees → links; best balance
+      (1, "000000201", 5.0),   // dist 2 from cust 100, agrees → CHAINS in;
+                               // dist 1 from cust 200 but disagrees → no link
+      (2, "000000300", 10.0)))
+    val dir = java.nio.file.Files.createTempDirectory("q180fix").toString
+    cDf.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    sDf.write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val out = Audit.q180EntityRollup(spark, dir).collect()
+      .map(r => r.getAs[Long]("entity_id") ->
+        ((r.getAs[Long]("n_records"), r.getAs[Long]("n_customers"),
+          r.getAs[Long]("n_suppliers"), r.getAs[String]("canon_registry"),
+          r.getAs[String]("canon_key"), r.getAs[Double]("canon_acctbal"))))
+      .toMap
+    // entity 200 = cust 100 (vid 200, w2) + supp 100/101/201 (vids
+    // 201, 203, 403 — 201 chained through the customer): canonical is
+    // supp 101 (highest balance 70)
+    assert(out(200L) == ((5L, 2L, 3L, "supplier", "000000101", 70.0)),
+      s"entity 200: ${out.get(200L)}")
+    // entity 600 = the block-2 exact pair; customer 200 and its
+    // sub-threshold neighbors appear nowhere
+    assert(out(600L) == ((2L, 1L, 1L, "supplier", "000000300", 10.0)),
+      s"entity 600: ${out.get(600L)}")
+    assert(out.size == 2, s"entities: ${out.keySet}")
+  }
+
   test("embeddingCovariance fails fast on ragged embeddings with a clear message") {
     val vecs = Seq(Array(1.0f, 2.0f), Array(3.0f)) // second vector short
     val df = spark.createDataset(vecs).repartition(1).toDF("embedding")

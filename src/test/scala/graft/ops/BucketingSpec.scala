@@ -97,6 +97,37 @@ class BucketingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("appendLshIndex: union of per-batch appends equals one whole-corpus build") {
+    val d = "/root/testdata/sf0.001"
+    val loc = Files.createTempDirectory("graftlshapp")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_app LOCATION '$loc'")
+    try {
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text"))
+      Dedup.writeLshIndex(docs, "graft_app.ref")
+      // three disjoint batches in arbitrary arrival order — band keys
+      // and signatures are per-document, so the union must be
+      // row-identical to the single build (the q179 invariant)
+      Dedup.appendLshIndex(docs.filter(col("doc_id") % 3 === 1), "graft_app.inc")
+      Dedup.appendLshIndex(docs.filter(col("doc_id") % 3 === 2), "graft_app.inc")
+      Dedup.appendLshIndex(docs.filter(col("doc_id") % 3 === 0), "graft_app.inc")
+      def bands(t: String) = spark.table(s"${t}_bands")
+        .groupBy(col("doc_id"), col("bkey")).count()
+        .orderBy(col("doc_id"), col("bkey")).collect().toSeq
+      def sigs(t: String) = spark.table(s"${t}_sigs")
+        .orderBy(col("doc_id")).collect().toSeq
+      assert(bands("graft_app.inc") == bands("graft_app.ref"))
+      assert(sigs("graft_app.inc") == sigs("graft_app.ref"))
+      assert(bands("graft_app.inc").nonEmpty)
+      // the appended table keeps the bucket spec (probes stay
+      // zero-exchange — the plan itself is pinned by the tests above)
+      val cat = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+          "inc_bands", Some("graft_app")))
+      assert(cat.bucketSpec.exists(_.bucketColumnNames == Seq("bkey")))
+    } finally spark.sql("DROP DATABASE IF EXISTS graft_app CASCADE")
+  }
+
   test("compacted LSH generation: probe keeps the zero-exchange plan, tombstoned docs never match") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
