@@ -389,6 +389,65 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("HashAggregate"), p.take(600))
   }
 
+  test("q160/q171 pre-partitioned persisted edge frames skip the per-round Exchange+Sort") {
+    // The round-10 layout fix, pinned as a plan diff: an edge frame
+    // repartitioned+sorted on the round join key and PERSISTED keeps
+    // that layout through every iteration (InMemoryRelation retains
+    // partitioning AND ordering), so the per-round SMJ exchanges and
+    // sorts only the vertex-sized side. The control shows the
+    // alternative: a localCheckpoint degrades to Scan ExistingRDD and
+    // the data-sized edge frame re-exchanges + re-sorts EVERY round —
+    // O(E log E) shuffle per round instead of O(E) I/O at 100 TB.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.storage.StorageLevel
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val edges = spark.range(5000)
+        .select((col("id") % 50).as("src"), (col("id") % 37).as("dst"))
+      val labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      def smjSide(df: org.apache.spark.sql.DataFrame, left: Boolean): SparkPlan = {
+        val smjs = df.queryExecution.executedPlan
+          .collect { case j: SortMergeJoinExec => j }
+        assert(smjs.nonEmpty, df.queryExecution.executedPlan.toString.take(600))
+        if (left) smjs.head.left else smjs.head.right
+      }
+      def exchangesAndSorts(p: SparkPlan): (Int, Int) =
+        (p.collect { case x: ShuffleExchangeExec => x }.size,
+          p.collect { case x: SortExec => x }.size)
+      // production shape (connectedComponents / bellman-ford build)
+      val prepped = edges.repartition(col("src"))
+        .sortWithinPartitions(col("src")).persist(StorageLevel.DISK_ONLY)
+      prepped.count() // materialize
+      // ccRound puts e on the LEFT; relaxRound puts it on the RIGHT
+      val ccEdge = exchangesAndSorts(smjSide(Graph.ccRound(prepped, labels), left = true))
+      assert(ccEdge == ((0, 0)),
+        s"CC round re-plans the persisted edge side: $ccEdge")
+      val dist = labels.select(col("node"), col("label").as("dcost"))
+      val wprepped = edges.withColumn("w", col("dst") + 1L)
+        .repartition(col("src")).sortWithinPartitions(col("src"))
+        .persist(StorageLevel.DISK_ONLY)
+      wprepped.count()
+      val bfEdge = exchangesAndSorts(smjSide(Graph.relaxRound(wprepped, dist), left = false))
+      assert(bfEdge == ((0, 0)),
+        s"relax round re-plans the persisted edge side: $bfEdge")
+      // control: a checkpointed frame pays Exchange+Sort every round
+      val ckpt = edges.localCheckpoint(eager = true)
+      val (ex, so) = exchangesAndSorts(smjSide(Graph.ccRound(ckpt, labels), left = true))
+      assert(ex >= 1 && so >= 1,
+        s"control should re-exchange+re-sort a checkpointed edge frame, got ($ex, $so)")
+      prepped.unpersist(); wprepped.unpersist()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("q172 band pairs: equi-join on (band_idx, band_val), no cartesian") {
     import spark.implicits._
     val hs = Seq((1L, 7L), (2L, 7L)).toDF("doc_id", "phash")
