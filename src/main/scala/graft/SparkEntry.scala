@@ -317,7 +317,9 @@ object SparkEntry {
     // stream-maintained banded LSH index ≡ batch-built (q63 discipline)
     "q179_stream_lsh_index" -> (Dedup.q179StreamLshIndex _),
     // end-to-end entity resolution: FS threshold → CC → canonical record
-    "q180_entity_rollup" -> (Audit.q180EntityRollup _)
+    "q180_entity_rollup" -> (Audit.q180EntityRollup _),
+    // label-propagation communities (deterministic synchronous LPA)
+    "q181_lpa_communities" -> (Graph.q181Communities _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -493,6 +495,7 @@ object SparkEntry {
     "q177_modularity" -> Graph.q177Sql,
     "q178_fellegi_sunter" -> Audit.q178Sql,
     "q179_stream_lsh_index" -> Dedup.q179Sql,
-    "q180_entity_rollup" -> Audit.q180Sql
+    "q180_entity_rollup" -> Audit.q180Sql,
+    "q181_lpa_communities" -> Graph.q181Sql
   )
 }

@@ -1096,4 +1096,115 @@ object Graph {
       |SELECT cc.node AS part_id, cc.component, sz.comp_size
       |FROM cc JOIN sz USING (component)
       |ORDER BY part_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q181: label-propagation communities (synchronous LPA)
+  // ---------------------------------------------------------------
+
+  // 6 rounds: measured at sf0.01 — 4 rounds left 71/1880 nodes
+  // mid-flip, 6 leaves only the genuine synchronous-LPA 2-cycles
+  // (bipartite-ish regions oscillate FOREVER under synchronous
+  // update; no round count settles them). Bounded rounds are what
+  // makes the oracle an unrolled CTE chain (the q168 device), and
+  // the is_stable certificate marks every oscillator per node in
+  // BOTH engines identically rather than hiding it.
+  private[ops] val LpRounds = 6
+
+  /** Synchronous label propagation (Raghavan et al. 2007, "Near
+   *  linear time algorithm to detect community structures"): every
+   *  vertex starts as its own community; each round a vertex adopts
+   *  the most frequent label among its neighbors AND itself (the
+   *  self-vote damps bridge takeover), ties to the SMALLEST label —
+   *  a fully deterministic, integer-exact variant of the classic
+   *  randomized sweep, which is what makes it oracle-able. Where
+   *  q160's components answer "what is connected", LPA answers "what
+   *  is densely knit": a bridge between two triangles leaves two
+   *  communities where CC reports one.
+   *
+   *  Shape per round: ONE labels⋈edges equi-join on src against the
+   *  pre-partitioned persisted edge frame (the q160 layout — zero
+   *  per-round Exchange/Sort on the edge side, PlanQualitySpec-
+   *  gated), a (node, label) vote count with map-side partials, and
+   *  an argmax reduced as max(struct(votes, -label)) — no per-node
+   *  window, no extra shuffle beyond the two aggregates. Work per
+   *  round O(E); all counts exact longs; label negation is safe for
+   *  any ScaleGen-shifted id (< 2⁶³). Returns
+   *  (node, community, comm_size, is_stable). */
+  def labelPropagation(edges: DataFrame, rounds: Int = LpRounds): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .persist(StorageLevel.DISK_ONLY)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var prev = labels
+    var r = 0
+    while (r < rounds) {
+      prev = labels
+      labels = lpRound(e, labels).localCheckpoint()
+      r += 1
+    }
+    val stable = labels.as("a").join(prev.as("b"),
+        col("a.node") === col("b.node"))
+      .select(col("a.node").as("node"), col("a.label").as("community"),
+        (col("a.label") === col("b.label")).as("is_stable"))
+    val sizes = stable.groupBy(col("community")).agg(count(lit(1)).as("comm_size"))
+    stable.join(sizes, "community")
+      .select(col("node"), col("community"), col("comm_size"), col("is_stable"))
+  }
+
+  /** One synchronous vote round: neighbor labels flow across edges,
+   *  each vertex adds its own label, the most frequent label wins
+   *  with ties to the smallest. Exposed for the plan gate. */
+  private[ops] def lpRound(e: DataFrame, labels: DataFrame): DataFrame =
+    e.join(labels, col("src") === col("node"))
+      .select(col("dst").as("n2"), col("label"))
+      .union(labels.select(col("node").as("n2"), col("label")))
+      .groupBy(col("n2"), col("label")).agg(count(lit(1)).as("votes"))
+      .groupBy(col("n2"))
+      .agg(max(struct(col("votes"), (-col("label")).as("neg"))).as("m"))
+      .select(col("n2").as("node"), (-col("m.neg")).as("label"))
+
+  /** q181: LPA communities of the c≥2 co-purchase strength graph —
+   *  the assignment-level complement of q177 (which scores an
+   *  EXOGENOUS brand partition) and q160 (which reports mere
+   *  connectivity). */
+  def q181Communities(s: SparkSession, d: String): DataFrame =
+    labelPropagation(coPurchaseStrength(s, d).filter(col("c") >= 2))
+      .select(col("node").as("part_id"), col("community"),
+        col("comm_size"), col("is_stable"))
+      .orderBy(col("part_id"))
+
+  /** Oracle: the identical synchronous vote UNROLLED as a
+   *  MATERIALIZED CTE chain (the q168 device — both engines run
+   *  exactly [[LpRounds]] rounds); the argmax is a row_number
+   *  ordered (votes DESC, label), semantically identical to the
+   *  engine's max(struct(votes, -label)) on exact integers. */
+  val q181Sql: String = {
+    val rounds = (0 until LpRounds).map { i =>
+      s"""v${i + 1} AS (
+         |  SELECT e.dst AS node, l.label FROM e JOIN l$i l ON e.src = l.node
+         |  UNION ALL SELECT node, label FROM l$i),
+         |c${i + 1} AS (
+         |  SELECT node, label, count(*) AS votes FROM v${i + 1} GROUP BY 1, 2),
+         |l${i + 1} AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |     row_number() OVER (PARTITION BY node ORDER BY votes DESC, label) AS rn
+         |    FROM c${i + 1}) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val last = LpRounds
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |ew AS (
+       |  SELECT a.pk AS src, b.pk AS dst, count(*) AS c
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+       |  GROUP BY 1, 2),
+       |e AS MATERIALIZED (SELECT src, dst FROM ew WHERE c >= 2),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$rounds
+       |SELECT a.node AS part_id, a.label AS community,
+       | CAST(count(*) OVER (PARTITION BY a.label) AS BIGINT) AS comm_size,
+       | a.label = b.label AS is_stable
+       |FROM l$last a JOIN l${last - 1} b ON a.node = b.node
+       |ORDER BY part_id""".stripMargin
+  }
 }

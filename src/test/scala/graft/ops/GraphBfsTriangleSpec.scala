@@ -121,6 +121,31 @@ class GraphBfsTriangleSpec extends AnyFunSuite with SparkSuite {
 
   /** Runs q159's oriented wedge-closure core on an explicit symmetric
     * edge list (the production query builds its edges from lineitem). */
+  test("labelPropagation: bridged triangles split into two communities where CC sees one") {
+    // two triangles {1,2,3} and {10,11,12} joined by bridge 3-10:
+    // CC reports ONE component; LPA's frequency vote resists the
+    // bridge (the self-vote + majority keep each triangle on its own
+    // min label) → communities 1 and 10, all six nodes stable
+    val e = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))).toDF("src", "dst")
+    val out = Graph.labelPropagation(e).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(Seq(1L, 2L, 3L).forall(n => out(n) == ((1L, 3L, true))),
+      s"triangle A: ${out.filter(_._1 <= 3)}")
+    assert(Seq(10L, 11L, 12L).forall(n => out(n) == ((10L, 3L, true))),
+      s"triangle B: ${out.filter(_._1 >= 10)}")
+  }
+
+  test("labelPropagation: isolated edge pair converges to the min endpoint, ties break low") {
+    val e = sym(Seq((7L, 9L))).toDF("src", "dst")
+    // round 1: node7 votes {9 (neighbor), 7 (self)} → tie → min 7;
+    // node9 votes {7, 9} → 7; stable thereafter
+    val out = Graph.labelPropagation(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(7L) == ((7L, 2L, true)) && out(9L) == ((7L, 2L, true)), out.toString)
+  }
+
   private def triangleCounts(edges: Seq[(Long, Long)], parts: Int = 4): Map[Long, Long] = {
     import org.apache.spark.sql.functions._
     val e = edges.toDF("src", "dst").repartition(parts)
