@@ -448,6 +448,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q181 LPA round: one label equi-join + two hash aggregates, no cartesian, no window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 2L)).toDF("node", "label")
+    val p = plan(Graph.lpRound(e, labels))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "vote flow must equi-join labels to edges on src")
+    // the argmax is an aggregate (max of (votes, -label)), never a
+    // per-node window sort
+    assert(!p.contains("Window"), p.take(600))
+    assert(p.contains("HashAggregate"), p.take(600))
+  }
+
   test("q172 band pairs: equi-join on (band_idx, band_val), no cartesian") {
     import spark.implicits._
     val hs = Seq((1L, 7L), (2L, 7L)).toDF("doc_id", "phash")
