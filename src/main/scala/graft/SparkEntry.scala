@@ -319,7 +319,9 @@ object SparkEntry {
     // end-to-end entity resolution: FS threshold → CC → canonical record
     "q180_entity_rollup" -> (Audit.q180EntityRollup _),
     // label-propagation communities (deterministic synchronous LPA)
-    "q181_lpa_communities" -> (Graph.q181Communities _)
+    "q181_lpa_communities" -> (Graph.q181Communities _),
+    // modularity of the DISCOVERED partition (q181 ∘ q177)
+    "q182_lpa_modularity" -> (Graph.q182LpaModularity _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -496,6 +498,7 @@ object SparkEntry {
     "q178_fellegi_sunter" -> Audit.q178Sql,
     "q179_stream_lsh_index" -> Dedup.q179Sql,
     "q180_entity_rollup" -> Audit.q180Sql,
-    "q181_lpa_communities" -> Graph.q181Sql
+    "q181_lpa_communities" -> Graph.q181Sql,
+    "q182_lpa_modularity" -> Graph.q182Sql
   )
 }

@@ -1174,12 +1174,14 @@ object Graph {
         col("comm_size"), col("is_stable"))
       .orderBy(col("part_id"))
 
-  /** Oracle: the identical synchronous vote UNROLLED as a
-   *  MATERIALIZED CTE chain (the q168 device — both engines run
-   *  exactly [[LpRounds]] rounds); the argmax is a row_number
-   *  ordered (votes DESC, label), semantically identical to the
-   *  engine's max(struct(votes, -label)) on exact integers. */
-  val q181Sql: String = {
+  /** The shared LPA oracle prefix (li → ew → e → l0 → l1..l[[LpRounds]])
+   *  used VERBATIM by q181Sql and q182Sql — one copy so the vote rule
+   *  cannot drift between the assignment and its quality readout. The
+   *  argmax is a row_number ordered (votes DESC, label), semantically
+   *  identical to the engine's max(struct(votes, -label)) on exact
+   *  integers; MATERIALIZED per round is load-bearing (the q168
+   *  lesson: DuckDB re-inlines CTEs per reference). */
+  private val LpaCtes: String = {
     val rounds = (0 until LpRounds).map { i =>
       s"""v${i + 1} AS (
          |  SELECT e.dst AS node, l.label FROM e JOIN l$i l ON e.src = l.node
@@ -1192,19 +1194,73 @@ object Graph {
          |     row_number() OVER (PARTITION BY node ORDER BY votes DESC, label) AS rn
          |    FROM c${i + 1}) t WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    val last = LpRounds
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    s"""li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
        |ew AS (
        |  SELECT a.pk AS src, b.pk AS dst, count(*) AS c
        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
        |  GROUP BY 1, 2),
        |e AS MATERIALIZED (SELECT src, dst FROM ew WHERE c >= 2),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** Oracle: the identical synchronous vote UNROLLED as a
+   *  MATERIALIZED CTE chain (the q168 device — both engines run
+   *  exactly [[LpRounds]] rounds). */
+  val q181Sql: String =
+    s"""WITH $LpaCtes
        |SELECT a.node AS part_id, a.label AS community,
        | CAST(count(*) OVER (PARTITION BY a.label) AS BIGINT) AS comm_size,
        | a.label = b.label AS is_stable
-       |FROM l$last a JOIN l${last - 1} b ON a.node = b.node
+       |FROM l$LpRounds a JOIN l${LpRounds - 1} b ON a.node = b.node
        |ORDER BY part_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q182: modularity of the DISCOVERED partition (q181 ∘ q177)
+  // ---------------------------------------------------------------
+
+  /** q182: Newman-Girvan modularity of the q181 LPA partition — the
+   *  quality readout that closes the community loop: q177 scores an
+   *  EXOGENOUS labeling (brands), q181 discovers one, q182 scores
+   *  the discovery with the same closed form, so "did LPA find
+   *  denser-than-chance structure?" becomes one comparable number
+   *  (at sf0.01 the discovered partition scores far above the brand
+   *  partition — the discovered labels follow the actual edges).
+   *  Shape: the q181 rounds plus two label equi-joins and two
+   *  bounded aggregates ([[labeledModularity]]); nothing beyond
+   *  O(E)/round + O(E) scoring. */
+  def q182LpaModularity(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseStrength(s, d).filter(col("c") >= 2)
+      .select(col("src"), col("dst"))
+    val comm = labelPropagation(e).select(col("node"), col("community"))
+    labeledModularity(e
+      .join(comm.select(col("node").as("src"), col("community").as("b_src")),
+        "src")
+      .join(comm.select(col("node").as("dst"), col("community").as("b_dst")),
+        "dst"))
   }
+
+  /** Oracle: the shared [[LpaCtes]] labels feeding q177's closed-form
+   *  modularity reduction. */
+  val q182Sql: String =
+    s"""WITH $LpaCtes,
+       |lab AS (
+       |  SELECT ls.label AS b_src, ld.label AS b_dst
+       |  FROM e JOIN l$LpRounds ls ON e.src = ls.node
+       |         JOIN l$LpRounds ld ON e.dst = ld.node),
+       |pb AS (
+       |  SELECT b_src, CAST(count(*) AS BIGINT) AS deg_sum,
+       |   CAST(sum(CASE WHEN b_src = b_dst THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS in_edges
+       |  FROM lab GROUP BY b_src),
+       |m AS (
+       |  SELECT CAST(sum(deg_sum) AS BIGINT) AS two_e,
+       |   CAST(sum(in_edges) AS BIGINT) AS in_total,
+       |   CAST(sum(deg_sum * deg_sum) AS BIGINT) AS deg_sq
+       |  FROM pb)
+       |SELECT two_e, in_total, deg_sq,
+       | (CAST(two_e AS DOUBLE) * CAST(in_total AS DOUBLE)
+       |    - CAST(deg_sq AS DOUBLE))
+       |   / (CAST(two_e AS DOUBLE) * CAST(two_e AS DOUBLE)) AS modularity
+       |FROM m""".stripMargin
 }

@@ -146,6 +146,21 @@ class GraphBfsTriangleSpec extends AnyFunSuite with SparkSuite {
     assert(out(7L) == ((7L, 2L, true)) && out(9L) == ((7L, 2L, true)), out.toString)
   }
 
+  test("q182 composition: LPA partition of bridged triangles scores the textbook 5/14 modularity") {
+    import org.apache.spark.sql.functions.col
+    // the partition LPA discovers ({1,2,3} vs {10,11,12}) has
+    // two_e=14, in=12, deg_sq=7²+7² → Q = (14·12−98)/14² = 5/14
+    val e = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))).toDF("src", "dst")
+    val comm = Graph.labelPropagation(e).select(col("node"), col("community"))
+    val q = Graph.labeledModularity(e
+      .join(comm.select(col("node").as("src"), col("community").as("b_src")), "src")
+      .join(comm.select(col("node").as("dst"), col("community").as("b_dst")), "dst"))
+      .collect().head
+    assert(q.getAs[Long]("two_e") == 14L && q.getAs[Long]("in_total") == 12L)
+    assert(q.getAs[Double]("modularity") == 5.0 / 14.0)
+  }
+
   private def triangleCounts(edges: Seq[(Long, Long)], parts: Int = 4): Map[Long, Long] = {
     import org.apache.spark.sql.functions._
     val e = edges.toDF("src", "dst").repartition(parts)
