@@ -321,7 +321,9 @@ object SparkEntry {
     // label-propagation communities (deterministic synchronous LPA)
     "q181_lpa_communities" -> (Graph.q181Communities _),
     // modularity of the DISCOVERED partition (q181 ∘ q177)
-    "q182_lpa_modularity" -> (Graph.q182LpaModularity _)
+    "q182_lpa_modularity" -> (Graph.q182LpaModularity _),
+    // distributed full-corpus integer k-means (Lloyd) assignment
+    "q183_kmeans_assign" -> (Cluster.q183KmeansAssign _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -499,6 +501,7 @@ object SparkEntry {
     "q179_stream_lsh_index" -> Dedup.q179Sql,
     "q180_entity_rollup" -> Audit.q180Sql,
     "q181_lpa_communities" -> Graph.q181Sql,
-    "q182_lpa_modularity" -> Graph.q182Sql
+    "q182_lpa_modularity" -> Graph.q182Sql,
+    "q183_kmeans_assign" -> Cluster.q183Sql
   )
 }
