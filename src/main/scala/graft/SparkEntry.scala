@@ -323,7 +323,9 @@ object SparkEntry {
     // modularity of the DISCOVERED partition (q181 ∘ q177)
     "q182_lpa_modularity" -> (Graph.q182LpaModularity _),
     // distributed full-corpus integer k-means (Lloyd) assignment
-    "q183_kmeans_assign" -> (Cluster.q183KmeansAssign _)
+    "q183_kmeans_assign" -> (Cluster.q183KmeansAssign _),
+    // personalized PageRank: teleport restarts at the smallest brand's parts
+    "q184_personalized_pagerank" -> (Graph.q184PersonalizedPageRank _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -502,6 +504,7 @@ object SparkEntry {
     "q180_entity_rollup" -> Audit.q180Sql,
     "q181_lpa_communities" -> Graph.q181Sql,
     "q182_lpa_modularity" -> Graph.q182Sql,
-    "q183_kmeans_assign" -> Cluster.q183Sql
+    "q183_kmeans_assign" -> Cluster.q183Sql,
+    "q184_personalized_pagerank" -> Graph.q184Sql
   )
 }

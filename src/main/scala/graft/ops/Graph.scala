@@ -1263,4 +1263,131 @@ object Graph {
        |    - CAST(deg_sq AS DOUBLE))
        |   / (CAST(two_e AS DOUBLE) * CAST(two_e AS DOUBLE)) AS modularity
        |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q184: PERSONALIZED PageRank — teleport restarts at a seed set
+  // ---------------------------------------------------------------
+
+  /** Rows in the q184 recommendation readout. */
+  private[ops] val PprTopK = 100
+
+  /** Integer personalized PageRank (random-walk-with-restart): the
+   *  q148 mass-push iteration with the teleport mass restarting at a
+   *  SEED SET instead of spreading uniformly — the "related to X"
+   *  recommendation signal (Haveliwala 2002, topic-sensitive
+   *  PageRank) a catalog pipeline reads per brand/topic, and the one
+   *  centrality variant q148/q165 can't express (their teleport is
+   *  global). Per round the SAME shuffle pair as [[pageRank]] — one
+   *  ranks⋈edges equi-join on src over the once-persisted DISK_ONLY
+   *  edge frame + one dst hash aggregate — with the seed teleport
+   *  folded into the aggregate as max(dst_seed)·tele (the 0/1 seed
+   *  indicator rides the persisted frame, attached BEFORE the deg
+   *  join so the build still leaves the frame partitioned by src).
+   *  Vertices of the symmetric graph all have in-edges, so the rank
+   *  frame stays complete across rounds even though non-seeds start
+   *  at zero mass.
+   *
+   *  Determinism: all-integer like q148 (floor per edge, order-free
+   *  long sums, floor'd per-seed teleport M·15 div (100·|S|)), so 10
+   *  rounds replay bit-identically in the oracle's grouped recursive
+   *  CTE; the top-k readout orders by (rank_units DESC, node) — exact
+   *  integer ties. Seeds = graph vertices of the lexicographically
+   *  smallest p_brand (data-derived, octave-stable: ScaleGen part
+   *  copies keep brand values). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int = Iterations): DataFrame = {
+    val seedSet = seeds.select(col("pk")).distinct()
+    // seed flag joins on dst FIRST; the deg join on src afterwards
+    // leaves the persisted frame hash-partitioned by src for all
+    // rounds (the q148/q165 layout rule)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = edges
+      .join(seedSet.withColumn("dst_seed", lit(1L)),
+        col("dst") === col("pk"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("dst_seed"), lit(0L)).as("dst_seed"))
+      .join(deg, "src")
+      .persist(StorageLevel.DISK_ONLY)
+    val verts = e.select(col("src")).distinct()
+    val ns = verts.join(seedSet, col("src") === col("pk"), "left_semi")
+      .count()
+    if (ns == 0)
+      return e.select(col("src").as("part_id"), col("deg"),
+        lit(0L).as("rank_units"), lit(0.0).as("share"),
+        lit(0L).as("is_seed")).limit(0)
+    val tele = (M * (100L - Damp)) / (100L * ns)
+    var ranks = verts
+      .join(seedSet, col("src") === col("pk"), "left")
+      .select(col("src").as("node"),
+        when(col("pk").isNotNull, lit(M / ns)).otherwise(lit(0L)).as("r"))
+    var i = 0
+    while (i < iterations) {
+      ranks = e.join(ranks, col("src") === col("node"))
+        .select(col("dst"), col("dst_seed"),
+          expr(s"r * $Damp div (100 * deg)").as("c"))
+        .groupBy(col("dst"))
+        .agg((sum(col("c")) + max(col("dst_seed")) * lit(tele)).as("r"))
+        .select(col("dst").as("node"), col("r"))
+        .localCheckpoint() // cut lineage each round (the q148 shape)
+      i += 1
+    }
+    ranks.join(e.select(col("src"), col("deg")).distinct(),
+        col("node") === col("src"))
+      .join(seedSet, col("node") === col("pk"), "left")
+      .select(col("node").as("part_id"), col("deg"),
+        col("r").as("rank_units"), (col("r") / (M * 1.0)).as("share"),
+        col("pk").isNotNull.cast("long").as("is_seed"))
+      .orderBy(col("rank_units").desc, col("part_id"))
+      .limit(PprTopK)
+  }
+
+  /** q184: personalized PageRank over the co-purchase graph, seeded
+   *  at the smallest brand's parts — the top-100 "related to this
+   *  brand" parts with exact integer ranks. */
+  def q184PersonalizedPageRank(s: SparkSession, d: String): DataFrame = {
+    val edges = coPurchaseStrength(s, d).select(col("src"), col("dst"))
+    val p = part(s, d)
+    val minBrand = p.agg(min(col("p_brand"))).head().getString(0)
+    val seeds = p.filter(col("p_brand") === lit(minBrand))
+      .select(col("p_partkey").as("pk"))
+    personalizedPageRank(edges, seeds)
+  }
+
+  /** Oracle: the identical seeded integer iteration as a grouped
+   *  recursive CTE — the q148 replay with the teleport arm gated by
+   *  max(dst_seed) and the base ranks concentrated on the seeds. */
+  val q184Sql: String =
+    s"""WITH RECURSIVE
+       |li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS (
+       |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src),
+       |sd AS (SELECT DISTINCT d.src AS pk FROM deg d JOIN part p
+       |        ON d.src = p.p_partkey
+       |       WHERE p.p_brand = (SELECT min(p_brand) FROM part)),
+       |e AS (SELECT e0.src, e0.dst, d.deg,
+       |       CASE WHEN e0.dst IN (SELECT pk FROM sd) THEN 1 ELSE 0 END
+       |         AS dst_seed
+       |      FROM e0 JOIN deg d USING (src)),
+       |sn AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM sd),
+       |it(k, node, r) AS (
+       |  SELECT 0, d.src, CAST(CASE WHEN s.pk IS NULL THEN 0
+       |        ELSE 1000000000000 // sn.ns END AS BIGINT)
+       |  FROM deg d LEFT JOIN sd s ON d.src = s.pk CROSS JOIN sn
+       |  UNION ALL
+       |  SELECT it.k + 1, e.dst,
+       |   CAST(max(e.dst_seed) * (1000000000000 * 15 // (100 * min(sn.ns)))
+       |        + sum(it.r * 85 // (100 * e.deg)) AS BIGINT)
+       |  FROM it JOIN e ON it.node = e.src CROSS JOIN sn
+       |  WHERE it.k < $Iterations
+       |  GROUP BY it.k + 1, e.dst)
+       |SELECT part_id, deg, rank_units, share, is_seed FROM (
+       |  SELECT it.node AS part_id, d.deg, it.r AS rank_units,
+       |   it.r * 1.0 / 1000000000000 AS share,
+       |   CAST(CASE WHEN s.pk IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_seed
+       |  FROM it JOIN deg d ON it.node = d.src
+       |  LEFT JOIN sd s ON it.node = s.pk
+       |  WHERE it.k = $Iterations)
+       |ORDER BY rank_units DESC, part_id LIMIT $PprTopK""".stripMargin
 }
