@@ -325,7 +325,9 @@ object SparkEntry {
     // distributed full-corpus integer k-means (Lloyd) assignment
     "q183_kmeans_assign" -> (Cluster.q183KmeansAssign _),
     // personalized PageRank: teleport restarts at the smallest brand's parts
-    "q184_personalized_pagerank" -> (Graph.q184PersonalizedPageRank _)
+    "q184_personalized_pagerank" -> (Graph.q184PersonalizedPageRank _),
+    // GraphSAGE-style deterministic 2-hop neighbor sampling
+    "q185_neighbor_sample" -> (Graph.q185NeighborSample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -505,6 +507,7 @@ object SparkEntry {
     "q181_lpa_communities" -> Graph.q181Sql,
     "q182_lpa_modularity" -> Graph.q182Sql,
     "q183_kmeans_assign" -> Cluster.q183Sql,
-    "q184_personalized_pagerank" -> Graph.q184Sql
+    "q184_personalized_pagerank" -> Graph.q184Sql,
+    "q185_neighbor_sample" -> Graph.q185Sql
   )
 }

@@ -1390,4 +1390,73 @@ object Graph {
        |  LEFT JOIN sd s ON it.node = s.pk
        |  WHERE it.k = $Iterations)
        |ORDER BY rank_units DESC, part_id LIMIT $PprTopK""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q185: GraphSAGE-style deterministic 2-hop neighbor sampling
+  // ---------------------------------------------------------------
+
+  /** Hop-1 / hop-2 sample fan-outs (GraphSAGE's S₁/S₂). */
+  private[ops] val SageFan1 = 3
+  private[ops] val SageFan2 = 2
+  private[ops] val SageMod = 1000000007L
+
+  /** q185: the mini-batch neighborhood-sampling primitive GNN
+   *  training runs over a graph this size (GraphSAGE, Hamilton et al.
+   *  2017) made exactly reproducible: each node gets ONE fixed
+   *  neighbor sample — its `SageFan1` neighbors of smallest
+   *  (h, dst) where h = ((src mod p)·1000003 + (dst mod p)·7919)
+   *  mod p is a keyed hash both engines compute identically in int64
+   *  (operands reduced mod p = 10⁹+7 BEFORE multiplying, the ScaleGen
+   *  overflow rule) — and the 2-hop frontier is the sample table
+   *  self-joined (hop-2 = the top-`SageFan2` rows of each hop-1
+   *  neighbor's own sample). Per-node-fixed samples mean ONE window
+   *  pass builds the table and one linear equi-join expands it: no
+   *  per-root re-sampling blow-up, ≤ S₁·S₂ rows per root, and the
+   *  row_number window is PARTITIONED by src (never global). The c≥2
+   *  strength graph keeps the fan-out meaningful at every octave.
+   *
+   *  Determinism: the hash, both tie-breaks (h, then dst) and the
+   *  join are exact-integer; row_number cast to long (DuckDB width
+   *  rule). Returns (root, n1_rank, n1, n2_rank, n2). */
+  def q185NeighborSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = coPurchaseStrength(s, d).filter(col("c") >= 2)
+      .select(col("src"), col("dst"))
+    val h = ((col("src") % SageMod) * lit(1000003L)
+      + (col("dst") % SageMod) * lit(7919L)) % SageMod
+    val rn = row_number().over(
+      Window.partitionBy(col("src")).orderBy(h.asc, col("dst").asc))
+    val samp = e.select(col("src"), col("dst"), rn.cast("long").as("rn"))
+      .filter(col("rn") <= SageFan1)
+    samp.as("a").join(
+        samp.as("b").filter(col("rn") <= SageFan2),
+        col("a.dst") === col("b.src"))
+      .select(col("a.src").as("root"), col("a.rn").as("n1_rank"),
+        col("a.dst").as("n1"), col("b.rn").as("n2_rank"),
+        col("b.dst").as("n2"))
+      .orderBy(col("root"), col("n1_rank"), col("n2_rank"))
+  }
+
+  /** Oracle: the identical hash-ranked sample table self-joined. */
+  val q185Sql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |ew AS MATERIALIZED (
+       |  SELECT a.pk AS src, b.pk AS dst, count(*) AS c
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+       |  GROUP BY 1, 2),
+       |e AS (SELECT src, dst FROM ew WHERE c >= 2),
+       |samp AS MATERIALIZED (
+       |  SELECT src, dst, CAST(row_number() OVER (
+       |    PARTITION BY src ORDER BY h, dst) AS BIGINT) AS rn
+       |  FROM (SELECT src, dst,
+       |         ((src % $SageMod) * 1000003 + (dst % $SageMod) * 7919)
+       |           % $SageMod AS h
+       |        FROM e)
+       |  QUALIFY rn <= $SageFan1),
+       |two AS (
+       |  SELECT a.src AS root, a.rn AS n1_rank, a.dst AS n1,
+       |   b.rn AS n2_rank, b.dst AS n2
+       |  FROM samp a JOIN samp b ON a.dst = b.src AND b.rn <= $SageFan2)
+       |SELECT root, n1_rank, n1, n2_rank, n2 FROM two
+       |ORDER BY root, n1_rank, n2_rank""".stripMargin
 }
