@@ -64,7 +64,7 @@ object Cluster {
    *  least-of-structs over k codegen'd fold expressions — ties break
    *  to the smallest centroid id (struct compare ≡ the oracle's
    *  row_number(d2, cid)). */
-  private def bestOf(cents: Array[Array[Long]]): Column =
+  private[ops] def bestOf(cents: Array[Array[Long]]): Column =
     cents.zipWithIndex.map { case (c, cid) =>
       val d2 = aggregate(
         zip_with(col("cv"), typedLit(c.toSeq), (x, v) => (x - v) * (x - v)),
@@ -79,9 +79,15 @@ object Cluster {
    *  codegen against literal centroids) + one k-group hash aggregate
    *  of d per-dimension sums (map-side combined — the shuffle carries
    *  k·(d+2) longs per task, nothing data-sized). */
-  def q183KmeansAssign(s: SparkSession, d: String): DataFrame = {
-    val codes = kmCodes(s, d).persist(StorageLevel.DISK_ONLY)
-    val seeds = codes.orderBy(col("vec_id")).limit(KmK).collect()
+  def q183KmeansAssign(s: SparkSession, d: String): DataFrame =
+    kmeansAssign(kmCodes(s, d), KmK, KmRounds)
+
+  /** The distributed Lloyd core over a (vec_id, cv: array<long>)
+   *  frame — exposed for fixture specs. */
+  private[ops] def kmeansAssign(codeFrame: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    val codes = codeFrame.persist(StorageLevel.DISK_ONLY)
+    val seeds = codes.orderBy(col("vec_id")).limit(k).collect()
     if (seeds.isEmpty)
       return codes.select(col("vec_id"), lit(0L).as("cluster"),
         lit(0L).as("dist_sq"))
@@ -91,7 +97,7 @@ object Cluster {
     val sumCols = (0 until dim).map(i =>
       sum(element_at(col("cv"), i + 1)).as(s"s$i"))
     var r = 0
-    while (r < KmRounds) {
+    while (r < rounds) {
       val assigned = codes.select(col("cv"),
         bestOf(cents).getField("cid").as("cluster"))
       // k rows × (d+1) cols — the bounded codebook collect

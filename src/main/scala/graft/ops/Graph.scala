@@ -1418,10 +1418,14 @@ object Graph {
    *  Determinism: the hash, both tie-breaks (h, then dst) and the
    *  join are exact-integer; row_number cast to long (DuckDB width
    *  rule). Returns (root, n1_rank, n1, n2_rank, n2). */
-  def q185NeighborSample(s: SparkSession, d: String): DataFrame = {
+  def q185NeighborSample(s: SparkSession, d: String): DataFrame =
+    neighborSample2Hop(coPurchaseStrength(s, d).filter(col("c") >= 2)
+      .select(col("src"), col("dst")))
+
+  /** The 2-hop sampling core over a (src, dst) edge frame — exposed
+   *  for fixture specs and the plan gate. */
+  private[ops] def neighborSample2Hop(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = coPurchaseStrength(s, d).filter(col("c") >= 2)
-      .select(col("src"), col("dst"))
     val h = ((col("src") % SageMod) * lit(1000003L)
       + (col("dst") % SageMod) * lit(7919L)) % SageMod
     val rn = row_number().over(

@@ -517,4 +517,44 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
       "the quadratic term must run within cells, not across the corpus")
     assert(p.contains("cell"), "blocking key must drive the self-join")
   }
+
+  test("q183 k-means assignment folds literal centroids into the scan: no join at all") {
+    import spark.implicits._
+    // the argmin against k driver-held centroids must be a codegen'd
+    // expression over the corpus scan — any Join node here means the
+    // centroids became a frame and the assignment pays k·N join work
+    import org.apache.spark.sql.functions.col
+    val codes = Seq((1L, Seq(0L, 0L)), (2L, Seq(9L, 9L))).toDF("vec_id", "cv")
+    val cents = Array(Array(0L, 0L), Array(10L, 10L))
+    val p = plan(codes.select(col("vec_id"),
+      Cluster.bestOf(cents).getField("cid").as("cluster")))
+    assert(!p.contains("Join"), p.take(600))
+    assert(!p.contains("Exchange"), "assignment must be a map-only stage")
+  }
+
+  test("q184 PPR round: ranks equi-join edges on src + dst hash agg, no cartesian") {
+    import spark.implicits._
+    // one synthetic round through the public entry (iterations=1):
+    // the seeded teleport must ride the aggregate, never a cartesian
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val p = plan(Graph.personalizedPageRank(e, Seq(1L).toDF("pk"),
+      iterations = 1))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "seeded mass push must equi-join on src, never all-pairs")
+    assert(p.contains("HashAggregate"), p.take(600))
+  }
+
+  test("q185 neighbor sampling: src-partitioned window + equi-join, no global sort before ranks") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val df = Graph.neighborSample2Hop(e)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the rank window must be partitioned (Window ... partitionBy src),
+    // never a single-partition global window
+    val winSpecs = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("src")),
+      winSpecs.mkString("\n"))
+  }
 }
