@@ -17,7 +17,13 @@ object GraftSession {
     graft.ops.InferOps.registerScratch(warehouse)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // default: one shuffle partition per executor thread (right for
+      // the sf0.01–100× ladder); SPARK_GRAFT_SHUFFLE_PARTITIONS lifts
+      // it at the larger octaves so per-partition sort/agg state keeps
+      // fitting the per-thread heap share — the "size
+      // spark.sql.shuffle.partitions to the SF" rule as a knob
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
