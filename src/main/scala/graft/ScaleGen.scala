@@ -97,13 +97,22 @@ object ScaleGen {
         extra: DataFrame => DataFrame = identity): Unit = {
       if (!wanted(name)) return
       val base = spark.read.parquet(s"$src/$name.parquet")
-      val amplified = base
+      // repartition the SMALL source BEFORE the crossJoin: the range
+      // side broadcasts, so the amplification inherits the source's
+      // partitioning — a 2-file source would amplify (and write) on 2
+      // threads, which at 1000× left one task carrying 600 M rows for
+      // ~30 min (measured; jstack showed a single straggler writer).
+      // 32 even source slices amplify on all 32 threads and land as 32
+      // even output files directly — no post-amplification shuffle of
+      // the data-sized frame at all (the old tail repartition(32)
+      // re-exchanged the full derived table: 29 GiB of blockmgr at
+      // 1000× for zero layout benefit).
+      val amplified = base.repartition(32)
         .crossJoin(spark.range(copies).select(col("id").as("__copy")))
       val shifted = keys.foldLeft(amplified) { (df, k) =>
         df.withColumn(k, col(k) + col("__copy") * Off)
       }
       extra(shifted).select(base.columns.map(col).toIndexedSeq: _*)
-        .repartition(32)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scalegen] $name x$copies -> $out/$name.parquet")
     }
