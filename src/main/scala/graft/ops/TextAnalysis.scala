@@ -241,24 +241,55 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Base sketch capacity — exact whenever the vocabulary fits. */
+  private[ops] val HhBaseCapacity = 4096
+  /** Loud ceiling on the vocabulary-adaptive capacity: past this the
+   *  sketch would go genuinely approximate and the hash oracle would
+   *  report garbage as a mismatch — fail with the contract instead
+   *  (the q165 MaxSafeEdgeStrength discipline). */
+  private[ops] val HhMaxExactCapacity = 1 << 24
+
   /** Corpus-wide heavy hitters via the custom space-saving
-   *  TypedImperativeAggregate (graft.functions.HeavyHitters) —
-   *  capacity 4096 exceeds this corpus's vocabulary, so the sketch is
-   *  exact and oracle-checkable against a plain count. */
+   *  TypedImperativeAggregate (graft.functions.HeavyHitters). The
+   *  sketch is EXACT only while the vocabulary fits its capacity —
+   *  a data-dependent precondition the first cut pinned at a 4096
+   *  literal and silently broke at the 1000× octave (ScaleGen's
+   *  per-copy token suffix grows the vocabulary linearly in copies:
+   *  ~400 k distinct tokens vs 4096 counters → every count inflated
+   *  by inherited-bucket error, top-10 unrecognizable — found by the
+   *  1000× selfcheck, the q176 class of bug). Capacity is now sized
+   *  to the corpus: one cheap HLL pass (approx_count_distinct ±1%)
+   *  estimates the vocabulary and the sketch gets 1.5× that (floor
+   *  `HhBaseCapacity`, loud ceiling `HhMaxExactCapacity`) — per-
+   *  partition memory stays min(partition vocab, capacity) counters,
+   *  and the merge still ships capacity-bounded maps, never the
+   *  token stream. A corpus past the ceiling fails loudly: at that
+   *  point the user wants the documented-approximate sketch or the
+   *  exact two-shuffle groupBy, not silently wrong counts. */
   def q53HeavyHitters(s: SparkSession, d: String): DataFrame = {
     graft.functions.HeavyHitters.register(s)
-    // HeavyHitters.eval returns its array already sorted by
-    // (cnt desc, item asc) — posexplode derives the rank directly, a
-    // pure per-row expression over the single aggregate output: no
-    // global Window.orderBy (single-partition exchange) and no
-    // re-sort duplicating the sketch's own tie-break
-    documents(s, d)
+    val toks = documents(s, d)
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
       // SQL trim() strips only spaces, so a tab/newline-edged doc
       // yields a phantom '' token the oracle (regexp-trimmed + empty-
       // filtered) never counts — drop empties on BOTH sides
       .filter(col("tok") =!= "")
-      .agg(graft.functions.HeavyHitters.heavy_hitters(col("tok"), 10, 4096).as("top"))
+    val vocabEst = toks.agg(approx_count_distinct(col("tok"), 0.01))
+      .head().getLong(0)
+    val want = (vocabEst * 3L) / 2L
+    require(want <= HhMaxExactCapacity,
+      s"q53: estimated vocabulary $vocabEst needs capacity $want > " +
+        s"$HhMaxExactCapacity; the space-saving sketch would go " +
+        "approximate — raise HhMaxExactCapacity or use the exact " +
+        "groupBy path for this corpus")
+    val capacity = math.max(HhBaseCapacity.toLong, want).toInt
+    // HeavyHitters.eval returns its array already sorted by
+    // (cnt desc, item asc) — posexplode derives the rank directly, a
+    // pure per-row expression over the single aggregate output: no
+    // global Window.orderBy (single-partition exchange) and no
+    // re-sort duplicating the sketch's own tie-break
+    toks
+      .agg(graft.functions.HeavyHitters.heavy_hitters(col("tok"), 10, capacity).as("top"))
       .select(posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("e.item").as("token"), col("e.cnt").as("cnt"),
         (col("pos") + 1).cast("long").as("rnk"))
