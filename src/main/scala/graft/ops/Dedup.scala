@@ -875,10 +875,15 @@ object Dedup {
       // corpus-wide tokenize+hash flatMap, the dominant stage, runs
       // twice (the prefixJaccardPairs finding, ~2× wall)
       .localCheckpoint(true)
-    // grams seen in ≥ 2 distinct documents
+    // grams seen in ≥ 2 distinct documents. min≠max ⟺ countDistinct≥2
+    // but plans as two trivially partial-aggregable longs instead of a
+    // distinct aggregate — the countDistinct form carried
+    // (h1,h2,doc_id) triples through an extra dedup pass over the
+    // ~5·10⁸ gram rows at the 1000× octave for a predicate that never
+    // needed the exact count
     val dup = starts.groupBy(col("h1"), col("h2"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= 2)
+      .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+      .filter(col("dmin") =!= col("dmax"))
       .select(col("h1"), col("h2"))
     val dupStarts = starts.join(dup, Seq("h1", "h2"))
       .select(col("doc_id"), col("pos"), lit(1).as("dupstart"))
