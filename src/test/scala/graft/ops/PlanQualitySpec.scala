@@ -158,8 +158,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
     val p = plan(Dedup.q90SubstrStats(spark, d))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "substring dedup must never degenerate to an all-pairs join")
-    // the distinct-doc count per gram must combine map-side
-    assert(p.contains("partial_count(distinct"), p.take(800))
+    // the ≥2-distinct-docs gate is the min≠max pair test (round 11:
+    // the countDistinct form carried (h1,h2,doc) triples through an
+    // extra dedup pass at the 1000× octave) — both legs must still
+    // combine map-side
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      p.take(800))
+    assert(!p.contains("partial_count(distinct"),
+      "the distinct expansion is back — see the round-11 q90 1000× fix")
   }
 
   test("q92 semantic dedup joins on the blocking key, never all-pairs") {
