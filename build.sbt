@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout with NO
+// "[info] " prefix, and the "[success] Total time" epilogue is
+// suppressed: the driver records the tail of `sbt -batch "runMain
+// graft.Bench"` stdout and parses its last line as the bench JSON —
+// with the default logger that last line is sbt's epilogue and every
+// JSON line wears a prefix, so the recorded artifact's `parsed` field
+// has been null since round 1.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not by a task —
+// the unused-key lint can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -28,6 +28,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // lz4 for persisted/localCheckpoint blocks (default is OFF,
+      // unlike shuffle compression): the q114-class operators park a
+      // corpus-sized frame in the block manager while 3–4 data-sized
+      // exchanges run beside it — at the 1000× octave the uncompressed
+      // checkpoint alone was ~¼ of the scratch that killed the probe.
+      // CPU cost is amortized: each checkpoint block is written once
+      // and read 2–5×.
+      .config("spark.rdd.compress", "true")
       .config("spark.sql.warehouse.dir", warehouse)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

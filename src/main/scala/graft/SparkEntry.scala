@@ -327,7 +327,14 @@ object SparkEntry {
     // personalized PageRank: teleport restarts at the smallest brand's parts
     "q184_personalized_pagerank" -> (Graph.q184PersonalizedPageRank _),
     // GraphSAGE-style deterministic 2-hop neighbor sampling
-    "q185_neighbor_sample" -> (Graph.q185NeighborSample _)
+    "q185_neighbor_sample" -> (Graph.q185NeighborSample _),
+    // stream-maintained IVF layout: foreachBatch append → tombstone
+    // compaction → stream≡batch audit (the q179 template on vectors)
+    "q186_stream_ivf_index" -> (Similarity.q186StreamIvfIndex _),
+    // documented-approximate heavy hitters: fixed-capacity space-saving
+    // with per-item error bounds (rows-only; bracket/containment
+    // guarantees spec-gated against exact counts)
+    "q187_approx_heavy_hitters" -> (TextAnalysis.q187ApproxHeavyHitters _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -508,6 +515,7 @@ object SparkEntry {
     "q182_lpa_modularity" -> Graph.q182Sql,
     "q183_kmeans_assign" -> Cluster.q183Sql,
     "q184_personalized_pagerank" -> Graph.q184Sql,
-    "q185_neighbor_sample" -> Graph.q185Sql
+    "q185_neighbor_sample" -> Graph.q185Sql,
+    "q186_stream_ivf_index" -> Similarity.q186Sql
   )
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -20,15 +20,29 @@ import scala.collection.mutable
  * documented unnecessary, SURVEY.md §4).
  *
  * Metwally et al.'s space-saving: bounded map of `capacity` counters;
- * an unseen item evicts the current minimum and inherits its count +1
- * (over-estimate bounded by min). Merge sums counters then re-prunes
- * to capacity — fixed memory per partition regardless of cardinality,
- * which is what makes token/vocab statistics affordable at 100 TB.
- * When true cardinality ≤ capacity the counts are EXACT (no eviction
- * ever fires), making the result oracle-checkable on the testdata.
+ * an unseen item evicts the current minimum and inherits its count
+ * (over-estimate bounded by the evicted minimum). Merge folds one map
+ * into the other with the same rule — fixed memory per partition
+ * regardless of cardinality, which is what makes token/vocab
+ * statistics affordable at 100 TB.
  *
- * Returns array<struct<item string, cnt long>> sorted by
- * (cnt desc, item) truncated to `k`.
+ * Each counter carries its own error term (the classic ε_i): on
+ * eviction the newcomer records the inherited minimum as `err`, and
+ * merges add error terms — so every emitted count brackets the truth
+ * as cnt − err ≤ true ≤ cnt (Metwally et al. 2005 for the stream
+ * invariant; Berinde et al. 2010 / Agarwal et al. 2013 for the
+ * mergeable form). The sketch also tracks whether ANY eviction fired
+ * anywhere in the update/merge tree and emits that as `evicted`:
+ * when false, no counter ever inherited mass, every err is 0, and
+ * the counts are EXACT — asserted by the sketch itself, not inferred
+ * from a cardinality estimate (the round-11 q53 fix sized capacity
+ * from an HLL estimate; a pathological >33% underestimate would have
+ * reproduced the silent garbage with no runtime detection — this
+ * flag closes that hole).
+ *
+ * Returns struct<top: array<struct<item string, cnt long, err long>>,
+ * evicted boolean>; `top` is sorted by (cnt desc, item) truncated to
+ * `k`.
  */
 case class HeavyHitters(
     child: Expression,
@@ -36,73 +50,85 @@ case class HeavyHitters(
     capacity: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+  extends TypedImperativeAggregate[HeavyHitters.Buf] {
+
+  import HeavyHitters.Buf
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("item", StringType), StructField("cnt", LongType))))
+  override def dataType: DataType = StructType(Seq(
+    StructField("top", ArrayType(StructType(Seq(
+      StructField("item", StringType), StructField("cnt", LongType),
+      StructField("err", LongType))))),
+    StructField("evicted", BooleanType)))
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure("heavy_hitters expects a string column")
 
-  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
-    mutable.HashMap.empty
+  override def createAggregationBuffer(): Buf = new Buf(mutable.HashMap.empty, false)
 
-  override def update(buf: mutable.HashMap[String, Long], input: InternalRow): mutable.HashMap[String, Long] = {
+  override def update(buf: Buf, input: InternalRow): Buf = {
     val v = child.eval(input)
-    if (v != null) add(buf, v.asInstanceOf[UTF8String].toString, 1L)
+    if (v != null) add(buf, v.asInstanceOf[UTF8String].toString, 1L, 0L)
     buf
   }
 
-  private def add(buf: mutable.HashMap[String, Long], item: String, n: Long): Unit = {
-    buf.get(item) match {
-      case Some(c) => buf.update(item, c + n)
-      case None if buf.size < capacity => buf.update(item, n)
+  private def add(buf: Buf, item: String, n: Long, err: Long): Unit = {
+    buf.m.get(item) match {
+      case Some((c, e)) => buf.m.update(item, (c + n, e + err))
+      case None if buf.m.size < capacity => buf.m.update(item, (n, err))
       case None =>
-        // evict the minimum counter; newcomer inherits its count
-        val (minItem, minCnt) = buf.minBy { case (i, c) => (c, i) }
-        buf.remove(minItem)
-        buf.update(item, minCnt + n)
+        // evict the minimum counter; the newcomer inherits its count
+        // and records it as error (cnt − err ≤ true ≤ cnt)
+        val (minItem, (minCnt, _)) =
+          buf.m.minBy { case (i, (c, _)) => (c, i) }
+        buf.m.remove(minItem)
+        buf.m.update(item, (minCnt + n, minCnt + err))
+        buf.evicted = true
     }
   }
 
-  override def merge(a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    b.foreach { case (i, c) => add(a, i, c) }
+  override def merge(a: Buf, b: Buf): Buf = {
+    a.evicted = a.evicted || b.evicted
+    b.m.foreach { case (i, (c, e)) => add(a, i, c, e) }
     a
   }
 
-  override def eval(buf: mutable.HashMap[String, Long]): Any = {
-    val top = buf.toSeq.sortBy { case (i, c) => (-c, i) }.take(k)
-    new GenericArrayData(top.map { case (i, c) =>
-      InternalRow(UTF8String.fromString(i), c)
-    }.toArray[Any])
+  override def eval(buf: Buf): Any = {
+    val top = buf.m.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(k)
+    InternalRow(
+      new GenericArrayData(top.map { case (i, (c, e)) =>
+        InternalRow(UTF8String.fromString(i), c, e)
+      }.toArray[Any]),
+      buf.evicted)
   }
 
   // length-prefixed raw UTF-8 (writeUTF caps items at 64KB and would
   // abort the query on a single giant token)
-  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+  override def serialize(buf: Buf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (i, c) =>
+    out.writeBoolean(buf.evicted)
+    out.writeInt(buf.m.size)
+    buf.m.foreach { case (i, (c, e)) =>
       val b = i.getBytes("UTF-8")
-      out.writeInt(b.length); out.write(b); out.writeLong(c)
+      out.writeInt(b.length); out.write(b); out.writeLong(c); out.writeLong(e)
     }
     out.flush(); bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+  override def deserialize(bytes: Array[Byte]): Buf = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val evicted = in.readBoolean()
     val n = in.readInt()
-    val buf = mutable.HashMap.empty[String, Long]
+    val m = mutable.HashMap.empty[String, (Long, Long)]
     (0 until n).foreach { _ =>
       val len = in.readInt()
       val b = new Array[Byte](len); in.readFully(b)
-      buf.update(new String(b, "UTF-8"), in.readLong())
+      m.update(new String(b, "UTF-8"), (in.readLong(), in.readLong()))
     }
-    buf
+    new Buf(m, evicted)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HeavyHitters =
@@ -114,6 +140,11 @@ case class HeavyHitters(
 }
 
 object HeavyHitters {
+  /** Sketch state: capacity-bounded (cnt, err) counters plus the
+   *  any-eviction-ever flag that certifies exactness when false. */
+  final class Buf(val m: mutable.HashMap[String, (Long, Long)],
+      var evicted: Boolean)
+
   def heavy_hitters(c: Column, k: Int, capacity: Int): Column =
     org.apache.spark.sql.functions.call_function(
       "graft_heavy_hitters", c,

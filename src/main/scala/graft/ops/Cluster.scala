@@ -38,8 +38,9 @@ import org.apache.spark.storage.StorageLevel
  * Overflow: |x| ≤ 0.58 in this corpus so |code| < 10⁶, per-dim
  * (x−c)² < 4·10¹² and the 64-dim sum < 2.6·10¹⁴; the update sum is
  * bounded by 10⁶·|corpus| ≈ 5·10¹¹ at the 100× octave — all inside
- * int64 with ≥400× headroom (ScaleGen copies shift vec_ids, values
- * are unchanged at every octave).
+ * int64 with ≥400× headroom (ScaleGen copies shift vec_ids; values
+ * stay within ±3% of copy 0 — the per-copy perturbation — so
+ * |code| < 1.03·10⁶ and every bound above still holds).
  *
  * Reference: diepy has no clustering; this extends the training-data
  * curation surface (SemDeDup §3 clusters before intra-cell dedup).
@@ -88,9 +89,13 @@ object Cluster {
       rounds: Int): DataFrame = {
     val codes = codeFrame.persist(StorageLevel.DISK_ONLY)
     val seeds = codes.orderBy(col("vec_id")).limit(k).collect()
-    if (seeds.isEmpty)
+    if (seeds.isEmpty) {
+      // nothing to iterate — release the cache before returning (the
+      // lazy result recomputes from lineage if ever evaluated)
+      codes.unpersist(false)
       return codes.select(col("vec_id"), lit(0L).as("cluster"),
         lit(0L).as("dist_sq"))
+    }
     var cents: Array[Array[Long]] =
       seeds.map(_.getSeq[Long](1).toArray)
     val dim = cents.head.length
@@ -113,6 +118,13 @@ object Cluster {
         upd.getOrElse(cid, cents(cid)))
       r += 1
     }
+    // the cache served its purpose (seed collect + `rounds` scans +
+    // `rounds` updates); release it NOW rather than letting a
+    // corpus-sized DISK_ONLY block sit in scratch for the rest of a
+    // 185-query session — the one remaining consumer (the final
+    // assignment scan below) recomputes the map-only projection from
+    // the parquet source at essentially the same cost as the disk read
+    codes.unpersist(false)
     val best = bestOf(cents)
     codes.select(col("vec_id"), best.getField("cid").as("cluster"),
         best.getField("d2").as("dist_sq"))

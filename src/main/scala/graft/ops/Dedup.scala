@@ -1371,22 +1371,77 @@ object Dedup {
    *  rank materialization); the candidate size-filter |B| ≥ ⌈t·|A|⌉
    *  and PPJoin's positional bound (see [[prefixCandidatePairs]])
    *  both prune before verification. */
-  def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  /** Verification-expansion budget (rows) before [[prefixJaccardPairs]]
+   *  switches to chunked sequential verification. The expansion join
+   *  (candidates × per-doc shingles) is the operator's one
+   *  scratch-quadratic-feeling term: it is LINEAR in candidates but
+   *  its shuffle lives all at once, and at the 1000× octave
+   *  (~1.5·10⁸ candidates × ~200 shingles ≈ 3·10¹⁰ rows × 32 B) it
+   *  alone exceeded this container's 64 GiB free scratch — the two
+   *  round-11 `No space left on device` deaths. Chunking partitions
+   *  the SHINGLE space by pmod(k1, C) — co-occurrence counts add up
+   *  exactly across disjoint shingle classes — and runs one chunk's
+   *  expansion at a time, parking candidate-sized partial counts in
+   *  parquet between chunks, so peak scratch is 1/C of the single-
+   *  pass plan at the cost of C passes over the (checkpointed)
+   *  shingle frame. 4·10⁹ keeps every octave through 100× on the
+   *  single-pass plan (identical plan, identical hash) and engages
+   *  chunking only where the single pass is known to die. On a real
+   *  cluster per-executor scratch is ~1000× larger and the budget
+   *  env (SPARK_GRAFT_Q114_MAX_EXPANSION) lifts accordingly. */
+  private val Q114MaxExpansionRows: Long =
+    sys.env.get("SPARK_GRAFT_Q114_MAX_EXPANSION").map(_.toLong)
+      .getOrElse(4000000000L)
+
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double,
+      maxExpansionRows: Long = Q114MaxExpansionRows): DataFrame = {
     // localCheckpoint: this frame feeds FIVE downstream references
     // (freq, prefix, both candidate-verification joins, sizes);
     // without it each one re-runs the corpus shingling flatMap —
-    // measured ~2× the query wall at sf0.1
+    // measured ~2× the query wall at sf0.1. Blocks are lz4'd
+    // (spark.rdd.compress, GraftSession) — at 1000× the uncompressed
+    // checkpoint alone was ~12 GiB of the scratch that killed the
+    // probe.
     val sh = shingleRows(docs)
       .select(col("doc_id"),
         xxhash64(col("s")).as("k1"), xxhash64(col("s"), lit(1)).as("k2"))
       .localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // checkpoint the candidate set: it is pair-sized (≪ shingle rows),
+    // and the chunk decision needs its count anyway
     val cand = prefixCandidatePairs(sh, sizes, threshold, positional = true)
-    val co = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("k1"), col("k2")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("k1"), col("k2")),
+      .localCheckpoint()
+    val stats = sizes.agg(count(lit(1)).as("docs"), sum(col("n")).as("tot")).head()
+    val avgN = if (stats.getLong(0) == 0L) 0.0
+      else stats.getLong(1).toDouble / stats.getLong(0)
+    val expansionEst = cand.count() * avgN
+    val chunks = math.min(16L,
+      math.max(1L, math.ceil(expansionEst / maxExpansionRows).toLong)).toInt
+
+    def coOf(shPart: DataFrame): DataFrame = cand
+      .join(shPart.select(col("doc_id").as("doc_a"), col("k1"), col("k2")), Seq("doc_a"))
+      .join(shPart.select(col("doc_id").as("doc_b"), col("k1"), col("k2")),
         Seq("doc_b", "k1", "k2"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("co"))
+
+    val co =
+      if (chunks == 1) coOf(sh)
+      else {
+        // sequential chunk loop: each pass expands only the shingles
+        // of one pmod class, lands its candidate-sized partial counts
+        // in parquet, and lets the chunk's shuffle files be reclaimed
+        // (the GC nudge) before the next pass starts
+        val dir = InferOps.tmpPath("q114_co",
+          s"${docs.hashCode}_$threshold")
+        (0 until chunks).foreach { c =>
+          coOf(sh.filter(pmod(col("k1"), lit(chunks.toLong)) === lit(c.toLong)))
+            .write.mode(if (c == 0) "overwrite" else "append").parquet(dir)
+          System.gc()
+        }
+        val s = docs.sparkSession
+        s.read.parquet(dir)
+          .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("co")).as("co"))
+      }
     co.join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
       // raw division: BASELINE.md's rational-rounding rule

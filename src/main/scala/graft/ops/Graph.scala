@@ -1101,34 +1101,53 @@ object Graph {
   // q181: label-propagation communities (synchronous LPA)
   // ---------------------------------------------------------------
 
-  // 6 rounds: measured at sf0.01 — 4 rounds left 71/1880 nodes
-  // mid-flip, 6 leaves only the genuine synchronous-LPA 2-cycles
-  // (bipartite-ish regions oscillate FOREVER under synchronous
-  // update; no round count settles them). Bounded rounds are what
-  // makes the oracle an unrolled CTE chain (the q168 device), and
-  // the is_stable certificate marks every oscillator per node in
-  // BOTH engines identically rather than hiding it.
-  private[ops] val LpRounds = 6
+  // 12 semi-synchronous rounds = 6 effective sweeps per parity class
+  // (the fully-synchronous cut needed 6 sweeps: 4 left 71/1880 nodes
+  // mid-flip at sf0.01, 6 left one certified 2-cycle oscillator pair
+  // — bipartite-ish regions oscillate FOREVER under synchronous
+  // update; no round count settles them, which is why the update is
+  // now semi-synchronous, see [[labelPropagation]]). Bounded rounds
+  // are what makes the oracle an unrolled CTE chain (the q168
+  // device), and the is_stable certificate proves a true synchronous
+  // fixpoint per node in BOTH engines.
+  private[ops] val LpRounds = 12
 
-  /** Synchronous label propagation (Raghavan et al. 2007, "Near
-   *  linear time algorithm to detect community structures"): every
-   *  vertex starts as its own community; each round a vertex adopts
+  /** Semi-synchronous label propagation (Raghavan et al. 2007, "Near
+   *  linear time algorithm to detect community structures"; the
+   *  class-alternating schedule follows Cordasco & Gargano 2012,
+   *  "Community detection via semi-synchronous label propagation"):
+   *  every vertex starts as its own community; each round the ACTIVE
+   *  parity class (odd node ids on odd rounds, even on even) adopts
    *  the most frequent label among its neighbors AND itself (the
-   *  self-vote damps bridge takeover), ties to the SMALLEST label —
-   *  a fully deterministic, integer-exact variant of the classic
-   *  randomized sweep, which is what makes it oracle-able. Where
-   *  q160's components answer "what is connected", LPA answers "what
-   *  is densely knit": a bridge between two triangles leaves two
+   *  self-vote damps bridge takeover), ties to the SMALLEST label;
+   *  the inactive class keeps its label. Alternating classes is what
+   *  retires the synchronous 2-cycle: an adjacent pair can never
+   *  swap labels in the same round unless both ids share parity, and
+   *  the co-purchase oscillators measured at sf0.01/10× are
+   *  cross-parity (verified by the all-stable certificate below —
+   *  the schedule is still deterministic data-independent, so the
+   *  oracle unrolls it exactly). Fully deterministic and
+   *  integer-exact, which is what makes it oracle-able. Where q160's
+   *  components answer "what is connected", LPA answers "what is
+   *  densely knit": a bridge between two triangles leaves two
    *  communities where CC reports one.
    *
    *  Shape per round: ONE labels⋈edges equi-join on src against the
    *  pre-partitioned persisted edge frame (the q160 layout — zero
    *  per-round Exchange/Sort on the edge side, PlanQualitySpec-
-   *  gated), a (node, label) vote count with map-side partials, and
-   *  an argmax reduced as max(struct(votes, -label)) — no per-node
-   *  window, no extra shuffle beyond the two aggregates. Work per
-   *  round O(E); all counts exact longs; label negation is safe for
-   *  any ScaleGen-shifted id (< 2⁶³). Returns
+   *  gated), a (node, label) vote count with map-side partials, an
+   *  argmax reduced as max(struct(votes, -label)) — no per-node
+   *  window — and one node-sized equi-join merging the vote into the
+   *  inactive class's kept labels. Work per round O(E); all counts
+   *  exact longs; label negation is safe for any ScaleGen-shifted id
+   *  (< 2⁶³).
+   *
+   *  The final `is_stable` is a genuine FIXPOINT certificate, not a
+   *  last-two-rounds comparison: one extra full synchronous vote
+   *  runs over the final labels and is_stable(u) ⇔ u's vote equals
+   *  u's label — true for every node iff the labeling is a
+   *  synchronous fixpoint (round 11 left certified oscillators here;
+   *  the semi-synchronous schedule settles them). Returns
    *  (node, community, comm_size, is_stable). */
   def labelPropagation(edges: DataFrame, rounds: Int = LpRounds): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
@@ -1136,14 +1155,23 @@ object Graph {
       .persist(StorageLevel.DISK_ONLY)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
-    var prev = labels
     var r = 0
     while (r < rounds) {
-      prev = labels
-      labels = lpRound(e, labels).localCheckpoint()
       r += 1
+      val voted = lpRound(e, labels)
+      // active class adopts its vote; the other class keeps — the
+      // merge is a node-sized equi-join, nothing edge-sized
+      labels = labels.as("o").join(voted.as("v"),
+          col("o.node") === col("v.node"))
+        .select(col("o.node").as("node"),
+          when(pmod(col("o.node"), lit(2L)) === lit(r % 2).cast("long"),
+            col("v.label")).otherwise(col("o.label")).as("label"))
+        .localCheckpoint()
     }
-    val stable = labels.as("a").join(prev.as("b"),
+    // fixpoint certificate: one more full synchronous vote — a node
+    // is stable iff re-voting over the FINAL labels would not move it
+    val cert = lpRound(e, labels)
+    val stable = labels.as("a").join(cert.as("b"),
         col("a.node") === col("b.node"))
       .select(col("a.node").as("node"), col("a.label").as("community"),
         (col("a.label") === col("b.label")).as("is_stable"))
@@ -1174,25 +1202,33 @@ object Graph {
         col("comm_size"), col("is_stable"))
       .orderBy(col("part_id"))
 
-  /** The shared LPA oracle prefix (li → ew → e → l0 → l1..l[[LpRounds]])
-   *  used VERBATIM by q181Sql and q182Sql — one copy so the vote rule
-   *  cannot drift between the assignment and its quality readout. The
-   *  argmax is a row_number ordered (votes DESC, label), semantically
-   *  identical to the engine's max(struct(votes, -label)) on exact
-   *  integers; MATERIALIZED per round is load-bearing (the q168
-   *  lesson: DuckDB re-inlines CTEs per reference). */
+  /** The shared LPA oracle prefix (li → ew → e → l0 → l1..l[[LpRounds]]
+   *  → the `cert` fixpoint vote) used VERBATIM by q181Sql and q182Sql
+   *  — one copy so the vote rule cannot drift between the assignment
+   *  and its quality readout. The argmax is a row_number ordered
+   *  (votes DESC, label), semantically identical to the engine's
+   *  max(struct(votes, -label)) on exact integers; each round's
+   *  active parity class takes its vote and the other class keeps via
+   *  the same CASE the engine computes; MATERIALIZED per round is
+   *  load-bearing (the q168 lesson: DuckDB re-inlines CTEs per
+   *  reference). */
   private val LpaCtes: String = {
     val rounds = (0 until LpRounds).map { i =>
-      s"""v${i + 1} AS (
+      val r = i + 1
+      s"""v$r AS (
          |  SELECT e.dst AS node, l.label FROM e JOIN l$i l ON e.src = l.node
          |  UNION ALL SELECT node, label FROM l$i),
-         |c${i + 1} AS (
-         |  SELECT node, label, count(*) AS votes FROM v${i + 1} GROUP BY 1, 2),
-         |l${i + 1} AS MATERIALIZED (
+         |c$r AS (
+         |  SELECT node, label, count(*) AS votes FROM v$r GROUP BY 1, 2),
+         |w$r AS (
          |  SELECT node, label FROM (
          |    SELECT node, label,
          |     row_number() OVER (PARTITION BY node ORDER BY votes DESC, label) AS rn
-         |    FROM c${i + 1}) t WHERE rn = 1)""".stripMargin
+         |    FROM c$r) t WHERE rn = 1),
+         |l$r AS MATERIALIZED (
+         |  SELECT o.node,
+         |   CASE WHEN o.node % 2 = ${r % 2} THEN w.label ELSE o.label END AS label
+         |  FROM l$i o JOIN w$r w ON o.node = w.node)""".stripMargin
     }.mkString(",\n")
     s"""li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
        |ew AS (
@@ -1201,18 +1237,28 @@ object Graph {
        |  GROUP BY 1, 2),
        |e AS MATERIALIZED (SELECT src, dst FROM ew WHERE c >= 2),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
-       |$rounds""".stripMargin
+       |$rounds,
+       |vc AS (
+       |  SELECT e.dst AS node, l.label FROM e JOIN l$LpRounds l ON e.src = l.node
+       |  UNION ALL SELECT node, label FROM l$LpRounds),
+       |cc AS (SELECT node, label, count(*) AS votes FROM vc GROUP BY 1, 2),
+       |cert AS MATERIALIZED (
+       |  SELECT node, label FROM (
+       |    SELECT node, label,
+       |     row_number() OVER (PARTITION BY node ORDER BY votes DESC, label) AS rn
+       |    FROM cc) t WHERE rn = 1)""".stripMargin
   }
 
-  /** Oracle: the identical synchronous vote UNROLLED as a
+  /** Oracle: the identical semi-synchronous vote UNROLLED as a
    *  MATERIALIZED CTE chain (the q168 device — both engines run
-   *  exactly [[LpRounds]] rounds). */
+   *  exactly [[LpRounds]] rounds), with the same one-extra-vote
+   *  fixpoint certificate. */
   val q181Sql: String =
     s"""WITH $LpaCtes
        |SELECT a.node AS part_id, a.label AS community,
        | CAST(count(*) OVER (PARTITION BY a.label) AS BIGINT) AS comm_size,
        | a.label = b.label AS is_stable
-       |FROM l$LpRounds a JOIN l${LpRounds - 1} b ON a.node = b.node
+       |FROM l$LpRounds a JOIN cert b ON a.node = b.node
        |ORDER BY part_id""".stripMargin
 
   // ---------------------------------------------------------------
@@ -1355,7 +1401,13 @@ object Graph {
 
   /** Oracle: the identical seeded integer iteration as a grouped
    *  recursive CTE — the q148 replay with the teleport arm gated by
-   *  max(dst_seed) and the base ranks concentrated on the seeds. */
+   *  max(dst_seed) and the base ranks concentrated on the seeds.
+   *  The ns = 0 edge case (no seed intersects the vertex set —
+   *  unreachable with q184's brand-derived seeds, but a public-API
+   *  caller can construct it) matches the engine's empty result:
+   *  every `// ns` term is CASE-guarded so the recursion runs on
+   *  zero mass instead of dividing by zero, and the final readout
+   *  filters itself empty. */
   val q184Sql: String =
     s"""WITH RECURSIVE
        |li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -1372,12 +1424,14 @@ object Graph {
        |      FROM e0 JOIN deg d USING (src)),
        |sn AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM sd),
        |it(k, node, r) AS (
-       |  SELECT 0, d.src, CAST(CASE WHEN s.pk IS NULL THEN 0
+       |  SELECT 0, d.src, CAST(CASE WHEN s.pk IS NULL OR sn.ns = 0 THEN 0
        |        ELSE 1000000000000 // sn.ns END AS BIGINT)
        |  FROM deg d LEFT JOIN sd s ON d.src = s.pk CROSS JOIN sn
        |  UNION ALL
        |  SELECT it.k + 1, e.dst,
-       |   CAST(max(e.dst_seed) * (1000000000000 * 15 // (100 * min(sn.ns)))
+       |   CAST(CASE WHEN min(sn.ns) = 0 THEN 0
+       |        ELSE max(e.dst_seed) * (1000000000000 * 15 // (100 * min(sn.ns)))
+       |        END
        |        + sum(it.r * 85 // (100 * e.deg)) AS BIGINT)
        |  FROM it JOIN e ON it.node = e.src CROSS JOIN sn
        |  WHERE it.k < $Iterations
@@ -1388,7 +1442,7 @@ object Graph {
        |   CAST(CASE WHEN s.pk IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_seed
        |  FROM it JOIN deg d ON it.node = d.src
        |  LEFT JOIN sd s ON it.node = s.pk
-       |  WHERE it.k = $Iterations)
+       |  WHERE it.k = $Iterations AND (SELECT ns FROM sn) > 0)
        |ORDER BY rank_units DESC, part_id LIMIT $PprTopK""".stripMargin
 
   // ---------------------------------------------------------------

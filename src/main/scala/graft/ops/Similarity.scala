@@ -523,6 +523,133 @@ object Similarity {
       | ('append_equiv_rebuild', true)
       |) t(component, ok) ORDER BY component""".stripMargin
 
+  // ----- stream-maintained IVF layout (q186) -------------------------
+
+  /** Compaction for a partitioned IVF layout: drop every tombstoned
+    * vec_id, rewriting into a NEW generation directory (`dst`) — the
+    * IVF twin of `Dedup.compactLshIndex`, closing the last cell of
+    * the continuous-ingestion matrix (exact index: q63 stream / q166
+    * compaction; LSH index: q179 stream / q166 compaction; IVF
+    * layout: q144 batch-append / THIS). The tombstone set is
+    * deletion-sized so the removal is a BROADCAST anti-join — the
+    * corpus-sized layout streams through a map-side filter; the
+    * rewrite pays the one partitioned write a compaction IS, and
+    * lands `partitionBy(cell)` again so post-compaction probes keep
+    * the directory-pruned plan (PlanQualitySpec pins PartitionFilters
+    * on the layout scan). Writing a new generation instead of in
+    * place is deliberate: Spark cannot overwrite a layout it is
+    * reading, and a deployment wants the atomic swap anyway. */
+  def compactIvfLayout(s: SparkSession, src: String, dst: String,
+      tombstones: DataFrame): Unit =
+    s.read.parquet(src)
+      .join(broadcast(tombstones.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cell").parquet(dst)
+
+  /** Recursive best-effort delete — q186 appends into its layout, so
+    * repeated bench runs in one JVM must start from a clean dir. */
+  private def deleteDir(p: String): Unit = {
+    val root = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(root))
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f =>
+            try { java.nio.file.Files.deleteIfExists(f); () }
+            catch { case _: Exception => () })
+      }
+  }
+
+  /** q186: the IVF layout maintained from a LIVE STREAM — the last
+    * empty cell of the continuous-ingestion matrix (round-11 verdict
+    * §missing-3). One run is one full lifecycle, the q179 template
+    * applied to the vector index:
+    *
+    *  1. the embedding corpus is staged as 3 files and streamed with
+    *     maxFilesPerTrigger=1, so a genuine multi-batch foreachBatch
+    *     chain (the q87 device) assigns each micro-batch with the
+    *     MEMOIZED codebook and appends it into the partitioned layout
+    *     via [[ivfAppend]] — per-batch cost O(batch), never
+    *     O(corpus);
+    *  2. tombstones (CDC deletes arriving after ingestion;
+    *     vec_id % 10 = 7) are compacted away with
+    *     [[compactIvfLayout]]'s generation rewrite;
+    *  3. the compacted stream-built generation is audited against the
+    *     from-scratch assignment and a layout REBUILT in one batch
+    *     from the surviving corpus: completeness (exactly the
+    *     surviving corpus, no dup ids), per-vector cell equivalence
+    *     (stream-built ≡ rebuilt — cell assignment is a per-vector
+    *     artifact of the shared codebook, so parity holds by
+    *     construction and any cross-vector state sneaking into the
+    *     build breaks HERE first), tombstone absence, behavioral
+    *     probe equivalence ([[ivfKnnPartitioned]] answers the same
+    *     top-5 kNN from both generations), and the batch-count check
+    *     proving the stream really split.
+    *
+    * Every audit leg is an O(corpus) scan/equi-join; dir resets keep
+    * the query idempotent across bench repeats. */
+  def q186StreamIvfIndex(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.functions.GraftFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val stage = InferOps.tmpPath("sivf_src", d)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
+      e.repartition(3).write.mode("overwrite").parquet(stage)
+    val layout = InferOps.tmpPath("sivf_layout", d)
+    val gen2 = InferOps.tmpPath("sivf_gen2", d)
+    val ref = InferOps.tmpPath("sivf_ref", d)
+    deleteDir(layout)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      nBatches.incrementAndGet()
+      ivfAppend(s, d, layout, batch)
+      ()
+    }.trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val tomb = e.filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+    compactIvfLayout(s, layout, gen2, tomb)
+    val surviving = e.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    val nSurv = surviving.count()
+    withCell(s, d).join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cell").parquet(ref)
+
+    val stored = s.read.parquet(gen2)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"))
+    val tombLeft = stored.join(broadcast(tomb), Seq("vec_id"), "left_semi").count()
+    val rebuilt = withCell(s, d)
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell").as("cell_rebuilt"))
+    val audit = stored.join(rebuilt, Seq("vec_id"), "full")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("vec_id")).as("n_ids"),
+        count(when(col("cell").isNull || col("cell_rebuilt").isNull ||
+          col("cell") =!= col("cell_rebuilt"), 1)).as("mismatches"))
+      .head()
+    val probeMism = ivfKnnPartitioned(s, d, gen2).as("a")
+      .join(ivfKnnPartitioned(s, d, ref).as("b"),
+        col("a.qid") === col("b.qid") && col("a.rnk") === col("b.rnk") &&
+          col("a.nid") === col("b.nid"), "full")
+      .filter(col("a.qid").isNull || col("b.qid").isNull)
+      .count()
+    import s.implicits._
+    Seq(
+      ("stream_complete",
+        audit.getLong(0) == nSurv && audit.getLong(1) == nSurv),
+      ("stream_equiv_rebuild", audit.getLong(2) == 0L),
+      ("stream_probe_equiv", probeMism == 0L),
+      ("stream_saw_batches", nBatches.get() == 3),
+      ("stream_tombstones_gone", tombLeft == 0L))
+      .toDF("component", "ok").orderBy(col("component"))
+  }
+
+  val q186Sql: String =
+    """SELECT * FROM (VALUES
+      | ('stream_complete', true), ('stream_equiv_rebuild', true),
+      | ('stream_probe_equiv', true), ('stream_saw_batches', true),
+      | ('stream_tombstones_gone', true)
+      |) t(component, ok) ORDER BY component""".stripMargin
+
   private val Dim = 64
   // r=4 bits per table, L=16 tables: collision prob for a cosine-0.4
   // neighbor ≈ 1-(1-p^4)^16 ≈ 0.94 (p = 1-θ/π ≈ 0.63) — wider buckets

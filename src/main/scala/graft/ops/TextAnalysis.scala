@@ -268,31 +268,86 @@ object TextAnalysis {
    *  exact two-shuffle groupBy, not silently wrong counts. */
   def q53HeavyHitters(s: SparkSession, d: String): DataFrame = {
     graft.functions.HeavyHitters.register(s)
-    val toks = documents(s, d)
-      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
-      // SQL trim() strips only spaces, so a tab/newline-edged doc
-      // yields a phantom '' token the oracle (regexp-trimmed + empty-
-      // filtered) never counts — drop empties on BOTH sides
-      .filter(col("tok") =!= "")
+    val toks = hhTokens(s, d)
     val vocabEst = toks.agg(approx_count_distinct(col("tok"), 0.01))
       .head().getLong(0)
     val want = (vocabEst * 3L) / 2L
     require(want <= HhMaxExactCapacity,
       s"q53: estimated vocabulary $vocabEst needs capacity $want > " +
         s"$HhMaxExactCapacity; the space-saving sketch would go " +
-        "approximate — raise HhMaxExactCapacity or use the exact " +
-        "groupBy path for this corpus")
+        "approximate — use q187's documented-approximate mode " +
+        "(fixed capacity, per-item error bounds) or the exact " +
+        "two-shuffle groupBy path for this corpus")
     val capacity = math.max(HhBaseCapacity.toLong, want).toInt
     // HeavyHitters.eval returns its array already sorted by
     // (cnt desc, item asc) — posexplode derives the rank directly, a
     // pure per-row expression over the single aggregate output: no
     // global Window.orderBy (single-partition exchange) and no
-    // re-sort duplicating the sketch's own tie-break
+    // re-sort duplicating the sketch's own tie-break. The filter is
+    // the sketch's own exactness certificate (advice round-11): the
+    // HLL sizing makes eviction unreachable, and if a pathological
+    // >33% cardinality underestimate ever defeated the headroom the
+    // `evicted` flag raises HERE instead of hash-mismatching
+    // downstream — assert_true evaluates to NULL when the sketch
+    // stayed eviction-free, so the filter passes the one aggregate
+    // row through untouched.
     toks
-      .agg(graft.functions.HeavyHitters.heavy_hitters(col("tok"), 10, capacity).as("top"))
-      .select(posexplode(col("top")).as(Seq("pos", "e")))
+      .agg(graft.functions.HeavyHitters.heavy_hitters(col("tok"), 10, capacity).as("r"))
+      .filter(assert_true(!col("r.evicted"),
+        lit("q53: space-saving sketch saturated (eviction fired) — " +
+          "the HLL-sized capacity was defeated; counts would be " +
+          "approximate")).isNull)
+      .select(posexplode(col("r.top")).as(Seq("pos", "e")))
       .select(col("e.item").as("token"), col("e.cnt").as("cnt"),
         (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  /** The shared q53/q187 token stream. SQL trim() strips only spaces,
+   *  so a tab/newline-edged doc yields a phantom '' token the oracle
+   *  (regexp-trimmed + empty-filtered) never counts — drop empties on
+   *  BOTH sides. */
+  private def hhTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** q187 sketch capacity — deliberately SMALLER than the corpus
+   *  vocabulary (31 base tokens in this testdata) so the approximate
+   *  contract is exercised (evictions fire) at every octave, not just
+   *  past q53's 2²⁴ ceiling. */
+  private[ops] val HhApproxCapacity = 16
+
+  /** q187: the documented-APPROXIMATE heavy-hitters mode — the path
+   *  q53 refuses past its exact-capacity ceiling (a 10⁹-token
+   *  vocabulary at 100 TB). Fixed `HhApproxCapacity` counters
+   *  regardless of corpus vocabulary; per Metwally et al.'s
+   *  space-saving guarantees every emitted count brackets the truth
+   *  as cnt − err ≤ true ≤ cnt with err ≤ N/capacity (N = token
+   *  count), and any item with true frequency > N/capacity is
+   *  guaranteed present in the sketch (vacuous on a near-uniform
+   *  corpus like this testdata's 31-token pool — the spec asserts it
+   *  conditionally, which IS the guarantee's real form). The output
+   *  carries the whole contract per row: the estimate, its error
+   *  bound, the certified floor (cnt − err), and the sketch's own
+   *  `saturated` flag. Under saturation the emitted ITEMS are
+   *  merge-order-dependent (true of any distributed space-saving
+   *  sketch); the guarantees above are order-free, so the gate is the
+   *  contract spec (HeavyHittersSpec) + the rows-only verify leg (the
+   *  q22/q24 convention: ANSI SQL cannot reproduce sketch
+   *  internals). */
+  def q187ApproxHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HeavyHitters.register(s)
+    hhTokens(s, d)
+      .agg(graft.functions.HeavyHitters
+        .heavy_hitters(col("tok"), 10, HhApproxCapacity).as("r"))
+      .select(col("r.evicted").as("saturated"),
+        posexplode(col("r.top")).as(Seq("pos", "e")))
+      .select(col("e.item").as("token"), col("e.cnt").as("cnt_est"),
+        col("e.err").as("err"),
+        (col("e.cnt") - col("e.err")).as("cnt_floor"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("saturated"))
       .orderBy(col("rnk"))
   }
 

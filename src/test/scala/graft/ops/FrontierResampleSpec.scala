@@ -106,6 +106,28 @@ class FrontierResampleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("chunked verification (the 1000x scratch path) is row-identical to the single pass") {
+    // a 1-row expansion budget forces the pmod(k1, C) chunk loop —
+    // the sequential plan q114 runs when the expansion join would
+    // exceed local scratch; co-occurrence counts must assemble to the
+    // exact same pairs because the chunks partition the shingle space
+    val base = "a b c d e f g h i j k l m n o p"
+    val docs: Seq[(Long, String)] = Seq(
+      1L -> base, 2L -> base, 3L -> (base + " q r"),
+      4L -> "z y x w v u t s r q p o",
+      5L -> "a b c z z1 z2 z3 z4 z5 z6 z7 z8",
+      6L -> (base.split(" ").drop(2).mkString(" ") + " aa bb"))
+    val df = docs.map { case (id, t) => (id, "en", t) }.toDF("doc_id", "lang", "text")
+    for (t <- Seq(0.4, 0.6)) {
+      val single = Dedup.prefixJaccardPairs(df, t).collect().map(_.toSeq).toSet
+      val chunked = Dedup.prefixJaccardPairs(df, t, maxExpansionRows = 1L)
+        .collect().map(_.toSeq).toSet
+      assert(chunked == single, s"threshold=$t: chunked != single-pass")
+      assert(single.map(r => (r.head, r(1))) == bruteJaccard(docs, t).map(p => (p._1, p._2)),
+        s"threshold=$t: single-pass drifted from brute force")
+    }
+  }
+
   test("PPJoin positional filter strictly prunes candidates and loses no qualifying pair") {
     // near-dup-dense family: 8 docs identical except token 10 — each
     // pair shares 7 of its 10 shingles (jac 7/13 ≈ 0.54 < 0.6), so the

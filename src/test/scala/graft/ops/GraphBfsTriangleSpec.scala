@@ -146,6 +146,31 @@ class GraphBfsTriangleSpec extends AnyFunSuite with SparkSuite {
     assert(out(7L) == ((7L, 2L, true)) && out(9L) == ((7L, 2L, true)), out.toString)
   }
 
+  test("q181 semi-synchronous schedule: the 4-cycle replays by hand to an all-stable fixpoint") {
+    // hand replay (parity alternation, odd ids update on odd rounds):
+    // r1 odd: 1→1 (votes{2,4,1} tie→min), 3→2 (votes{2,4,3}→min 2);
+    // r2 even: 2→2 (votes 2:2 beat 1:1), 4→1 (votes{1,2,4}→min 1);
+    // r3/r4 re-vote identically → fixpoint {1:1, 2:2, 3:2, 4:1}, and
+    // the one-extra-vote certificate confirms it synchronously stable
+    // — the regression pin for the schedule + certificate semantics
+    val e = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))).toDF("src", "dst")
+    val out = Graph.labelPropagation(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.values.forall(_._3), s"4-cycle failed to settle: $out")
+    assert(out(1L) == ((1L, 2L, true)) && out(4L) == ((1L, 2L, true)), out.toString)
+    assert(out(2L) == ((2L, 2L, true)) && out(3L) == ((2L, 2L, true)), out.toString)
+  }
+
+  test("q181 at sf0.01: every node reaches the synchronous fixpoint (is_stable all true)") {
+    import org.apache.spark.sql.functions.col
+    // the round-11 verdict's ask 7: the semi-synchronous schedule must
+    // retire the certified oscillators on the REAL co-purchase graph,
+    // not just fixtures — this is the durable all-stable gate
+    val out = Graph.q181Communities(spark, "/root/testdata/sf0.01")
+    val unstable = out.filter(!col("is_stable")).count()
+    assert(unstable == 0L, s"$unstable nodes still mid-oscillation at sf0.01")
+  }
+
   test("q182 composition: LPA partition of bridged triangles scores the textbook 5/14 modularity") {
     import org.apache.spark.sql.functions.col
     // the partition LPA discovers ({1,2,3} vs {10,11,12}) has
