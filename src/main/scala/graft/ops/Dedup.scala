@@ -317,13 +317,32 @@ object Dedup {
   def minhashCandidatesFromShingles(sh: DataFrame): DataFrame =
     bandedPairs(mkBanded(minhashSignatures(sh), bands = 10))
 
+  /** Corpus size past which q24 moves from pair-block (C(8,2)=28
+   *  tables, 16-bit keys) to triple-block banding (C(8,3)=56 tables,
+   *  24-bit keys). The pair-block design's 65,536 buckets/table hold
+   *  ~76 docs each at 5M docs — every bucket is then dominated by
+   *  16-bit HASH collisions, and the capped star-pairing still emits
+   *  ~140M mostly-false candidates whose verification join was the
+   *  1000× scratch death (63 GiB insufficient, found by the round-12
+   *  ladder sweep — the q53 class of data-dependent-precondition bug,
+   *  this time in a BANDING parameter). 24-bit keys defer bucket
+   *  saturation 256×; the octaves ≤100× keep the 28-table plan
+   *  unchanged. */
+  private[ops] val SimhashTripleBlockDocs = 1000000L
+
   /** SimHash: 64-bit signature over shingle xxhash64s; near-pairs =
-   *  some shared pair-block table key ∧ Hamming distance ≤ 12 (see
-   *  [[simhashPairsFromSigs]] for the 28-table banding). Banding
-   *  turns the all-pairs comparison into selective equi-joins.
+   *  some shared block-combination table key ∧ Hamming distance ≤ 12
+   *  (see [[simhashPairsFromSigs]] for the Manku banding). Banding
+   *  turns the all-pairs comparison into selective equi-joins; the
+   *  blocks-per-key choice is sized to the corpus (see
+   *  [[SimhashTripleBlockDocs]] — a banding parameter is a
+   *  data-dependent precondition like any sketch capacity).
    *  Spark-hash-specific → rows-only check. */
-  def q24SimHash(s: SparkSession, d: String): DataFrame =
-    simhashPairs(shingleRows(s, d))
+  def q24SimHash(s: SparkSession, d: String): DataFrame = {
+    val n = documents(s, d).count()
+    simhashPairsFromSigs(simhashSignatures(shingleRows(s, d)),
+      blocksPerKey = if (n > SimhashTripleBlockDocs) 3 else 2)
+  }
 
   /** 64-bit SimHash signatures over a shingle frame — one explode +
    *  ONE hash aggregate computes all 64 sign-sums in a single pass.
@@ -1384,14 +1403,18 @@ object Dedup {
    *  expansion at a time, parking candidate-sized partial counts in
    *  parquet between chunks, so peak scratch is 1/C of the single-
    *  pass plan at the cost of C passes over the (checkpointed)
-   *  shingle frame. 4·10⁹ keeps every octave through 100× on the
-   *  single-pass plan (identical plan, identical hash) and engages
-   *  chunking only where the single pass is known to die. On a real
-   *  cluster per-executor scratch is ~1000× larger and the budget
-   *  env (SPARK_GRAFT_Q114_MAX_EXPANSION) lifts accordingly. */
+   *  shingle frame. The 5·10⁸-row default budgets ~20 GB raw
+   *  (~10 GB lz4'd — the hash columns barely compress) of live
+   *  expansion shuffle per chunk: sf0.1 and below stay single-pass
+   *  (≤10⁸ expansion rows — identical plan, identical hash), 100×
+   *  runs C = 2 (~8·10⁸ rows measured), and 1000× (~8·10⁹ rows,
+   *  ~256 GB raw — a C = 4 first cut still filled this container's
+   *  62 GiB scratch with one ~80 GB-raw chunk) lands C = 16. On a
+   *  real cluster per-executor scratch is ~1000× larger and the
+   *  budget env (SPARK_GRAFT_Q114_MAX_EXPANSION) lifts accordingly. */
   private val Q114MaxExpansionRows: Long =
     sys.env.get("SPARK_GRAFT_Q114_MAX_EXPANSION").map(_.toLong)
-      .getOrElse(4000000000L)
+      .getOrElse(500000000L)
 
   def prefixJaccardPairs(docs: DataFrame, threshold: Double,
       maxExpansionRows: Long = Q114MaxExpansionRows): DataFrame = {
@@ -1433,6 +1456,10 @@ object Dedup {
         // (the GC nudge) before the next pass starts
         val dir = InferOps.tmpPath("q114_co",
           s"${docs.hashCode}_$threshold")
+        // the candidate stage's shuffles (freq, window, prefix join)
+        // are unreferenced once cand is checkpointed — reclaim them
+        // before the first expansion pass needs the scratch
+        System.gc()
         (0 until chunks).foreach { c =>
           coOf(sh.filter(pmod(col("k1"), lit(chunks.toLong)) === lit(c.toLong)))
             .write.mode(if (c == 0) "overwrite" else "append").parquet(dir)

@@ -22,7 +22,9 @@ import org.scalatest.funsuite.AnyFunSuite
  * | BloomFilterAgg                | numBits, numHashes   | n ≲ design load for the target FPP; FPP decay  | NO false negatives at ANY load (tested at 20× design); parameter    |
  * |                               |                      | only weakens the downstream exact filter       | `require`s reject malformed sizes                                   |
  * | MinHash LSH (q22)             | k=20, 5×4 bands      | recall is probabilistic at the 0.5 threshold   | q61 recall floor (oracle-hashed); saturated-bucket star pairing     |
- * | SimHash banding (q24)         | 8 blocks, ≤4/key     | pigeonhole: ≤ (blocks−perKey) flipped bits     | `require(2 ≤ blocksPerKey ≤ 4)`; q61/SimhashBandingSpec floors      |
+ * | SimHash banding (q24)         | 8 blocks, ≤4/key     | pigeonhole: ≤ (blocks−perKey) flipped bits;    | `require(2 ≤ blocksPerKey ≤ 4)`; q61/SimhashBandingSpec floors;     |
+ * |                               |                      | 16-bit keys saturate past ~1M docs (the 1000×  | blocksPerKey sized to the corpus (SimhashTripleBlockDocs) — the     |
+ * |                               |                      | scratch death: hash-collision candidates)      | round-12 ladder find, tested below                                  |
  * | pHash banding (q172)          | 4 bands × 16 bit     | pigeonhole: pairs within Hamming 3 collide     | deterministic — tested below on constructed hashes                  |
  * | equi-depth histogram (q112)   | 4 buckets            | none — ONE exact percentile pass; degenerate   | ≤-boundary CASE is total (all-equal input collapses to bucket 1)    |
  * |                               |                      | value sets collapse buckets, never crash       |                                                                     |
@@ -45,7 +47,7 @@ class SketchPreconditionSpec extends AnyFunSuite with SparkSuite {
       "TopK" -> "exact by construction; boundary prune tested",
       "BloomFilterAgg" -> "no false negatives; size requires",
       "MinHashLSH" -> "q61 recall floor; bucket cap",
-      "SimHashBanding" -> "blocksPerKey require; q61 floor",
+      "SimHashBanding" -> "blocksPerKey require; q61 floor; corpus-adaptive key width",
       "PhashBanding" -> "pigeonhole, deterministic",
       "EquidepthHistogram" -> "exact percentile; total CASE",
       "WeightedPageRank" -> "MaxSafeEdgeStrength require",
@@ -107,6 +109,22 @@ class SketchPreconditionSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException] {
       Dedup.simhashPairsFromSigs(sigs, blocksPerKey = 5)
     }
+  }
+
+  test("simhash banding: the corpus-adaptive key width keeps recall (triple-block finds the Hamming-6 pair)") {
+    // the 1000x fix must not cost the structural guarantee it rides
+    // on: with 56 triple-block tables (24-bit keys) a Hamming-6 pair
+    // leaves >= 2 clean blocks... but triple keys need 3 clean blocks
+    // — guarantee narrows to Hamming <= 5 by pigeonhole (8 blocks, 5
+    // dirty can touch at most 5). Construct a 4-bit-apart pair spread
+    // over 4 different blocks: 4 clean blocks remain -> some clean
+    // triple exists -> must collide and verify (Hamming 4 <= 12)
+    val base = 0x0F0F0F0F0F0F0F0FL
+    val flipped = base ^ (1L << 1) ^ (1L << 9) ^ (1L << 17) ^ (1L << 25)
+    val sigs = Seq((1L, base), (2L, flipped)).toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairsFromSigs(sigs, blocksPerKey = 3)
+      .select(col("doc_a"), col("doc_b")).distinct().count()
+    assert(pairs == 1L, "triple-block banding missed a 4-bit pair with 4 clean blocks")
   }
 
   test("pHash banding: any pair within Hamming distance 3 collides on >= 1 of the 4 bands") {
