@@ -88,7 +88,17 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"${esc(sfDir)}"}"""
+    // provenance stamp (round-13 ask 5): min-of-N vs min-of-3 artifacts
+    // and a loaded-vs-quiet box must be distinguishable from the JSON
+    // alone — the r12 sf0.1 artifact shipped a 3.3x q148 "regression"
+    // that took an isolated re-measurement to adjudicate as ambient
+    // contention; load1m at exit is the cheap tell the 100x recorder
+    // already carries in spirit (its runner script logs heap/quiet)
+    val heapGib = Runtime.getRuntime.maxMemory() / (1L << 30)
+    val load1m = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val prov = s""""runs":$runs,"heap_gib":$heapGib,"load1m":${sec(load1m)},"shuffle_partitions":"${esc(spark.conf.get("spark.sql.shuffle.partitions"))}""""
+    val json = s"""{"metric":"total","value":${sec(total)},"unit":"sec",$prov,"queries":$qs,"failed":$failedJson,"sf":"${esc(sfDir)}"}"""
     println(json)
     // also land the JSON in a file so the recorded artifact never
     // depends on stdout-tail capture (a prior round's artifact lost
@@ -116,7 +126,7 @@ object Bench {
       if (grew) { if (fit.nonEmpty) fit.append(','); fit.append(e) }
       grew
     }
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":{$fit},"failed":$failedJson,"sf":"${esc(sfDir)}"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec",$prov,"queries":{$fit},"failed":$failedJson,"sf":"${esc(sfDir)}"}""")
     if (failed.nonEmpty) sys.exit(1)
   }
 }

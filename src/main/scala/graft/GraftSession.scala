@@ -33,9 +33,16 @@ object GraftSession {
       // corpus-sized frame in the block manager while 3–4 data-sized
       // exchanges run beside it — at the 1000× octave the uncompressed
       // checkpoint alone was ~¼ of the scratch that killed the probe.
-      // CPU cost is amortized: each checkpoint block is written once
-      // and read 2–5×.
-      .config("spark.rdd.compress", "true")
+      // The heaviest reader is the iterative-graph family: its
+      // DISK_ONLY edge frame is re-read 11× per query (10 PageRank
+      // rounds + the deg join), paying lz4 decompression every round.
+      // Measured (round-13 adjudication, quiet box, sf0.1): the trade
+      // is a wash — q148 warm 6.4 s compressed vs 6.5-7.1 s raw — so
+      // compression stays default-on at every octave;
+      // SPARK_GRAFT_RDD_COMPRESS=false remains as the documented
+      // opt-out should a future workload tip the balance.
+      .config("spark.rdd.compress",
+        sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "true"))
       .config("spark.sql.warehouse.dir", warehouse)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

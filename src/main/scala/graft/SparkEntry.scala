@@ -333,7 +333,12 @@ object SparkEntry {
     "q186_stream_ivf_index" -> (Similarity.q186StreamIvfIndex _),
     // documented-approximate heavy hitters: fixed-capacity space-saving
     // with per-item error bounds (rows-only; bracket/containment
-    // guarantees spec-gated against exact counts)
+    // guarantees spec-gated against exact counts). MUST STAY rows-only:
+    // under saturation the emitted items AND cnt_est depend on
+    // partial-aggregate merge order (task completion order), so output
+    // rows are nondeterministic RUN-TO-RUN on identical data — any
+    // future hash/golden-row gate pointed here would flake, not fail
+    // deterministically
     "q187_approx_heavy_hitters" -> (TextAnalysis.q187ApproxHeavyHitters _)
   )
 

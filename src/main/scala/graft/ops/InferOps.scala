@@ -41,6 +41,26 @@ object InferOps {
     cleanupPaths.add(p)
   }
 
+  /** Best-effort recursive delete of ONE scratch path NOW rather than
+    * at exit: operators that park chunked intermediates (q114's
+    * per-chunk partial counts are candidate-sized at the large
+    * octaves) reclaim them as soon as the assembled result is
+    * materialized — waiting for exit-time cleanup leaked one
+    * chunk dir per invocation into exactly the scratch the chunking
+    * exists to protect. */
+  private[graft] def deleteDir(p: String): Unit =
+    try {
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root))
+        scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f =>
+              // POSIX unlink succeeds on open files (e.g. live Derby)
+              try { java.nio.file.Files.deleteIfExists(f); () }
+              catch { case _: Exception => () })
+        }
+    } catch { case _: Exception => () }
+
   /** Delete every registered scratch path, best-effort. Verify/Bench
     * call this explicitly before stopping Spark — the shutdown-hook
     * fallback races other hooks (Hadoop's shutdown manager can halt
@@ -48,17 +68,7 @@ object InferOps {
   def cleanupScratch(): Unit = {
     var p = cleanupPaths.poll()
     while (p != null) {
-      try {
-        val root = java.nio.file.Paths.get(p)
-        if (java.nio.file.Files.exists(root))
-          scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
-            st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .forEach(f =>
-                // POSIX unlink succeeds on open files (e.g. live Derby)
-                try { java.nio.file.Files.deleteIfExists(f); () }
-                catch { case _: Exception => () })
-          }
-      } catch { case _: Exception => () }
+      deleteDir(p)
       p = cleanupPaths.poll()
     }
   }

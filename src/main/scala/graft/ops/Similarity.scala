@@ -591,7 +591,18 @@ object Similarity {
     import org.apache.spark.sql.streaming.Trigger
     graft.functions.GraftFunctions.register(s)
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val stage = InferOps.tmpPath("sivf_src", d)
+    // staging reuse is keyed on a CONTENT fingerprint (order-free XOR
+    // of per-row hashes — one scan, the audit legs already pay
+    // several; bit_xor, not sum: an int64 sum overflows under ANSI
+    // mode), not just dir existence: a corpus regenerated in place
+    // would otherwise stream a stale stage and surface only as a
+    // confusing stream_complete/equiv false (advice round-12). A
+    // changed corpus lands a NEW pid-keyed stage dir; the old one is
+    // exit-time scratch like every tmpPath.
+    val fpRow = e.agg(bit_xor(xxhash64(col("vec_id"), col("embedding")))).head()
+    val fp = java.lang.Long.toHexString(
+      if (fpRow.isNullAt(0)) 0L else fpRow.getLong(0))
+    val stage = InferOps.tmpPath("sivf_src", d, suffix = s"_$fp")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
       e.repartition(3).write.mode("overwrite").parquet(stage)
     val layout = InferOps.tmpPath("sivf_layout", d)

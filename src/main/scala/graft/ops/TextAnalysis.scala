@@ -316,7 +316,7 @@ object TextAnalysis {
    *  vocabulary (31 base tokens in this testdata) so the approximate
    *  contract is exercised (evictions fire) at every octave, not just
    *  past q53's 2²⁴ ceiling. */
-  private[ops] val HhApproxCapacity = 16
+  private[graft] val HhApproxCapacity = 16
 
   /** q187: the documented-APPROXIMATE heavy-hitters mode — the path
    *  q53 refuses past its exact-capacity ceiling (a 10⁹-token

@@ -48,7 +48,8 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSuite {
 
   test("q187 contract on the documents table: bracket + saturation flag + true-top-1 containment") {
     // sf0.01, not sf0.001: the approximate contract must be EXERCISED,
-    // and saturation needs a vocabulary wider than the 256 counters
+    // and saturation needs a vocabulary wider than HhApproxCapacity's
+    // counters
     val d = "/root/testdata/sf0.01"
     val approx = graft.ops.TextAnalysis.q187ApproxHeavyHitters(spark, d).collect()
     assert(approx.nonEmpty)
@@ -58,7 +59,9 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSuite {
       .filter(col("tok") =!= "")
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val cap = 16 // = TextAnalysis.HhApproxCapacity
+    // read the REAL constant: a capacity change must move this test's
+    // N/capacity containment math with it, not silently desynchronize
+    val cap = graft.ops.TextAnalysis.HhApproxCapacity
     assert(truth.size > cap,
       s"fixture assumption: sf0.01 vocabulary ${truth.size} must exceed capacity $cap")
     assert(approx.forall(_.getBoolean(5)),
