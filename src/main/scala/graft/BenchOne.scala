@@ -4,7 +4,12 @@ package graft
  *  [[Bench]] for iterating on a single operator without paying the
  *  full-suite wall clock. Prints one line per run (no min-taking:
  *  per-run visibility is the point; warm-cache effects show up as
- *  run1 vs run2 deltas). Usage: runMain graft.BenchOne <name> [sfDir] [runs]. */
+ *  run1 vs run2 deltas). Each line also carries the run's total
+ *  shuffle WRITE volume (sum over completed stages — the round-13
+ *  q114 ask needed "shuffle bytes materially down" to be a measured
+ *  claim, not an inference; listener delivery is async, so the
+ *  counter is read after a settle pause and labeled approximate).
+ *  Usage: runMain graft.BenchOne <name> [sfDir] [runs]. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse(
@@ -14,10 +19,28 @@ object BenchOne {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          ()
+        }
+      }
+    })
     (1 to runs).foreach { i =>
+      val w0 = shuffleWrite.get(); val r0 = shuffleRecords.get()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[benchone] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // listener bus settle
+      println(f"[benchone] $name run$i $sec%.2f s " +
+        f"shuffle_write~${(shuffleWrite.get() - w0) / (1 << 20)}%d MiB " +
+        f"(${shuffleRecords.get() - r0}%d rows)")
     }
     graft.ops.InferOps.cleanupScratch()
     spark.stop()
