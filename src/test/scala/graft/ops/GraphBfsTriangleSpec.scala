@@ -186,6 +186,23 @@ class GraphBfsTriangleSpec extends AnyFunSuite with SparkSuite {
     assert(q.getAs[Double]("modularity") == 5.0 / 14.0)
   }
 
+  test("chunked co-purchase edge build is row-identical to the single-pass plan") {
+    import org.apache.spark.sql.functions.col
+    // maxRows=1 forces the pmod(src, C) sequential assembly on the
+    // fixture corpus; edge identity is per-(src, dst), so the chunked
+    // union must reproduce the single-pass frame EXACTLY — the same
+    // parity contract as q114's forced-C verification spec
+    val d = "/root/testdata/sf0.001"
+    val single = Graph.coPurchaseStrength(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val chunked = Graph.coPurchaseStrength(spark, d, maxRows = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(single.nonEmpty, "fixture corpus must produce edges")
+    assert(chunked == single,
+      s"chunked edge build diverged: ${(chunked diff single).take(3)} extra, " +
+        s"${(single diff chunked).take(3)} missing")
+  }
+
   private def triangleCounts(edges: Seq[(Long, Long)], parts: Int = 4): Map[Long, Long] = {
     import org.apache.spark.sql.functions._
     val e = edges.toDF("src", "dst").repartition(parts)
