@@ -1357,12 +1357,20 @@ object EventOps {
       sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("c0"),
       sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("c1"))
     val dbl = (n: String) => col(n).cast("double")
+    // empty-cohort guard (found at the sf0.001 smoke octave, round 13):
+    // a sparse segment can hold only one variant — user_id div 16 % 2
+    // needs ≥32 users per segment to populate both arms — and an
+    // unguarded rate divides by zero under ANSI. No evidence → chi2 0,
+    // p ≈ 1, never a discovery; the oracle applies the identical CASE.
     val withChi = cell
-      .withColumn("rate0", dbl("c0") / dbl("n0"))
-      .withColumn("rate1", dbl("c1") / dbl("n1"))
+      .withColumn("rate0",
+        when(col("n0") === 0L, lit(0.0)).otherwise(dbl("c0") / dbl("n0")))
+      .withColumn("rate1",
+        when(col("n1") === 0L, lit(0.0)).otherwise(dbl("c1") / dbl("n1")))
       .withColumn("pooled", (dbl("c0") + dbl("c1")) / (dbl("n0") + dbl("n1")))
       .withColumn("chi2",
-        when(col("pooled") === 0.0 || col("pooled") === 1.0, lit(0.0))
+        when(col("n0") === 0L || col("n1") === 0L ||
+            col("pooled") === 0.0 || col("pooled") === 1.0, lit(0.0))
           .otherwise(
             (col("rate0") - col("rate1")) * (col("rate0") - col("rate1"))
               / (col("pooled") * (lit(1.0) - col("pooled"))
@@ -1428,14 +1436,16 @@ object EventOps {
       |  FROM pu GROUP BY segment),
       |x AS (
       |  SELECT *,
-      |   CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
-      |   CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate1,
+      |   CASE WHEN n0 = 0 THEN 0.0
+      |        ELSE CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) END AS rate0,
+      |   CASE WHEN n1 = 0 THEN 0.0
+      |        ELSE CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS rate1,
       |   (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
       |     / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS pooled
       |  FROM cell),
       |ch AS (
       |  SELECT *,
-      |   CASE WHEN pooled = 0.0 OR pooled = 1.0 THEN 0.0
+      |   CASE WHEN n0 = 0 OR n1 = 0 OR pooled = 0.0 OR pooled = 1.0 THEN 0.0
       |        ELSE (rate0 - rate1) * (rate0 - rate1)
       |          / (pooled * (1.0 - pooled)
       |            * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))

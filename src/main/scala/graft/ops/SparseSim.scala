@@ -62,6 +62,19 @@ object SparseSim {
   /** Fixed-point weight scale (3 dp of tf·idf). */
   private val Q = 1000.0
 
+  /** Dot-product-expansion budget (rows) before [[cosineJoin]]
+    * switches to chunked sequential verification — the q114 device on
+    * the TERM space (dot products add exactly across disjoint
+    * pmod(xxhash64(term), C) classes). q135 was the top 100× cost
+    * (303.6 s isolated) and the one recorded in-suite disk death (the
+    * round-12 splice): its candidates × per-doc-terms join lives all
+    * at once exactly like q114's verification expansion. The default
+    * matches q114's ~20 GB-raw-per-chunk budget; ≤10× stays
+    * single-pass (plan and hash unchanged). */
+  private val Q135MaxExpansionRows: Long =
+    sys.env.get("SPARK_GRAFT_Q135_MAX_EXPANSION").map(_.toLong)
+      .getOrElse(500000000L)
+
   /** Per-doc TF-IDF weights over 3-token shingle features (the q114
     * feature space, as a MULTISET — tf keeps repeat shingles),
     * integer-quantized. Long-n-gram features are what make the join
@@ -97,7 +110,8 @@ object SparseSim {
     cosineJoin(Tables.documents(s, d))
 
   /** Core of q135 over any (doc_id, text) frame (spec entry point). */
-  private[ops] def cosineJoin(docs: DataFrame): DataFrame = {
+  private[ops] def cosineJoin(docs: DataFrame,
+      maxExpansionRows: Long = Q135MaxExpansionRows): DataFrame = {
     val w = weights(docs.select(col("doc_id"), col("text")))
       .localCheckpoint(true) // one shuffle feeds norms, prefixes, and both dot sides
     // docs whose every term has idf 0 carry no mass: cosine is
@@ -120,21 +134,55 @@ object SparseSim {
       .select(col("term"), col("doc_id"))
     // candidate pairs: each doc's prefix terms against the FULL
     // postings (the asymmetric-probe form of the filter — sound for
-    // any per-doc split, no global term order needed)
+    // any per-doc split, no global term order needed). Checkpointed:
+    // pair-sized, and the chunk decision needs its count anyway.
     val cand = prefixes.as("a")
       .join(w.select(col("term"), col("doc_id").as("b_id")).as("b"), Seq("term"))
       .filter(col("doc_id") =!= col("b_id"))
       .select(least(col("doc_id"), col("b_id")).as("doc_a"),
         greatest(col("doc_id"), col("b_id")).as("doc_b"))
       .distinct()
-    // exact integer dot product, candidates only
-    val dots = cand
-      .join(w.select(col("doc_id").as("doc_a"), col("term"), col("wq").as("wa")),
+      .localCheckpoint()
+    val stats = w.agg(countDistinct(col("doc_id")).as("docs"),
+      count(lit(1)).as("tot")).head()
+    val avgT = if (stats.getLong(0) == 0L) 0.0
+      else stats.getLong(1).toDouble / stats.getLong(0)
+    val expansionEst = cand.count() * avgT
+    val chunks = math.min(16L,
+      math.max(1L, math.ceil(expansionEst / maxExpansionRows).toLong)).toInt
+
+    // exact integer dot product, candidates only — over one term class
+    def dotsOf(wPart: DataFrame): DataFrame = cand
+      .join(wPart.select(col("doc_id").as("doc_a"), col("term"), col("wq").as("wa")),
         Seq("doc_a"))
-      .join(w.select(col("doc_id").as("doc_b"), col("term"), col("wq").as("wb")),
+      .join(wPart.select(col("doc_id").as("doc_b"), col("term"), col("wq").as("wb")),
         Seq("doc_b", "term"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("wa") * col("wb")).as("dot"))
+
+    val dots =
+      if (chunks == 1) dotsOf(w)
+      else {
+        // sequential chunk loop (the q114 scratch protocol): each pass
+        // expands only one pmod(term-hash) class — dot products add
+        // exactly across disjoint term classes — parking candidate-
+        // sized partials in parquet; the assembled sum is checkpointed
+        // eagerly and the chunk dir reclaimed immediately
+        val dir = InferOps.tmpPath("q135_dot", "t")
+        System.gc()
+        (0 until chunks).foreach { c =>
+          dotsOf(w.filter(
+              pmod(xxhash64(col("term")), lit(chunks.toLong)) === lit(c.toLong)))
+            .write.mode(if (c == 0) "overwrite" else "append").parquet(dir)
+          System.gc()
+        }
+        val s = docs.sparkSession
+        val assembled = s.read.parquet(dir)
+          .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("dot")).as("dot"))
+          .localCheckpoint()
+        InferOps.deleteDir(dir)
+        assembled
+      }
     dots
       .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), Seq("doc_a"))
       .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), Seq("doc_b"))

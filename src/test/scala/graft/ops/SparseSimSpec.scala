@@ -76,6 +76,19 @@ class SparseSimSpec extends AnyFunSuite with SparkSuite {
     assert(cand >= brute(fixture).size)
   }
 
+  test("chunked dot-product (the 100x scratch path) is row-identical to the single pass") {
+    // a 1-row expansion budget forces the pmod(term-hash, C) chunk
+    // loop; dot products must assemble to the exact same integer sums
+    // because the chunks partition the term space — the q114 parity
+    // contract applied to q135
+    val single = SparseSim.cosineJoin(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val chunked = SparseSim.cosineJoin(fixture, maxExpansionRows = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(single.nonEmpty)
+    assert(chunked == single, s"chunked=$chunked single=$single")
+  }
+
   test("all-idf-zero documents are excluded, not NaN") {
     // the single trigram appears in every doc -> weight 0, norm 0
     val degenerate = Seq((1L, "x y z"), (2L, "x y z"), (3L, "x y z"))
