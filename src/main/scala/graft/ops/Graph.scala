@@ -1137,19 +1137,31 @@ object Graph {
 
   /** Oracle: full transitive closure of the restricted graph with set
    *  semantics (pairs bounded by Σ|component|², small by the brand
-   *  restriction), then min label + component size. */
+   *  restriction), then min label + component size.
+   *
+   *  The family restriction is pushed BELOW the co-purchase aggregate
+   *  — an exact rewrite, because src/dst are the group keys and the
+   *  strength c of a family-family pair counts orders containing both
+   *  PARTS of the pair, which parts outside the family can never
+   *  affect. Without the pushdown DuckDB materialized the full ~10⁹-
+   *  row edge aggregate at the 1000× octave and died on >63 GiB of
+   *  temp spill (round-13 probe); the Spark side deliberately KEEPS
+   *  the unrestricted build — exercising the chunked full-corpus edge
+   *  assembly is the point of the probe. MATERIALIZED on every CTE is
+   *  equally load-bearing (the q168/q171 lesson): un-hinted, DuckDB
+   *  re-inlines `e` into each recursive-arm evaluation and recomputes
+   *  the edge aggregate per round. */
   val q160Sql: String =
     """WITH RECURSIVE
-      |li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      |ew AS (
+      |fam AS MATERIALIZED (SELECT p_partkey FROM part WHERE p_brand LIKE 'Brand#1%'),
+      |li AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM fam)),
+      |ew AS MATERIALIZED (
       |  SELECT a.pk AS src, b.pk AS dst, count(*) AS c
       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
       |  GROUP BY 1, 2),
-      |fam AS (SELECT p_partkey FROM part WHERE p_brand LIKE 'Brand#1%'),
-      |e AS (
-      |  SELECT src, dst FROM ew
-      |  WHERE c >= 2 AND src IN (SELECT * FROM fam)
-      |    AND dst IN (SELECT * FROM fam)),
+      |e AS MATERIALIZED (SELECT src, dst FROM ew WHERE c >= 2),
       |reach(node, m) AS (
       |  SELECT src, src FROM e
       |  UNION

@@ -32,6 +32,13 @@ def norm_rows(cols, rows):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # large-octave probes (1000x = 600M lineitem) need the oracle to
+    # prefer RAM over spill: the default budget pushed the q160
+    # closure's ~1e9-row edge aggregate into >63 GiB of temp files and
+    # died on disk while 70+ GiB of RAM sat idle. Overridable so a
+    # small box can lower it.
+    mem = os.environ.get("SELFCHECK_DUCKDB_MEM", "96GB")
+    con.sql(f"SET memory_limit='{mem}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table: directory of parts
