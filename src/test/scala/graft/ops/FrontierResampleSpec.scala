@@ -128,18 +128,15 @@ class FrontierResampleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  test("index-prefix candidate join prunes the near-dup-dense family at the JOIN, losing no qualifying pair") {
+  test("PPJoin positional filter strictly prunes candidates and loses no qualifying pair") {
     // near-dup-dense family: 8 docs identical except token 10 — each
     // pair shares 7 of its 10 shingles (jac 7/13 ≈ 0.54 < 0.6), so the
-    // true answer excludes all 28 pairs. Every pair passed the old
-    // symmetric probe×probe prefix join (29 candidates with the dup
-    // pair; the positional filter then killed them). The round-13
-    // asymmetric index-prefix join (the smaller side contributes only
-    // its SHORT prefix — 3 of 10 positions at t=0.6, exactly this
-    // fixture's per-doc unique shingles) rejects them one stage
-    // earlier, at the join itself — 28 fewer (pair, element) rows
-    // into the distinct. The genuinely identical pair (100, 101)
-    // matches at position 1 and survives every stage.
+    // true answer excludes all 28 pairs, yet every pair passes the
+    // plain prefix filter: the 3 unique shingles fill prefix positions
+    // 1-3 and two SHARED shingles land at positions 4-5 of both docs.
+    // The positional bound 1 + min(10-p, 10-p) = 11-p < α = 7.5 then
+    // rejects every such match. The genuinely identical pair
+    // (100, 101) matches at position 1 (bound 10 ≥ 7.5) and survives.
     val t12 = (1 to 12).map(i => s"t$i")
     val family = (1 to 8).map(i => (i.toLong, t12.updated(9, s"x$i").mkString(" ")))
     val dupText = (1 to 12).map(i => s"d$i").mkString(" ")
@@ -149,29 +146,32 @@ class FrontierResampleSpec extends AnyFunSuite with SparkSuite {
       .select(col("doc_id"),
         xxhash64(col("s")).as("k1"), xxhash64(col("s"), lit(1)).as("k2"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val plain = Dedup.prefixCandidatePairs(sh, sizes, 0.6, positional = false)
+    val plain = Dedup.prefixCandidatePairs(sh, sizes, 0.6, positional = false).count()
+    val posCand = Dedup.prefixCandidatePairs(sh, sizes, 0.6, positional = true)
       .as[(Long, Long)].collect().toSet
-    assert(plain == Set((100L, 101L)),
-      s"index-prefix join must leave only the dup pair, got $plain")
-    // end-to-end: the tighter candidate stage still matches brute force
+    assert(plain == 29L, s"fixture drift: expected 28 family pairs + 1 dup pair, got $plain")
+    assert(posCand.size < plain, "positional filter must strictly prune")
+    assert(posCand == Set((100L, 101L)), s"unexpected candidates: $posCand")
+    // end-to-end: the filtered path still matches brute force exactly
     val got = Dedup.prefixJaccardPairs(df, 0.6)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(got == bruteJaccard(all, 0.6))
     assert(got == Set((100L, 101L)))
   }
 
-  test("PPJoin positional filter strictly prunes matches the index-prefix join admits") {
+  test("positional filter prunes a size-skewed pair whose matches sit deep in both prefixes") {
     // synthetic shingle frame with hand-placed rarity positions:
     // doc 1 (n=10): unique element 100 (pos 1), SHARED 200/201
-    // (freq 2 → pos 2-3, inside the short index prefix ≤3), fillers
-    // 300..306 (freq 3 → pos 4-10). doc 2 (n=16): uniques 110..114
-    // (pos 1-5), SHARED 200/201 (pos 6-7, inside the probe prefix ≤7),
-    // fillers 400..408 (pos 8-16). Both matches reach the join; the
-    // positional bound 1 + min(10−pos_x, 16−pos_y) = 9 and 8 both fall
-    // short of α = 0.375·26 = 9.75, so the pair is pruned — correctly:
-    // overlap 2 of union 24 is nowhere near jac 0.6. The freq-3
-    // fillers live in docs 90/91 so rarity order puts shared elements
-    // AHEAD of them.
+    // (freq 2 → pos 2-3), fillers 300..306 (freq 3 → pos 4-10).
+    // doc 2 (n=16): uniques 110..114 (pos 1-5), SHARED 200/201
+    // (pos 6-7, inside the probe prefix ≤7), fillers 400..408
+    // (pos 8-16). Both matches reach the join; the positional bound
+    // 1 + min(10−pos_a, 16−pos_b) = 9 and 8 both fall short of
+    // α = 0.375·26 = 9.75, so the pair is pruned — correctly: overlap
+    // 2 of union 24 is nowhere near jac 0.6. The freq-3 fillers live
+    // in docs 90/91 so rarity order puts shared elements AHEAD of
+    // them. (This fixture also guarded the index-prefix experiment —
+    // see the adjudicated-non-change note on prefixCandidatePairs.)
     val rows =
       (Seq(100L, 200L, 201L) ++ (300L to 306L)).map(e => (1L, e)) ++
       ((110L to 114L) ++ Seq(200L, 201L) ++ (400L to 408L)).map(e => (2L, e)) ++
@@ -184,7 +184,7 @@ class FrontierResampleSpec extends AnyFunSuite with SparkSuite {
     val pos = Dedup.prefixCandidatePairs(sh, sizes, 0.6, positional = true)
       .as[(Long, Long)].collect().toSet
     assert(plain.contains((1L, 2L)),
-      s"fixture drift: (1,2) must survive the index-prefix join, got $plain")
+      s"fixture drift: (1,2) must survive the prefix join, got $plain")
     assert(!pos.contains((1L, 2L)), "positional bound must prune (1,2)")
     assert(pos.subsetOf(plain), "positional filter may only remove candidates")
     assert(pos.contains((90L, 91L)), "the identical filler pair must survive")
