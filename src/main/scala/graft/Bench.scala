@@ -4,7 +4,31 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // ambient load BEFORE any work (round-13 ask 4): load1m stamped
+    // only at exit measures the bench itself — a min-of-3 recorded run
+    // exits with a HIGHER load than a contended min-of-2 driver run,
+    // inverting the quiet/loaded adjudication the stamp exists for.
+    // Negative means the platform has no load average — omit, never
+    // record a sentinel a reader could misread as a quiet box.
+    def loadNow: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadPre = loadNow
     val spark = GraftSession.local(cpus)
+    // per-run shuffle-write counters (the BenchOne listener): the
+    // auto-brackets below report measured shuffle volume, not inference
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufRows = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRows.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          ()
+        }
+      }
+    })
     // warmup: file index + parquet footers + codegen + shuffle
     // machinery for EVERY table, so one-time JVM/IO costs don't land
     // on whichever query touches a table first — per-query times then
@@ -88,16 +112,82 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // self-adjudicating movers (round-13 ask 4): any query that moved
+    // >2x vs the PREVIOUS driver artifact gets an embedded isolated
+    // bracket — 3 warm runs at the quiet post-suite tail plus measured
+    // shuffle write — so a phantom contention swing (the r13 q87 3.25x)
+    // is adjudicable from this JSON alone, no second file needed.
+    // Previous artifact: $SPARK_GRAFT_PREV_BENCH, else the highest
+    // BENCH_r*.json in the working directory.
+    val prevPath = sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse {
+      val cwd = java.nio.file.Paths.get(".")
+      import scala.jdk.CollectionConverters._
+      scala.util.Try(scala.util.Using.resource(java.nio.file.Files.list(cwd)) {
+        _.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.matches("BENCH_r\\d+\\.json")).toSeq.sorted.lastOption
+      }).toOption.flatten
+    }
+    val prevQ: Map[String, Double] = prevPath.flatMap { p =>
+      scala.util.Try {
+        // the driver's BENCH_r*.json wraps this program's stdout tail
+        // as an escaped JSON string field — unescape \" so both the
+        // raw and the driver-wrapped form parse with one scan. The
+        // wrapped tail is head-truncated, so the surviving queries map
+        // is the final line's expensive-entries subset — exactly the
+        // entries a >2x bracket matters for.
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+          .replace("\\\"", "\"")
+        // same scale factor only: bracketing a sf0.001 smoke against a
+        // sf0.1 artifact would flag every query as a mover
+        val sfOk = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        if (!sfOk) Map.empty[String, Double]
+        else {
+          val body = txt.substring(txt.indexOf("\"queries\":{") + 11)
+          val inner = body.substring(0, body.indexOf('}'))
+          "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(inner)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }.toOption
+    }.getOrElse(Map.empty)
+    val movers = results.toSeq.filter { case (k, v) =>
+      v > 0.0 && prevQ.get(k).exists { pv =>
+        pv > 0.0 && math.max(v, pv) >= 0.5 &&
+          (v / pv > 2.0 || pv / v > 2.0)
+      }
+    }.sortBy { case (k, v) => (-math.max(v / prevQ(k), prevQ(k) / v), k) }
+      .take(8) // bound the added wall; worst swings first
+    val brackets = movers.map { case (k, v) =>
+      val fn = SparkEntry.queries(k)
+      val times = (1 to 3).flatMap { _ =>
+        val b0 = shufBytes.get(); val r0 = shufRows.get()
+        val t0 = System.nanoTime()
+        val t = scala.util.Try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.toOption
+        Thread.sleep(1000) // listener bus settle
+        t.map(sec0 => (sec0, shufBytes.get() - b0, shufRows.get() - r0))
+      }
+      System.gc()
+      val runsJson = times.map(t => sec(t._1)).mkString("[", ",", "]")
+      val sb = if (times.nonEmpty) times.last._2 / (1 << 20) else -1L
+      val sr = if (times.nonEmpty) times.last._3 else -1L
+      "\"" + esc(k) + s"""":{"prev":${sec(prevQ(k))},"main":${sec(v)},"runs":$runsJson,"shuffle_mib":$sb,"shuffle_rows":$sr}"""
+    }.mkString("{", ",", "}")
     // provenance stamp (round-13 ask 5): min-of-N vs min-of-3 artifacts
     // and a loaded-vs-quiet box must be distinguishable from the JSON
     // alone — the r12 sf0.1 artifact shipped a 3.3x q148 "regression"
     // that took an isolated re-measurement to adjudicate as ambient
-    // contention; load1m at exit is the cheap tell the 100x recorder
-    // already carries in spirit (its runner script logs heap/quiet)
+    // contention. load1m_pre (ambient, before any work) + load1m (exit)
+    // bracket the run; negative load (platform unsupported) is omitted.
     val heapGib = Runtime.getRuntime.maxMemory() / (1L << 30)
-    val load1m = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    val prov = s""""runs":$runs,"heap_gib":$heapGib,"load1m":${sec(load1m)},"shuffle_partitions":"${esc(spark.conf.get("spark.sql.shuffle.partitions"))}""""
+    val load1m = loadNow
+    val loadJson =
+      (if (loadPre >= 0) s""""load1m_pre":${sec(loadPre)},""" else "") +
+        (if (load1m >= 0) s""""load1m":${sec(load1m)},""" else "")
+    val prov = s""""runs":$runs,"heap_gib":$heapGib,$loadJson"brackets":$brackets,"shuffle_partitions":"${esc(spark.conf.get("spark.sql.shuffle.partitions"))}""""
     val json = s"""{"metric":"total","value":${sec(total)},"unit":"sec",$prov,"queries":$qs,"failed":$failedJson,"sf":"${esc(sfDir)}"}"""
     println(json)
     // also land the JSON in a file so the recorded artifact never

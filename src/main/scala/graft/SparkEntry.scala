@@ -339,7 +339,10 @@ object SparkEntry {
     // rows are nondeterministic RUN-TO-RUN on identical data — any
     // future hash/golden-row gate pointed here would flake, not fail
     // deterministically
-    "q187_approx_heavy_hitters" -> (TextAnalysis.q187ApproxHeavyHitters _)
+    "q187_approx_heavy_hitters" -> (TextAnalysis.q187ApproxHeavyHitters _),
+    // type-widening schema evolution (INT→BIGINT / FLOAT→DOUBLE
+    // reconciliation across snapshot generations — q150's other half)
+    "q188_type_widening" -> (InferOps.q188TypeWidening _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -521,6 +524,7 @@ object SparkEntry {
     "q183_kmeans_assign" -> Cluster.q183Sql,
     "q184_personalized_pagerank" -> Graph.q184Sql,
     "q185_neighbor_sample" -> Graph.q185Sql,
-    "q186_stream_ivf_index" -> Similarity.q186Sql
+    "q186_stream_ivf_index" -> Similarity.q186Sql,
+    "q188_type_widening" -> InferOps.q188Sql
   )
 }

@@ -1473,12 +1473,15 @@ object Dedup {
         // sequential chunk loop: each pass expands only the shingles
         // of one pmod class, lands its candidate-sized partial counts
         // in parquet, and lets the chunk's shuffle files be reclaimed
-        // (the GC nudge) before the next pass starts. Deterministic
-        // key (not a per-invocation identity hash) + chunk-0 overwrite:
-        // repeated invocations in one JVM reuse ONE dir instead of
-        // accumulating candidate-sized leftovers, and a crashed prior
-        // run's partial dir is harmlessly clobbered.
-        val dir = InferOps.tmpPath("q114_co", s"t$threshold")
+        // (the GC nudge) before the next pass starts. The dir key
+        // carries a per-invocation counter (advice round-13): keyed by
+        // threshold alone, two concurrent invocations in one JVM would
+        // interleave append-mode writes into one dir and silently
+        // double-count co sums. No leftover accumulation: the success
+        // path deletes the dir eagerly below, and a crashed run's
+        // orphan is exit-cleaned via the tmpPath registry.
+        val dir = InferOps.tmpPath("q114_co",
+          s"t${threshold}_i${InferOps.chunkDirSeq.incrementAndGet()}")
         // the candidate stage's shuffles (freq, window, prefix join)
         // are unreferenced once cand is checkpointed — reclaim them
         // before the first expansion pass needs the scratch

@@ -68,6 +68,31 @@ object Graph {
   private val liCountCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
+  /** Chunk-built edge parquet dirs by corpus dir — consulted by
+   *  [[evictEdgeChunks]] so the PageRank/BFS family can reclaim the
+   *  duplicate bytes once its own persisted edge frame is built. */
+  private val chunkDirOf =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Delete corpus `d`'s chunk-built edge parquet (and its `.done`
+   *  marker) NOW. The PageRank family persists a (src, dst, deg|wdeg)
+   *  frame DISK_ONLY that duplicates the chunk parquet byte-for-byte
+   *  in information content; at 1000× holding both filled this
+   *  container's scratch to 97% and killed the q148 probe (the
+   *  round-13 disclosed boundary). Callers invoke this through the
+   *  `afterEdges` hook exactly once their persisted frame is
+   *  MATERIALIZED — after eviction the persisted blocks are the sole
+   *  copy, so a lost block can no longer recompute through lineage.
+   *  That is safe in local mode (blocks live in the one surviving
+   *  JVM) and moot on a real cluster (per-executor scratch is ~1000×
+   *  this container's, so the chunk path itself never engages). A
+   *  later coPurchaseStrength call finds no marker and rebuilds. */
+  private[ops] def evictEdgeChunks(d: String): Unit =
+    chunkDirOf.remove(d).foreach { dir =>
+      InferOps.deleteDir(s"$dir.done")
+      InferOps.deleteDir(dir)
+    }
+
   /** Symmetric co-purchase edge frame with tie strength: (src, dst, c)
    *  where c = number of distinct orders containing both parts. One
    *  self-join on the order key plus one hash aggregate — Σ_o
@@ -104,21 +129,27 @@ object Graph {
             col("l_partkey").as("pk")).distinct()
           .repartition(col("ok")).sortWithinPartitions(col("ok"), col("pk"))
           .persist(StorageLevel.DISK_ONLY)
-        (0 until chunks).foreach { c =>
-          li.as("a").filter(pmod(col("a.pk"), lit(chunks.toLong)) === lit(c.toLong))
-            .join(li.as("b"),
-              col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-            .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
-            .agg(count(lit(1)).as("c"))
-            .write.mode(if (c == 0) "overwrite" else "append").parquet(dir)
-          // reclaim the finished chunk's shuffle files before the next
-          // pass needs the scratch (ContextCleaner is GC-driven)
-          System.gc()
-        }
-        li.unpersist(blocking = true)
+        // try/finally (advice round-13): a chunk write that dies
+        // mid-build — scratch exhaustion is the exact failure this
+        // path guards against — must not leave the corpus-sized
+        // DISK_ONLY `li` pinned for a retry to double
+        try {
+          (0 until chunks).foreach { c =>
+            li.as("a").filter(pmod(col("a.pk"), lit(chunks.toLong)) === lit(c.toLong))
+              .join(li.as("b"),
+                col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+              .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+              .agg(count(lit(1)).as("c"))
+              .write.mode(if (c == 0) "overwrite" else "append").parquet(dir)
+            // reclaim the finished chunk's shuffle files before the next
+            // pass needs the scratch (ContextCleaner is GC-driven)
+            System.gc()
+          }
+        } finally li.unpersist(blocking = true)
         java.nio.file.Files.createFile(doneMarker)
         InferOps.registerScratch(doneMarker.toString)
       }
+      chunkDirOf.put(d, dir)
       // explicit schema: a pathological corpus could leave chunk files
       // empty and schema inference has nothing to read
       s.read.schema("src BIGINT, dst BIGINT, c BIGINT").parquet(dir)
@@ -127,8 +158,12 @@ object Graph {
 
   /** Integer PageRank over a directed edge list (src, dst) — callers
    *  pass a symmetrized frame for undirected graphs. Returns
-   *  (node, deg, rank_units, share). */
-  def pageRank(edges: DataFrame, iterations: Int = Iterations): DataFrame = {
+   *  (node, deg, rank_units, share). `afterEdges` fires once the
+   *  persisted (src, dst, deg) frame is materialized — the hook the
+   *  co-purchase callers use to evict the chunk parquet that fed it
+   *  (see [[evictEdgeChunks]]). */
+  def pageRank(edges: DataFrame, iterations: Int = Iterations,
+      afterEdges: () => Unit = () => ()): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // materialize the (src, dst, deg) frame once; every iteration —
     // and the final deg join — re-reads this, never the base scan.
@@ -147,6 +182,7 @@ object Graph {
     // only the vertex-sized ranks side.
     val e = edges.join(deg, "src").persist(StorageLevel.DISK_ONLY)
     val n = e.select(col("src")).distinct().count()
+    afterEdges() // e's blocks are on disk; the source bytes can go
     if (n == 0)
       return e.select(col("src").as("node"), lit(0L).as("deg"),
         lit(0L).as("rank_units"), lit(0.0).as("share"))
@@ -181,7 +217,7 @@ object Graph {
    *  bounded by the order-size distribution, never parts². */
   def q148PageRank(s: SparkSession, d: String): DataFrame = {
     val edges = coPurchaseStrength(s, d).select(col("src"), col("dst"))
-    pageRank(edges)
+    pageRank(edges, afterEdges = () => evictEdgeChunks(d))
       .select(col("node").as("part_id"), col("deg"), col("rank_units"), col("share"))
   }
 
@@ -240,7 +276,8 @@ object Graph {
    *  wrapping in non-ANSI mode while the int128 oracle stays exact.
    *  Returns (node, wdeg, rank_units, share). */
   def weightedPageRank(edges: DataFrame,
-      iterations: Int = Iterations): DataFrame = {
+      iterations: Int = Iterations,
+      afterEdges: () => Unit = () => ()): DataFrame = {
     val wdeg = edges.groupBy(col("src")).agg(sum(col("c")).as("wdeg"))
     // persist, not localCheckpoint — keeps the build join's src
     // partitioning/ordering for all 10 rounds (see pageRank above)
@@ -248,6 +285,7 @@ object Graph {
     // one aggregate materializes the persisted frame AND checks the
     // int64 overflow bound on the per-edge product r*Damp*c (r <= M)
     val head = e.agg(countDistinct(col("src")), max(col("c"))).head()
+    afterEdges() // e's blocks are on disk; the source bytes can go
     val n = head.getLong(0)
     if (n == 0)
       return e.select(col("src").as("node"), lit(0L).as("wdeg"),
@@ -288,7 +326,8 @@ object Graph {
   /** q165: strength-weighted PageRank over the co-purchase graph —
    *  the full (src, dst, c) frame q148 truncates. */
   def q165WeightedPageRank(s: SparkSession, d: String): DataFrame =
-    weightedPageRank(coPurchaseStrength(s, d))
+    weightedPageRank(coPurchaseStrength(s, d),
+        afterEdges = () => evictEdgeChunks(d))
       .select(col("node").as("part_id"), col("wdeg"), col("rank_units"),
         col("share"))
 
@@ -336,13 +375,17 @@ object Graph {
    *  Returns (node, hops) — every node reachable within maxHops, seeds
    *  at 0. Hop counts are exact integers: no float anywhere, so the
    *  frame is bit-identical to the oracle's recursive-CTE replay. */
-  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      afterEdges: () => Unit = () => ()): DataFrame = {
     // DISK_ONLY for the data-sized edge frame (the q148 lesson:
     // memory-resident blocks compete with the join's execution pages)
     val e = edges.select(col("src"), col("dst"))
       .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
     var dist = seeds.select(col("node"), lit(0L).as("hops"))
       .distinct().localCheckpoint()
+    // e AND dist are materialized (seeds may read the same source
+    // frame as edges — q158's do); the source bytes can go
+    afterEdges()
     var frontier = dist.select(col("node"))
     var h = 1
     while (h <= maxHops && !frontier.isEmpty) {
@@ -378,7 +421,7 @@ object Graph {
       .select(col("p_partkey"))
     val seeds = e.select(col("src").as("node")).distinct()
       .join(seedParts, col("node") === col("p_partkey"), "left_semi")
-    bfsHops(e, seeds, maxHops = 6)
+    bfsHops(e, seeds, maxHops = 6, afterEdges = () => evictEdgeChunks(d))
       .select(col("node").as("part_id"), col("hops"))
       .orderBy(col("part_id"))
   }
@@ -1417,7 +1460,8 @@ object Graph {
    *  smallest p_brand (data-derived, octave-stable: ScaleGen part
    *  copies keep brand values). */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
-      iterations: Int = Iterations): DataFrame = {
+      iterations: Int = Iterations,
+      afterEdges: () => Unit = () => ()): DataFrame = {
     val seedSet = seeds.select(col("pk")).distinct()
     // seed flag joins on dst FIRST; the deg join on src afterwards
     // leaves the persisted frame hash-partitioned by src for all
@@ -1433,6 +1477,7 @@ object Graph {
     val verts = e.select(col("src")).distinct()
     val ns = verts.join(seedSet, col("src") === col("pk"), "left_semi")
       .count()
+    afterEdges() // e's blocks are on disk; the source bytes can go
     if (ns == 0)
       return e.select(col("src").as("part_id"), col("deg"),
         lit(0L).as("rank_units"), lit(0.0).as("share"),
@@ -1472,7 +1517,7 @@ object Graph {
     val minBrand = p.agg(min(col("p_brand"))).head().getString(0)
     val seeds = p.filter(col("p_brand") === lit(minBrand))
       .select(col("p_partkey").as("pk"))
-    personalizedPageRank(edges, seeds)
+    personalizedPageRank(edges, seeds, afterEdges = () => evictEdgeChunks(d))
   }
 
   /** Oracle: the identical seeded integer iteration as a grouped

@@ -27,6 +27,12 @@ object InferOps {
     p
   }
 
+  /** Per-invocation disambiguator for chunk-protocol scratch dirs
+    * (q114/q135): a dir keyed by parameters alone would let two
+    * concurrent invocations in one JVM interleave append-mode chunk
+    * writes and silently double-count the assembled sums. */
+  private[graft] val chunkDirSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   private val cleanupPaths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private lazy val cleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => cleanupScratch()))
@@ -343,6 +349,116 @@ object InferOps {
       |        ELSE o_orderstatus END AS o_orderstatus,
       | count(*) AS n,
       | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q188: TYPE-WIDENING schema evolution (round-14 ask 6 — the other
+  // half of q150's additive-only rule)
+  // ---------------------------------------------------------------
+
+  /** Lossless numeric promotion lattice for cross-snapshot reads —
+   *  Iceberg's evolution rules: integral widths widen among
+   *  themselves (TINYINT→…→BIGINT) and FLOAT widens to DOUBLE.
+   *  Everything else — BIGINT→DOUBLE (drops low bits past 2⁵³),
+   *  any narrowing, any cross-family change — is declared a REWRITE
+   *  and fails loudly rather than silently upcasting into loss. */
+  private[ops] def widenType(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val intRank = Map[DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    (a, b) match {
+      case (x, y) if x == y => x
+      case (x, y) if intRank.contains(x) && intRank.contains(y) =>
+        if (intRank(x) >= intRank(y)) x else y
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+      case _ => throw new IllegalArgumentException(
+        s"no lossless widening between $a and $b: that schema change " +
+          "is a rewrite, not a widen")
+    }
+  }
+
+  /** Union snapshot generations under widening reconciliation: each
+   *  column is cast to the widest type it carries across generations
+   *  (the [[widenType]] lattice) and a column absent from some
+   *  generation surfaces there as typed NULL (q150's additive rule —
+   *  both evolution axes compose in one read). Column order follows
+   *  first appearance. Zero-shuffle: the reconciliation is one
+   *  projection per generation whose casts fold into the scan, so
+   *  per-generation pushdown and pruning survive untouched. */
+  def widenUnion(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "widenUnion of zero generations")
+    val cols = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.DataType]
+    frames.foreach(_.schema.fields.foreach { f =>
+      cols(f.name) = cols.get(f.name)
+        .map(widenType(_, f.dataType)).getOrElse(f.dataType)
+    })
+    frames.map { df =>
+      val have = df.schema.fieldNames.toSet
+      df.select(cols.toSeq.map { case (n, t) =>
+        (if (have(n)) col(n).cast(t) else lit(null).cast(t)).as(n)
+      }: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** q188: type-widening ingest — the long-lived-dataset cell q150
+   *  deliberately left out: snapshot v1 was written while order keys
+   *  still fit 32 bits (and prices were float32); once keys outgrew
+   *  INT the writer moved to BIGINT/DOUBLE. parquet mergeSchema
+   *  REFUSES that layout (incompatible per-file types), so the read
+   *  reconciles explicitly: each generation under its own declared
+   *  manifest schema, every column cast up the [[widenType]] lattice.
+   *
+   *  The magnitude split is octave-honest: the provisioned dirs put
+   *  every row in v1 (all keys fit INT — v2 is a zero-row generation,
+   *  readable because a snapshot manifest carries its schema even
+   *  when no files do), while the 1e10-shifted derived octaves
+   *  populate both generations, so the same query exercises the
+   *  empty-generation edge at small scale and the genuine two-type
+   *  union at large. The oracle replays the float32 round-trip with
+   *  the identical magnitude CASE. */
+  def q188TypeWidening(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpPath("widen", d)
+    val o = orders(s, d)
+    val fits = col("o_orderkey") <= lit(Int.MaxValue.toLong)
+    o.filter(fits)
+      .select(col("o_orderkey").cast("int").as("o_orderkey"),
+        col("o_custkey"),
+        col("o_totalprice").cast("float").as("o_totalprice"),
+        col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    o.filter(!fits)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    val v1 = s.read.schema(
+        "o_orderkey INT, o_custkey BIGINT, o_totalprice FLOAT, o_orderstatus STRING")
+      .parquet(s"$dir/batch=1")
+    val v2 = s.read.schema(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
+      .parquet(s"$dir/batch=2")
+    widenUnion(Seq(v1, v2))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(Tables.cents(col("o_totalprice"))).as("sum_cents"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Oracle: recompute the widened union from the source table — the
+   *  v1 float32 degradation replayed per-row by the same magnitude
+   *  CASE that routed the row at write time (CAST to REAL and back is
+   *  IEEE-deterministic in both engines). */
+  val q188Sql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      | max(o_orderkey) AS max_key,
+      | CAST(sum(CAST(round(
+      |   CASE WHEN o_orderkey <= 2147483647
+      |        THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+      |        ELSE o_totalprice END * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
       | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 }

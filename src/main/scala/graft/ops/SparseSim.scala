@@ -167,8 +167,12 @@ object SparseSim {
         // expands only one pmod(term-hash) class — dot products add
         // exactly across disjoint term classes — parking candidate-
         // sized partials in parquet; the assembled sum is checkpointed
-        // eagerly and the chunk dir reclaimed immediately
-        val dir = InferOps.tmpPath("q135_dot", "t")
+        // eagerly and the chunk dir reclaimed immediately. Per-
+        // invocation counter in the key (advice round-13): a constant
+        // key would let two concurrent invocations in one JVM
+        // interleave appends into one dir and double-count dots.
+        val dir = InferOps.tmpPath("q135_dot",
+          s"t_i${InferOps.chunkDirSeq.incrementAndGet()}")
         System.gc()
         (0 until chunks).foreach { c =>
           dotsOf(w.filter(

@@ -71,4 +71,57 @@ class EvolutionDsirSpec extends AnyFunSuite with SparkSuite {
       (Some("F"), 1L, 2500L),      // key 1
       (Some("P"), 1L, 7500L)))     // key 3
   }
+
+  test("widenType: lossless promotions only; everything else is a rewrite") {
+    import org.apache.spark.sql.types._
+    assert(InferOps.widenType(IntegerType, LongType) == LongType)
+    assert(InferOps.widenType(LongType, IntegerType) == LongType)
+    assert(InferOps.widenType(ByteType, ShortType) == ShortType)
+    assert(InferOps.widenType(FloatType, DoubleType) == DoubleType)
+    assert(InferOps.widenType(DoubleType, FloatType) == DoubleType)
+    assert(InferOps.widenType(StringType, StringType) == StringType)
+    // BIGINT→DOUBLE drops low bits past 2^53 — must refuse
+    intercept[IllegalArgumentException](InferOps.widenType(LongType, DoubleType))
+    intercept[IllegalArgumentException](InferOps.widenType(IntegerType, FloatType))
+    intercept[IllegalArgumentException](InferOps.widenType(StringType, IntegerType))
+  }
+
+  test("widenUnion: widening + additive axes compose, values conserved exactly") {
+    import org.apache.spark.sql.types._
+    val v1 = Seq((1, 1.5f), (2, 2.5f)).toDF("k", "p") // INT, FLOAT
+    val v2 = Seq((3L, 3.25, "x")).toDF("k", "p", "tag") // BIGINT, DOUBLE, +tag
+    val u = InferOps.widenUnion(Seq(v1, v2))
+    assert(u.schema.map(f => (f.name, f.dataType)) ==
+      Seq(("k", LongType), ("p", DoubleType), ("tag", StringType)))
+    val rows = u.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    // float32 1.5/2.5 are dyadic — exact through the double cast;
+    // v1 rows surface NULL for the late column
+    assert(rows == Set((1L, 1.5, None), (2L, 2.5, None),
+      (3L, 3.25, Some("x"))))
+    // an irreconcilable pair fails loudly at plan time
+    val bad = Seq((1L, 1.0)).toDF("k", "p")
+      .select(col("k").cast("double").as("k"), col("p"))
+    intercept[IllegalArgumentException](InferOps.widenUnion(Seq(v1, bad)))
+  }
+
+  test("q188: two-generation widening read conserves totals incl. an INT-overflow key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-widen").toString
+    val big = Int.MaxValue.toLong + 5L // lands in the BIGINT generation
+    val o = Seq(
+      (1L, 10L, "F", 10.0), (2L, 11L, "O", 20.0),
+      (big, 12L, "F", 0.1)) // 0.1 is NOT float-exact: v2 must keep full double
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    o.withColumn("o_orderdate", current_timestamp())
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = InferOps.q188TypeWidening(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // v2's 0.1 never visits float32: round(0.1*100)=10 cents exactly;
+    // max_key proves the BIGINT generation survived the union
+    assert(out.toSeq == Seq(
+      ("F", 2L, big, 1010L, 2L),
+      ("O", 1L, 2L, 2000L, 1L)))
+  }
 }

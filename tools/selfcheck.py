@@ -37,7 +37,19 @@ def main():
     # closure's ~1e9-row edge aggregate into >63 GiB of temp files and
     # died on disk while 70+ GiB of RAM sat idle. Overridable so a
     # small box can lower it.
-    mem = os.environ.get("SELFCHECK_DUCKDB_MEM", "96GB")
+    # default derives from the box (advice round-13): a flat 96GB
+    # replaced DuckDB's RAM-aware default and would invite an OOM kill
+    # instead of spill on hosts under ~100 GiB. min(96GB, 80% of
+    # MemTotal) keeps the large-octave RAM-first behavior on this
+    # 128 GiB box and degrades to DuckDB's own policy elsewhere.
+    def _default_mem():
+        try:
+            with open("/proc/meminfo") as f:
+                kib = int(next(l for l in f if l.startswith("MemTotal")).split()[1])
+            return f"{min(96, int(kib * 0.8 / 1048576))}GB"
+        except Exception:
+            return "96GB"
+    mem = os.environ.get("SELFCHECK_DUCKDB_MEM") or _default_mem()
     con.sql(f"SET memory_limit='{mem}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
