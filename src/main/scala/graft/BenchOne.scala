@@ -21,6 +21,10 @@ object BenchOne {
       sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
     val shuffleRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    // per-stage attribution (SPARK_GRAFT_STAGE_DUMP=1): which exchange
+    // carries the rows — optimizing "the widest shuffle" starts from a
+    // stage-level measurement, not a plan-shape guess
+    val stageDump = sys.env.get("SPARK_GRAFT_STAGE_DUMP").contains("1")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -28,6 +32,15 @@ object BenchOne {
         if (m != null) {
           shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          if (stageDump && m.shuffleWriteMetrics.recordsWritten > 0) {
+            val site = e.stageInfo.details.linesIterator
+              .find(l => l.contains("graft") || l.contains("Dataset"))
+              .getOrElse("").trim
+            System.err.println(f"[stage] id=${e.stageInfo.stageId}%d " +
+              f"rows=${m.shuffleWriteMetrics.recordsWritten}%,d " +
+              f"mib=${m.shuffleWriteMetrics.bytesWritten / (1 << 20)}%,d " +
+              f"name=${e.stageInfo.name.take(60)} site=$site")
+          }
           ()
         }
       }

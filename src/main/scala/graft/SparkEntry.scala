@@ -342,7 +342,10 @@ object SparkEntry {
     "q187_approx_heavy_hitters" -> (TextAnalysis.q187ApproxHeavyHitters _),
     // type-widening schema evolution (INT→BIGINT / FLOAT→DOUBLE
     // reconciliation across snapshot generations — q150's other half)
-    "q188_type_widening" -> (InferOps.q188TypeWidening _)
+    "q188_type_widening" -> (InferOps.q188TypeWidening _),
+    // stream-maintained SCALED IVF under a frozen two-level codebook
+    // artifact (the q186 lifecycle past the flat driver-fit ceiling)
+    "q189_stream_scaled_ivf" -> (Similarity.q189StreamScaledIvf _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -525,6 +528,7 @@ object SparkEntry {
     "q184_personalized_pagerank" -> Graph.q184Sql,
     "q185_neighbor_sample" -> Graph.q185Sql,
     "q186_stream_ivf_index" -> Similarity.q186Sql,
-    "q188_type_widening" -> InferOps.q188Sql
+    "q188_type_widening" -> InferOps.q188Sql,
+    "q189_stream_scaled_ivf" -> Similarity.q189Sql
   )
 }

@@ -1488,8 +1488,13 @@ object Dedup {
         System.gc()
         (0 until chunks).foreach { c =>
           coOf(sh.filter(pmod(col("k1"), lit(chunks.toLong)) === lit(c.toLong)))
-            .write.mode(if (c == 0) "overwrite" else "append").parquet(dir)
+            // zstd: the parked partials are the durable scratch floor
+            .write.option("compression", "zstd")
+            .mode(if (c == 0) "overwrite" else "append").parquet(dir)
           System.gc()
+          // let the async cleaner actually unlink (1000×-class only —
+          // the small-C octaves don't carry the scratch pressure)
+          if (chunks >= 4) Thread.sleep(3000)
         }
         val s = docs.sparkSession
         // assemble the pair-sized final counts EAGERLY, then reclaim
@@ -1574,7 +1579,28 @@ object Dedup {
         lit(1.0) + least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b"))
           >= lit(threshold / (1.0 + threshold)) * (col("n_a") + col("n_b"))
             - lit(1e-9))
-    pruned.select(col("doc_a"), col("doc_b")).distinct()
+    // Fold the pair-dedup into a doc_a-grouped SET build instead of a
+    // row-per-occurrence distinct (round-14, verdict ask 2). At ≤10×
+    // the prefix join broadcasts and its output keeps the window's
+    // doc_id(=doc_a) partitioning, so distinct was already
+    // exchange-free; at 1000× the join is an SMJ partitioned by
+    // (k1, k2) and distinct() re-exchanged one row per surviving
+    // (pair, shared-prefix-element) hit — ~3·10⁹ rows, the operator's
+    // widest shuffle (measured, BASELINE.md round-13). Near-dup pairs
+    // share MANY prefix elements, so the same pair recurs across
+    // element partitions where a pair-keyed partial aggregate can
+    // merge almost nothing (27 hits spread over 128 partitions ≈ 24
+    // distinct partitions). Grouping by doc_a packs each partition's
+    // pairs into per-doc sets FIRST: the exchange then carries one row
+    // per (doc_a, partition) with doc_bs as an array — the same pairs
+    // in ~5× fewer, better-packed rows — and collect_set's partial
+    // merge performs exactly the dedup distinct() did. explode()
+    // restores identical (doc_a, doc_b) rows; set size is bounded by
+    // the candidate fan-out per doc (clone-cluster width), vertex-
+    // sized, never corpus-sized.
+    pruned.groupBy(col("doc_a"))
+      .agg(collect_set(col("doc_b")).as("bs"))
+      .select(col("doc_a"), explode(col("bs")).as("doc_b"))
   }
 
   /** q114: exact unblocked Jaccard ≥ 0.6 over 3-gram shingle sets —

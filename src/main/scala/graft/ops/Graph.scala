@@ -91,7 +91,21 @@ object Graph {
     chunkDirOf.remove(d).foreach { dir =>
       InferOps.deleteDir(s"$dir.done")
       InferOps.deleteDir(dir)
+      // make the reclaim visible in probe logs, and nudge the
+      // ContextCleaner for the build join's now-dead shuffle files —
+      // at 1000× the next allocation is iteration-1's shuffle and the
+      // scratch it needs is exactly what the build just freed
+      System.gc()
+      System.err.println(s"[graph] evicted edge-chunk parquet $dir")
     }
+
+  /** True while corpus `d`'s edge frame came from the chunked build —
+   *  the callers' cue that the corpus is 1000×-class and the iterative
+   *  loops should GC-nudge per round (shuffle-file reclaim is
+   *  ContextCleaner-async; ten un-reclaimed iteration exchanges was
+   *  most of the round-13 scratch death). Never true at ≤100×, so the
+   *  bench octaves keep a gc-free loop. */
+  private[ops] def chunkedBuild(d: String): Boolean = chunkDirOf.contains(d)
 
   /** Symmetric co-purchase edge frame with tie strength: (src, dst, c)
    *  where c = number of distinct orders containing both parts. One
@@ -140,10 +154,19 @@ object Graph {
                 col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
               .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
               .agg(count(lit(1)).as("c"))
-              .write.mode(if (c == 0) "overwrite" else "append").parquet(dir)
+              // zstd, not the parquet default: the parked chunk frame
+              // is the durable scratch floor the whole build sits on
+              // (~22 GiB snappy at 1000×; zstd cuts ~a third of it)
+              .write.option("compression", "zstd")
+              .mode(if (c == 0) "overwrite" else "append").parquet(dir)
             // reclaim the finished chunk's shuffle files before the next
-            // pass needs the scratch (ContextCleaner is GC-driven)
+            // pass needs the scratch — ContextCleaner is GC-driven AND
+            // async: the gc queues the dead references, the pause lets
+            // the cleaner thread actually unlink them (the round-14
+            // probe died with ~25 GiB of reclaimable-but-unreclaimed
+            // transients stacked across chunks)
             System.gc()
+            if (chunks >= 4) Thread.sleep(3000)
           }
         } finally li.unpersist(blocking = true)
         java.nio.file.Files.createFile(doneMarker)
@@ -156,14 +179,50 @@ object Graph {
     }
   }
 
+  /** Vertex-count ceiling for the broadcast-ranks PageRank tier: the
+   *  per-round broadcast is ~24 B/vertex (node, r, deg), so 5 M
+   *  vertices ≈ 120 MB — comfortable at the probe heap, refused past
+   *  it (the persisted-layout tier takes over, as it must on a graph
+   *  whose VERTEX set is data-sized). */
+  private[ops] val RescanTierMaxVertices: Long =
+    sys.env.get("SPARK_GRAFT_PR_BCAST_MAX_V").map(_.toLong)
+      .getOrElse(5000000L)
+
   /** Integer PageRank over a directed edge list (src, dst) — callers
    *  pass a symmetrized frame for undirected graphs. Returns
    *  (node, deg, rank_units, share). `afterEdges` fires once the
    *  persisted (src, dst, deg) frame is materialized — the hook the
    *  co-purchase callers use to evict the chunk parquet that fed it
-   *  (see [[evictEdgeChunks]]). */
+   *  (see [[evictEdgeChunks]]).
+   *
+   *  `rescanTier` selects the small-vertex/huge-edge shape the 1000×
+   *  octave needs (and a 1000-executor cluster would pick for any
+   *  catalog-keyed graph): the co-purchase VERTEX set is parts-sized
+   *  (1.3 M at 1000×) while the edge frame is ~10⁹ rows — so instead
+   *  of persisting a corpus-sized (src, dst, deg) copy NEXT TO the
+   *  chunk parquet that built it (47 GiB of blockmgr beside 12 GiB of
+   *  parquet — the round-14 ENOSPC, twice), each round re-scans the
+   *  edge source and joins a BROADCAST vertex frame: the edge side
+   *  never shuffles at all, and the only exchange is the dst partial
+   *  aggregate (~vertex-bounded per task). Peak scratch falls from
+   *  parquet+persist+join-shuffle to parquet+one aggregate. Engaged
+   *  only when the caller asks (chunked-build corpora) AND the vertex
+   *  count fits [[RescanTierMaxVertices]]; identical integer
+   *  arithmetic, bit-identical ranks. */
   def pageRank(edges: DataFrame, iterations: Int = Iterations,
-      afterEdges: () => Unit = () => ()): DataFrame = {
+      afterEdges: () => Unit = () => (),
+      gcPerRound: Boolean = false,
+      rescanTier: Boolean = false): DataFrame = {
+    if (rescanTier) {
+      val deg0 = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val nv = deg0.count()
+      if (nv > 0 && nv <= RescanTierMaxVertices)
+        return pageRankRescan(edges, deg0, nv, iterations, gcPerRound)
+      // vertex set too large to broadcast: fall through to the
+      // persisted-layout shape (deg recomputed there — this fallback
+      // is the rare path and correctness beats one saved aggregate)
+    }
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // materialize the (src, dst, deg) frame once; every iteration —
     // and the final deg join — re-reads this, never the base scan.
@@ -199,6 +258,11 @@ object Graph {
         // cut lineage each round: the plan stays one join+agg deep
         // instead of compounding 10 shuffle stages into one DAG
         .localCheckpoint()
+      // at chunked-build scale, reclaim the finished round's shuffle
+      // files + dropped checkpoint blocks NOW (ContextCleaner is
+      // GC-driven; ten lingering ~4 GiB exchanges are scratch the
+      // 1000× octave does not have)
+      if (gcPerRound) System.gc()
       i += 1
     }
     // vertex degrees re-read the checkpointed edge frame, not the
@@ -211,13 +275,48 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** The broadcast-ranks iteration body of [[pageRank]]'s rescan
+   *  tier. Each round: re-scan `edges` (the zstd chunk parquet at
+   *  1000× — IO, no shuffle), broadcast-hash-join the vertex-sized
+   *  (node, r, deg) frame, floor'd contributions partial-aggregate on
+   *  dst map-side (per-task state ≤ vertex count) and exchange only
+   *  the combined partials. Arithmetic is the identical exact-integer
+   *  mass protocol — long sums are order-free, so the tier change
+   *  cannot move a single rank unit. */
+  private def pageRankRescan(edges: DataFrame, deg: DataFrame, n: Long,
+      iterations: Int, gcPerRound: Boolean): DataFrame = {
+    val tele = (M * (100L - Damp)) / (100L * n)
+    var ranks = deg.select(col("src").as("node"), lit(M / n).as("r"))
+    var i = 0
+    while (i < iterations) {
+      val rw = broadcast(ranks.join(deg, col("node") === col("src"))
+        .select(col("node"), col("r"), col("deg")))
+      ranks = edges.join(rw, col("src") === col("node"))
+        .select(col("dst"), expr(s"r * $Damp div (100 * deg)").as("c"))
+        .groupBy(col("dst"))
+        .agg((sum(col("c")) + lit(tele)).as("r"))
+        .select(col("dst").as("node"), col("r"))
+        .localCheckpoint() // vertex-sized; cut lineage each round
+      if (gcPerRound) System.gc()
+      i += 1
+    }
+    ranks.join(broadcast(deg), col("node") === col("src"))
+      .select(col("node"), col("deg"), col("r").as("rank_units"),
+        (col("r") / (M * 1.0)).as("share"))
+      .orderBy(col("node"))
+  }
+
   /** q148: PageRank over the co-purchase part graph (10 integer
    *  iterations, damping 0.85). Edge build: distinct (order, part)
    *  pairs self-joined on the order key — Σ_o C(items_o, 2) pairs,
    *  bounded by the order-size distribution, never parts². */
   def q148PageRank(s: SparkSession, d: String): DataFrame = {
     val edges = coPurchaseStrength(s, d).select(col("src"), col("dst"))
-    pageRank(edges, afterEdges = () => evictEdgeChunks(d))
+    // chunked-build corpora take the rescan tier (the chunk parquet is
+    // then re-read per round, so the eviction hook must NOT fire — it
+    // only does from the persisted shape, which the tier replaces)
+    pageRank(edges, afterEdges = () => evictEdgeChunks(d),
+      gcPerRound = chunkedBuild(d), rescanTier = chunkedBuild(d))
       .select(col("node").as("part_id"), col("deg"), col("rank_units"), col("share"))
   }
 
@@ -226,13 +325,13 @@ object Graph {
    *  technique at vertex scale). */
   val q148Sql: String =
     """WITH RECURSIVE
-      |li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      |e0 AS (
+      |li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e0 AS MATERIALIZED (
       |  SELECT DISTINCT a.pk AS src, b.pk AS dst
       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
-      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src),
-      |e AS (SELECT e0.src, e0.dst, d.deg FROM e0 JOIN deg d USING (src)),
-      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+      |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src),
+      |e AS MATERIALIZED (SELECT e0.src, e0.dst, d.deg FROM e0 JOIN deg d USING (src)),
+      |n AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
       |it(k, node, r) AS (
       |  SELECT 0, src, CAST(1000000000000 // n.n AS BIGINT) FROM deg, n
       |  UNION ALL
@@ -277,7 +376,8 @@ object Graph {
    *  Returns (node, wdeg, rank_units, share). */
   def weightedPageRank(edges: DataFrame,
       iterations: Int = Iterations,
-      afterEdges: () => Unit = () => ()): DataFrame = {
+      afterEdges: () => Unit = () => (),
+      gcPerRound: Boolean = false): DataFrame = {
     val wdeg = edges.groupBy(col("src")).agg(sum(col("c")).as("wdeg"))
     // persist, not localCheckpoint — keeps the build join's src
     // partitioning/ordering for all 10 rounds (see pageRank above)
@@ -303,6 +403,7 @@ object Graph {
     while (i < iterations) {
       // cut lineage each round (the q148 shape)
       ranks = weightedRankRound(e, ranks, tele).localCheckpoint()
+      if (gcPerRound) System.gc() // see pageRank: async shuffle reclaim
       i += 1
     }
     ranks.join(e.select(col("src"), col("wdeg")).distinct(),
@@ -325,24 +426,26 @@ object Graph {
 
   /** q165: strength-weighted PageRank over the co-purchase graph —
    *  the full (src, dst, c) frame q148 truncates. */
-  def q165WeightedPageRank(s: SparkSession, d: String): DataFrame =
-    weightedPageRank(coPurchaseStrength(s, d),
-        afterEdges = () => evictEdgeChunks(d))
+  def q165WeightedPageRank(s: SparkSession, d: String): DataFrame = {
+    val edges = coPurchaseStrength(s, d)
+    weightedPageRank(edges, afterEdges = () => evictEdgeChunks(d),
+        gcPerRound = chunkedBuild(d))
       .select(col("node").as("part_id"), col("wdeg"), col("rank_units"),
         col("share"))
+  }
 
   /** Oracle: the identical weighted integer iteration as a recursive
    *  CTE (the q148 replay with c-proportional contributions). */
   val q165Sql: String =
     """WITH RECURSIVE
-      |li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      |ew AS (
+      |li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ew AS MATERIALIZED (
       |  SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS c
       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
       |  GROUP BY 1, 2),
-      |wd AS (SELECT src, CAST(sum(c) AS BIGINT) AS wdeg FROM ew GROUP BY src),
-      |e AS (SELECT ew.src, ew.dst, ew.c, d.wdeg FROM ew JOIN wd d USING (src)),
-      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wd),
+      |wd AS MATERIALIZED (SELECT src, CAST(sum(c) AS BIGINT) AS wdeg FROM ew GROUP BY src),
+      |e AS MATERIALIZED (SELECT ew.src, ew.dst, ew.c, d.wdeg FROM ew JOIN wd d USING (src)),
+      |n AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM wd),
       |it(k, node, r) AS (
       |  SELECT 0, src, CAST(1000000000000 // n.n AS BIGINT) FROM wd, n
       |  UNION ALL
@@ -376,7 +479,8 @@ object Graph {
    *  at 0. Hop counts are exact integers: no float anywhere, so the
    *  frame is bit-identical to the oracle's recursive-CTE replay. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
-      afterEdges: () => Unit = () => ()): DataFrame = {
+      afterEdges: () => Unit = () => (),
+      gcPerRound: Boolean = false): DataFrame = {
     // DISK_ONLY for the data-sized edge frame (the q148 lesson:
     // memory-resident blocks compete with the join's execution pages)
     val e = edges.select(col("src"), col("dst"))
@@ -393,6 +497,7 @@ object Graph {
         .localCheckpoint() // cut lineage: plan depth stays O(1) per round
       dist = dist.union(next).localCheckpoint()
       frontier = next.select(col("node"))
+      if (gcPerRound) System.gc() // see pageRank: async shuffle reclaim
       h += 1
     }
     dist
@@ -421,7 +526,8 @@ object Graph {
       .select(col("p_partkey"))
     val seeds = e.select(col("src").as("node")).distinct()
       .join(seedParts, col("node") === col("p_partkey"), "left_semi")
-    bfsHops(e, seeds, maxHops = 6, afterEdges = () => evictEdgeChunks(d))
+    bfsHops(e, seeds, maxHops = 6, afterEdges = () => evictEdgeChunks(d),
+      gcPerRound = chunkedBuild(d))
       .select(col("node").as("part_id"), col("hops"))
       .orderBy(col("part_id"))
   }
@@ -431,13 +537,13 @@ object Graph {
    *  V·maxHops rows, never path-enumerating. */
   val q158Sql: String =
     """WITH RECURSIVE
-      |li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      |ew AS (
+      |li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ew AS MATERIALIZED (
       |  SELECT a.pk AS src, b.pk AS dst, count(*) AS c
       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
       |  GROUP BY 1, 2),
-      |e AS (SELECT src, dst FROM ew WHERE c >= 2),
-      |seeds AS (
+      |e AS MATERIALIZED (SELECT src, dst FROM ew WHERE c >= 2),
+      |seeds AS MATERIALIZED (
       |  SELECT DISTINCT src AS node FROM e
       |  JOIN part ON p_partkey = src WHERE p_brand = 'Brand#11'),
       |it AS (
@@ -1461,7 +1567,8 @@ object Graph {
    *  copies keep brand values). */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iterations: Int = Iterations,
-      afterEdges: () => Unit = () => ()): DataFrame = {
+      afterEdges: () => Unit = () => (),
+      gcPerRound: Boolean = false): DataFrame = {
     val seedSet = seeds.select(col("pk")).distinct()
     // seed flag joins on dst FIRST; the deg join on src afterwards
     // leaves the persisted frame hash-partitioned by src for all
@@ -1496,6 +1603,7 @@ object Graph {
         .agg((sum(col("c")) + max(col("dst_seed")) * lit(tele)).as("r"))
         .select(col("dst").as("node"), col("r"))
         .localCheckpoint() // cut lineage each round (the q148 shape)
+      if (gcPerRound) System.gc() // see pageRank: async shuffle reclaim
       i += 1
     }
     ranks.join(e.select(col("src"), col("deg")).distinct(),
@@ -1517,7 +1625,8 @@ object Graph {
     val minBrand = p.agg(min(col("p_brand"))).head().getString(0)
     val seeds = p.filter(col("p_brand") === lit(minBrand))
       .select(col("p_partkey").as("pk"))
-    personalizedPageRank(edges, seeds, afterEdges = () => evictEdgeChunks(d))
+    personalizedPageRank(edges, seeds, afterEdges = () => evictEdgeChunks(d),
+      gcPerRound = chunkedBuild(d))
   }
 
   /** Oracle: the identical seeded integer iteration as a grouped

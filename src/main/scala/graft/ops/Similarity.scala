@@ -1196,4 +1196,261 @@ object Similarity {
       |  FROM embeddings q JOIN embeddings c
       |   ON q.vec_id < 10 AND c.label <> q.label) p) t
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  // ----- durable two-level codebook artifact + scaled stream
+  // ----- maintenance (q189, round-14 stretch)
+
+  /** Both blocking levels as ONE durable, driver-sized artifact —
+   *  what [[twoLevelWithCell]] deliberately does NOT produce (its
+   *  fine fits are fused into the layout pass and discarded). A
+   *  stream-maintained SCALED layout needs them durable: each append
+   *  batch must assign against the SAME fine sub-codebooks the base
+   *  layout used, and past the flat ceiling those cannot be refit
+   *  per batch (a corpus pass each) nor recovered from the layout.
+   *  Total size k1·k2·dim doubles = k·dim ≈ 2 MB at 4096×64 —
+   *  driver-sized at any k this tier reaches.
+   *
+   *  Tier-uniform: k ≤ [[KMeansSample]] degrades to (k1 = k, k2 = 1,
+   *  fine = empty) and assignment reduces to the flat [[cellAssign]]
+   *  expression with the same memoized codebook — so the artifact
+   *  path is one code shape at every octave and the two-level tier
+   *  engages exactly where [[withCell]]'s does.
+   *
+   *  FROZEN-index contract (stated, gated): at the scaled tier the
+   *  per-cell population (~[[ScaledCellPop]]) is BELOW the fit-sample
+   *  cap, so any append necessarily changes what a from-scratch refit
+   *  would sample — append-≡-refit (the flat tier's q144 guarantee)
+   *  is structurally unavailable past the ceiling. The artifact is
+   *  therefore versioned-frozen: appends assign under the base
+   *  artifact (what FAISS-class systems do), audits compare against
+   *  the SAME frozen artifact, and refitting is a compaction-time
+   *  rewrite (the q166 LSH-compaction discipline). */
+  private[ops] def twoLevelCodebooks(s: SparkSession, e: DataFrame, k: Int)
+      : (Int, Int, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    import s.implicits._
+    if (k <= KMeansSample) {
+      val coarse = fitCodebook(e, k)
+      return (coarse.length, 1, coarse, Array.fill(coarse.length)(Array.empty[Array[Double]]))
+    }
+    val k2 = (k + KMeansSample - 1) / KMeansSample
+    val k1 = (k + k2 - 1) / k2
+    val coarse = fitCodebook(e, k1)
+    require(coarse.nonEmpty, "empty corpus, nothing to fit")
+    val cents: Array[(Int, Seq[Double])] =
+      coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    val sampleCap = KMeansSample
+    // one distributed pass: per coarse cell, fit the fine sub-codebook
+    // on the cell's smallest-vec_id sample — THE SAME sample discipline
+    // (and the same pure lloyd core) as the fused path, so the
+    // collected artifact is bit-identical to what twoLevelWithCell
+    // fits in-flight
+    val fineRows = e.withColumn("ccell", cellAssign(cents))
+      .select(col("vec_id"), col("v"), col("ccell"))
+      .repartition(col("ccell"))
+      .sortWithinPartitions(col("ccell"), col("vec_id"))
+      .as[(Long, Seq[Float], Int)]
+      .mapPartitions { rows =>
+        val b = rows.buffered
+        new Iterator[(Int, Seq[Seq[Double]])] {
+          def hasNext: Boolean = b.hasNext
+          def next(): (Int, Seq[Seq[Double]]) = {
+            val cc = b.head._3
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+            while (b.hasNext && b.head._3 == cc && buf.length < sampleCap)
+              buf += unit(b.next()._2.map(_.toDouble).toArray)
+            while (b.hasNext && b.head._3 == cc) b.next() // drain the cell
+            (cc, lloyd(buf.toArray, k2).map(_.toSeq).toSeq)
+          }
+        }
+      }.collect()
+    val fine = Array.fill(k1)(Array.empty[Array[Double]])
+    fineRows.foreach { case (cc, cb) => fine(cc) = cb.map(_.toArray).toArray }
+    (k1, k2, coarse, fine)
+  }
+
+  /** Assign a (vec_id, v) frame under a frozen two-level artifact.
+   *  Flat tier (k2 = 1): the [[cellAssign]] expression — codegen'd,
+   *  bit-identical to [[withCell]]. Two-level: one streaming
+   *  mapPartitions with both levels broadcast-by-closure (~2 MB),
+   *  replicating the fused path's exact arithmetic — cosine via the
+   *  q37 driver-side formula for the coarse argmax (greatest(struct)
+   *  ties to the LARGER cid ⇒ `>=` over ascending cid), raw dot with
+   *  the same tie rule for the fine level. */
+  private[ops] def assignWithArtifact(s: SparkSession, batch: DataFrame,
+      k1: Int, k2: Int, coarse: Array[Array[Double]],
+      fine: Array[Array[Array[Double]]]): DataFrame = {
+    import s.implicits._
+    if (k2 == 1) {
+      val cents: Array[(Int, Seq[Double])] =
+        coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      return batch.select(col("vec_id"), col("v"))
+        .withColumn("cell", cellAssign(cents))
+    }
+    batch.select(col("vec_id"), col("v")).as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        rows.map { case (id, v) =>
+          val vd = v.map(_.toDouble).toArray
+          val nv = math.sqrt(dotd(vd, vd))
+          var cc = 0
+          var best = Double.NegativeInfinity
+          var i = 0
+          while (i < coarse.length) {
+            val c = coarse(i)
+            val sim = dotd(vd, c) / (nv * math.sqrt(dotd(c, c)))
+            if (sim >= best) { cc = i; best = sim } // ties: larger cid
+            i += 1
+          }
+          val fb = fine(cc)
+          var f = 0
+          if (fb.nonEmpty) {
+            var bd = dotd(vd, fb(0)); var j = 1
+            while (j < fb.length) {
+              val dd = dotd(vd, fb(j))
+              if (dd >= bd) { f = j; bd = dd } // ties: larger fine id
+              j += 1
+            }
+          }
+          (id, v, cc * k2 + f)
+        }
+      }.toDF("vec_id", "v", "cell")
+  }
+
+  /** Persist / load the artifact under the layout dir (an
+   *  underscore-prefixed child: Spark's parquet reader ignores it, so
+   *  the layout stays directly queryable). One row per coarse cell. */
+  private def writeArtifact(s: SparkSession, layout: String, k1: Int,
+      k2: Int, coarse: Array[Array[Double]],
+      fine: Array[Array[Array[Double]]]): Unit = {
+    import s.implicits._
+    coarse.indices.map { i =>
+      (i, k1, k2, coarse(i).toSeq, fine(i).map(_.toSeq).toSeq)
+    }.toDF("ccell", "k1", "k2", "centroid", "fine")
+      .repartition(1).write.mode("overwrite").parquet(s"$layout/_codebook")
+  }
+
+  private def readArtifact(s: SparkSession, layout: String)
+      : (Int, Int, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val rows = s.read.parquet(s"$layout/_codebook").collect()
+    require(rows.nonEmpty, s"$layout: no codebook artifact")
+    val k1 = rows.head.getInt(1); val k2 = rows.head.getInt(2)
+    val coarse = Array.fill(k1)(Array.empty[Double])
+    val fine = Array.fill(k1)(Array.empty[Array[Double]])
+    rows.foreach { r =>
+      val i = r.getInt(0)
+      coarse(i) = r.getSeq[Double](3).toArray
+      fine(i) = r.getSeq[Seq[Double]](4).map(_.toArray).toArray
+    }
+    (k1, k2, coarse, fine)
+  }
+
+  /** Corpus-scaled layout WITH the durable artifact — the
+   *  stream-maintainable sibling of [[ivfWriteScaled]]. Returns the
+   *  realized cell count k1·k2 (≥ [[scaledCellCount]]). */
+  def ivfWriteScaledArtifact(s: SparkSession, d: String, out: String): Int = {
+    graft.functions.GraftFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val k = scaledCellCount(e.count())
+    val (k1, k2, coarse, fine) = twoLevelCodebooks(s, e, k)
+    assignWithArtifact(s, e, k1, k2, coarse, fine)
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
+    writeArtifact(s, out, k1, k2, coarse, fine)
+    k1 * k2
+  }
+
+  /** O(batch) append under the FROZEN artifact (see the contract on
+   *  [[twoLevelCodebooks]]): read the ~2 MB artifact, assign, append
+   *  into the partition dirs — no corpus pass, no refit. */
+  def ivfAppendScaled(s: SparkSession, layout: String, batch: DataFrame): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    val (k1, k2, coarse, fine) = readArtifact(s, layout)
+    assignWithArtifact(s,
+        batch.select(col("vec_id"), col("embedding").as("v")), k1, k2, coarse, fine)
+      .write.mode("append").partitionBy("cell").parquet(layout)
+  }
+
+  /** q189: the SCALED IVF layout maintained from a live stream — the
+   *  q186 lifecycle at the tier q186 stops short of. Stage the corpus
+   *  as 3 files, build the frozen artifact from the full corpus (the
+   *  smallest-id sample discipline — batches with ids above the
+   *  sample leave it unchanged, the q144 contract), stream-append
+   *  every batch under it, tombstone a decile, compact, then audit:
+   *
+   *   - `artifact_parity`: assignment under the artifact ≡ the fused
+   *     [[withCell]] path at the same k — the two-level artifact is
+   *     bit-identical to the in-flight fits (0 mismatches);
+   *   - `stream_complete` / `stream_equiv_frozen`: the streamed
+   *     layout holds exactly the corpus, each vector in exactly the
+   *     cell the frozen artifact assigns;
+   *   - `stream_saw_batches`: the maintenance really ran per-batch;
+   *   - `stream_tombstones_gone`: compaction dropped the decile.
+   *
+   *  At the provisioned dirs k ≤ [[KMeansSample]] exercises the
+   *  flat-degenerate artifact; past ~1M vectors (the 1000× dir's 2M)
+   *  the two-level tier engages NATURALLY — the same query is the
+   *  scale gate there. */
+  def q189StreamScaledIvf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.functions.GraftFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val fpRow = e.agg(bit_xor(xxhash64(col("vec_id"), col("embedding")))).head()
+    val fp = java.lang.Long.toHexString(
+      if (fpRow.isNullAt(0)) 0L else fpRow.getLong(0))
+    val stage = InferOps.tmpPath("ssivf_src", d, suffix = s"_$fp")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_SUCCESS")))
+      e.repartition(3).write.mode("overwrite").parquet(stage)
+    val layout = InferOps.tmpPath("ssivf_layout", d)
+    val gen2 = InferOps.tmpPath("ssivf_gen2", d)
+    deleteDir(layout)
+    val ev = e.select(col("vec_id"), col("embedding").as("v"))
+    val k = scaledCellCount(ev.count())
+    val (k1, k2, coarse, fine) = twoLevelCodebooks(s, ev, k)
+    // empty layout carrying only the artifact: the stream builds the data
+    writeArtifact(s, layout, k1, k2, coarse, fine)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      nBatches.incrementAndGet()
+      ivfAppendScaled(s, layout, batch)
+      ()
+    }.trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val tomb = e.filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+    compactIvfLayout(s, layout, gen2, tomb)
+    val nSurv = e.join(broadcast(tomb), Seq("vec_id"), "left_anti").count()
+    val frozen = assignWithArtifact(s, ev, k1, k2, coarse, fine)
+      .select(col("vec_id"), col("cell").as("cell_frozen"))
+    val fused = withCell(s, d, k)
+      .select(col("vec_id"), col("cell").as("cell_fused"))
+    val parityMism = frozen.join(fused, Seq("vec_id"), "full")
+      .filter(col("cell_frozen").isNull || col("cell_fused").isNull ||
+        col("cell_frozen") =!= col("cell_fused")).count()
+    val stored = s.read.parquet(gen2)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"))
+    val tombLeft = stored.join(broadcast(tomb), Seq("vec_id"), "left_semi").count()
+    val audit = stored
+      .join(frozen.join(broadcast(tomb), Seq("vec_id"), "left_anti"),
+        Seq("vec_id"), "full")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("vec_id")).as("n_ids"),
+        count(when(col("cell").isNull || col("cell_frozen").isNull ||
+          col("cell") =!= col("cell_frozen"), 1)).as("mismatches"))
+      .head()
+    import s.implicits._
+    Seq(
+      ("artifact_parity", parityMism == 0L),
+      ("stream_complete",
+        audit.getLong(0) == nSurv && audit.getLong(1) == nSurv),
+      ("stream_equiv_frozen", audit.getLong(2) == 0L),
+      ("stream_saw_batches", nBatches.get() == 3),
+      ("stream_tombstones_gone", tombLeft == 0L))
+      .toDF("component", "ok").orderBy(col("component"))
+  }
+
+  val q189Sql: String =
+    """SELECT * FROM (VALUES
+      | ('artifact_parity', true), ('stream_complete', true),
+      | ('stream_equiv_frozen', true), ('stream_saw_batches', true),
+      | ('stream_tombstones_gone', true)
+      |) t(component, ok) ORDER BY component""".stripMargin
 }

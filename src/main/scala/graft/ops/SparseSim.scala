@@ -177,8 +177,13 @@ object SparseSim {
         (0 until chunks).foreach { c =>
           dotsOf(w.filter(
               pmod(xxhash64(col("term")), lit(chunks.toLong)) === lit(c.toLong)))
-            .write.mode(if (c == 0) "overwrite" else "append").parquet(dir)
+            // zstd: the parked partials are the durable scratch floor
+            .write.option("compression", "zstd")
+            .mode(if (c == 0) "overwrite" else "append").parquet(dir)
           System.gc()
+          // let the async cleaner actually unlink (1000×-class only —
+          // the small-C octaves don't carry the scratch pressure)
+          if (chunks >= 4) Thread.sleep(3000)
         }
         val s = docs.sparkSession
         val assembled = s.read.parquet(dir)

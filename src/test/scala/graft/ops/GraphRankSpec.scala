@@ -38,6 +38,17 @@ class GraphRankSpec extends AnyFunSuite with SparkSuite {
     assert(out == replay(pathEdges, Graph.Iterations))
   }
 
+  test("rescan (broadcast-ranks) tier is row-identical to the persisted shape") {
+    // the 1000×-octave tier: per-round edge re-scan + broadcast vertex
+    // frame must yield bit-identical ranks (order-free long sums)
+    val df = pathEdges.toDF("src", "dst")
+    val persisted = Graph.pageRank(df, Graph.Iterations)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val rescan = Graph.pageRank(df, Graph.Iterations, rescanTier = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rescan == persisted)
+  }
+
   test("the hub of a star graph outranks every leaf") {
     val star = (2L to 6L).flatMap(l => Seq((1L, l), (l, 1L)))
     val out = Graph.pageRank(star.toDF("src", "dst"), Graph.Iterations)
