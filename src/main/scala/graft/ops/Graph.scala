@@ -214,7 +214,10 @@ object Graph {
       gcPerRound: Boolean = false,
       rescanTier: Boolean = false): DataFrame = {
     if (rescanTier) {
-      val deg0 = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // coalesce before the aggregate for the same map-side-combine
+      // reason as pageRankRescan's per-round scans
+      val deg0 = edges.coalesce(64)
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .localCheckpoint()
       val nv = deg0.count()
       if (nv > 0 && nv <= RescanTierMaxVertices)
@@ -286,18 +289,30 @@ object Graph {
   private def pageRankRescan(edges: DataFrame, deg: DataFrame, n: Long,
       iterations: Int, gcPerRound: Boolean): DataFrame = {
     val tele = (M * (100L - Damp)) / (100L * n)
+    // coalesce the scan: the dst partial aggregate's exchange volume is
+    // (map tasks)×(vertex count) rows — ~140 parquet-split tasks of the
+    // chunk dir each emit up to the full 1.3 M-key state. Fewer, larger
+    // map tasks make the map-side combine actually combine (the whole
+    // point of this tier); 64 still saturates 32 threads.
+    val e = edges.coalesce(64)
     var ranks = deg.select(col("src").as("node"), lit(M / n).as("r"))
     var i = 0
     while (i < iterations) {
       val rw = broadcast(ranks.join(deg, col("node") === col("src"))
         .select(col("node"), col("r"), col("deg")))
-      ranks = edges.join(rw, col("src") === col("node"))
+      ranks = e.join(rw, col("src") === col("node"))
         .select(col("dst"), expr(s"r * $Damp div (100 * deg)").as("c"))
         .groupBy(col("dst"))
         .agg((sum(col("c")) + lit(tele)).as("r"))
         .select(col("dst").as("node"), col("r"))
         .localCheckpoint() // vertex-sized; cut lineage each round
-      if (gcPerRound) System.gc()
+      if (gcPerRound) {
+        // the finished round's ~GiB-scale agg exchange is dead the
+        // moment the checkpoint truncates lineage — but ContextCleaner
+        // is async; 12 unreclaimed rounds was the round-14 run-4 death
+        System.gc()
+        Thread.sleep(2000)
+      }
       i += 1
     }
     ranks.join(broadcast(deg), col("node") === col("src"))
