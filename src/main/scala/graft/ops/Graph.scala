@@ -167,6 +167,9 @@ object Graph {
             // transients stacked across chunks)
             System.gc()
             if (chunks >= 4) Thread.sleep(3000)
+            // probe-visible progress: the 1000× post-mortems could not
+            // even tell WHICH PHASE died (WARN-level logs only)
+            System.err.println(s"[graph] edge chunk ${c + 1}/$chunks parked")
           }
         } finally li.unpersist(blocking = true)
         java.nio.file.Files.createFile(doneMarker)
@@ -180,13 +183,17 @@ object Graph {
   }
 
   /** Vertex-count ceiling for the broadcast-ranks PageRank tier: the
-   *  per-round broadcast is ~24 B/vertex (node, r, deg), so 5 M
-   *  vertices ≈ 120 MB — comfortable at the probe heap, refused past
-   *  it (the persisted-layout tier takes over, as it must on a graph
-   *  whose VERTEX set is data-sized). */
+   *  hashed relation costs ~50 B/vertex, so 20 M vertices ≈ 1 GB —
+   *  affordable at the ≥48 g heaps that chunk-built corpora already
+   *  require, refused past it (the persisted-layout tier takes over,
+   *  as it must on a graph whose VERTEX set is data-sized). The 1000×
+   *  co-purchase graph has ~6.5 M vertices (20 k parts × 1000 shifted
+   *  copies, Brand#1% alone was 1.31 M at q160's pass) — a first-cut
+   *  5 M ceiling silently fell back to the persisted shape and
+   *  re-died on scratch, which is why the decision now logs. */
   private[ops] val RescanTierMaxVertices: Long =
     sys.env.get("SPARK_GRAFT_PR_BCAST_MAX_V").map(_.toLong)
-      .getOrElse(5000000L)
+      .getOrElse(20000000L)
 
   /** Integer PageRank over a directed edge list (src, dst) — callers
    *  pass a symmetrized frame for undirected graphs. Returns
@@ -220,6 +227,9 @@ object Graph {
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .localCheckpoint()
       val nv = deg0.count()
+      System.err.println(s"[graph] pageRank tier: vertices=$nv " +
+        s"ceiling=$RescanTierMaxVertices -> " +
+        (if (nv > 0 && nv <= RescanTierMaxVertices) "rescan" else "persisted"))
       if (nv > 0 && nv <= RescanTierMaxVertices)
         return pageRankRescan(edges, deg0, nv, iterations, gcPerRound)
       // vertex set too large to broadcast: fall through to the
@@ -312,6 +322,7 @@ object Graph {
         // is async; 12 unreclaimed rounds was the round-14 run-4 death
         System.gc()
         Thread.sleep(2000)
+        System.err.println(s"[graph] rescan round ${i + 1}/$iterations done")
       }
       i += 1
     }
@@ -338,28 +349,39 @@ object Graph {
   /** Oracle: the identical integer iteration replayed as a recursive
    *  CTE (one self-reference, grouped recursive arm — the q125
    *  technique at vertex scale). */
-  val q148Sql: String =
-    """WITH RECURSIVE
-      |li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      |e0 AS MATERIALIZED (
-      |  SELECT DISTINCT a.pk AS src, b.pk AS dst
-      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
-      |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src),
-      |e AS MATERIALIZED (SELECT e0.src, e0.dst, d.deg FROM e0 JOIN deg d USING (src)),
-      |n AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
-      |it(k, node, r) AS (
-      |  SELECT 0, src, CAST(1000000000000 // n.n AS BIGINT) FROM deg, n
-      |  UNION ALL
-      |  SELECT it.k + 1, e.dst,
-      |   CAST(1000000000000 * 15 // (100 * min(n.n))
-      |        + sum(it.r * 85 // (100 * e.deg)) AS BIGINT)
-      |  FROM it JOIN e ON it.node = e.src CROSS JOIN n
-      |  WHERE it.k < 10
-      |  GROUP BY it.k + 1, e.dst)
-      |SELECT it.node AS part_id, d.deg, it.r AS rank_units,
-      | it.r * 1.0 / 1000000000000 AS share
-      |FROM it JOIN deg d ON it.node = d.src
-      |WHERE it.k = 10 ORDER BY part_id""".stripMargin
+  /** Oracle: UNROLLED as ten MATERIALIZED arms rather than one
+   *  recursive CTE — the q168/q171/q181 device, which at 1000× is
+   *  load-bearing for memory, not just for plan sanity: the recursive
+   *  form spilled >59 GiB of temp (the working-table machinery buffers
+   *  the grouped arm's inputs), while each unrolled arm is one hash
+   *  join with a VERTEX-sized (2·10⁷ row) build side that the
+   *  10⁹-row edge frame streams through, plus a vertex-sized
+   *  aggregate — bounded memory per arm by construction. */
+  val q148Sql: String = {
+    val arms = (1 to Iterations).map { k =>
+      s"""it$k AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |   CAST(1000000000000 * 15 // (100 * min(n.n))
+         |        + sum(p.r * 85 // (100 * e.deg)) AS BIGINT) AS r
+         |  FROM it${k - 1} p JOIN e ON p.node = e.src CROSS JOIN n
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+       |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src),
+       |e AS MATERIALIZED (SELECT e0.src, e0.dst, d.deg FROM e0 JOIN deg d USING (src)),
+       |n AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |it0 AS MATERIALIZED (
+       |  SELECT src AS node, CAST(1000000000000 // n.n AS BIGINT) AS r FROM deg, n),
+       |$arms
+       |SELECT t.node AS part_id, d.deg, t.r AS rank_units,
+       | t.r * 1.0 / 1000000000000 AS share
+       |FROM it$Iterations t JOIN deg d ON t.node = d.src
+       |ORDER BY part_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // q165: WEIGHTED PageRank — mass flows ∝ edge strength

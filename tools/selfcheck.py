@@ -51,6 +51,11 @@ def main():
             return "96GB"
     mem = os.environ.get("SELFCHECK_DUCKDB_MEM") or _default_mem()
     con.sql(f"SET memory_limit='{mem}'")
+    # every gated query carries its own ORDER BY; dropping insertion-
+    # order preservation lets DuckDB's large aggregates/joins use
+    # streaming operators instead of order-preserving buffering (the
+    # q148 1000x oracle spilled >59 GiB with it on)
+    con.sql("SET preserve_insertion_order=false")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table: directory of parts
