@@ -1233,9 +1233,14 @@ object Similarity {
       return (coarse.length, 1, coarse, Array.fill(coarse.length)(Array.empty[Array[Double]]))
     }
     val k2 = (k + KMeansSample - 1) / KMeansSample
-    val k1 = (k + k2 - 1) / k2
-    val coarse = fitCodebook(e, k1)
+    val k1Req = (k + k2 - 1) / k2
+    val coarse = fitCodebook(e, k1Req)
     require(coarse.nonEmpty, "empty corpus, nothing to fit")
+    // REALIZED coarse count: lloyd caps centroids at the sample size,
+    // so a small corpus yields fewer cells than requested — the
+    // artifact must record what was fit, not what was asked (ghost
+    // empty cells otherwise corrupt the read-back)
+    val k1 = coarse.length
     val cents: Array[(Int, Seq[Double])] =
       coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
     val sampleCap = KMeansSample
@@ -1315,22 +1320,24 @@ object Similarity {
       }.toDF("vec_id", "v", "cell")
   }
 
-  /** Persist / load the artifact under the layout dir (an
-   *  underscore-prefixed child: Spark's parquet reader ignores it, so
-   *  the layout stays directly queryable). One row per coarse cell. */
-  private def writeArtifact(s: SparkSession, layout: String, k1: Int,
+  /** Persist / load the artifact as a SIBLING dir of the layout
+   *  (`<layout>_codebook`): an underscore-prefixed CHILD would be
+   *  invisible even to a direct read (Spark's file index hides
+   *  underscore paths at every level), and a plain child would leak
+   *  into whole-layout scans. One row per coarse cell. */
+  private[ops] def writeArtifact(s: SparkSession, layout: String, k1: Int,
       k2: Int, coarse: Array[Array[Double]],
       fine: Array[Array[Array[Double]]]): Unit = {
     import s.implicits._
     coarse.indices.map { i =>
       (i, k1, k2, coarse(i).toSeq, fine(i).map(_.toSeq).toSeq)
     }.toDF("ccell", "k1", "k2", "centroid", "fine")
-      .repartition(1).write.mode("overwrite").parquet(s"$layout/_codebook")
+      .repartition(1).write.mode("overwrite").parquet(s"${layout}_codebook")
   }
 
-  private def readArtifact(s: SparkSession, layout: String)
+  private[ops] def readArtifact(s: SparkSession, layout: String)
       : (Int, Int, Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    val rows = s.read.parquet(s"$layout/_codebook").collect()
+    val rows = s.read.parquet(s"${layout}_codebook").collect()
     require(rows.nonEmpty, s"$layout: no codebook artifact")
     val k1 = rows.head.getInt(1); val k2 = rows.head.getInt(2)
     val coarse = Array.fill(k1)(Array.empty[Double])
@@ -1338,7 +1345,13 @@ object Similarity {
     rows.foreach { r =>
       val i = r.getInt(0)
       coarse(i) = r.getSeq[Double](3).toArray
-      fine(i) = r.getSeq[Seq[Double]](4).map(_.toArray).toArray
+      // element type must be collection.Seq: Spark materializes nested
+      // arrays as mutable.ArraySeq, and an immutable.Seq element cast
+      // blows up EXACTLY when fine codebooks are non-empty — i.e. only
+      // past the flat ceiling (found by the 1000× probe, invisible at
+      // every octave where k2 = 1)
+      fine(i) = r.getSeq[scala.collection.Seq[Double]](4)
+        .map(_.toArray).toArray
     }
     (k1, k2, coarse, fine)
   }
@@ -1406,6 +1419,7 @@ object Similarity {
     val (k1, k2, coarse, fine) = twoLevelCodebooks(s, ev, k)
     // empty layout carrying only the artifact: the stream builds the data
     writeArtifact(s, layout, k1, k2, coarse, fine)
+    InferOps.registerScratch(s"${layout}_codebook") // sibling: not tmpPath-tracked
     val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
     val stream = s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)

@@ -124,4 +124,35 @@ class SemDedupCellSpec extends AnyFunSuite with SparkSuite {
     assert(m("cell_assign_durable") && m("cell_drops_sound")
       && m("cell_layout_complete"))
   }
+
+  test("two-level artifact: parquet round-trip exact, assignment == fused, WITH non-empty fine") {
+    // k past the flat ceiling on a tiny corpus forces k2 > 1, so the
+    // fine sub-codebooks are NON-EMPTY nested arrays — the exact shape
+    // whose parquet round-trip broke at the 1000× octave only
+    // (mutable.ArraySeq elements vs an immutable.Seq cast)
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val k = Similarity.KMeansSample + 100
+    val (k1, k2, coarse, fine) = Similarity.twoLevelCodebooks(spark, e, k)
+    assert(k2 > 1, "fixture must exercise the two-level tier")
+    assert(fine.exists(_.nonEmpty), "at least one non-empty fine codebook")
+    val dir = java.nio.file.Files.createTempDirectory("graft-art").toString
+    Similarity.writeArtifact(spark, dir, k1, k2, coarse, fine)
+    val (rk1, rk2, rc, rf) = Similarity.readArtifact(spark, dir)
+    assert(rk1 == k1 && rk2 == k2)
+    assert(rc.map(_.toSeq).toSeq == coarse.map(_.toSeq).toSeq,
+      "coarse centroids must round-trip bit-exactly")
+    assert(rf.map(_.map(_.toSeq).toSeq).toSeq ==
+      fine.map(_.map(_.toSeq).toSeq).toSeq,
+      "fine codebooks must round-trip bit-exactly")
+    // artifact-based assignment ≡ the fused in-flight path
+    val art = Similarity.assignWithArtifact(spark, e, rk1, rk2, rc, rf)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val fused = Similarity.twoLevelWithCell(spark, e, k)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(art == fused, "frozen-artifact assignment must equal the fused fit")
+  }
 }
