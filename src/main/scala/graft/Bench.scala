@@ -124,7 +124,12 @@ object Bench {
       import scala.jdk.CollectionConverters._
       scala.util.Try(scala.util.Using.resource(java.nio.file.Files.list(cwd)) {
         _.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.matches("BENCH_r\\d+\\.json")).toSeq.sorted.lastOption
+          .filter(n => n.matches("BENCH_r\\d+\\.json")).toSeq
+          // numeric round order (advice round-14): lexicographic sort
+          // only worked while names stayed zero-padded two-digit —
+          // r9 vs r100 would silently bracket against a stale baseline
+          .sortBy(n => "\\d+".r.findFirstIn(n).map(_.toInt).getOrElse(0))
+          .lastOption
       }).toOption.flatten
     }
     val prevQ: Map[String, Double] = prevPath.flatMap { p =>

@@ -21,6 +21,19 @@ object BenchOne {
       sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
     val shuffleRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    // widest single exchange (stage-level shuffle write) + optional
+    // budget tripwire (round-14 verdict ask 8): the q114 16×-
+    // redundancy class — a corpus-sized frame re-exchanged once per
+    // chunk pass — shows up as ONE stage class repeatedly writing
+    // ~frame-sized row counts. SPARK_GRAFT_STAGE_ROW_BUDGET (rows)
+    // makes that loud: any completed stage wider than the budget is
+    // reported per-stage and fails the run with exit 3, so a scale
+    // probe asserting "widest exchange ≤ 2× the shingle frame" is a
+    // one-env-var contract instead of a manual dump read.
+    val widestRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val widestStage = new java.util.concurrent.atomic.AtomicLong(-1)
+    val rowBudget = sys.env.get("SPARK_GRAFT_STAGE_ROW_BUDGET").map(_.toLong)
+    val budgetBlown = new java.util.concurrent.atomic.AtomicLong(0)
     // per-stage attribution (SPARK_GRAFT_STAGE_DUMP=1): which exchange
     // carries the rows — optimizing "the widest shuffle" starts from a
     // stage-level measurement, not a plan-shape guess
@@ -32,6 +45,18 @@ object BenchOne {
         if (m != null) {
           shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          val rw = m.shuffleWriteMetrics.recordsWritten
+          if (rw > widestRows.get()) {
+            widestRows.set(rw); widestStage.set(e.stageInfo.stageId.toLong)
+          }
+          rowBudget.foreach { b =>
+            if (rw > b) {
+              budgetBlown.incrementAndGet()
+              System.err.println(f"[tripwire] stage=${e.stageInfo.stageId}%d " +
+                f"shuffle rows=$rw%,d exceeds budget $b%,d " +
+                f"(${e.stageInfo.name.take(60)})")
+            }
+          }
           if (stageDump && m.shuffleWriteMetrics.recordsWritten > 0) {
             val site = e.stageInfo.details.linesIterator
               .find(l => l.contains("graft") || l.contains("Dataset"))
@@ -53,9 +78,15 @@ object BenchOne {
       Thread.sleep(1000) // listener bus settle
       println(f"[benchone] $name run$i $sec%.2f s " +
         f"shuffle_write~${(shuffleWrite.get() - w0) / (1 << 20)}%d MiB " +
-        f"(${shuffleRecords.get() - r0}%d rows)")
+        f"(${shuffleRecords.get() - r0}%d rows) " +
+        f"widest_stage=${widestStage.get()}%d/${widestRows.get()}%,d rows")
     }
     graft.ops.InferOps.cleanupScratch()
     spark.stop()
+    if (budgetBlown.get() > 0) {
+      System.err.println(s"[tripwire] ${budgetBlown.get()} stage(s) over " +
+        s"SPARK_GRAFT_STAGE_ROW_BUDGET=${rowBudget.get} — failing run")
+      sys.exit(3)
+    }
   }
 }

@@ -27,6 +27,18 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // allow subset-key co-partitioning (default true REQUIRES all
+      // join keys as partition keys): the q114-class verification
+      // joins probe a frame parked hash-partitioned by doc_id into a
+      // (doc_id, k1, k2) equi-join — with the default, Spark re-
+      // exchanged the corpus-sized parked side once per chunk pass
+      // (the round-14 stage-dump's 16× redundancy); with subset
+      // co-partitioning the parked frame never moves and only the
+      // probe side exchanges, re-keyed to the matching subset. The
+      // skew the default guards against (all of a join key's rows in
+      // one partition) is bounded here by clone-cluster width — the
+      // same bound the candidate fold already documents.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       // lz4 for persisted/localCheckpoint blocks (default is OFF,
       // unlike shuffle compression): the q114-class operators park a

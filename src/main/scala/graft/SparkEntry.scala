@@ -345,7 +345,8 @@ object SparkEntry {
     "q188_type_widening" -> (InferOps.q188TypeWidening _),
     // stream-maintained SCALED IVF under a frozen two-level codebook
     // artifact (the q186 lifecycle past the flat driver-fit ceiling)
-    "q189_stream_scaled_ivf" -> (Similarity.q189StreamScaledIvf _)
+    "q189_stream_scaled_ivf" -> (Similarity.q189StreamScaledIvf _),
+    "q190_semdedup_scaled_cells" -> (Dedup.q190SemDedupScaledCells _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -529,6 +530,7 @@ object SparkEntry {
     "q185_neighbor_sample" -> Graph.q185Sql,
     "q186_stream_ivf_index" -> Similarity.q186Sql,
     "q188_type_widening" -> InferOps.q188Sql,
-    "q189_stream_scaled_ivf" -> Similarity.q189Sql
+    "q189_stream_scaled_ivf" -> Similarity.q189Sql,
+    "q190_semdedup_scaled_cells" -> Dedup.q190Sql
   )
 }

@@ -1289,6 +1289,90 @@ object Dedup {
       | ('cell_layout_complete', true), ('cell_recall', true)
       |) t(component, ok) ORDER BY component""".stripMargin
 
+  /** q190: PRODUCTION SemDeDup routed over the SCALED two-level
+   *  layout (round-15, verdict ask 7) — q137's composition with the
+   *  blocking swapped from the fixed 16-cell probe codebook to the
+   *  corpus-scaled frozen-artifact layout q189 maintains
+   *  ([[Similarity.scaledLayoutDir]]): cell count = n/500 (flat-
+   *  degenerate at the provisioned dirs, two-level past the ~1 M-
+   *  vector ceiling — the 1000× dir's 2 M vectors engage the tier
+   *  naturally), so the per-cell quadratic stays bounded by
+   *  [[Similarity.ScaledCellPop]]² and TOTAL policy work stays
+   *  linear in the corpus — the 100 TB shape q137's scaladoc
+   *  promises ("a 100 TB deployment runs it with a corpus-scaled
+   *  cell count"). Gate components mirror q137's, re-based on the
+   *  frozen artifact:
+   *
+   *   - `scaled_layout_complete`: the durable scaled layout holds
+   *     exactly the corpus's vectors;
+   *   - `scaled_assign_durable`: every vector's partition directory
+   *     equals the cell the persisted FROZEN artifact assigns it
+   *     today ([[Similarity.assignUnderArtifact]] — the artifact,
+   *     not a refit, is the definition at this tier);
+   *   - `scaled_drops_sound`: on the truth prefix, every scaled-cell
+   *     drop is an unblocked-truth drop (blocking only prunes);
+   *   - `scaled_recall`: the scaled blocking recovers ≥
+   *     [[SemDedupRecallFloor]] of unblocked truth drops on the
+   *     prefix. Honest tier note: finer cells prune MORE boundary
+   *     pairs than the 16-cell blocking, so this leg is exactly the
+   *     tripwire the floor's scaladoc describes — it certifies the
+   *     codebook/layout are sane, not that cross-cell misses shrink.
+   *
+   *  Both quadratic legs run on the vec_id < [[SemDedupTruthCap]]
+   *  prefix (exact by prefix-closure — the same SemDedupCellSpec
+   *  restriction argument: a prefix is closed under "earlier
+   *  same-cell vector" for ANY cell definition). */
+  def q190SemDedupScaledCells(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val layout = Similarity.scaledLayoutDir(s, d)
+    val stored = s.read.parquet(layout)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("v"))
+    val src = embeddings(s, d)
+    val completeness = stored
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("vec_id")).as("n_ids"))
+      .crossJoin(src.agg(count(lit(1)).as("n_src")))
+      .select((col("n_rows") === col("n_src") &&
+        col("n_ids") === col("n_src")).as("layout_ok"))
+    val parity = stored.select(col("vec_id"), col("cell"))
+      .join(Similarity.assignUnderArtifact(s, layout,
+          src.select(col("vec_id"), col("embedding").as("v")))
+        .select(col("vec_id"), col("cell").as("cell_now")), Seq("vec_id"), "full")
+      .agg(count(when(col("cell").isNull || col("cell_now").isNull ||
+        col("cell") =!= col("cell_now"), 1)).as("mismatches"))
+      .select((col("mismatches") === 0).as("assign_ok"))
+    val truthDrops = semDedupPolicy(
+      src.filter(col("vec_id") < SemDedupTruthCap)
+        .select(col("vec_id"), lit(0).as("blk"), col("embedding")),
+      blockCol = "blk", vecCol = "embedding", tau = SemDedupTau)
+      .filter(col("dropped") === 1).select(col("vec_id"))
+    val cellDrops = semDedupPolicy(
+      stored.filter(col("vec_id") < SemDedupTruthCap),
+      blockCol = "cell", vecCol = "v", tau = SemDedupTau)
+      .filter(col("dropped") === 1).select(col("vec_id"))
+    val gate = truthDrops.withColumn("t", lit(1))
+      .join(cellDrops.withColumn("c", lit(1)), Seq("vec_id"), "full")
+      .agg(count(col("t")).as("truth"),
+        count(when(col("t").isNotNull && col("c").isNotNull, 1)).as("hit"),
+        count(when(col("t").isNull, 1)).as("extra"))
+    completeness.crossJoin(parity).crossJoin(gate)
+      .select(explode(array(
+        struct(lit("scaled_assign_durable").as("component"), col("assign_ok").as("ok")),
+        struct(lit("scaled_drops_sound").as("component"),
+          (col("extra") === 0).as("ok")),
+        struct(lit("scaled_layout_complete").as("component"), col("layout_ok").as("ok")),
+        struct(lit("scaled_recall").as("component"),
+          (col("truth") === 0 ||
+            col("hit") >= col("truth") * SemDedupRecallFloor).as("ok")))).as("r"))
+      .select(col("r.component"), col("r.ok"))
+      .orderBy(col("component"))
+  }
+
+  val q190Sql: String =
+    """SELECT * FROM (VALUES
+      | ('scaled_assign_durable', true), ('scaled_drops_sound', true),
+      | ('scaled_layout_complete', true), ('scaled_recall', true)
+      |) t(component, ok) ORDER BY component""".stripMargin
+
   /** q143: the MULTI-PROBE SemDeDup gate, q137's style (all-true
    *  VALUES oracle). Components:
    *
@@ -1417,42 +1501,78 @@ object Dedup {
    *  (~1.5·10⁸ candidates × ~200 shingles ≈ 3·10¹⁰ rows × 32 B) it
    *  alone exceeded this container's 64 GiB free scratch — the two
    *  round-11 `No space left on device` deaths. Chunking partitions
-   *  the SHINGLE space by pmod(k1, C) — co-occurrence counts add up
-   *  exactly across disjoint shingle classes — and runs one chunk's
-   *  expansion at a time, parking candidate-sized partial counts in
-   *  parquet between chunks, so peak scratch is 1/C of the single-
-   *  pass plan at the cost of C passes over the (checkpointed)
-   *  shingle frame. The 5·10⁸-row default budgets ~20 GB raw
+   *  the CANDIDATE space by pmod(xxhash64(doc_a, doc_b), C) — each
+   *  pair's full co-occurrence count completes inside its own chunk,
+   *  so chunks are disjoint final results, not partial counts — and
+   *  runs one chunk's expansion at a time, checkpointing the
+   *  pair-sized chunk results between passes, so peak scratch is 1/C
+   *  of the single-pass plan at the cost of C probe passes over the
+   *  (parked, pre-partitioned) shingle frame. Candidate-space (not
+   *  shingle-space pmod(k1, C), the round-12 design) is the round-15
+   *  cut from the stage-attributed 1000× dump: shingle-space chunking
+   *  re-exchanged the cand frame and the sh slices once per pass and
+   *  re-aggregated cross-chunk partials (~7.2·10⁹ total shuffle rows
+   *  at 1000×); with the sh frame parked hash-partitioned by doc_id
+   *  and the chunk classes keyed on the pair, every per-chunk join is
+   *  exchange-free on the sh side and the pair aggregate inherits the
+   *  join's doc_b partitioning — the only per-chunk exchanges are the
+   *  chunk's own candidate slice and its expansion rows, each moved
+   *  exactly once. The 5·10⁸-row default budgets ~20 GB raw
    *  (~10 GB lz4'd — the hash columns barely compress) of live
    *  expansion shuffle per chunk: sf0.1 and below stay single-pass
-   *  (≤10⁸ expansion rows — identical plan, identical hash), 100×
-   *  runs C = 2 (~8·10⁸ rows measured), and 1000× (~8·10⁹ rows,
-   *  ~256 GB raw — a C = 4 first cut still filled this container's
-   *  62 GiB scratch with one ~80 GB-raw chunk) lands C = 16. On a
-   *  real cluster per-executor scratch is ~1000× larger and the
-   *  budget env (SPARK_GRAFT_Q114_MAX_EXPANSION) lifts accordingly. */
+   *  (≤10⁸ expansion rows — identical result, C = 1), 100× runs
+   *  C = 2, and 1000× lands C = 16. On a real cluster per-executor
+   *  scratch is ~1000× larger and the budget env
+   *  (SPARK_GRAFT_Q114_MAX_EXPANSION) lifts accordingly. */
   private val Q114MaxExpansionRows: Long =
     sys.env.get("SPARK_GRAFT_Q114_MAX_EXPANSION").map(_.toLong)
       .getOrElse(500000000L)
 
+  /** One verification pass: count shared shingles per candidate pair
+   *  by probing the pair slice into the parked shingle frame twice.
+   *  Factored out of [[prefixJaccardPairs]] so PlanQualitySpec can
+   *  pin the exchange inventory on a controlled fixture: with `sh`
+   *  hash-partitioned by doc_id and sorted (doc_id, k1, k2), this
+   *  fragment plans exactly TWO exchanges — the candidate slice
+   *  (pair-sized) and the expansion re-key to doc_b — while the
+   *  parked frame and the pair aggregate never exchange. */
+  private[ops] def verificationCo(candPart: DataFrame, sh: DataFrame): DataFrame =
+    candPart
+      .join(sh.select(col("doc_id").as("doc_a"), col("k1"), col("k2")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("k1"), col("k2")),
+        Seq("doc_b", "k1", "k2"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("co"))
+
   def prefixJaccardPairs(docs: DataFrame, threshold: Double,
       maxExpansionRows: Long = Q114MaxExpansionRows): DataFrame = {
-    // localCheckpoint: this frame feeds FIVE downstream references
-    // (freq, prefix, both candidate-verification joins, sizes);
-    // without it each one re-runs the corpus shingling flatMap —
-    // measured ~2× the query wall at sf0.1. Blocks are lz4'd
-    // (spark.rdd.compress, GraftSession) — at 1000× the uncompressed
-    // checkpoint alone was ~12 GiB of the scratch that killed the
-    // probe.
+    // Park the shingle frame ONCE, hash-partitioned by doc_id and
+    // sorted (doc_id, k1, k2) — the graph build's `li` device
+    // (ops/Graph.scala pageRank persist). This frame feeds FIVE
+    // downstream references (freq, prefix window, both verification
+    // joins, sizes); DISK_ONLY persist materializes the shingling
+    // flatMap once (the round-12 localCheckpoint motive) AND — unlike
+    // localCheckpoint, which degrades to Scan ExistingRDD and loses
+    // its partitioning (measured, tools/CkptShapeProbe) — retains the
+    // HashPartitioning + ordering, so every verification join below
+    // is exchange-free and sort-free on the sh side. The round-14
+    // stage-attributed 1000× dump showed the old checkpointed frame's
+    // slices re-exchanged once per chunk pass — the bulk of 7.2·10⁹
+    // total shuffle rows; parking it partitioned is the named cut.
     val sh = shingleRows(docs)
       .select(col("doc_id"),
         xxhash64(col("s")).as("k1"), xxhash64(col("s"), lit(1)).as("k2"))
-      .localCheckpoint()
+      .repartition(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"), col("k1"), col("k2"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // doc_id-partitioned input ⇒ this aggregate is itself exchange-free
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val stats = sizes.agg(count(lit(1)).as("docs"), sum(col("n")).as("tot")).head()
     val totShingles = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     // checkpoint the candidate set: it is pair-sized (≪ shingle rows),
-    // and the chunk decision needs its count anyway
+    // the chunk decision needs its count anyway, and the checkpoint
+    // cuts lineage so the candidate stage's shuffles (freq, window,
+    // prefix join) become reclaimable before the expansion passes
+    // need the scratch
     val cand = prefixCandidatePairs(sh, sizes, threshold, positional = true)
       .localCheckpoint()
     val avgN = if (stats.getLong(0) == 0L) 0.0
@@ -1461,51 +1581,51 @@ object Dedup {
     val chunks = math.min(16L,
       math.max(1L, math.ceil(expansionEst / maxExpansionRows).toLong)).toInt
 
-    def coOf(shPart: DataFrame): DataFrame = cand
-      .join(shPart.select(col("doc_id").as("doc_a"), col("k1"), col("k2")), Seq("doc_a"))
-      .join(shPart.select(col("doc_id").as("doc_b"), col("k1"), col("k2")),
-        Seq("doc_b", "k1", "k2"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("co"))
+    // One chunk's verification: probe the pair slice into the parked
+    // shingle frame twice. Exchange inventory per chunk — the entire
+    // point of the round-15 shape:
+    //   join 1 (on doc_a): candPart exchanges (pair-sized / C); the sh
+    //     side's HashPartitioning(doc_id) + (doc_id, k1, k2) ordering
+    //     satisfy SMJ's distribution AND ordering — no exchange, no
+    //     sort. Output inherits doc_a partitioning.
+    //   join 2 (on doc_b, k1, k2): the sh side's doc_id partitioning
+    //     is a subset of the join keys, so only the expansion side
+    //     exchanges — re-keyed to HashPartitioning(doc_b) to stay
+    //     co-partitioned with the parked frame (Spark's subset-key
+    //     shuffle spec) — and the sh side again needs no exchange and
+    //     no sort.
+    //   pair aggregate: the join output's doc_b partitioning is a
+    //     subset of the (doc_a, doc_b) grouping keys — NO exchange;
+    //     per-task hash state is the partition's pair count.
+    // So each expansion row moves exactly once, and the parked frame
+    // never moves at all. (PlanQualitySpec pins the zero-sh-side-
+    // exchange shape; BenchOne's widest-exchange tripwire guards the
+    // row mass at the bench level.)
+    def coOf(candPart: DataFrame): DataFrame = verificationCo(candPart, sh)
 
     val co =
-      if (chunks == 1) coOf(sh)
+      if (chunks == 1) coOf(cand)
       else {
-        // sequential chunk loop: each pass expands only the shingles
-        // of one pmod class, lands its candidate-sized partial counts
-        // in parquet, and lets the chunk's shuffle files be reclaimed
-        // (the GC nudge) before the next pass starts. The dir key
-        // carries a per-invocation counter (advice round-13): keyed by
-        // threshold alone, two concurrent invocations in one JVM would
-        // interleave append-mode writes into one dir and silently
-        // double-count co sums. No leftover accumulation: the success
-        // path deletes the dir eagerly below, and a crashed run's
-        // orphan is exit-cleaned via the tmpPath registry.
-        val dir = InferOps.tmpPath("q114_co",
-          s"t${threshold}_i${InferOps.chunkDirSeq.incrementAndGet()}")
-        // the candidate stage's shuffles (freq, window, prefix join)
-        // are unreferenced once cand is checkpointed — reclaim them
-        // before the first expansion pass needs the scratch
-        System.gc()
-        (0 until chunks).foreach { c =>
-          coOf(sh.filter(pmod(col("k1"), lit(chunks.toLong)) === lit(c.toLong)))
-            // zstd: the parked partials are the durable scratch floor
-            .write.option("compression", "zstd")
-            .mode(if (c == 0) "overwrite" else "append").parquet(dir)
+        // sequential chunk loop over DISJOINT candidate classes
+        // (pmod of the pair hash — skew-free regardless of clone
+        // structure): each pass expands only its pairs, checkpoints
+        // the pair-sized FINAL counts for that class (candidate-space
+        // chunking needs no cross-chunk re-aggregation — a pair's
+        // whole count lives in its own chunk), and lets the finished
+        // pass's expansion shuffle files be reclaimed (the GC nudge)
+        // before the next pass starts.
+        val parts = (0 until chunks).map { c =>
+          val slice = cand.filter(
+            pmod(xxhash64(col("doc_a"), col("doc_b")), lit(chunks.toLong))
+              === lit(c.toLong))
+          val done = coOf(slice).localCheckpoint()
           System.gc()
           // let the async cleaner actually unlink (1000×-class only —
           // the small-C octaves don't carry the scratch pressure)
           if (chunks >= 4) Thread.sleep(3000)
+          done
         }
-        val s = docs.sparkSession
-        // assemble the pair-sized final counts EAGERLY, then reclaim
-        // the chunk parquet immediately — exit-time cleanup alone let
-        // each large-octave invocation leak a candidate-sized dir into
-        // exactly the scratch the chunking protects (advice round-12)
-        val assembled = s.read.parquet(dir)
-          .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("co")).as("co"))
-          .localCheckpoint()
-        InferOps.deleteDir(dir)
-        assembled
+        parts.reduce(_ union _)
       }
     co.join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
@@ -1598,6 +1718,20 @@ object Dedup {
     // restores identical (doc_a, doc_b) rows; set size is bounded by
     // the candidate fan-out per doc (clone-cluster width), vertex-
     // sized, never corpus-sized.
+    //
+    // HARD LIMIT (advice round-14, documented): per-group memory is
+    // 8 B × a doc's candidate neighborhood, held in ONE task's final
+    // merge — a degenerate corpus where one doc_a near-dups W others
+    // costs 8·W bytes there (W = 10⁷ clones ≈ 80 MB, within a task;
+    // W = 10⁹ would not be). distinct() streamed that case but paid
+    // the measured ~3·10⁹-row exchange on the REAL corpus shape.
+    // The trade is deliberate: a candidate set from a t ≥ 0.4 prefix
+    // filter cannot contain a super-corpus-width clone cluster
+    // without the corpus itself being ~all clones, at which point
+    // the verification expansion (|cluster|² pairs) is the binding
+    // cost long before this set is. If that corpus class ever
+    // matters, the fallback is one line: distinct() instead of the
+    // grouped set build — same rows, streaming dedup.
     pruned.groupBy(col("doc_a"))
       .agg(collect_set(col("doc_b")).as("bs"))
       .select(col("doc_a"), explode(col("bs")).as("doc_b"))

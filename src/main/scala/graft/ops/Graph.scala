@@ -335,7 +335,14 @@ object Graph {
   /** q148: PageRank over the co-purchase part graph (10 integer
    *  iterations, damping 0.85). Edge build: distinct (order, part)
    *  pairs self-joined on the order key — Σ_o C(items_o, 2) pairs,
-   *  bounded by the order-size distribution, never parts². */
+   *  bounded by the order-size distribution, never parts².
+   *
+   *  1000× evidence contract (permanent — SURVEY §8 q148 row): the
+   *  unrestricted 10⁹-edge DuckDB replay exceeds ~2× this
+   *  container's RAM+scratch however phrased; the top octave is
+   *  certified by hash-PASS through 100×, forced-chunk sf0.01
+   *  hash-PASS on the exact 1000× code path, 1000× rows-PASS, and
+   *  the rescan-tier spec pins. */
   def q148PageRank(s: SparkSession, d: String): DataFrame = {
     val edges = coPurchaseStrength(s, d).select(col("src"), col("dst"))
     // chunked-build corpora take the rescan tier (the chunk parquet is
@@ -555,7 +562,15 @@ object Graph {
    *  STRENGTH graph — only ties backed by ≥2 distinct shared orders
    *  count as edges (the c≥2 cut turns the dense co-purchase clique
    *  union into a sparse affinity graph with real multi-hop
-   *  structure). Seeds: graph vertices whose part is Brand#11. */
+   *  structure). Seeds: graph vertices whose part is Brand#11.
+   *
+   *  1000× evidence contract (permanent — SURVEY §8 q158 row): same
+   *  disclosed-oracle-boundary class as q148 — the oracle's
+   *  unrestricted 1.8·10⁹-raw-pair aggregate cannot be statically
+   *  pruned (reachability IS the query) and ENOSPC's DuckDB on this
+   *  box; certified by hash-PASS through 100×, forced-chunk sf0.01
+   *  hash-PASS on the 1000× code path, and the 1000× rows-PASS with
+   *  live chunk eviction. */
   def q158BfsHops(s: SparkSession, d: String): DataFrame = {
     val e = coPurchaseStrength(s, d).filter(col("c") >= 2)
       .select(col("src"), col("dst"))

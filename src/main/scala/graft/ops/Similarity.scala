@@ -1302,7 +1302,18 @@ object Similarity {
           while (i < coarse.length) {
             val c = coarse(i)
             val sim = dotd(vd, c) / (nv * math.sqrt(dotd(c, c)))
-            if (sim >= best) { cc = i; best = sim } // ties: larger cid
+            // Double.compare, not `>=` (advice round-14): a zero-norm
+            // vector makes every sim NaN, and plain `sim >= best`
+            // never fires (cell 0) while [[cellAssign]]'s
+            // greatest(struct) ranks NaN above everything with
+            // NaN == NaN ties falling to the LARGER cid. Double
+            // .compare implements exactly Spark's total order (NaN
+            // greatest, NaN equal to itself), so the closure tracks
+            // the expression path bit-for-bit on degenerate vectors
+            // too. (A NULL vector element still fails loudly in the
+            // Seq[Float] deserializer before this loop — same
+            // loudness class as the parity audit.)
+            if (java.lang.Double.compare(sim, best) >= 0) { cc = i; best = sim } // ties: larger cid
             i += 1
           }
           val fb = fine(cc)
@@ -1368,6 +1379,35 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(out)
     writeArtifact(s, out, k1, k2, coarse, fine)
     k1 * k2
+  }
+
+  /** The durable SCALED (two-level artifact) layout for corpus `d`,
+   *  written once per JVM per source dir — the scaled twin of
+   *  [[ivfLayoutDir]], added for q190 (SemDeDup candidate generation
+   *  over two-level cells, round-15): corpus-scaled cell count, both
+   *  blocking levels persisted as the frozen sibling artifact, flat-
+   *  degenerate below the [[KMeansSample]] ceiling so one code shape
+   *  serves every octave and the two-level tier engages naturally at
+   *  the 1000× dir's 2 M vectors. `_SUCCESS`-gated like the flat
+   *  layout: a partial write is rewritten, never trusted. */
+  def scaledLayoutDir(s: SparkSession, d: String): String = {
+    val dir = InferOps.tmpPath("ivf_scaled_layout", d)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+      ivfWriteScaledArtifact(s, d, dir)
+      InferOps.registerScratch(s"${dir}_codebook") // sibling: not tmpPath-tracked
+    }
+    dir
+  }
+
+  /** Today's assignment of `frame` (vec_id, v) under a layout's FROZEN
+   *  artifact — the q190 parity probe: what cell would the persisted
+   *  artifact put each vector in right now. */
+  private[ops] def assignUnderArtifact(s: SparkSession, layout: String,
+      frame: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (k1, k2, coarse, fine) = readArtifact(s, layout)
+    assignWithArtifact(s, frame, k1, k2, coarse, fine)
+      .select(col("vec_id"), col("cell"))
   }
 
   /** O(batch) append under the FROZEN artifact (see the contract on

@@ -64,13 +64,16 @@ object SparseSim {
 
   /** Dot-product-expansion budget (rows) before [[cosineJoin]]
     * switches to chunked sequential verification — the q114 device on
-    * the TERM space (dot products add exactly across disjoint
-    * pmod(xxhash64(term), C) classes). q135 was the top 100× cost
+    * the CANDIDATE space (round 15, matching Dedup.prefixJaccardPairs:
+    * chunk classes are pmod(xxhash64(doc_a, doc_b), C), each pair's
+    * whole dot product completes inside its own chunk, and the parked
+    * doc_id-partitioned weight frame makes every per-chunk join
+    * exchange-free on the w side). q135 was the top 100× cost
     * (303.6 s isolated) and the one recorded in-suite disk death (the
     * round-12 splice): its candidates × per-doc-terms join lives all
     * at once exactly like q114's verification expansion. The default
     * matches q114's ~20 GB-raw-per-chunk budget; ≤10× stays
-    * single-pass (plan and hash unchanged). */
+    * single-pass (results unchanged at any C). */
   private val Q135MaxExpansionRows: Long =
     sys.env.get("SPARK_GRAFT_Q135_MAX_EXPANSION").map(_.toLong)
       .getOrElse(500000000L)
@@ -112,8 +115,26 @@ object SparseSim {
   /** Core of q135 over any (doc_id, text) frame (spec entry point). */
   private[ops] def cosineJoin(docs: DataFrame,
       maxExpansionRows: Long = Q135MaxExpansionRows): DataFrame = {
+    // Park the weight frame ONCE, hash-partitioned by doc_id and
+    // sorted (doc_id, term) — the q114 round-15 device
+    // (Dedup.prefixJaccardPairs): one materialization feeds norms,
+    // prefixes, and both dot-probe sides, AND the retained
+    // partitioning makes every verification join below exchange-free
+    // and sort-free on the w side (localCheckpoint lost it — measured,
+    // tools/CkptShapeProbe). norms/prefixes ride the same partitioning
+    // (doc_id aggregate, doc_id window) without their own exchanges.
+    // the checkpoint FIRST (lineage cut: weights' tf/df aggregation
+    // shuffles become reclaimable instead of pinned for all C chunk
+    // passes — the round-11 scratch lesson), the repartition+persist
+    // SECOND (a checkpointed frame alone loses its partitioning —
+    // measured, tools/CkptShapeProbe). Both copies DISK_ONLY + lz4:
+    // ~2× the weight frame on scratch buys C passes of exchange-free
+    // joins.
     val w = weights(docs.select(col("doc_id"), col("text")))
-      .localCheckpoint(true) // one shuffle feeds norms, prefixes, and both dot sides
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .repartition(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"), col("term"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // docs whose every term has idf 0 carry no mass: cosine is
     // undefined for them (0/0) — excluded on both sides, like the
     // oracle's nrm > 0 guard
@@ -151,46 +172,44 @@ object SparseSim {
     val chunks = math.min(16L,
       math.max(1L, math.ceil(expansionEst / maxExpansionRows).toLong)).toInt
 
-    // exact integer dot product, candidates only — over one term class
-    def dotsOf(wPart: DataFrame): DataFrame = cand
-      .join(wPart.select(col("doc_id").as("doc_a"), col("term"), col("wq").as("wa")),
+    // exact integer dot product over one candidate class: probe the
+    // pair slice into the parked weight frame twice. Same per-chunk
+    // exchange inventory as q114's verificationCo (round 15): the
+    // candidate slice exchanges (pair-sized / C), the expansion
+    // exchanges once re-keyed to doc_b (subset co-partitioning against
+    // the parked frame), the w side and the pair aggregate never
+    // exchange at all.
+    def dotsOf(candPart: DataFrame): DataFrame = candPart
+      .join(w.select(col("doc_id").as("doc_a"), col("term"), col("wq").as("wa")),
         Seq("doc_a"))
-      .join(wPart.select(col("doc_id").as("doc_b"), col("term"), col("wq").as("wb")),
+      .join(w.select(col("doc_id").as("doc_b"), col("term"), col("wq").as("wb")),
         Seq("doc_b", "term"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("wa") * col("wb")).as("dot"))
 
     val dots =
-      if (chunks == 1) dotsOf(w)
+      if (chunks == 1) dotsOf(cand)
       else {
-        // sequential chunk loop (the q114 scratch protocol): each pass
-        // expands only one pmod(term-hash) class — dot products add
-        // exactly across disjoint term classes — parking candidate-
-        // sized partials in parquet; the assembled sum is checkpointed
-        // eagerly and the chunk dir reclaimed immediately. Per-
-        // invocation counter in the key (advice round-13): a constant
-        // key would let two concurrent invocations in one JVM
-        // interleave appends into one dir and double-count dots.
-        val dir = InferOps.tmpPath("q135_dot",
-          s"t_i${InferOps.chunkDirSeq.incrementAndGet()}")
-        System.gc()
-        (0 until chunks).foreach { c =>
-          dotsOf(w.filter(
-              pmod(xxhash64(col("term")), lit(chunks.toLong)) === lit(c.toLong)))
-            // zstd: the parked partials are the durable scratch floor
-            .write.option("compression", "zstd")
-            .mode(if (c == 0) "overwrite" else "append").parquet(dir)
+        // sequential chunk loop over DISJOINT candidate classes (the
+        // q114 round-15 shape — pmod of the pair hash, skew-free):
+        // each pass expands only its pairs' postings, checkpoints the
+        // pair-sized FINAL dots for the class (candidate-space
+        // chunking needs no cross-chunk re-aggregation — a pair's
+        // whole dot product lives in its own chunk), and lets the
+        // finished pass's expansion shuffle files be reclaimed (the
+        // GC nudge) before the next pass starts.
+        val parts = (0 until chunks).map { c =>
+          val slice = cand.filter(
+            pmod(xxhash64(col("doc_a"), col("doc_b")), lit(chunks.toLong))
+              === lit(c.toLong))
+          val done = dotsOf(slice).localCheckpoint()
           System.gc()
           // let the async cleaner actually unlink (1000×-class only —
           // the small-C octaves don't carry the scratch pressure)
           if (chunks >= 4) Thread.sleep(3000)
+          done
         }
-        val s = docs.sparkSession
-        val assembled = s.read.parquet(dir)
-          .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("dot")).as("dot"))
-          .localCheckpoint()
-        InferOps.deleteDir(dir)
-        assembled
+        parts.reduce(_ union _)
       }
     dots
       .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), Seq("doc_a"))

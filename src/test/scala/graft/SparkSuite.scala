@@ -13,6 +13,9 @@ object SparkSuite {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // mirror GraftSession: subset-key co-partitioning on, so the
+      // plan gates test the shapes the driver contract actually runs
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)

@@ -107,10 +107,12 @@ class FrontierResampleSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("chunked verification (the 1000x scratch path) is row-identical to the single pass") {
-    // a 1-row expansion budget forces the pmod(k1, C) chunk loop —
-    // the sequential plan q114 runs when the expansion join would
-    // exceed local scratch; co-occurrence counts must assemble to the
-    // exact same pairs because the chunks partition the shingle space
+    // a 1-row expansion budget forces the candidate-space chunk loop
+    // (pmod(xxhash64(doc_a, doc_b), C), round 15) — the sequential
+    // plan q114 runs when the expansion join would exceed local
+    // scratch; the chunk union must equal the single pass exactly
+    // because the pair classes are disjoint and each pair's whole
+    // count completes inside its own chunk
     val base = "a b c d e f g h i j k l m n o p"
     val docs: Seq[(Long, String)] = Seq(
       1L -> base, 2L -> base, 3L -> (base + " q r"),

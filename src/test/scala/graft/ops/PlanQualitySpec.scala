@@ -550,6 +550,51 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("HashAggregate"), p.take(600))
   }
 
+  test("q114 per-chunk verification: parked shingle frame and pair aggregate never exchange") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    // the round-15 exchange inventory (the 1000× stage-dump cut): with
+    // the shingle frame parked hash-partitioned by doc_id and sorted
+    // (doc_id, k1, k2), one verification pass plans exactly TWO
+    // exchanges — the candidate slice re-key to doc_a and the
+    // expansion re-key to doc_b (Spark's subset-key co-partitioning
+    // against the parked frame) — and the (doc_a, doc_b) aggregate
+    // rides the join's doc_b partitioning with no exchange of its own
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sh = (1L to 40L).flatMap(d => (1L to 5L).map(i => (d, d * 100 + i, d * 200 + i)))
+        .toDF("doc_id", "k1", "k2")
+        .repartition(org.apache.spark.sql.functions.col("doc_id"))
+        .sortWithinPartitions("doc_id", "k1", "k2")
+        .persist(StorageLevel.DISK_ONLY)
+      try {
+        // materialize the cache FIRST — exactly the runtime ordering in
+        // prefixJaccardPairs (the stats action precedes every
+        // verification plan): an un-executed AQE-wrapped cache reports
+        // unknown partitioning and would plan spurious exchanges
+        sh.count()
+        val cand = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+        val p = plan(Dedup.verificationCo(cand, sh))
+        // tree block of the formatted plan: header + node lines, ends
+        // at the first blank line; a node's child prints on the next
+        // line, so parent→child invariants are sliding-window checks
+        val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+        assert(tree.exists(_.contains("Exchange")), p.take(1500))
+        tree.sliding(2).foreach {
+          case Seq(a, b) =>
+            assert(!(a.contains("Exchange") && b.contains("InMemoryTableScan")),
+              s"parked shingle frame re-exchanged:\n${tree.mkString("\n")}")
+            assert(!(a.contains("Sort (") && b.contains("InMemoryTableScan")),
+              s"parked shingle frame re-sorted:\n${tree.mkString("\n")}")
+            assert(!(a.contains("HashAggregate") && b.contains("Exchange")),
+              s"pair aggregate exchanged instead of riding the join partitioning:\n${tree.mkString("\n")}")
+          case _ => ()
+        }
+      } finally sh.unpersist()
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("q185 neighbor sampling: src-partitioned window + equi-join, no global sort before ranks") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")

@@ -125,6 +125,17 @@ class SemDedupCellSpec extends AnyFunSuite with SparkSuite {
       && m("cell_layout_complete"))
   }
 
+  test("q190 gate is all-true end-to-end over the scaled artifact layout (sf0.001)") {
+    val rows = Dedup.q190SemDedupScaledCells(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1))
+    assert(rows.map(_._1).toSeq == Seq("scaled_assign_durable",
+      "scaled_drops_sound", "scaled_layout_complete", "scaled_recall"))
+    // structural components unconditional; recall is the tripwire leg
+    val m = rows.toMap
+    assert(m("scaled_assign_durable") && m("scaled_drops_sound")
+      && m("scaled_layout_complete"))
+  }
+
   test("two-level artifact: parquet round-trip exact, assignment == fused, WITH non-empty fine") {
     // k past the flat ceiling on a tiny corpus forces k2 > 1, so the
     // fine sub-codebooks are NON-EMPTY nested arrays — the exact shape

@@ -77,10 +77,11 @@ class SparseSimSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("chunked dot-product (the 100x scratch path) is row-identical to the single pass") {
-    // a 1-row expansion budget forces the pmod(term-hash, C) chunk
-    // loop; dot products must assemble to the exact same integer sums
-    // because the chunks partition the term space — the q114 parity
-    // contract applied to q135
+    // a 1-row expansion budget forces the candidate-space chunk loop
+    // (pmod(xxhash64(doc_a, doc_b), C), round 15); the chunk union
+    // must equal the single pass exactly because the pair classes are
+    // disjoint and each pair's whole integer dot product completes
+    // inside its own chunk — the q114 parity contract applied to q135
     val single = SparseSim.cosineJoin(fixture).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val chunked = SparseSim.cosineJoin(fixture, maxExpansionRows = 1L)

@@ -46,7 +46,10 @@ def main():
         try:
             with open("/proc/meminfo") as f:
                 kib = int(next(l for l in f if l.startswith("MemTotal")).split()[1])
-            return f"{min(96, int(kib * 0.8 / 1048576))}GB"
+            # floor at 1GB (advice round-14): whole-GB truncation on a
+            # sub-1.25GiB host yields '0GB', which DuckDB rejects
+            # instead of degrading gracefully
+            return f"{max(1, min(96, int(kib * 0.8 / 1048576)))}GB"
         except Exception:
             return "96GB"
     mem = os.environ.get("SELFCHECK_DUCKDB_MEM") or _default_mem()
