@@ -1558,12 +1558,24 @@ object Dedup {
     // stage-attributed 1000× dump showed the old checkpointed frame's
     // slices re-exchanged once per chunk pass — the bulk of 7.2·10⁹
     // total shuffle rows; parking it partitioned is the named cut.
+    // storage tier by corpus size (measured round 15): DISK_ONLY at
+    // every octave cost ~1.7× wall at sf0.1 — five downstream reads
+    // each paying disk+lz4 where the old checkpoint was memory-
+    // resident. Below ~1 M docs (≲5 GB deserialized shingles) the
+    // parked frame rides MEMORY_AND_DISK; past that, DISK_ONLY keeps
+    // the unified pool free for the expansion joins (the graph edge-
+    // frame rule). Same partitioning either way — plan and results
+    // are tier-independent.
+    val parkLevel =
+      if (docs.select(col("doc_id")).count() <= 1000000L)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      else org.apache.spark.storage.StorageLevel.DISK_ONLY
     val sh = shingleRows(docs)
       .select(col("doc_id"),
         xxhash64(col("s")).as("k1"), xxhash64(col("s"), lit(1)).as("k2"))
       .repartition(col("doc_id"))
       .sortWithinPartitions(col("doc_id"), col("k1"), col("k2"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(parkLevel)
     // doc_id-partitioned input ⇒ this aggregate is itself exchange-free
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val stats = sizes.agg(count(lit(1)).as("docs"), sum(col("n")).as("tot")).head()

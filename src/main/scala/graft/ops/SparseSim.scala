@@ -130,11 +130,18 @@ object SparseSim {
     // measured, tools/CkptShapeProbe). Both copies DISK_ONLY + lz4:
     // ~2× the weight frame on scratch buys C passes of exchange-free
     // joins.
+    // storage tier by corpus size — the q114 round-15 rule: memory-
+    // backed below ~1 M docs (small octaves read the parked frame
+    // five times; disk+lz4 there cost ~1.7× wall), DISK_ONLY past it
+    val parkLevel =
+      if (docs.select(col("doc_id")).count() <= 1000000L)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      else org.apache.spark.storage.StorageLevel.DISK_ONLY
     val w = weights(docs.select(col("doc_id"), col("text")))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .localCheckpoint(true, parkLevel)
       .repartition(col("doc_id"))
       .sortWithinPartitions(col("doc_id"), col("term"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(parkLevel)
     // docs whose every term has idf 0 carry no mass: cosine is
     // undefined for them (0/0) — excluded on both sides, like the
     // oracle's nrm > 0 guard
