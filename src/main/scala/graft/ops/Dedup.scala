@@ -1684,8 +1684,16 @@ object Dedup {
   private[ops] def prefixCandidatePairs(sh: DataFrame, sizes: DataFrame,
       threshold: Double, positional: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val freq = sh.groupBy(col("k1"), col("k2")).agg(count(lit(1)).as("cnt"))
-    val prefix = sh.join(freq, Seq("k1", "k2"))
+    // Corpus frequency as a WINDOW over one (k1, k2) exchange, not
+    // groupBy+join (round 15, from the 1000× stage dump): the old
+    // freq aggregate exchanged the full shingle frame for its partial
+    // agg AND again for the join side — two ~corpus-sized exchanges
+    // plus the aggregate's distinct-shingle output moved for nothing
+    // a count-over-partition doesn't deliver on the same exchange.
+    val withCnt = sh.select(col("doc_id"), col("k1"), col("k2"))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(col("k1"), col("k2"))))
+    val prefix = withCnt
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("cnt"), col("k1"), col("k2"))))
@@ -1698,6 +1706,15 @@ object Dedup {
       // the same guard for the same reason.
       .filter(col("pos") <= col("n") - ceil(col("n") * threshold - 1e-9) + 1)
       .select(col("doc_id"), col("k1"), col("k2"), col("n"), col("pos"))
+      // materialize ONCE before the self-join below: without this the
+      // dual subtree evaluation re-ran the whole prefix build —
+      // 2 window exchanges + the frequency pass, all ×2 — and exchange
+      // reuse demonstrably did not fire across the aliased sides
+      // (stage twins 13/14, 15/16, 19/22, 26/30 in the 1000× dump).
+      // Prefix rows are ~40% of the shingle frame; the checkpoint also
+      // lets the self-join's two (k1, k2) exchanges collapse into one
+      // reused stage (identical canonical children).
+      .localCheckpoint()
     val matched = prefix.select(col("doc_id").as("doc_a"), col("k1"), col("k2"),
         col("n").as("n_a"), col("pos").as("pos_a"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("k1"), col("k2"),
