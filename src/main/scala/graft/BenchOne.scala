@@ -12,13 +12,19 @@ package graft
  *  Usage: runMain graft.BenchOne <name> [sfDir] [runs]. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse(
-      sys.error("usage: runMain graft.BenchOne <queryName> [sfDir] [runs]"))
+    // comma-separated names sweep several queries in one JVM (round
+    // 15): per-query JVM cold-start dwarfs a warm run, so a family
+    // sweep in one session is both faster and less noisy
+    val names = args.headOption.getOrElse(
+      sys.error("usage: runMain graft.BenchOne <name[,name...]> [sfDir] [runs]"))
+      .split(",").map(_.trim).filter(_.nonEmpty)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 3
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    val fn = SparkEntry.queries.getOrElse(name,
-      sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    names.foreach { n =>
+      if (!SparkEntry.queries.contains(n))
+        sys.error(s"unknown query $n; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+    }
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
     val shuffleRecords = new java.util.concurrent.atomic.AtomicLong(0)
     // widest single exchange (stage-level shuffle write) + optional
@@ -57,11 +63,18 @@ object BenchOne {
                 f"(${e.stageInfo.name.take(60)})")
             }
           }
-          if (stageDump && m.shuffleWriteMetrics.recordsWritten > 0) {
+          if (stageDump) {
             val site = e.stageInfo.details.linesIterator
               .find(l => l.contains("graft") || l.contains("Dataset"))
               .getOrElse("").trim
+            // wall duration (submission→completion) + summed executor
+            // task time: the wall column finds the slow stages, the
+            // task column says whether they were wide or serial
+            val wall = (for {
+              c <- e.stageInfo.completionTime; s <- e.stageInfo.submissionTime
+            } yield (c - s) / 1000.0).getOrElse(-1.0)
             System.err.println(f"[stage] id=${e.stageInfo.stageId}%d " +
+              f"wall=$wall%.2fs task=${m.executorRunTime / 1000.0}%.1fs " +
               f"rows=${m.shuffleWriteMetrics.recordsWritten}%,d " +
               f"mib=${m.shuffleWriteMetrics.bytesWritten / (1 << 20)}%,d " +
               f"name=${e.stageInfo.name.take(60)} site=$site")
@@ -70,16 +83,20 @@ object BenchOne {
         }
       }
     })
-    (1 to runs).foreach { i =>
-      val w0 = shuffleWrite.get(); val r0 = shuffleRecords.get()
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1000) // listener bus settle
-      println(f"[benchone] $name run$i $sec%.2f s " +
-        f"shuffle_write~${(shuffleWrite.get() - w0) / (1 << 20)}%d MiB " +
-        f"(${shuffleRecords.get() - r0}%d rows) " +
-        f"widest_stage=${widestStage.get()}%d/${widestRows.get()}%,d rows")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      (1 to runs).foreach { i =>
+        val w0 = shuffleWrite.get(); val r0 = shuffleRecords.get()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000) // listener bus settle
+        println(f"[benchone] $name run$i $sec%.2f s " +
+          f"shuffle_write~${(shuffleWrite.get() - w0) / (1 << 20)}%d MiB " +
+          f"(${shuffleRecords.get() - r0}%d rows) " +
+          f"widest_stage=${widestStage.get()}%d/${widestRows.get()}%,d rows")
+      }
+      System.gc() // the Bench inter-query hygiene (orphaned blocks)
     }
     graft.ops.InferOps.cleanupScratch()
     spark.stop()

@@ -74,6 +74,22 @@ object Graph {
   private val chunkDirOf =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Storage tier for a corpus dir's persisted/checkpointed edge
+   *  frames — the q114/q135 parked-frame rule (round 15) applied to
+   *  the graph family: the iterative loops re-read their edge frame
+   *  10-13× per query, and DISK_ONLY+lz4 pays decompression and
+   *  deserialization on every round where a memory-backed frame reads
+   *  free. Below ~10⁷ lineitem rows the edge frame is ≲300 MB cached
+   *  (every provisioned bench octave) — MEMORY_AND_DISK; past it the
+   *  frame is data-sized and memory-resident blocks would compete
+   *  with the rounds' execution memory (the measured 100× 16g OOM) —
+   *  DISK_ONLY exactly as before. Same plan, same partitioning, same
+   *  results either tier. */
+  private[ops] def edgeLevel(s: SparkSession, d: String): StorageLevel =
+    if (liCountCache.getOrElseUpdate(d, Tables.lineitem(s, d).count())
+        <= 10000000L) StorageLevel.MEMORY_AND_DISK
+    else StorageLevel.DISK_ONLY
+
   /** Delete corpus `d`'s chunk-built edge parquet (and its `.done`
    *  marker) NOW. The PageRank family persists a (src, dst, deg|wdeg)
    *  frame DISK_ONLY that duplicates the chunk parquet byte-for-byte
@@ -219,7 +235,8 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int = Iterations,
       afterEdges: () => Unit = () => (),
       gcPerRound: Boolean = false,
-      rescanTier: Boolean = false): DataFrame = {
+      rescanTier: Boolean = false,
+      level: StorageLevel = StorageLevel.DISK_ONLY): DataFrame = {
     if (rescanTier) {
       // coalesce before the aggregate for the same map-side-combine
       // reason as pageRankRescan's per-round scans
@@ -236,34 +253,42 @@ object Graph {
       // persisted-layout shape (deg recomputed there — this fallback
       // is the rare path and correctness beats one saved aggregate)
     }
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // materialize the (src, dst, deg) frame once; every iteration —
-    // and the final deg join — re-reads this, never the base scan.
-    // DISK_ONLY: the edge frame is DATA-sized (hundreds of millions
-    // of rows at the 100× octave) — memory-resident blocks pinned
-    // storage while the per-iteration hash aggregate wanted execution
-    // memory and OOM'd a 16g heap at 100×; serialized-on-disk blocks
-    // cost one read per iteration and leave the unified pool to the
-    // aggregate. The vertex-sized ranks below stay memory-resident.
-    // persist, NOT localCheckpoint: a checkpointed frame degrades to
-    // Scan ExistingRDD and LOSES its partitioning/ordering (measured,
-    // tools/CkptShapeProbe), so every iteration's SMJ re-exchanged and
-    // re-sorted all ~10⁸ edge rows; the build join above already
-    // leaves the frame hash-partitioned AND sorted by src, and
-    // InMemoryRelation RETAINS both — each round now exchanges/sorts
-    // only the vertex-sized ranks side.
-    val e = edges.join(deg, "src").persist(StorageLevel.DISK_ONLY)
-    val n = e.select(col("src")).distinct().count()
-    afterEdges() // e's blocks are on disk; the source bytes can go
+    // Persist the BARE edge frame (round 15, guide §2.3/§2.4/§3.1):
+    // the old shape persisted edges.join(deg) — which paid the deg
+    // aggregate's exchange PLUS a data-sized hash(src) exchange for
+    // the join layout, and then re-sorted the frame inside every
+    // round's SMJ (the checkpointed ranks side has UnknownPartitioning
+    // so the joins never planned broadcast). The rounds never needed
+    // deg ON the edge rows: the rescan tier's round shape carries
+    // (node, r, deg) on the BROADCAST side. Persisting bare edges and
+    // routing the rounds through [[pageRankRescan]] removes BOTH
+    // data-sized exchanges and every per-round sort of e — measured
+    // at sf0.1: 6.2e6 → ~3.6e6 shuffle rows/run. deg comes from ONE
+    // pass over the persisted frame (vertex-sized checkpoint), which
+    // also materializes e. DISK_ONLY above ~10⁷ lineitem rows,
+    // memory-backed below ([[edgeLevel]]). Arithmetic is the identical
+    // exact-integer protocol — ranks are bit-identical either way.
+    val e = edges.persist(level)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = deg.count()
+    afterEdges() // e's blocks are cached; the source bytes can go
     if (n == 0)
-      return e.select(col("src").as("node"), lit(0L).as("deg"),
+      return deg.select(col("src").as("node"), lit(0L).as("deg"),
         lit(0L).as("rank_units"), lit(0.0).as("share"))
+    if (n <= RescanTierMaxVertices)
+      return pageRankRescan(e, deg, n, iterations, gcPerRound)
+    // vertex set past the broadcast ceiling: SMJ rounds over a
+    // deg-joined frame pre-partitioned + sorted by src (the persisted-
+    // layout shape — each round exchanges/sorts only the ranks side)
     val tele = (M * (100L - Damp)) / (100L * n)
-    var ranks = e.select(col("src")).distinct()
-      .select(col("src").as("node"), lit(M / n).as("r"))
+    val ej = e.join(deg, "src")
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .persist(StorageLevel.DISK_ONLY)
+    var ranks = deg.select(col("src").as("node"), lit(M / n).as("r"))
     var i = 0
     while (i < iterations) {
-      ranks = e.join(ranks, col("src") === col("node"))
+      ranks = ej.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr(s"r * $Damp div (100 * deg)").as("c"))
         .groupBy(col("dst"))
         .agg((sum(col("c")) + lit(tele)).as("r"))
@@ -278,10 +303,7 @@ object Graph {
       if (gcPerRound) System.gc()
       i += 1
     }
-    // vertex degrees re-read the checkpointed edge frame, not the
-    // base edge build
-    ranks.join(e.select(col("src"), col("deg")).distinct(),
-        col("node") === col("src"))
+    ranks.join(deg, col("node") === col("src"))
       .select(col("node"), col("deg"), col("r").as("rank_units"),
         // raw division of exact longs by a constant — bit-identical
         (col("r") / (M * 1.0)).as("share"))
@@ -349,7 +371,8 @@ object Graph {
     // then re-read per round, so the eviction hook must NOT fire — it
     // only does from the persisted shape, which the tier replaces)
     pageRank(edges, afterEdges = () => evictEdgeChunks(d),
-      gcPerRound = chunkedBuild(d), rescanTier = chunkedBuild(d))
+      gcPerRound = chunkedBuild(d), rescanTier = chunkedBuild(d),
+      level = edgeLevel(s, d))
       .select(col("node").as("part_id"), col("deg"), col("rank_units"), col("share"))
   }
 
@@ -421,18 +444,22 @@ object Graph {
   def weightedPageRank(edges: DataFrame,
       iterations: Int = Iterations,
       afterEdges: () => Unit = () => (),
-      gcPerRound: Boolean = false): DataFrame = {
-    val wdeg = edges.groupBy(col("src")).agg(sum(col("c")).as("wdeg"))
-    // persist, not localCheckpoint — keeps the build join's src
-    // partitioning/ordering for all 10 rounds (see pageRank above)
-    val e = edges.join(wdeg, "src").persist(StorageLevel.DISK_ONLY)
-    // one aggregate materializes the persisted frame AND checks the
-    // int64 overflow bound on the per-edge product r*Damp*c (r <= M)
-    val head = e.agg(countDistinct(col("src")), max(col("c"))).head()
-    afterEdges() // e's blocks are on disk; the source bytes can go
+      gcPerRound: Boolean = false,
+      level: StorageLevel = StorageLevel.DISK_ONLY): DataFrame = {
+    // persist the BARE (src, dst, c) frame; wdeg rides the broadcast
+    // side of each round (the q148 round-15 shape — no data-sized
+    // wdeg join, no per-round sort/exchange of e). One vertex-sized
+    // aggregate materializes the frame, yields wdeg AND checks the
+    // int64 overflow bound on the per-edge product r*Damp*c (r <= M).
+    val e = edges.persist(level)
+    val wdeg = e.groupBy(col("src"))
+      .agg(sum(col("c")).as("wdeg"), max(col("c")).as("cmax"))
+      .localCheckpoint()
+    val head = wdeg.agg(count(lit(1)), max(col("cmax"))).head()
+    afterEdges() // e's blocks are cached; the source bytes can go
     val n = head.getLong(0)
     if (n == 0)
-      return e.select(col("src").as("node"), lit(0L).as("wdeg"),
+      return wdeg.select(col("src").as("node"), lit(0L).as("wdeg"),
         lit(0L).as("rank_units"), lit(0.0).as("share"))
     val maxC = head.getLong(1)
     require(maxC <= MaxSafeEdgeStrength,
@@ -441,16 +468,39 @@ object Graph {
         "(r can reach the 1e12 mass scale); pre-scale c by its GCD or " +
         "carry contributions in decimal(38,0)")
     val tele = (M * (100L - Damp)) / (100L * n)
-    var ranks = e.select(col("src")).distinct()
-      .select(col("src").as("node"), lit(M / n).as("r"))
+    val bcastRounds = n <= RescanTierMaxVertices
+    // past the vertex ceiling: SMJ rounds over a wdeg-joined frame
+    // pre-partitioned + sorted by src, materialized ONCE (the
+    // pre-round-15 shape — each round exchanges/sorts only ranks)
+    val ejFallback =
+      if (bcastRounds) null
+      else e.join(wdeg.select(col("src"), col("wdeg")), "src")
+        .repartition(col("src")).sortWithinPartitions(col("src"))
+        .persist(StorageLevel.DISK_ONLY)
+    var ranks = wdeg.select(col("src").as("node"), lit(M / n).as("r"))
     var i = 0
     while (i < iterations) {
+      // broadcast-ranks round (the pageRankRescan shape, weighted):
+      // (node, r, wdeg) broadcasts, e streams untouched, floor'd
+      // c-proportional contributions partial-aggregate on dst.
+      val next =
+        if (bcastRounds) {
+          val rw = broadcast(ranks.join(wdeg, col("node") === col("src"))
+            .select(col("node"), col("r"), col("wdeg")))
+          e.join(rw, col("src") === col("node"))
+            .select(col("dst"),
+              expr(s"r * $Damp * c div (100 * wdeg)").as("contrib"))
+            .groupBy(col("dst"))
+            .agg((sum(col("contrib")) + lit(tele)).as("r"))
+            .select(col("dst").as("node"), col("r"))
+        } else weightedRankRound(ejFallback, ranks, tele)
       // cut lineage each round (the q148 shape)
-      ranks = weightedRankRound(e, ranks, tele).localCheckpoint()
+      ranks = next.localCheckpoint()
       if (gcPerRound) System.gc() // see pageRank: async shuffle reclaim
       i += 1
     }
-    ranks.join(e.select(col("src"), col("wdeg")).distinct(),
+    val wdegSide = wdeg.select(col("src"), col("wdeg"))
+    ranks.join(if (bcastRounds) broadcast(wdegSide) else wdegSide,
         col("node") === col("src"))
       .select(col("node"), col("wdeg"), col("r").as("rank_units"),
         (col("r") / (M * 1.0)).as("share"))
@@ -473,7 +523,7 @@ object Graph {
   def q165WeightedPageRank(s: SparkSession, d: String): DataFrame = {
     val edges = coPurchaseStrength(s, d)
     weightedPageRank(edges, afterEdges = () => evictEdgeChunks(d),
-        gcPerRound = chunkedBuild(d))
+        gcPerRound = chunkedBuild(d), level = edgeLevel(s, d))
       .select(col("node").as("part_id"), col("wdeg"), col("rank_units"),
         col("share"))
   }
@@ -524,21 +574,34 @@ object Graph {
    *  frame is bit-identical to the oracle's recursive-CTE replay. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
       afterEdges: () => Unit = () => (),
-      gcPerRound: Boolean = false): DataFrame = {
-    // DISK_ONLY for the data-sized edge frame (the q148 lesson:
-    // memory-resident blocks compete with the join's execution pages)
+      gcPerRound: Boolean = false,
+      level: StorageLevel = StorageLevel.DISK_ONLY): DataFrame = {
+    // storage tier by corpus size ([[edgeLevel]]); DISK_ONLY past it
+    // (the q148 lesson: memory-resident blocks compete with the
+    // join's execution pages at data scale)
     val e = edges.select(col("src"), col("dst"))
-      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+      .localCheckpoint(eager = true, level)
     var dist = seeds.select(col("node"), lit(0L).as("hops"))
       .distinct().localCheckpoint()
     // e AND dist are materialized (seeds may read the same source
     // frame as edges — q158's do); the source bytes can go
     afterEdges()
     var frontier = dist.select(col("node"))
+    // frontier and visited set are vertex-sized — broadcast them into
+    // the round joins while the visited count fits the rescan tier's
+    // ceiling (round 15, guide §3.1): the checkpointed e has
+    // UnknownPartitioning, so the SMJ shape re-exchanged + re-sorted
+    // the DATA-sized edge frame every round. The count that gates the
+    // broadcast doubles as the emptiness probe.
+    var distRows = dist.count()
+    var frontierRows = distRows
     var h = 1
-    while (h <= maxHops && !frontier.isEmpty) {
-      val next = bfsRound(e, dist, frontier, h)
+    while (h <= maxHops && frontierRows > 0) {
+      val bc = distRows <= RescanTierMaxVertices
+      val next = bfsRound(e, dist, frontier, h, bcast = bc)
         .localCheckpoint() // cut lineage: plan depth stays O(1) per round
+      frontierRows = next.count()
+      distRows += frontierRows
       dist = dist.union(next).localCheckpoint()
       frontier = next.select(col("node"))
       if (gcPerRound) System.gc() // see pageRank: async shuffle reclaim
@@ -550,12 +613,15 @@ object Graph {
   /** One BFS expansion: frontier-incident edges (equi-join on src) →
    *  distinct targets → anti-join against the visited set. Exposed so
    *  the plan gate can pin the round's shape (the iterated plan hides
-   *  behind per-round checkpoints). */
+   *  behind per-round checkpoints). With `bcast` the vertex-sized
+   *  frontier and visited sides broadcast — identical join semantics,
+   *  zero exchange/sort on the edge side. */
   private[ops] def bfsRound(e: DataFrame, dist: DataFrame,
-      frontier: DataFrame, h: Int): DataFrame =
-    e.join(frontier, e("src") === frontier("node"))
+      frontier: DataFrame, h: Int, bcast: Boolean = false): DataFrame =
+    e.join(if (bcast) broadcast(frontier) else frontier,
+        e("src") === frontier("node"))
       .select(col("dst").as("node")).distinct()
-      .join(dist, Seq("node"), "left_anti")
+      .join(if (bcast) broadcast(dist) else dist, Seq("node"), "left_anti")
       .select(col("node"), lit(h.toLong).as("hops"))
 
   /** q158: hop distance from one brand's catalog over the co-purchase
@@ -579,7 +645,7 @@ object Graph {
     val seeds = e.select(col("src").as("node")).distinct()
       .join(seedParts, col("node") === col("p_partkey"), "left_semi")
     bfsHops(e, seeds, maxHops = 6, afterEdges = () => evictEdgeChunks(d),
-      gcPerRound = chunkedBuild(d))
+      gcPerRound = chunkedBuild(d), level = edgeLevel(s, d))
       .select(col("node").as("part_id"), col("hops"))
       .orderBy(col("part_id"))
   }
@@ -630,10 +696,15 @@ object Graph {
   def q159Triangles(s: SparkSession, d: String): DataFrame = {
     val e = coPurchaseStrength(s, d).filter(col("c") >= 2)
       .select(col("src"), col("dst"))
-      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+      .localCheckpoint(eager = true, edgeLevel(s, d))
+    // vertex-sized; checkpointed so the two orientation joins, the
+    // readout join and the broadcast gate share one computation
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val bc = deg.count() <= RescanTierMaxVertices
     deg.select(col("src").as("part_id"), col("deg"))
-      .join(triangleCredits(e, deg), col("part_id") === col("node"), "left")
+      .join(triangleCredits(e, deg, bcast = bc, level = edgeLevel(s, d)),
+        col("part_id") === col("node"), "left")
       .select(col("part_id"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
       .withColumn("clustering",
@@ -646,19 +717,30 @@ object Graph {
   /** Per-vertex triangle counts (node, triangles) over a symmetric
    *  edge frame with its degree frame — the oriented wedge-closure
    *  core of q159, shared with the fixture spec. */
-  private[ops] def triangleCredits(e: DataFrame, deg: DataFrame): DataFrame = {
+  private[ops] def triangleCredits(e: DataFrame, deg: DataFrame,
+      bcast: Boolean = false,
+      level: StorageLevel = StorageLevel.DISK_ONLY): DataFrame = {
+    def side(v: DataFrame) = if (bcast) broadcast(v) else v
     // oriented edges carry the endpoint ranks so the wedge join can
-    // order its two legs without re-joining degrees
+    // order its two legs without re-joining degrees. The degree joins
+    // broadcast under the vertex ceiling; the frame parks partitioned
+    // by the wedge key u AND sorted (u, v) — persist, not checkpoint
+    // (CkptShapeProbe: a checkpoint forgets the layout), so the wedge
+    // self-join reads BOTH its sides exchange-free and sort-free, and
+    // the closure semi-join's build side (keys (cv, cw) = (u, v)) is
+    // subset-co-partitioned on u with the sort order already exact —
+    // before round 15 the checkpointed o re-exchanged three times.
     val o = e
-      .join(deg.select(col("src").as("u_key"), col("deg").as("du")),
+      .join(side(deg.select(col("src").as("u_key"), col("deg").as("du"))),
         col("src") === col("u_key"))
-      .join(deg.select(col("src").as("v_key"), col("deg").as("dv")),
+      .join(side(deg.select(col("src").as("v_key"), col("deg").as("dv"))),
         col("dst") === col("v_key"))
       .filter(col("du") < col("dv") ||
         (col("du") === col("dv") && col("src") < col("dst")))
       .select(col("src").as("u"), col("dst").as("v"),
         col("dv"))
-      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+      .repartition(col("u")).sortWithinPartitions(col("u"), col("v"))
+      .persist(level)
     val wedges = o.as("a").join(o.as("b"),
         col("a.u") === col("b.u") &&
           (col("a.dv") < col("b.dv") ||
@@ -726,30 +808,42 @@ object Graph {
    *  pair; survivor frames localCheckpoint each round to keep the
    *  plan O(1) deep. Work per round is O(surviving edges), total
    *  O(rounds·E); all counts exact integers. */
-  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+      level: StorageLevel = StorageLevel.DISK_ONLY): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+      .localCheckpoint(eager = true, level)
     var surv = e.select(col("src").as("node")).distinct().localCheckpoint()
+    // survivor sets only shrink — gate the broadcast once on the
+    // initial vertex count (round 15, guide §3.1: the checkpointed e
+    // re-exchanged + re-sorted in both semi-joins every round)
+    val bc = surv.count() <= RescanTierMaxVertices
     var r = 0
     while (r < rounds) {
-      surv = aliveEdges(e, surv)
+      surv = aliveEdges(e, surv, bcast = bc)
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("node"))
         .localCheckpoint()
       r += 1
     }
-    aliveEdges(e, surv)
+    aliveEdges(e, surv, bcast = bc)
       .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("node"), col("core_deg"),
         (col("core_deg") >= k).as("is_stable"))
   }
 
   /** Edges with BOTH endpoints in the survivor set — two semi-joins,
-   *  exposed for the plan gate. */
-  private[ops] def aliveEdges(e: DataFrame, surv: DataFrame): DataFrame =
-    e.join(surv.select(col("node").as("__s1")), col("src") === col("__s1"), "left_semi")
-      .join(surv.select(col("node").as("__s2")), col("dst") === col("__s2"), "left_semi")
+   *  exposed for the plan gate. With `bcast` the vertex-sized survivor
+   *  side broadcasts into both semi-joins (identical semantics). */
+  private[ops] def aliveEdges(e: DataFrame, surv: DataFrame,
+      bcast: Boolean = false): DataFrame = {
+    def side(c: String) = {
+      val s = surv.select(col("node").as(c))
+      if (bcast) broadcast(s) else s
+    }
+    e.join(side("__s1"), col("src") === col("__s1"), "left_semi")
+      .join(side("__s2"), col("dst") === col("__s2"), "left_semi")
+  }
 
   private[ops] val KCoreK = 3
   // 12 rounds: measured convergence at sf0.01 (935 survivors, zero
@@ -765,7 +859,8 @@ object Graph {
    *  `KCoreRounds` (12) peeling rounds — (part_id, core_deg,
    *  is_stable). */
   def q168KCore(s: SparkSession, d: String): DataFrame =
-    kCorePeel(coPurchaseStrength(s, d).filter(col("c") >= 2), KCoreK, KCoreRounds)
+    kCorePeel(coPurchaseStrength(s, d).filter(col("c") >= 2), KCoreK,
+        KCoreRounds, level = edgeLevel(s, d))
       .select(col("node").as("part_id"), col("core_deg"), col("is_stable"))
       .orderBy(col("part_id"))
 
@@ -825,14 +920,22 @@ object Graph {
    *  Scale: edge build + two degree joins + ONE moment aggregate —
    *  everything linear in E, no window, nothing collected. */
   def q169Assortativity(s: SparkSession, d: String): DataFrame = {
+    // checkpoint the edge frame once (round 15): the degree aggregate
+    // and the moment join both read it, and the dual-subtree plan was
+    // not guaranteed exchange reuse; the vertex-sized degree frame
+    // checkpoints and broadcasts into both endpoint joins
     val e = coPurchaseStrength(s, d).filter(col("c") >= 2)
       .select(col("src"), col("dst"))
+      .localCheckpoint(eager = true, edgeLevel(s, d))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val bc = deg.count() <= RescanTierMaxVertices
+    def side(v: DataFrame) = if (bc) broadcast(v) else v
     val dec = "decimal(38,0)"
     val ed = e
-      .join(deg.select(col("src").as("u_key"), col("deg").as("x")),
+      .join(side(deg.select(col("src").as("u_key"), col("deg").as("x"))),
         col("src") === col("u_key"))
-      .join(deg.select(col("src").as("v_key"), col("deg").as("y")),
+      .join(side(deg.select(col("src").as("v_key"), col("deg").as("y"))),
         col("dst") === col("v_key"))
     val m = ed.agg(
       count(lit(1)).as("n_edges"),
@@ -906,18 +1009,32 @@ object Graph {
    *  vertex-sized and broadcast-eligible. */
   def q170LinkPredict(s: SparkSession, d: String): DataFrame =
     linkPredict(coPurchaseStrength(s, d).filter(col("c") >= 2)
-      .select(col("src"), col("dst")))
+      .select(col("src"), col("dst")), level = edgeLevel(s, d))
       .orderBy(col("u"), col("v"))
 
   /** Core scorer over a symmetric (src, dst) edge frame — exposed so
    *  the spec can pin the wedge/anti-join/score math on hand-sized
-   *  graphs. Returns (u, v, cn, deg_u, deg_v, jaccard, ra_units). */
-  def linkPredict(edges: DataFrame, minCn: Int = 2): DataFrame = {
+   *  graphs. Returns (u, v, cn, deg_u, deg_v, jaccard, ra_units).
+   *
+   *  Layout (round 15): the frame parks partitioned by src and sorted
+   *  (src, dst) — persist, not checkpoint — so the wedge self-join
+   *  (keys w = src both sides) and the existing-edge anti-join (keys
+   *  (u, v) = (src, dst), subset-co-partitioned on src) read the edge
+   *  side exchange-free and sort-free; the vertex-sized degree frame
+   *  checkpoints once and broadcasts into its three joins under the
+   *  rescan tier's ceiling. Before round 15 the checkpointed frame
+   *  re-exchanged in all four joins. */
+  def linkPredict(edges: DataFrame, minCn: Int = 2,
+      level: StorageLevel = StorageLevel.DISK_ONLY): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+      .repartition(col("src")).sortWithinPartitions(col("src"), col("dst"))
+      .persist(level)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val bc = deg.count() <= RescanTierMaxVertices
+    def side(v: DataFrame) = if (bc) broadcast(v) else v
     val mid = e.select(col("src").as("w"), col("dst").as("u"))
-      .join(deg.select(col("src").as("w"), col("deg").as("wdeg")), "w")
+      .join(side(deg.select(col("src").as("w"), col("deg").as("wdeg"))), "w")
     val wedges = mid.join(e.select(col("src").as("w2"), col("dst").as("v")),
       col("w") === col("w2") && col("u") < col("v"))
     val cand = wedges.groupBy(col("u"), col("v"))
@@ -927,8 +1044,8 @@ object Graph {
       .join(e.select(col("src").as("u"), col("dst").as("v")),
         Seq("u", "v"), "left_anti")
     cand
-      .join(deg.select(col("src").as("u"), col("deg").as("deg_u")), "u")
-      .join(deg.select(col("src").as("v"), col("deg").as("deg_v")), "v")
+      .join(side(deg.select(col("src").as("u"), col("deg").as("deg_u"))), "u")
+      .join(side(deg.select(col("src").as("v"), col("deg").as("deg_v"))), "v")
       .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
         (col("cn").cast("double")
           / (col("deg_u") + col("deg_v") - col("cn")).cast("double"))
@@ -984,16 +1101,34 @@ object Graph {
    *  frame bucket-partitions on src, making the per-round join
    *  shuffle-free on the big side. */
   def cheapestPaths(edges: DataFrame, seeds: DataFrame,
-      rounds: Int = BfRounds): DataFrame = {
-    // pre-partition + sort by src, persist (not checkpoint) so all 6
-    // relaxation rounds reuse the layout — see connectedComponents
-    val e = edges.select(col("src"), col("dst"), col("w"))
-      .repartition(col("src")).sortWithinPartitions(col("src"))
-      .persist(StorageLevel.DISK_ONLY)
+      rounds: Int = BfRounds,
+      level: StorageLevel = StorageLevel.DISK_ONLY): DataFrame = {
+    // persist the BARE frame and broadcast the vertex-sized dist side
+    // into every relaxation (round 15, guide §3.1 — the
+    // connectedComponents rationale); past the broadcast ceiling fall
+    // back to the pre-partitioned SMJ layout exactly as before
+    val bareFirst = edges.select(col("src"), col("dst"), col("w"))
+      .persist(level)
     var dist = seeds.select(col("node"), lit(0L).as("dcost")).distinct()
+      .localCheckpoint()
+    // dist grows toward the vertex set; gate per round on its count
+    // (checkpointed, vertex-sized — the count is cheap)
+    var nd = dist.count()
+    val e =
+      if (nd <= RescanTierMaxVertices) bareFirst
+      else {
+        val prepped = edges.select(col("src"), col("dst"), col("w"))
+          .repartition(col("src")).sortWithinPartitions(col("src"))
+          .persist(StorageLevel.DISK_ONLY)
+        prepped.count()
+        bareFirst.unpersist()
+        prepped
+      }
     var i = 0
     while (i < rounds) {
-      dist = relaxRound(e, dist).localCheckpoint()
+      dist = relaxRound(e, dist, bcast = nd <= RescanTierMaxVertices)
+        .localCheckpoint()
+      nd = dist.count()
       i += 1
     }
     dist
@@ -1001,9 +1136,12 @@ object Graph {
 
   /** One Bellman-Ford relaxation: dist equi-joins the edge frame on
    *  src, relaxed costs union the previous frame, min hash-aggregates
-   *  per node. Exposed for the plan gate. */
-  private[ops] def relaxRound(e: DataFrame, dist: DataFrame): DataFrame = {
-    val relaxed = dist.join(e, col("node") === col("src"))
+   *  per node. Exposed for the plan gate. With `bcast` the
+   *  vertex-sized dist side broadcasts (identical semantics). */
+  private[ops] def relaxRound(e: DataFrame, dist: DataFrame,
+      bcast: Boolean = false): DataFrame = {
+    val relaxed = (if (bcast) broadcast(dist) else dist)
+      .join(e, col("node") === col("src"))
       .select(col("dst").as("node"), (col("dcost") + col("w")).as("dcost"))
     dist.unionByName(relaxed)
       .groupBy(col("node")).agg(min(col("dcost")).as("dcost"))
@@ -1020,7 +1158,7 @@ object Graph {
       .join(part(s, d).filter(col("p_brand") === "Brand#11")
         .select(col("p_partkey")),
         col("node") === col("p_partkey"), "left_semi")
-    cheapestPaths(e, seeds)
+    cheapestPaths(e, seeds, level = edgeLevel(s, d))
       .select(col("node").as("part_id"), col("dcost").as("cost_units"))
       .orderBy(col("part_id"))
   }
@@ -1098,7 +1236,7 @@ object Graph {
       .join(lineitem(s, d).select(col("l_orderkey").as("ok"),
         col("l_partkey").as("part")), "ok")
       .select(col("cust"), col("part")).distinct()
-      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+      .localCheckpoint(eager = true, edgeLevel(s, d))
     val auths = hitsAuthorities(e, HitsRounds)
     val nBuyers = e.groupBy(col("part")).agg(count(lit(1)).as("n_buyers"))
     auths.join(nBuyers, "part")
@@ -1115,17 +1253,24 @@ object Graph {
     val dec = "decimal(38,0)"
     var hubs = e.select(col("cust")).distinct()
       .select(col("cust"), lit(HitsM).as("h"))
+      .localCheckpoint()
+    // both score frames are vertex-sized — broadcast them into every
+    // half-round join while they fit the rescan tier's ceiling (round
+    // 15, guide §3.1: the checkpointed e otherwise re-exchanged and
+    // re-sorted in all 8 half-round SMJs)
+    val bc = hubs.count() <= RescanTierMaxVertices
+    def side(v: DataFrame) = if (bc) broadcast(v) else v
     var auths: DataFrame = null
     var r = 0
     while (r < rounds) {
       // raw sums ride decimal(38,0): a 10⁷-buyer vertex at 10¹² units
       // per hub would overflow an int64 sum
       auths = rescale(
-        e.join(hubs, "cust").groupBy(col("part"))
+        e.join(side(hubs), "cust").groupBy(col("part"))
           .agg(sum(col("h").cast(dec)).as("v")), "part")
         .localCheckpoint()
       hubs = rescale(
-        e.join(auths.select(col("part"), col("v")), "part")
+        e.join(side(auths.select(col("part"), col("v"))), "part")
           .groupBy(col("cust")).agg(sum(col("v").cast(dec)).as("v")), "cust")
         .select(col("cust"), col("v").as("h"))
         .localCheckpoint()
@@ -1274,16 +1419,29 @@ object Graph {
    *  strictly decreases until converged; no per-node diff join is
    *  needed. Labels are exact longs (min node id per component), so
    *  the result is bit-identical to the oracle's closure replay. */
-  def connectedComponents(edges: DataFrame): DataFrame = {
-    // pre-partition + sort by the round join key, then persist — a
-    // checkpoint would forget both (tools/CkptShapeProbe) and every
-    // propagation round would re-exchange and re-sort the edge frame
-    // inside its SMJ against the vertex-sized label frame
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).sortWithinPartitions(col("src"))
-      .persist(StorageLevel.DISK_ONLY)
-    var labels = e.select(col("src").as("node")).distinct()
+  def connectedComponents(edges: DataFrame,
+      level: StorageLevel = StorageLevel.DISK_ONLY): DataFrame = {
+    // persist the BARE edge frame (round 15): with the vertex-sized
+    // label frame BROADCAST into every round (guide §3.1), the edge
+    // side streams untouched — so the old build-time
+    // repartition+sortWithinPartitions exchange (whose only purpose
+    // was to make the per-round SMJ exchange-free on e) is dead
+    // weight and is skipped below the broadcast ceiling. Past the
+    // ceiling: the pre-partitioned SMJ layout exactly as before.
+    val bareFirst = edges.select(col("src"), col("dst")).persist(level)
+    var labels = bareFirst.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
+    val bc = labels.count() <= RescanTierMaxVertices
+    val e =
+      if (bc) bareFirst
+      else {
+        val prepped = edges.select(col("src"), col("dst"))
+          .repartition(col("src")).sortWithinPartitions(col("src"))
+          .persist(StorageLevel.DISK_ONLY)
+        prepped.count()
+        bareFirst.unpersist()
+        prepped
+      }
     def mass(l: DataFrame): java.math.BigDecimal = {
       val r = l.agg(sum(col("label").cast("decimal(38,0)"))).head()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
@@ -1297,7 +1455,7 @@ object Graph {
     // until converged)
     var converged = labels.isEmpty // empty graph: nothing to do
     while (!converged) {
-      val next = ccRound(e, labels).localCheckpoint()
+      val next = ccRound(e, labels, bcast = bc).localCheckpoint()
       val cur = mass(next)
       converged = cur.compareTo(prev) == 0
       prev = cur
@@ -1307,9 +1465,13 @@ object Graph {
   }
 
   /** One propagation round: push labels across edges, take the min of
-   *  incoming and own label per vertex. Exposed for the plan gate. */
-  private[ops] def ccRound(e: DataFrame, labels: DataFrame): DataFrame =
-    e.join(labels, e("src") === labels("node"))
+   *  incoming and own label per vertex. Exposed for the plan gate.
+   *  With `bcast` the vertex-sized label side broadcasts (identical
+   *  join semantics; min is order-free). */
+  private[ops] def ccRound(e: DataFrame, labels: DataFrame,
+      bcast: Boolean = false): DataFrame =
+    e.join(if (bcast) broadcast(labels) else labels,
+        e("src") === labels("node"))
       .select(col("dst").as("node"), col("label"))
       .union(labels)
       .groupBy(col("node")).agg(min(col("label")).as("label"))
@@ -1328,7 +1490,7 @@ object Graph {
       .join(fam, col("src") === col("p_partkey"), "left_semi")
       .join(fam, col("dst") === col("p_partkey"), "left_semi")
       .select(col("src"), col("dst"))
-    val cc = connectedComponents(e)
+    val cc = connectedComponents(e, level = edgeLevel(s, d))
     val sizes = cc.groupBy(col("label")).agg(count(lit(1)).as("comp_size"))
     cc.join(sizes, Seq("label"))
       .select(col("node").as("part_id"), col("label").as("component"),
@@ -1426,55 +1588,85 @@ object Graph {
    *  synchronous fixpoint (round 11 left certified oscillators here;
    *  the semi-synchronous schedule settles them). Returns
    *  (node, community, comm_size, is_stable). */
-  def labelPropagation(edges: DataFrame, rounds: Int = LpRounds): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).sortWithinPartitions(col("src"))
-      .persist(StorageLevel.DISK_ONLY)
-    var labels = e.select(col("src").as("node")).distinct()
+  def labelPropagation(edges: DataFrame, rounds: Int = LpRounds,
+      level: StorageLevel = StorageLevel.DISK_ONLY): DataFrame = {
+    // persist the BARE frame and broadcast the vertex-sized label side
+    // into every vote round (round 15 — the connectedComponents
+    // rationale); past the broadcast ceiling fall back to the
+    // pre-partitioned SMJ layout exactly as before
+    val bareFirst = edges.select(col("src"), col("dst")).persist(level)
+    var labels = bareFirst.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
+    val bc = labels.count() <= RescanTierMaxVertices
+    val e =
+      if (bc) bareFirst
+      else {
+        val prepped = edges.select(col("src"), col("dst"))
+          .repartition(col("src")).sortWithinPartitions(col("src"))
+          .persist(StorageLevel.DISK_ONLY)
+        prepped.count()
+        bareFirst.unpersist()
+        prepped
+      }
     var r = 0
     while (r < rounds) {
       r += 1
-      val voted = lpRound(e, labels)
-      // active class adopts its vote; the other class keeps — the
-      // merge is a node-sized equi-join, nothing edge-sized
-      labels = labels.as("o").join(voted.as("v"),
-          col("o.node") === col("v.node"))
-        .select(col("o.node").as("node"),
-          when(pmod(col("o.node"), lit(2L)) === lit(r % 2).cast("long"),
-            col("v.label")).otherwise(col("o.label")).as("label"))
+      // round 15: vote ONLY the active parity class — the inactive
+      // class's votes were computed and then discarded by the merge
+      // below, so filtering n2 before the vote aggregates halves
+      // their input with row-identical output (votes per n2 are
+      // independent; every active node self-votes). The A/B'd
+      // alternatives both lost: per-round broadcast hints and a
+      // union-of-filters merge each measured ~2× SLOWER than this
+      // shape at sf0.1 (the per-round broadcast build is a blocking
+      // driver job; AQE already picks the right strategy from the
+      // materialized checkpoint stats).
+      val voted = lpRound(e, labels, parity = Some(r % 2L))
+      labels = voted
+        .union(labels.filter(pmod(col("node"), lit(2L)) =!= lit(r % 2L)))
         .localCheckpoint()
     }
     // fixpoint certificate: one more full synchronous vote — a node
     // is stable iff re-voting over the FINAL labels would not move it
     val cert = lpRound(e, labels)
-    val stable = labels.as("a").join(cert.as("b"),
+    val stable = labels.as("a").join(
+        if (bc) broadcast(cert.as("b")) else cert.as("b"),
         col("a.node") === col("b.node"))
       .select(col("a.node").as("node"), col("a.label").as("community"),
         (col("a.label") === col("b.label")).as("is_stable"))
     val sizes = stable.groupBy(col("community")).agg(count(lit(1)).as("comm_size"))
-    stable.join(sizes, "community")
+    stable.join(if (bc) broadcast(sizes) else sizes, "community")
       .select(col("node"), col("community"), col("comm_size"), col("is_stable"))
   }
 
   /** One synchronous vote round: neighbor labels flow across edges,
    *  each vertex adds its own label, the most frequent label wins
    *  with ties to the smallest. Exposed for the plan gate. */
-  private[ops] def lpRound(e: DataFrame, labels: DataFrame): DataFrame =
-    e.join(labels, col("src") === col("node"))
+  private[ops] def lpRound(e: DataFrame, labels: DataFrame,
+      bcast: Boolean = false, parity: Option[Long] = None): DataFrame = {
+    val flow = e.join(if (bcast) broadcast(labels) else labels,
+        col("src") === col("node"))
       .select(col("dst").as("n2"), col("label"))
       .union(labels.select(col("node").as("n2"), col("label")))
+    // semi-synchronous rounds only consume the ACTIVE class's votes —
+    // restricting n2 BEFORE the aggregates prunes the discarded half
+    // (vote counts per n2 are independent, so the restriction is exact)
+    val scoped = parity.fold(flow)(p =>
+      flow.filter(pmod(col("n2"), lit(2L)) === lit(p)))
+    scoped
       .groupBy(col("n2"), col("label")).agg(count(lit(1)).as("votes"))
       .groupBy(col("n2"))
       .agg(max(struct(col("votes"), (-col("label")).as("neg"))).as("m"))
       .select(col("n2").as("node"), (-col("m.neg")).as("label"))
+  }
 
   /** q181: LPA communities of the c≥2 co-purchase strength graph —
    *  the assignment-level complement of q177 (which scores an
    *  EXOGENOUS brand partition) and q160 (which reports mere
    *  connectivity). */
   def q181Communities(s: SparkSession, d: String): DataFrame =
-    labelPropagation(coPurchaseStrength(s, d).filter(col("c") >= 2))
+    labelPropagation(coPurchaseStrength(s, d).filter(col("c") >= 2),
+        level = edgeLevel(s, d))
       .select(col("node").as("part_id"), col("community"),
         col("comm_size"), col("is_stable"))
       .orderBy(col("part_id"))
@@ -1555,7 +1747,8 @@ object Graph {
   def q182LpaModularity(s: SparkSession, d: String): DataFrame = {
     val e = coPurchaseStrength(s, d).filter(col("c") >= 2)
       .select(col("src"), col("dst"))
-    val comm = labelPropagation(e).select(col("node"), col("community"))
+    val comm = labelPropagation(e, level = edgeLevel(s, d))
+      .select(col("node"), col("community"))
     labeledModularity(e
       .join(comm.select(col("node").as("src"), col("community").as("b_src")),
         "src")
@@ -1620,47 +1813,71 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iterations: Int = Iterations,
       afterEdges: () => Unit = () => (),
-      gcPerRound: Boolean = false): DataFrame = {
-    val seedSet = seeds.select(col("pk")).distinct()
-    // seed flag joins on dst FIRST; the deg join on src afterwards
-    // leaves the persisted frame hash-partitioned by src for all
-    // rounds (the q148/q165 layout rule)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      gcPerRound: Boolean = false,
+      level: StorageLevel = StorageLevel.DISK_ONLY): DataFrame = {
+    // seedSet is vertex-bounded (one brand's parts) — checkpoint it
+    // once so the four consumers below don't re-run its distinct
+    val seedSet = seeds.select(col("pk")).distinct().localCheckpoint()
+    // persist the BARE (src, dst, dst_seed) frame — the seed flag must
+    // ride the edge rows (the round aggregate reads max(dst_seed) per
+    // dst group) but deg rides the round's BROADCAST side instead (the
+    // q148 round-15 shape): no data-sized deg join, no per-round
+    // sort/exchange of e. The seed-flag attach broadcasts the
+    // vertex-bounded seed set, so the build never shuffles edges.
     val e = edges
-      .join(seedSet.withColumn("dst_seed", lit(1L)),
+      .join(broadcast(seedSet.withColumn("dst_seed", lit(1L))),
         col("dst") === col("pk"), "left")
       .select(col("src"), col("dst"),
         coalesce(col("dst_seed"), lit(0L)).as("dst_seed"))
-      .join(deg, "src")
-      .persist(StorageLevel.DISK_ONLY)
-    val verts = e.select(col("src")).distinct()
-    val ns = verts.join(seedSet, col("src") === col("pk"), "left_semi")
+      .persist(level)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = deg.count()
+    val ns = deg.join(seedSet, col("src") === col("pk"), "left_semi")
       .count()
-    afterEdges() // e's blocks are on disk; the source bytes can go
+    afterEdges() // e's blocks are cached; the source bytes can go
     if (ns == 0)
-      return e.select(col("src").as("part_id"), col("deg"),
+      return deg.select(col("src").as("part_id"), col("deg"),
         lit(0L).as("rank_units"), lit(0.0).as("share"),
         lit(0L).as("is_seed")).limit(0)
     val tele = (M * (100L - Damp)) / (100L * ns)
-    var ranks = verts
+    val bcastRounds = n <= RescanTierMaxVertices
+    // past the vertex ceiling: SMJ rounds over a deg-joined frame
+    // pre-partitioned + sorted by src (the pre-round-15 shape)
+    val ejFallback =
+      if (bcastRounds) null
+      else e.join(deg, "src")
+        .repartition(col("src")).sortWithinPartitions(col("src"))
+        .persist(StorageLevel.DISK_ONLY)
+    var ranks = deg
       .join(seedSet, col("src") === col("pk"), "left")
       .select(col("src").as("node"),
         when(col("pk").isNotNull, lit(M / ns)).otherwise(lit(0L)).as("r"))
     var i = 0
     while (i < iterations) {
-      ranks = e.join(ranks, col("src") === col("node"))
-        .select(col("dst"), col("dst_seed"),
-          expr(s"r * $Damp div (100 * deg)").as("c"))
-        .groupBy(col("dst"))
-        .agg((sum(col("c")) + max(col("dst_seed")) * lit(tele)).as("r"))
-        .select(col("dst").as("node"), col("r"))
-        .localCheckpoint() // cut lineage each round (the q148 shape)
+      val next =
+        if (bcastRounds) {
+          val rw = broadcast(ranks.join(deg, col("node") === col("src"))
+            .select(col("node"), col("r"), col("deg")))
+          e.join(rw, col("src") === col("node"))
+            .select(col("dst"), col("dst_seed"),
+              expr(s"r * $Damp div (100 * deg)").as("c"))
+            .groupBy(col("dst"))
+            .agg((sum(col("c")) + max(col("dst_seed")) * lit(tele)).as("r"))
+            .select(col("dst").as("node"), col("r"))
+        } else ejFallback.join(ranks, col("src") === col("node"))
+          .select(col("dst"), col("dst_seed"),
+            expr(s"r * $Damp div (100 * deg)").as("c"))
+          .groupBy(col("dst"))
+          .agg((sum(col("c")) + max(col("dst_seed")) * lit(tele)).as("r"))
+          .select(col("dst").as("node"), col("r"))
+      ranks = next.localCheckpoint() // cut lineage each round (q148 shape)
       if (gcPerRound) System.gc() // see pageRank: async shuffle reclaim
       i += 1
     }
-    ranks.join(e.select(col("src"), col("deg")).distinct(),
+    ranks.join(if (bcastRounds) broadcast(deg) else deg,
         col("node") === col("src"))
-      .join(seedSet, col("node") === col("pk"), "left")
+      .join(broadcast(seedSet), col("node") === col("pk"), "left")
       .select(col("node").as("part_id"), col("deg"),
         col("r").as("rank_units"), (col("r") / (M * 1.0)).as("share"),
         col("pk").isNotNull.cast("long").as("is_seed"))
@@ -1678,7 +1895,7 @@ object Graph {
     val seeds = p.filter(col("p_brand") === lit(minBrand))
       .select(col("p_partkey").as("pk"))
     personalizedPageRank(edges, seeds, afterEdges = () => evictEdgeChunks(d),
-      gcPerRound = chunkedBuild(d))
+      gcPerRound = chunkedBuild(d), level = edgeLevel(s, d))
   }
 
   /** Oracle: the identical seeded integer iteration as a grouped

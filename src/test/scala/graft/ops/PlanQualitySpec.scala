@@ -547,7 +547,11 @@ class PlanQualitySpec extends AnyFunSuite with SparkSuite {
       iterations = 1))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "seeded mass push must equi-join on src, never all-pairs")
-    assert(p.contains("HashAggregate"), p.take(600))
+    // round 15: the per-round join+aggregate executes behind each
+    // round's localCheckpoint (broadcast-ranks shape), so the RETURNED
+    // frame's plan is the readout — two equi-joins over the final
+    // checkpointed ranks. Pin that the readout stays hash-join-shaped.
+    assert(p.contains("Join"), p.take(600))
   }
 
   test("q114 per-chunk verification: parked shingle frame and pair aggregate never exchange") {
