@@ -1126,6 +1126,59 @@ object Dedup {
   private[graft] val SemDedupTau = 0.45
   private[graft] val SemDedupTruthCap = 2000L
 
+  /** Memoized UNBLOCKED truth drops per corpus dir — the exact
+   *  baseline all three SemDeDup gates (q137/q143/q190) compare
+   *  against, treated like q61's memoized exact baselines
+   *  (RecallGates.exactPairCache): a deterministic artifact of the
+   *  corpus, ≤ [[SemDedupTruthCap]] ids of driver footprint, re-run
+   *  live per JVM while the AUDITED policy legs always run live.
+   *  Round-15 shape fix (measured, stage dump): the old
+   *  constant-block semDedupPolicy call hash-partitioned on the
+   *  constant, so the cap² quadratic ran in ONE task (~4-5 s, twice
+   *  per gate per bench run, in three gates). Here the capped frame
+   *  broadcasts as the earlier side and the quadratic streams over
+   *  the vec_id-partitioned later side — same pairs, same
+   *  round(cosine, 6) ≥ τ predicate, same min-keeper semantics,
+   *  fully parallel. */
+  private val semTruthCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+
+  private[graft] def invalidateSemTruth(dir: String): Unit =
+    semTruthCache.remove(dir)
+
+  /** Drop-ids of the unblocked truth policy on the vec_id <
+   *  [[SemDedupTruthCap]] prefix of corpus `d` (sorted, memoized). */
+  private[ops] def semTruthDropIds(s: SparkSession, d: String): Seq[Long] =
+    semTruthCache.getOrElseUpdate(d, {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val capped = embeddings(s, d)
+        .filter(col("vec_id") < SemDedupTruthCap)
+        .select(col("vec_id"), col("embedding"))
+        // distribute the streamed side of the quadratic: the join key
+        // below is a constant, so the probe side's own partitioning is
+        // the only parallelism source
+        .repartition(col("vec_id"))
+      val a = broadcast(capped
+        .select(col("vec_id").as("a_id"), col("embedding").as("va"),
+          lit(0).as("blk")))
+      capped.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+          lit(0).as("blk"))
+        .join(a, Seq("blk"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("sim", round(
+          graft.functions.GraftFunctions.cosine_sim(col("va"), col("vb")), 6))
+        .filter(col("sim") >= SemDedupTau)
+        .select(col("b_id")).distinct()
+        .as[Long].collect().sorted.toIndexedSeq
+    })
+
+  /** The truth-drop frame the gates join against (vec_id column). */
+  private def semTruthDrops(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    semTruthDropIds(s, d).toDF("vec_id")
+  }
+
   /** The q137 cell-blocked policy over an already-capped (vec_id,
    *  cell, v) layout slice — exposed for SemDedupProbe so the probe
    *  measures exactly what the gate gates. */
@@ -1246,14 +1299,10 @@ object Dedup {
       .agg(count(when(col("cell").isNull || col("cell_now").isNull ||
         col("cell") =!= col("cell_now"), 1)).as("mismatches"))
       .select((col("mismatches") === 0).as("assign_ok"))
-    // unblocked ground truth on the prefix subsample: the constant
-    // block key makes semDedupPolicy compare EVERY earlier vector —
-    // the O(cap²) scan the cell blocking exists to avoid
-    val truthDrops = semDedupPolicy(
-      src.filter(col("vec_id") < SemDedupTruthCap)
-        .select(col("vec_id"), lit(0).as("blk"), col("embedding")),
-      blockCol = "blk", vecCol = "embedding", tau = SemDedupTau)
-      .filter(col("dropped") === 1).select(col("vec_id"))
+    // unblocked ground truth on the prefix subsample — the memoized
+    // parallel exact baseline ([[semTruthDropIds]]; the O(cap²) scan
+    // the cell blocking exists to avoid)
+    val truthDrops = semTruthDrops(s, d)
     // the audited policy, restricted to the same prefix BEFORE the
     // self-join: equal to the full-corpus policy's restriction
     // because a prefix is closed under "earlier same-cell vector"
@@ -1340,11 +1389,7 @@ object Dedup {
       .agg(count(when(col("cell").isNull || col("cell_now").isNull ||
         col("cell") =!= col("cell_now"), 1)).as("mismatches"))
       .select((col("mismatches") === 0).as("assign_ok"))
-    val truthDrops = semDedupPolicy(
-      src.filter(col("vec_id") < SemDedupTruthCap)
-        .select(col("vec_id"), lit(0).as("blk"), col("embedding")),
-      blockCol = "blk", vecCol = "embedding", tau = SemDedupTau)
-      .filter(col("dropped") === 1).select(col("vec_id"))
+    val truthDrops = semTruthDrops(s, d)
     val cellDrops = semDedupPolicy(
       stored.filter(col("vec_id") < SemDedupTruthCap),
       blockCol = "cell", vecCol = "v", tau = SemDedupTau)
@@ -1408,12 +1453,7 @@ object Dedup {
       .agg(count(when(col("c0").isNull || col("cell").isNull ||
         col("c0") =!= col("cell"), 1)).as("mm"))
       .select((col("mm") === 0).as("parity_ok"))
-    val src = embeddings(s, d)
-    val truthDrops = semDedupPolicy(
-      src.filter(col("vec_id") < cap)
-        .select(col("vec_id"), lit(0).as("blk"), col("embedding")),
-      blockCol = "blk", vecCol = "embedding", tau = SemDedupTau)
-      .filter(col("dropped") === 1).select(col("vec_id"))
+    val truthDrops = semTruthDrops(s, d)
     val layoutCapped = s.read.parquet(Similarity.ivfLayoutDir(s, d))
       .select(col("vec_id"), col("cell").cast("int").as("cell"), col("v"))
       .filter(col("vec_id") < cap)
