@@ -214,9 +214,13 @@ object Graph {
   /** Integer PageRank over a directed edge list (src, dst) — callers
    *  pass a symmetrized frame for undirected graphs. Returns
    *  (node, deg, rank_units, share). `afterEdges` fires once the
-   *  persisted (src, dst, deg) frame is materialized — the hook the
-   *  co-purchase callers use to evict the chunk parquet that fed it
-   *  (see [[evictEdgeChunks]]).
+   *  persisted edge frame is materialized — the hook the co-purchase
+   *  callers use to evict the chunk parquet that fed it (see
+   *  [[evictEdgeChunks]]). Round 15: the persisted frame is the BARE
+   *  (src, dst) edge list and the rounds run the broadcast-ranks
+   *  shape ([[pageRankRescan]]) whenever the vertex set fits
+   *  [[RescanTierMaxVertices]] — deg rides the broadcast side, so the
+   *  edge frame never exchanges or sorts after its build.
    *
    *  `rescanTier` selects the small-vertex/huge-edge shape the 1000×
    *  octave needs (and a 1000-executor cluster would pick for any
