@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Deduplication operators over `documents` — exact, fingerprint,
@@ -585,14 +586,33 @@ object Dedup {
    *  `<table>_sigs` (doc_id, m0..m19) bucketed by doc_id for the
    *  verification join. Both shuffles are paid once; per-batch cost
    *  is O(batch), never O(corpus). */
-  def writeLshIndex(corpus: DataFrame, table: String, buckets: Int = 8): Unit = {
+  def writeLshIndex(corpus: DataFrame, table: String, buckets: Int = 8): Unit =
+    writeOrAppendLshIndex(corpus, table, buckets, overwrite = true)
+
+  /** Shared body of [[writeLshIndex]] / [[appendLshIndex]]. Round 15
+   *  (guide §1.2 "don't compute things you throw away" + §2.6): the
+   *  band table and the signature table BOTH derive from the same
+   *  signature frame, but as two separate lazy writes each one
+   *  re-ran the shingling flatMap and the 20-way minhash aggregate
+   *  from parquet — the single most expensive computation of the
+   *  index build, paid twice per build and twice per micro-batch.
+   *  Persisting `sig` across the pair materializes it once, and the
+   *  two bucketed writes (disjoint tables, no dependency) overlap via
+   *  [[Par]]. Rows written are identical — same frame, same bucket
+   *  specs. */
+  private def writeOrAppendLshIndex(corpus: DataFrame, table: String,
+      buckets: Int, overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
     val sig = minhashSignatures(shingleRows(corpus))
-    mkBanded(sig)
-      .select(col("doc_id"), xxhash64(col("band"), col("key")).as("bkey"))
-      .write.mode("overwrite").bucketBy(buckets, "bkey").sortBy("bkey")
-      .format("parquet").saveAsTable(s"${table}_bands")
-    sig.write.mode("overwrite").bucketBy(buckets, "doc_id")
-      .format("parquet").saveAsTable(s"${table}_sigs")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try Par.run(Seq(
+      () => mkBanded(sig)
+        .select(col("doc_id"), xxhash64(col("band"), col("key")).as("bkey"))
+        .write.mode(mode).bucketBy(buckets, "bkey").sortBy("bkey")
+        .format("parquet").saveAsTable(s"${table}_bands"),
+      () => sig.write.mode(mode).bucketBy(buckets, "doc_id")
+        .format("parquet").saveAsTable(s"${table}_sigs")))
+    finally { sig.unpersist(); () }
   }
 
   /** Per-batch incremental APPEND to a [[writeLshIndex]] index —
@@ -605,15 +625,8 @@ object Dedup {
    *  signatures are PER-DOCUMENT artifacts, so a union of per-batch
    *  appends is row-identical to one whole-corpus build — the
    *  equivalence q179 gates. Creates the tables on first append. */
-  def appendLshIndex(batch: DataFrame, table: String, buckets: Int = 8): Unit = {
-    val sig = minhashSignatures(shingleRows(batch))
-    mkBanded(sig)
-      .select(col("doc_id"), xxhash64(col("band"), col("key")).as("bkey"))
-      .write.mode("append").bucketBy(buckets, "bkey").sortBy("bkey")
-      .format("parquet").saveAsTable(s"${table}_bands")
-    sig.write.mode("append").bucketBy(buckets, "doc_id")
-      .format("parquet").saveAsTable(s"${table}_sigs")
-  }
+  def appendLshIndex(batch: DataFrame, table: String, buckets: Int = 8): Unit =
+    writeOrAppendLshIndex(batch, table, buckets, overwrite = false)
 
   /** Batch-vs-index fuzzy dedup: the batch's band keys probe the
    *  index band table (equi-join on the fused key — shuffles only
@@ -689,12 +702,17 @@ object Dedup {
   def compactLshIndex(s: SparkSession, src: String, dst: String,
       tombstones: DataFrame, buckets: Int = 8): Unit = {
     val tomb = broadcast(tombstones.select(col("doc_id")).distinct())
-    s.table(s"${src}_bands").join(tomb, Seq("doc_id"), "left_anti")
-      .write.mode("overwrite").bucketBy(buckets, "bkey").sortBy("bkey")
-      .format("parquet").saveAsTable(s"${dst}_bands")
-    s.table(s"${src}_sigs").join(tomb, Seq("doc_id"), "left_anti")
-      .write.mode("overwrite").bucketBy(buckets, "doc_id")
-      .format("parquet").saveAsTable(s"${dst}_sigs")
+    // the two generation rewrites read/write disjoint tables — overlap
+    // them (guide §2.6); each is a map-side anti-filter plus the
+    // bucketing shuffle, identical rows either way
+    Par.run(Seq(
+      () => s.table(s"${src}_bands").join(tomb, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").bucketBy(buckets, "bkey").sortBy("bkey")
+        .format("parquet").saveAsTable(s"${dst}_bands"),
+      () => s.table(s"${src}_sigs").join(tomb, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").bucketBy(buckets, "doc_id")
+        .format("parquet").saveAsTable(s"${dst}_sigs")))
+    ()
   }
 
   /** q166: the compaction gate (all-true VALUES oracle, the q144
@@ -724,9 +742,12 @@ object Dedup {
     val base = s"graft_lshc_${math.abs(d.hashCode).toString}"
     writeLshIndex(corpus, base)
     val tomb = corpus.filter(col("doc_id") % 10 === 3).select(col("doc_id"))
-    compactLshIndex(s, base, s"${base}_gen2", tomb)
-    writeLshIndex(corpus.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
-      s"${base}_ref")
+    // the compacted generation and the rebuilt reference index touch
+    // disjoint table sets — overlap the two builds (guide §2.6)
+    Par.run2(
+      () => compactLshIndex(s, base, s"${base}_gen2", tomb),
+      () => writeLshIndex(corpus.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+        s"${base}_ref"))
 
     import s.implicits._
     auditLshIndexEquiv(s, s"${base}_gen2", s"${base}_ref", tomb,
@@ -749,29 +770,35 @@ object Dedup {
     val rBands = s.table(s"${refBase}_bands")
     val rSigs = s.table(s"${refBase}_sigs")
 
-    val tombLeft = cBands.join(broadcast(tomb), Seq("doc_id"), "left_semi").count() +
-      cSigs.join(broadcast(tomb), Seq("doc_id"), "left_semi").count()
     def counts(df: DataFrame) =
       df.groupBy(col("doc_id"), col("bkey")).agg(count(lit(1)).as("n"))
-    val bandMism = counts(cBands).as("a")
-      .join(counts(rBands).as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("a.bkey") === col("b.bkey"),
-        "full")
-      .filter(col("a.n").isNull || col("b.n").isNull || col("a.n") =!= col("b.n"))
-      .count()
     val sigCols = cSigs.columns.filter(_ != "doc_id")
-    val sigMism = cSigs.as("a").join(rSigs.as("b"), Seq("doc_id"), "full")
-      .filter(sigCols.map(m =>
-          col(s"a.$m").isNull || col(s"b.$m").isNull || col(s"a.$m") =!= col(s"b.$m"))
-        .reduce(_ || _))
-      .count()
     val probeC = minhashBatchVsIndex(probeSh, cBands, cSigs)
     val probeR = minhashBatchVsIndex(probeSh, rBands, rSigs)
-    val probeMism = probeC.as("a").join(probeR.as("b"),
-        col("a.batch_id") === col("b.batch_id") &&
-          col("a.corpus_id") === col("b.corpus_id"), "full")
-      .filter(col("a.batch_id").isNull || col("b.batch_id").isNull)
-      .count()
+    // the four audit legs are independent counts over already-written
+    // tables — overlap them (guide §2.6); each leg's plan, predicate
+    // and result are byte-identical to the sequential form
+    val legCounts = Par.run(Seq(
+      () => cBands.join(broadcast(tomb), Seq("doc_id"), "left_semi").count() +
+        cSigs.join(broadcast(tomb), Seq("doc_id"), "left_semi").count(),
+      () => counts(cBands).as("a")
+        .join(counts(rBands).as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.bkey") === col("b.bkey"),
+          "full")
+        .filter(col("a.n").isNull || col("b.n").isNull || col("a.n") =!= col("b.n"))
+        .count(),
+      () => cSigs.as("a").join(rSigs.as("b"), Seq("doc_id"), "full")
+        .filter(sigCols.map(m =>
+            col(s"a.$m").isNull || col(s"b.$m").isNull || col(s"a.$m") =!= col(s"b.$m"))
+          .reduce(_ || _))
+        .count(),
+      () => probeC.as("a").join(probeR.as("b"),
+          col("a.batch_id") === col("b.batch_id") &&
+            col("a.corpus_id") === col("b.corpus_id"), "full")
+        .filter(col("a.batch_id").isNull || col("b.batch_id").isNull)
+        .count()))
+    val (tombLeft, bandMism, sigMism, probeMism) =
+      (legCounts(0), legCounts(1), legCounts(2), legCounts(3))
     Seq(
       ("bands_equiv", bandMism == 0L),
       ("probe_equiv", probeMism == 0L),
@@ -837,9 +864,11 @@ object Dedup {
     }.trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
     val tomb = docs.filter(col("doc_id") % 10 === 7).select(col("doc_id"))
-    compactLshIndex(s, base, s"${base}_gen2", tomb)
-    writeLshIndex(docs.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
-      s"${base}_ref")
+    // compacted generation ∥ batch-rebuilt reference (disjoint tables)
+    Par.run2(
+      () => compactLshIndex(s, base, s"${base}_gen2", tomb),
+      () => writeLshIndex(docs.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+        s"${base}_ref"))
     import s.implicits._
     (auditLshIndexEquiv(s, s"${base}_gen2", s"${base}_ref", tomb,
         shingleRows(docs.filter(col("doc_id") >= 450)))

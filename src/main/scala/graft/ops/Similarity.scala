@@ -4,6 +4,7 @@ import graft.functions.GraftFunctions.cosine_sim
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Similarity search over `embeddings.embedding` (Array[Float], d=64).
@@ -619,30 +620,40 @@ object Similarity {
     }.trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
     val tomb = e.filter(col("vec_id") % 10 === 7).select(col("vec_id"))
-    compactIvfLayout(s, layout, gen2, tomb)
     val surviving = e.join(broadcast(tomb), Seq("vec_id"), "left_anti")
-    val nSurv = surviving.count()
-    withCell(s, d).join(broadcast(tomb), Seq("vec_id"), "left_anti")
-      .write.mode("overwrite").partitionBy("cell").parquet(ref)
+    // generation rewrite ∥ reference rebuild ∥ survivor count: disjoint
+    // outputs / independent scans (guide §2.6) — the codebook these
+    // assignments share is already memoized by the stream's appends
+    val nSurv = Par.run(Seq[() => Any](
+      () => compactIvfLayout(s, layout, gen2, tomb),
+      () => withCell(s, d).join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("cell").parquet(ref),
+      () => surviving.count()))(2).asInstanceOf[Long]
 
     val stored = s.read.parquet(gen2)
       .select(col("vec_id"), col("cell").cast("int").as("cell"))
-    val tombLeft = stored.join(broadcast(tomb), Seq("vec_id"), "left_semi").count()
     val rebuilt = withCell(s, d)
       .join(broadcast(tomb), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell").as("cell_rebuilt"))
-    val audit = stored.join(rebuilt, Seq("vec_id"), "full")
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("vec_id")).as("n_ids"),
-        count(when(col("cell").isNull || col("cell_rebuilt").isNull ||
-          col("cell") =!= col("cell_rebuilt"), 1)).as("mismatches"))
-      .head()
-    val probeMism = ivfKnnPartitioned(s, d, gen2).as("a")
-      .join(ivfKnnPartitioned(s, d, ref).as("b"),
-        col("a.qid") === col("b.qid") && col("a.rnk") === col("b.rnk") &&
-          col("a.nid") === col("b.nid"), "full")
-      .filter(col("a.qid").isNull || col("b.qid").isNull)
-      .count()
+    // the three audit legs are independent counts over the two
+    // finished generations — overlap them too
+    val auditLegs = Par.run(Seq[() => Any](
+      () => stored.join(broadcast(tomb), Seq("vec_id"), "left_semi").count(),
+      () => stored.join(rebuilt, Seq("vec_id"), "full")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("vec_id")).as("n_ids"),
+          count(when(col("cell").isNull || col("cell_rebuilt").isNull ||
+            col("cell") =!= col("cell_rebuilt"), 1)).as("mismatches"))
+        .head(),
+      () => ivfKnnPartitioned(s, d, gen2).as("a")
+        .join(ivfKnnPartitioned(s, d, ref).as("b"),
+          col("a.qid") === col("b.qid") && col("a.rnk") === col("b.rnk") &&
+            col("a.nid") === col("b.nid"), "full")
+        .filter(col("a.qid").isNull || col("b.qid").isNull)
+        .count()))
+    val tombLeft = auditLegs(0).asInstanceOf[Long]
+    val audit = auditLegs(1).asInstanceOf[org.apache.spark.sql.Row]
+    val probeMism = auditLegs(2).asInstanceOf[Long]
     import s.implicits._
     Seq(
       ("stream_complete",
@@ -1470,26 +1481,40 @@ object Similarity {
     }.trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
     val tomb = e.filter(col("vec_id") % 10 === 7).select(col("vec_id"))
-    compactIvfLayout(s, layout, gen2, tomb)
-    val nSurv = e.join(broadcast(tomb), Seq("vec_id"), "left_anti").count()
+    // frozen-artifact assignment feeds TWO audit legs (parity + the
+    // completeness/equivalence aggregate) — persist so the n·(k1+k2)
+    // projection runs once instead of once per leg
     val frozen = assignWithArtifact(s, ev, k1, k2, coarse, fine)
       .select(col("vec_id"), col("cell").as("cell_frozen"))
-    val fused = withCell(s, d, k)
-      .select(col("vec_id"), col("cell").as("cell_fused"))
-    val parityMism = frozen.join(fused, Seq("vec_id"), "full")
-      .filter(col("cell_frozen").isNull || col("cell_fused").isNull ||
-        col("cell_frozen") =!= col("cell_fused")).count()
-    val stored = s.read.parquet(gen2)
-      .select(col("vec_id"), col("cell").cast("int").as("cell"))
-    val tombLeft = stored.join(broadcast(tomb), Seq("vec_id"), "left_semi").count()
-    val audit = stored
-      .join(frozen.join(broadcast(tomb), Seq("vec_id"), "left_anti"),
-        Seq("vec_id"), "full")
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("vec_id")).as("n_ids"),
-        count(when(col("cell").isNull || col("cell_frozen").isNull ||
-          col("cell") =!= col("cell_frozen"), 1)).as("mismatches"))
-      .head()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (tombLeft, audit, parityMism, nSurv) = try {
+      // generation rewrite ∥ survivor count (guide §2.6)
+      val nSurv0 = Par.run(Seq[() => Any](
+        () => compactIvfLayout(s, layout, gen2, tomb),
+        () => e.join(broadcast(tomb), Seq("vec_id"), "left_anti").count()))(1)
+        .asInstanceOf[Long]
+      val fused = withCell(s, d, k)
+        .select(col("vec_id"), col("cell").as("cell_fused"))
+      val stored = s.read.parquet(gen2)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"))
+      // the three audit legs are independent — overlap them
+      val legs = Par.run(Seq[() => Any](
+        () => stored.join(broadcast(tomb), Seq("vec_id"), "left_semi").count(),
+        () => stored
+          .join(frozen.join(broadcast(tomb), Seq("vec_id"), "left_anti"),
+            Seq("vec_id"), "full")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("vec_id")).as("n_ids"),
+            count(when(col("cell").isNull || col("cell_frozen").isNull ||
+              col("cell") =!= col("cell_frozen"), 1)).as("mismatches"))
+          .head(),
+        () => frozen.join(fused, Seq("vec_id"), "full")
+          .filter(col("cell_frozen").isNull || col("cell_fused").isNull ||
+            col("cell_frozen") =!= col("cell_fused")).count()))
+      (legs(0).asInstanceOf[Long],
+        legs(1).asInstanceOf[org.apache.spark.sql.Row],
+        legs(2).asInstanceOf[Long], nSurv0)
+    } finally { frozen.unpersist(); () }
     import s.implicits._
     Seq(
       ("artifact_parity", parityMism == 0L),

@@ -99,11 +99,17 @@ object SparseSim {
       .toDF("doc_id", "term")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    // n_docs as a driver literal (round 15): the old 1-row
+    // crossJoin(broadcast(n)) planned as a BroadcastNestedLoopJoin —
+    // a per-materialization broadcast build for one scalar, and a
+    // node the q135 plan gate (rightly) treats as an all-pairs smell.
+    // One bounded count job up front yields the identical value
+    // (same countDistinct, same double division into log), so wq is
+    // bit-identical; the weight plan loses its only non-equi join.
+    val nDocs = docs.agg(countDistinct(col("doc_id"))).head().getLong(0)
     tf.join(df, "term")
-      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")) * Q)
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")) * Q)
           .cast("long").as("wq"))
   }
 
@@ -133,12 +139,20 @@ object SparseSim {
     // storage tier by corpus size — the q114 round-15 rule: memory-
     // backed below ~1 M docs (small octaves read the parked frame
     // five times; disk+lz4 there cost ~1.7× wall), DISK_ONLY past it
+    val small = docs.select(col("doc_id")).count() <= 1000000L
     val parkLevel =
-      if (docs.select(col("doc_id")).count() <= 1000000L)
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      if (small) org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       else org.apache.spark.storage.StorageLevel.DISK_ONLY
-    val w = weights(docs.select(col("doc_id"), col("text")))
-      .localCheckpoint(true, parkLevel)
+    // the eager lineage-cut checkpoint exists for the CHUNKED tier's
+    // scratch story (it makes the tf/df aggregation shuffles
+    // reclaimable across the C expansion passes); below the 1 M-doc
+    // tier it is one extra full materialization of the weight frame
+    // for no benefit (round 15, guide §1.2) — the repartition+persist
+    // below is the only copy small octaves need. Plans downstream of
+    // the parked frame are identical either way (same partitioning,
+    // same ordering, same rows).
+    val w0 = weights(docs.select(col("doc_id"), col("text")))
+    val w = (if (small) w0 else w0.localCheckpoint(true, parkLevel))
       .repartition(col("doc_id"))
       .sortWithinPartitions(col("doc_id"), col("term"))
       .persist(parkLevel)
