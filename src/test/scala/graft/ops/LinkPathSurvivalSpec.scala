@@ -228,4 +228,19 @@ class LinkPathSurvivalSpec extends AnyFunSuite with SparkSuite {
     assert(tot <= Graph.HitsM && tot >= Graph.HitsM - 8L, s"mass drifted: $tot")
     assert(out(2L) > out(1L), "the 3-buyer part must out-rank the 1-buyer part")
   }
+
+  test("hitsAuthorities: bigint sum tier equals the all-decimal carrier") {
+    // round-15 §2.3 narrowing: every half-round sum after round 0's
+    // auth leg rides bigint (post-rescale scores sum to ≤ HitsM
+    // corpus-wide, so no group sum can exceed int64). The carriers
+    // hold the SAME exact integers, so the frames must be identical —
+    // including on a skewed graph where one part takes most buyers.
+    val e = (1L to 50L).map(c => (c, if (c % 5 == 0) 2L else 1L))
+      .toDF("cust", "part")
+    val narrow = Graph.hitsAuthorities(e, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wide = Graph.hitsAuthorities(e, rounds = 4, wideSums = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(narrow == wide, s"carrier tiers diverged: $narrow vs $wide")
+  }
 }
