@@ -52,6 +52,10 @@ object Bench {
     // for ~+80 s per suite); iteration runs keep 2.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt)
     var failed = List.empty[String]
+    // run-1 wall per query (full JSON/file only): min-of-N hides
+    // once-per-JVM costs (memoized baselines, first-touch codegen);
+    // run1 vs min makes cold-vs-amortized adjudicable from the artifact
+    val firstRuns = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.map { case (name, fn) =>
       // min of N timed runs: one noisy-neighbor stall (container
       // contention skewed a recorded round ~1.6×) can't fake a
@@ -61,6 +65,7 @@ object Bench {
       // a failed query must never carry a plausible-looking time.
       var ok = true
       var best = Double.MaxValue
+      var first = -1.0 // run-1 wall: discloses once-per-JVM cold cost
       var run = 0
       while (ok && run < runs) {
         run += 1
@@ -69,7 +74,9 @@ object Bench {
         // would let Catalyst prune the projections being benchmarked
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          val sec0 = (System.nanoTime() - t0) / 1e9
+          if (run == 1) first = sec0
+          best = math.min(best, sec0)
         } catch { case _: Throwable => ok = false; failed ::= name }
       }
       // storage hygiene between queries: graph/dedup operators
@@ -91,6 +98,7 @@ object Bench {
       val headroom = rt.maxMemory() - rt.totalMemory() + rt.freeMemory()
       System.err.println(f"[bench] $name%s ${if (ok) best else -1.0}%.3f s " +
         f"heap_headroom=${headroom / (1 << 20)}%d MiB")
+      firstRuns(name) = if (ok) first else 0.0
       name -> (if (ok) best else 0.0)
     }
     failed = failed.distinct
@@ -163,7 +171,7 @@ object Bench {
       }
     }.sortBy { case (k, v) => (-math.max(v / prevQ(k), prevQ(k) / v), k) }
       .take(8) // bound the added wall; worst swings first
-    val brackets = movers.map { case (k, v) =>
+    val brackets0 = movers.map { case (k, v) =>
       val fn = SparkEntry.queries(k)
       val times = (1 to 3).flatMap { _ =>
         val b0 = shufBytes.get(); val r0 = shufRows.get()
@@ -180,7 +188,8 @@ object Bench {
       val sb = if (times.nonEmpty) times.last._2 / (1 << 20) else -1L
       val sr = if (times.nonEmpty) times.last._3 else -1L
       "\"" + esc(k) + s"""":{"prev":${sec(prevQ(k))},"main":${sec(v)},"runs":$runsJson,"shuffle_mib":$sb,"shuffle_rows":$sr}"""
-    }.mkString("{", ",", "}")
+    }
+    val brackets = brackets0.mkString("{", ",", "}")
     // provenance stamp (round-13 ask 5): min-of-N vs min-of-3 artifacts
     // and a loaded-vs-quiet box must be distinguishable from the JSON
     // alone — the r12 sf0.1 artifact shipped a 3.3x q148 "regression"
@@ -192,8 +201,13 @@ object Bench {
     val loadJson =
       (if (loadPre >= 0) s""""load1m_pre":${sec(loadPre)},""" else "") +
         (if (load1m >= 0) s""""load1m":${sec(load1m)},""" else "")
-    val prov = s""""runs":$runs,"heap_gib":$heapGib,$loadJson"brackets":$brackets,"shuffle_partitions":"${esc(spark.conf.get("spark.sql.shuffle.partitions"))}""""
-    val json = s"""{"metric":"total","value":${sec(total)},"unit":"sec",$prov,"queries":$qs,"failed":$failedJson,"sf":"${esc(sfDir)}"}"""
+    val provBase = s""""runs":$runs,"heap_gib":$heapGib,$loadJson"shuffle_partitions":"${esc(spark.conf.get("spark.sql.shuffle.partitions"))}""""
+    val prov = s"""$provBase,"brackets":$brackets"""
+    // run-1 map (full JSON/file only; same ordering as queries)
+    val qs1 = results.toSeq.sortBy { case (k, v) => (-v, k) }
+      .map { case (k, _) => "\"" + esc(k) + "\":" + sec(firstRuns.getOrElse(k, 0.0)) }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${sec(total)},"unit":"sec",$prov,"queries":$qs,"queries_run1":$qs1,"failed":$failedJson,"sf":"${esc(sfDir)}"}"""
     println(json)
     // also land the JSON in a file so the recorded artifact never
     // depends on stdout-tail capture (a prior round's artifact lost
@@ -206,22 +220,50 @@ object Bench {
     graft.ops.InferOps.cleanupScratch()
     spark.stop()
     // FINAL stdout line: a size-bounded copy of the headline. The
-    // recorder keeps only the last ~2,000 chars of stdout, and the
-    // full per-query map (135 queries) alone exceeds that — so the
-    // last line carries the same totals/failed/sf with the queries
-    // map truncated to the most expensive entries that fit a 1,600-
-    // char budget (complete, parseable JSON either way; the FULL map
-    // is in target/bench.json and in the first println above).
-    val budget = 1600 - (json.length - qs.length + 2 /* "{}" */)
+    // recorder keeps only the last ~2,000 chars of stdout (measured:
+    // BENCH_r15.json's `tail` field is exactly 2,000 chars) and parses
+    // only this line, so the whole line must fit that window. The full
+    // 190-query map (~5,300 chars) cannot — so the budget is spent by
+    // priority (round 15's lesson: a grown brackets blob starved the
+    // query map and 16 queries were misread as "dropped_from_bench"):
+    //   1. headline totals/provenance (always),
+    //   2. EVERY query present in the previous artifact's map — the
+    //      driver's round-over-round compare then never sees a phantom
+    //      drop (n_dropped_from_bench = 0 by construction),
+    //   3. brackets, worst swings first, capped so they can never
+    //      starve priority 2 again,
+    //   4. remaining queries by descending time, filling what's left.
+    // The FULL map + full brackets are in target/bench.json and in the
+    // first println above. Timing methodology above is untouched.
+    val lineBudget = 1900 // headroom under the 2,000-char window
+    def lastLine(qsStr: String, brStr: String): String =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec",$provBase,"brackets":{$brStr},"queries":{$qsStr},"failed":$failedJson,"sf":"${esc(sfDir)}"}"""
     val entries = results.toSeq.sortBy { case (k, v) => (-v, k) }
-      .map { case (k, v) => "\"" + esc(k) + "\":" + sec(v) }
-    val fit = new StringBuilder
-    entries.takeWhile { e =>
-      val grew = fit.length + e.length + 1 <= budget
-      if (grew) { if (fit.nonEmpty) fit.append(','); fit.append(e) }
-      grew
+      .map { case (k, v) => k -> ("\"" + esc(k) + "\":" + sec(v)) }
+    var avail = lineBudget - lastLine("", "").length
+    val pick = scala.collection.mutable.LinkedHashSet.empty[String]
+    // priority 2: the previous artifact's visible set
+    entries.foreach { case (k, e) =>
+      if (prevQ.contains(k) && e.length + 1 <= avail) {
+        pick += k; avail -= e.length + 1
+      }
     }
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec",$prov,"queries":{$fit},"failed":$failedJson,"sf":"${esc(sfDir)}"}""")
+    // priority 3: brackets, bounded (≈5 entries) so queries keep room
+    val brFit = new StringBuilder
+    brackets0.foreach { b =>
+      if (brFit.length + b.length + 1 <= math.min(avail - 1, 800)) {
+        if (brFit.nonEmpty) brFit.append(','); brFit.append(b)
+      }
+    }
+    avail -= brFit.length
+    // priority 4: most expensive remaining queries
+    entries.foreach { case (k, e) =>
+      if (!pick.contains(k) && e.length + 1 <= avail) {
+        pick += k; avail -= e.length + 1
+      }
+    }
+    val fit = entries.filter(e => pick.contains(e._1)).map(_._2).mkString(",")
+    println(lastLine(fit, brFit.toString))
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -639,8 +639,17 @@ object Dedup {
    *  frequency, which the cap bounds at INDEX BUILD time if needed.
    *  Returns (batch_id, corpus_id, est_jaccard). */
   def minhashBatchVsIndex(batchSh: DataFrame, idxBands: DataFrame,
+      idxSigs: DataFrame): DataFrame =
+    minhashBatchVsIndexSig(minhashSignatures(batchSh), idxBands, idxSigs)
+
+  /** [[minhashBatchVsIndex]] over PRECOMPUTED batch signatures — the
+   *  audit path probes the same batch against two index generations,
+   *  and recomputing the batch's shingling + 20-way minhash per probe
+   *  was the one redundant pass left in the q179 stage dump (round
+   *  16, guide §1.2); callers persist the signature frame across the
+   *  probes. Same rows, same pairs as the one-shot form. */
+  private[ops] def minhashBatchVsIndexSig(bsig: DataFrame, idxBands: DataFrame,
       idxSigs: DataFrame): DataFrame = {
-    val bsig = minhashSignatures(batchSh)
     val bband = mkBanded(bsig)
       .select(col("doc_id").as("batch_id"), xxhash64(col("band"), col("key")).as("bkey"))
     val cand = bband
@@ -773,12 +782,17 @@ object Dedup {
     def counts(df: DataFrame) =
       df.groupBy(col("doc_id"), col("bkey")).agg(count(lit(1)).as("n"))
     val sigCols = cSigs.columns.filter(_ != "doc_id")
-    val probeC = minhashBatchVsIndex(probeSh, cBands, cSigs)
-    val probeR = minhashBatchVsIndex(probeSh, rBands, rSigs)
+    // ONE batch signature frame feeds both probe legs (round 16, guide
+    // §1.2): the two probes differ only in which index generation they
+    // hit; shingling + minhash of the probe batch is identical
+    val bsig = minhashSignatures(probeSh)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val probeC = minhashBatchVsIndexSig(bsig, cBands, cSigs)
+    val probeR = minhashBatchVsIndexSig(bsig, rBands, rSigs)
     // the four audit legs are independent counts over already-written
     // tables — overlap them (guide §2.6); each leg's plan, predicate
     // and result are byte-identical to the sequential form
-    val legCounts = Par.run(Seq(
+    val legCounts = try Par.run(Seq(
       () => cBands.join(broadcast(tomb), Seq("doc_id"), "left_semi").count() +
         cSigs.join(broadcast(tomb), Seq("doc_id"), "left_semi").count(),
       () => counts(cBands).as("a")
@@ -797,6 +811,7 @@ object Dedup {
             col("a.corpus_id") === col("b.corpus_id"), "full")
         .filter(col("a.batch_id").isNull || col("b.batch_id").isNull)
         .count()))
+    finally { bsig.unpersist(); () }
     val (tombLeft, bandMism, sigMism, probeMism) =
       (legCounts(0), legCounts(1), legCounts(2), legCounts(3))
     Seq(

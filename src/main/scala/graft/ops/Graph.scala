@@ -281,7 +281,11 @@ object Graph {
       return deg.select(col("src").as("node"), lit(0L).as("deg"),
         lit(0L).as("rank_units"), lit(0.0).as("share"))
     if (n <= RescanTierMaxVertices)
-      return pageRankRescan(e, deg, n, iterations, gcPerRound)
+      // small-corpus tier (memory-backed edge frame): attach the
+      // round-invariant deg to the persisted edge side once — see
+      // pageRankRescan's attachDeg note (round 16)
+      return pageRankRescan(e, deg, n, iterations, gcPerRound,
+        attachDeg = level == StorageLevel.MEMORY_AND_DISK, attachLevel = level)
     // vertex set past the broadcast ceiling: SMJ rounds over a
     // deg-joined frame pre-partitioned + sorted by src (the persisted-
     // layout shape — each round exchanges/sorts only the ranks side)
@@ -323,25 +327,61 @@ object Graph {
    *  mass protocol — long sums are order-free, so the tier change
    *  cannot move a single rank unit. */
   private def pageRankRescan(edges: DataFrame, deg: DataFrame, n: Long,
-      iterations: Int, gcPerRound: Boolean): DataFrame = {
+      iterations: Int, gcPerRound: Boolean,
+      attachDeg: Boolean = false,
+      attachLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val tele = (M * (100L - Damp)) / (100L * n)
     // coalesce the scan: the dst partial aggregate's exchange volume is
     // (map tasks)×(vertex count) rows — ~140 parquet-split tasks of the
     // chunk dir each emit up to the full 1.3 M-key state. Fewer, larger
     // map tasks make the map-side combine actually combine (the whole
     // point of this tier); 64 still saturates 32 threads.
-    val e = edges.coalesce(64)
+    val e0 = edges.coalesce(64)
+    // attachDeg (round 16, verdict ask 3): deg is ROUND-INVARIANT, yet
+    // every round rebuilt broadcast(ranks ⋈ deg) — an inner vertex
+    // join whose own broadcast build is one more driver-serialized job
+    // per round, and at sf0.1 the whole family is job-floor-bound (no
+    // graph query scaled past 1.34× at 4× the cores). At the memory-
+    // backed small-corpus tier, attach deg to the persisted edge side
+    // ONCE via a broadcast join (no exchange of e — BHJ streams the
+    // cached blocks) and persist; each round then broadcasts ONLY the
+    // vertex-sized (node, r) frame. The deg subplan is the
+    // deterministic aggregate (not the checkpointed copy), so the
+    // attached frame plan-matches across invocations in one JVM and
+    // min-of-N reuses it like the bare frame. The rescan tier keeps
+    // the join-per-round shape verbatim: there the edge frame is
+    // data-sized and deliberately UNPERSISTED (re-scanned parquet),
+    // and a second edge-sized copy is exactly the round-14 ENOSPC.
+    // Identical integer arithmetic either way — deg values come from
+    // the same aggregate over the same rows.
+    val e =
+      if (attachDeg)
+        e0.join(broadcast(
+            edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))), "src")
+          .persist(attachLevel)
+      else e0
     var ranks = deg.select(col("src").as("node"), lit(M / n).as("r"))
     var i = 0
     while (i < iterations) {
-      val rw = broadcast(ranks.join(deg, col("node") === col("src"))
-        .select(col("node"), col("r"), col("deg")))
+      val rw =
+        if (attachDeg) broadcast(ranks)
+        else broadcast(ranks.join(deg, col("node") === col("src"))
+          .select(col("node"), col("r"), col("deg")))
       ranks = e.join(rw, col("src") === col("node"))
         .select(col("dst"), expr(s"r * $Damp div (100 * deg)").as("c"))
         .groupBy(col("dst"))
         .agg((sum(col("c")) + lit(tele)).as("r"))
         .select(col("dst").as("node"), col("r"))
-        .localCheckpoint() // vertex-sized; cut lineage each round
+        // cut lineage each round (vertex-sized). At the attached small
+        // tier the checkpoint is LAZY (round 16, the job-floor attack):
+        // the next round's broadcast build materializes it as a side
+        // effect, so the separate final-stage job per round disappears;
+        // the RDD still checkpoints on first compute, so lineage depth
+        // stays O(1). The rescan tier keeps the eager checkpoint — its
+        // per-round System.gc() must see the finished round's blocks
+        // released on a deterministic schedule (the 1000× scratch
+        // story).
+        .localCheckpoint(eager = !attachDeg)
       if (gcPerRound) {
         // the finished round's ~GiB-scale agg exchange is dead the
         // moment the checkpoint truncates lineage — but ContextCleaner
@@ -473,6 +513,15 @@ object Graph {
         "carry contributions in decimal(38,0)")
     val tele = (M * (100L - Damp)) / (100L * n)
     val bcastRounds = n <= RescanTierMaxVertices
+    // attach the round-invariant wdeg to the persisted edge side once
+    // at the memory-backed tier (round 16 — see pageRankRescan's
+    // attachDeg note; identical floor'd integer contributions)
+    val attach = bcastRounds && level == StorageLevel.MEMORY_AND_DISK
+    val eA =
+      if (!attach) null
+      else e.join(broadcast(
+          e.groupBy(col("src")).agg(sum(col("c")).as("wdeg"))), "src")
+        .persist(level)
     // past the vertex ceiling: SMJ rounds over a wdeg-joined frame
     // pre-partitioned + sorted by src, materialized ONCE (the
     // pre-round-15 shape — each round exchanges/sorts only ranks)
@@ -485,10 +534,17 @@ object Graph {
     var i = 0
     while (i < iterations) {
       // broadcast-ranks round (the pageRankRescan shape, weighted):
-      // (node, r, wdeg) broadcasts, e streams untouched, floor'd
-      // c-proportional contributions partial-aggregate on dst.
+      // the vertex-sized rank frame broadcasts, e streams untouched,
+      // floor'd c-proportional contributions partial-aggregate on dst.
       val next =
-        if (bcastRounds) {
+        if (attach) {
+          eA.join(broadcast(ranks), col("src") === col("node"))
+            .select(col("dst"),
+              expr(s"r * $Damp * c div (100 * wdeg)").as("contrib"))
+            .groupBy(col("dst"))
+            .agg((sum(col("contrib")) + lit(tele)).as("r"))
+            .select(col("dst").as("node"), col("r"))
+        } else if (bcastRounds) {
           val rw = broadcast(ranks.join(wdeg, col("node") === col("src"))
             .select(col("node"), col("r"), col("wdeg")))
           e.join(rw, col("src") === col("node"))
@@ -1244,6 +1300,12 @@ object Graph {
     // frame pattern) and still feeds the rounds the same rows; at
     // 100 TB the frame is the reusable bipartite projection a real
     // deployment would materialize once per corpus anyway.
+    // RETENTION (advice round-15, documented as bench contract): the
+    // entry is never unpersisted — ONE cached frame per corpus dir
+    // (plan-matched, closure-free), reclaimed at session stop. The
+    // bench/verify drivers run one corpus dir per JVM; a long-lived
+    // multi-corpus host should unpersist via the catalog between
+    // corpora like the chunk eviction hook does for parquet.
     val e = orders(s, d).select(col("o_orderkey").as("ok"),
         col("o_custkey").as("cust"))
       .join(lineitem(s, d).select(col("l_orderkey").as("ok"),
@@ -1261,7 +1323,14 @@ object Graph {
 
   /** The alternating integer iteration over a (cust, part) edge frame
    *  — exposed so the spec can replay rounds by hand. Returns the
-   *  authority frame (part, v). */
+   *  authority frame (part, v).
+   *
+   *  PRECONDITION (advice round-15): `e` must hold DISTINCT
+   *  (cust, part) pairs. The bigint sum carrier below is int64-safe
+   *  because a post-round-0 group sum is bounded by the corpus-wide
+   *  rescaled total ≤ [[HitsM]]; duplicated edges weaken that bound to
+   *  dup×HitsM. Spark 4's default ANSI mode aborts loudly (never
+   *  wraps) if a caller ever violates this. */
   private[ops] def hitsAuthorities(e: DataFrame, rounds: Int,
       wideSums: Boolean = false): DataFrame = {
     val dec = "decimal(38,0)"
@@ -1289,10 +1358,18 @@ object Graph {
     // never a local[32] constant). One exact count (which also
     // materializes the frame before the rounds) sizes it; coalesce on
     // a cached frame is narrow — no shuffle, identical rows.
-    val em = e.count()
-    val cap = e.sparkSession.sparkContext.defaultParallelism.toLong
-    val eR = e.coalesce(
-      math.max(1L, math.min(math.max(1L, cap), em / 100000L + 1L)).toInt)
+    // advice round-15: the sizing count is only worth paying when `e`
+    // is persisted (q176's caller) — for a bare frame (the spec path)
+    // it would recompute the whole edge build once up front and again
+    // per coalesce read; those callers keep their frame untouched
+    val eR =
+      if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE) e
+      else {
+        val em = e.count()
+        val cap = e.sparkSession.sparkContext.defaultParallelism.toLong
+        e.coalesce(
+          math.max(1L, math.min(math.max(1L, cap), em / 100000L + 1L)).toInt)
+      }
     var auths: DataFrame = null
     var r = 0
     while (r < rounds) {
@@ -1887,6 +1964,15 @@ object Graph {
         lit(0L).as("is_seed")).limit(0)
     val tele = (M * (100L - Damp)) / (100L * ns)
     val bcastRounds = n <= RescanTierMaxVertices
+    // attach the round-invariant deg to the persisted edge side once
+    // at the memory-backed tier (round 16 — see pageRankRescan's
+    // attachDeg note; identical floor'd integer contributions)
+    val attach = bcastRounds && level == StorageLevel.MEMORY_AND_DISK
+    val eA =
+      if (!attach) null
+      else e.join(broadcast(
+          e.groupBy(col("src")).agg(count(lit(1)).as("deg"))), "src")
+        .persist(level)
     // past the vertex ceiling: SMJ rounds over a deg-joined frame
     // pre-partitioned + sorted by src (the pre-round-15 shape)
     val ejFallback =
@@ -1901,7 +1987,14 @@ object Graph {
     var i = 0
     while (i < iterations) {
       val next =
-        if (bcastRounds) {
+        if (attach) {
+          eA.join(broadcast(ranks), col("src") === col("node"))
+            .select(col("dst"), col("dst_seed"),
+              expr(s"r * $Damp div (100 * deg)").as("c"))
+            .groupBy(col("dst"))
+            .agg((sum(col("c")) + max(col("dst_seed")) * lit(tele)).as("r"))
+            .select(col("dst").as("node"), col("r"))
+        } else if (bcastRounds) {
           val rw = broadcast(ranks.join(deg, col("node") === col("src"))
             .select(col("node"), col("r"), col("deg")))
           e.join(rw, col("src") === col("node"))

@@ -103,12 +103,27 @@ object RecallGates {
 
   def q61ApproxRecall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // the approximate kNNs stay LIVE subtrees (they are what is being
-    // gated); only the exact baseline they are compared against is the
-    // memoized local relation — both overlap joins broadcast it
-    val brute = bruteCache.getOrElseUpdate(d,
-      Similarity.q26KnnBrute(s, d).select(col("qid"), col("nid"))
-        .as[(Long, Long)].collect().toIndexedSeq).toDF("qid", "nid")
+    // Cold-run baseline builds overlap (round 16, guide §2.6): the ANN
+    // brute baseline (embeddings) and the shingle+exact-Jaccard
+    // baseline (documents) touch disjoint tables and were the two
+    // serialized eager blocks of the gate's run-1 cost (the memoized
+    // warm path returns from cache instantly either way). Same
+    // computations, same collected artifacts — only WHEN they run
+    // changes; Bench's queries_run1 map now discloses the residual
+    // cold cost per query.
+    val (bruteSeq, exactSeq) = Par.run2(
+      () => bruteCache.getOrElseUpdate(d,
+        Similarity.q26KnnBrute(s, d).select(col("qid"), col("nid"))
+          .as[(Long, Long)].collect().toIndexedSeq),
+      () => {
+        val sh = shingleCache.getOrElseUpdate(d,
+          Dedup.shingleRows(Tables.documents(s, d)).localCheckpoint(true))
+        exactPairCache.getOrElseUpdate(d,
+          capExactPairs(Dedup.jaccardPairsFromShingles(sh, 0.6)
+              .select(col("doc_a"), col("doc_b"), col("jaccard")))
+            .as[(Long, Long, Double)].collect().toIndexedSeq)
+      })
+    val brute = bruteSeq.toDF("qid", "nid")
     val lsh = Similarity.q27KnnLsh(s, d)
       .select(col("qid"), col("nid"), lit(1).as("l"))
     val ivf = Similarity.q37KnnIvf(s, d)
@@ -146,13 +161,8 @@ object RecallGates {
     // (released via invalidateBaseline, or when the JVM exits) —
     // deliberate: the gate re-runs per suite, and re-materializing
     // millions of shingle rows per run dwarfed the block footprint.
-    val shingles = shingleCache.getOrElseUpdate(d,
-      Dedup.shingleRows(Tables.documents(s, d)).localCheckpoint(true))
-    val exact = exactPairCache.getOrElseUpdate(d,
-      capExactPairs(Dedup.jaccardPairsFromShingles(shingles, 0.6)
-          .select(col("doc_a"), col("doc_b"), col("jaccard")))
-        .as[(Long, Long, Double)].collect().toIndexedSeq)
-      .toDF("doc_a", "doc_b", "jaccard")
+    val shingles = shingleCache(d) // built by the overlapped leg above
+    val exact = exactSeq.toDF("doc_a", "doc_b", "jaccard")
     val mh = Dedup.minhashEstPairs(shingles)
       .select(col("doc_a"), col("doc_b"), lit(1).as("m"))
     // ONE signature frame serves both the banded pair generation and

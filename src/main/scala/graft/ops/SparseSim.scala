@@ -86,8 +86,14 @@ object SparseSim {
     * pairs as candidates), while a shingle's df is bounded by its
     * text's actual duplication multiplicity (median 9, max 25 at
     * sf0.1) — discriminative by construction.
-    * Columns: doc_id, term, wq (long). */
-  private[ops] def weights(docs: DataFrame): DataFrame = {
+    * Columns: doc_id, term, wq (long).
+    *
+    * NOTE (advice round-15): constructing this plan runs one EAGER
+    * countDistinct(doc_id) driver job (the n_docs literal below) —
+    * callers that already know the distinct doc count pass it via
+    * `nDocs` and the call is pure plan-building again. */
+  private[ops] def weights(docs: DataFrame,
+      nDocs: Option[Long] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val tf = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text0) =>
@@ -106,10 +112,11 @@ object SparseSim {
     // One bounded count job up front yields the identical value
     // (same countDistinct, same double division into log), so wq is
     // bit-identical; the weight plan loses its only non-equi join.
-    val nDocs = docs.agg(countDistinct(col("doc_id"))).head().getLong(0)
+    val nDocsL = nDocs.getOrElse(
+      docs.agg(countDistinct(col("doc_id"))).head().getLong(0))
     tf.join(df, "term")
       .select(col("doc_id"), col("term"),
-        round(col("tf") * log(lit(nDocs.toDouble) / col("df")) * Q)
+        round(col("tf") * log(lit(nDocsL.toDouble) / col("df")) * Q)
           .cast("long").as("wq"))
   }
 
@@ -121,41 +128,49 @@ object SparseSim {
   /** Core of q135 over any (doc_id, text) frame (spec entry point). */
   private[ops] def cosineJoin(docs: DataFrame,
       maxExpansionRows: Long = Q135MaxExpansionRows): DataFrame = {
-    // Park the weight frame ONCE, hash-partitioned by doc_id and
-    // sorted (doc_id, term) — the q114 round-15 device
-    // (Dedup.prefixJaccardPairs): one materialization feeds norms,
-    // prefixes, and both dot-probe sides, AND the retained
+    // Materialize the weight frame ONCE — it feeds norms, prefixes,
+    // and both dot-probe sides. Above the 1 M-doc tier it PARKS
+    // hash-partitioned by doc_id and sorted (doc_id, term) — the q114
+    // round-15 device (Dedup.prefixJaccardPairs): the retained
     // partitioning makes every verification join below exchange-free
     // and sort-free on the w side (localCheckpoint lost it — measured,
-    // tools/CkptShapeProbe). norms/prefixes ride the same partitioning
-    // (doc_id aggregate, doc_id window) without their own exchanges.
-    // the checkpoint FIRST (lineage cut: weights' tf/df aggregation
-    // shuffles become reclaimable instead of pinned for all C chunk
-    // passes — the round-11 scratch lesson), the repartition+persist
-    // SECOND (a checkpointed frame alone loses its partitioning —
-    // measured, tools/CkptShapeProbe). Both copies DISK_ONLY + lz4:
+    // tools/CkptShapeProbe); the checkpoint FIRST (lineage cut:
+    // weights' tf/df aggregation shuffles become reclaimable instead
+    // of pinned for all C chunk passes — the round-11 scratch lesson),
+    // the repartition+persist SECOND. Both copies DISK_ONLY + lz4:
     // ~2× the weight frame on scratch buys C passes of exchange-free
     // joins.
     // storage tier by corpus size — the q114 round-15 rule: memory-
-    // backed below ~1 M docs (small octaves read the parked frame
-    // five times; disk+lz4 there cost ~1.7× wall), DISK_ONLY past it
-    val small = docs.select(col("doc_id")).count() <= 1000000L
+    // backed below ~1 M docs, DISK_ONLY past it. ONE eager job feeds
+    // both the tier decision and weights' n_docs literal (round 16:
+    // the tier count and weights' countDistinct were two separate
+    // full passes over the documents parquet, paid on every cold
+    // invocation; doc_id is the table key, so the counts are equal).
+    val nDocs = docs.agg(countDistinct(col("doc_id"))).head().getLong(0)
+    val small = nDocs <= 1000000L
     val parkLevel =
       if (small) org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       else org.apache.spark.storage.StorageLevel.DISK_ONLY
-    // the eager lineage-cut checkpoint exists for the CHUNKED tier's
-    // scratch story (it makes the tf/df aggregation shuffles
-    // reclaimable across the C expansion passes); below the 1 M-doc
-    // tier it is one extra full materialization of the weight frame
-    // for no benefit (round 15, guide §1.2) — the repartition+persist
-    // below is the only copy small octaves need. Plans downstream of
-    // the parked frame are identical either way (same partitioning,
-    // same ordering, same rows).
-    val w0 = weights(docs.select(col("doc_id"), col("text")))
-    val w = (if (small) w0 else w0.localCheckpoint(true, parkLevel))
-      .repartition(col("doc_id"))
-      .sortWithinPartitions(col("doc_id"), col("term"))
-      .persist(parkLevel)
+    // Tier the park itself (round 16, verdict ask 2 — the measured
+    // ~2× cold-run regression at sf0.1 was the park build): below the
+    // 1 M-doc tier the repartition+sortWithinPartitions+persist buys
+    // exchange-free verification joins worth LESS than the exchange,
+    // sort and second copy it costs on every cold pass — a bare
+    // persist of the weight frame (the r14 shape, minus its BNLJ)
+    // materializes once and lets AQE plan the five small downstream
+    // joins. The CHUNKED tier keeps the full park verbatim: the
+    // lineage-cut checkpoint makes the tf/df shuffles reclaimable
+    // across the C expansion passes, and the retained doc_id
+    // partitioning makes every per-chunk verification join
+    // exchange-free on the w side (the 1000× story is unchanged,
+    // bit for bit). Same rows, same values either tier.
+    val w0 = weights(docs.select(col("doc_id"), col("text")), Some(nDocs))
+    val w =
+      if (small) w0.persist(parkLevel)
+      else w0.localCheckpoint(true, parkLevel)
+        .repartition(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"), col("term"))
+        .persist(parkLevel)
     // docs whose every term has idf 0 carry no mass: cosine is
     // undefined for them (0/0) — excluded on both sides, like the
     // oracle's nrm > 0 guard
