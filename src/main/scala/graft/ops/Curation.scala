@@ -230,12 +230,16 @@ object Curation {
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
+      // LAZY checkpoint (round 16, job-floor cut): the labelSum
+      // fixpoint probe right below materializes the round — one job
+      // per round instead of checkpoint-then-probe; lineage still
+      // cut on first compute
       val next = sym
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .select(col("src").as("id"), col("label"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val s = labelSum(next)
       changed = s != prevSum
       prevSum = s

@@ -554,8 +554,10 @@ object Graph {
             .agg((sum(col("contrib")) + lit(tele)).as("r"))
             .select(col("dst").as("node"), col("r"))
         } else weightedRankRound(ejFallback, ranks, tele)
-      // cut lineage each round (the q148 shape)
-      ranks = next.localCheckpoint()
+      // cut lineage each round (the q148 shape); LAZY at the attached
+      // tier — the next round's broadcast build materializes it (see
+      // pageRankRescan's round-16 note), eager elsewhere
+      ranks = next.localCheckpoint(eager = !attach)
       if (gcPerRound) System.gc() // see pageRank: async shuffle reclaim
       i += 1
     }
@@ -1387,15 +1389,17 @@ object Graph {
       // all-decimal carrier so the spec can pin tier equality.
       val aCast = if (wideSums || r == 0) dec else "bigint"
       val hCast = if (wideSums) dec else "bigint"
+      // LAZY checkpoints at the broadcast tier (round 16, job-floor
+      // cut): the next half-round's broadcast build materializes each
       auths = rescale(
         eR.join(side(hubs), "cust").groupBy(col("part"))
           .agg(sum(col("h").cast(aCast)).as("v")), "part")
-        .localCheckpoint()
+        .localCheckpoint(eager = !bc)
       hubs = rescale(
         eR.join(side(auths.select(col("part"), col("v"))), "part")
           .groupBy(col("cust")).agg(sum(col("v").cast(hCast)).as("v")), "cust")
         .select(col("cust"), col("v").as("h"))
-        .localCheckpoint()
+        .localCheckpoint(eager = !bc)
       r += 1
     }
     auths
@@ -1577,7 +1581,10 @@ object Graph {
     // until converged)
     var converged = labels.isEmpty // empty graph: nothing to do
     while (!converged) {
-      val next = ccRound(e, labels, bcast = bc).localCheckpoint()
+      // LAZY checkpoint at the broadcast tier (round 16, job-floor cut):
+      // the mass() fixpoint probe right below materializes the round —
+      // one job per round instead of checkpoint-then-probe
+      val next = ccRound(e, labels, bcast = bc).localCheckpoint(eager = !bc)
       val cur = mass(next)
       converged = cur.compareTo(prev) == 0
       prev = cur
@@ -1744,9 +1751,11 @@ object Graph {
       // driver job; AQE already picks the right strategy from the
       // materialized checkpoint stats).
       val voted = lpRound(e, labels, parity = Some(r % 2L))
+      // LAZY checkpoint at the broadcast tier (round 16, job-floor
+      // cut): the next round's first job materializes this one
       labels = voted
         .union(labels.filter(pmod(col("node"), lit(2L)) =!= lit(r % 2L)))
-        .localCheckpoint()
+        .localCheckpoint(eager = !bc)
     }
     // fixpoint certificate: one more full synchronous vote — a node
     // is stable iff re-voting over the FINAL labels would not move it
@@ -2009,7 +2018,9 @@ object Graph {
           .groupBy(col("dst"))
           .agg((sum(col("c")) + max(col("dst_seed")) * lit(tele)).as("r"))
           .select(col("dst").as("node"), col("r"))
-      ranks = next.localCheckpoint() // cut lineage each round (q148 shape)
+      // cut lineage each round (q148 shape); LAZY at the attached tier
+      // — the next round's broadcast build materializes it
+      ranks = next.localCheckpoint(eager = !attach)
       if (gcPerRound) System.gc() // see pageRank: async shuffle reclaim
       i += 1
     }
