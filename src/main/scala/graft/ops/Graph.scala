@@ -1751,11 +1751,9 @@ object Graph {
       // driver job; AQE already picks the right strategy from the
       // materialized checkpoint stats).
       val voted = lpRound(e, labels, parity = Some(r % 2L))
-      // LAZY checkpoint at the broadcast tier (round 16, job-floor
-      // cut): the next round's first job materializes this one
       labels = voted
         .union(labels.filter(pmod(col("node"), lit(2L)) =!= lit(r % 2L)))
-        .localCheckpoint(eager = !bc)
+        .localCheckpoint()
     }
     // fixpoint certificate: one more full synchronous vote — a node
     // is stable iff re-voting over the FINAL labels would not move it
